@@ -1,0 +1,263 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the whole point of these implementations):
+
+- Exact dedup is a hash-groupBy on a 32-char digest — one shuffle on a
+  uniformly distributed key, no skew, map-side partial aggregation.
+- MinHash is shingle-explode -> P min-aggregations -> band-bucket join.
+  The only shuffles are the per-doc signature aggregation (keyed by doc_id,
+  uniform) and the band-bucket self-join (keyed by (band, hash), uniform by
+  construction). Candidate pairs are verified with exact Jaccard on the
+  candidates only — never all-pairs.
+- SimHash is a single groupBy(doc) with 64 bit-sum aggregates; near-dup
+  lookup joins on rotated prefix keys.
+- All hashing is xxhash64 (JVM built-in, codegen) — no Python in any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: one row per distinct text
+    with the (deterministic) minimum id kept and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as array<string> (distinct)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: array<bigint> of length ``num_perm``.
+
+    Permutation i is simulated as min over shingles of
+    xxhash64(shingle, i) — the standard one-hash-function-many-seeds trick.
+    Physical plan: explode shingles (no shuffle), then ONE hash aggregate
+    keyed by doc_id computing all P minima map-side.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH over MinHash signatures, verified
+    with exact shingle-set Jaccard on the candidates.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The self-join happens
+    only inside LSH buckets — at 100 TB the bucket key (band_idx, band_hash)
+    is high-cardinality and uniform, so the join shuffle is balanced and the
+    candidate set is tiny relative to all-pairs.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+    )
+    verified = (
+        cand.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: sign of per-bit weighted sums of token
+    hashes. One explode + one groupBy(doc) with 64 conditional-sum
+    aggregates — all JVM-side bit arithmetic."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    4x16-bit block keys (pigeonhole: any pair within distance 3 shares at
+    least one exact 16-bit block) to avoid the all-pairs join."""
+    sig = simhash64(df, text_col, id_col)
+    blocks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.key") == F.col("b.key"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, for small candidate sets or as LSH verification)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard over pairs that share at least one
+    shingle (inverted-index join — never a cross join). Returns
+    (id_a, id_b, jaccard >= threshold), id_a < id_b.
+
+    Scale path: the shingle-posting join explodes hot shingles; for a
+    100 TB corpus cap posting-list length (drop shingles appearing in more
+    than N docs — they carry no discriminative signal) before the join.
+    """
+    shingled = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    postings = shingled.select(
+        F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of every row against one query
+  vector — the correctness baseline. All arithmetic is JVM-side
+  ``aggregate``/``zip_with`` in double precision; the top-k is a
+  TakeOrderedAndProject (per-partition heap + single merge), never a full
+  global sort.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane (sign) LSH with
+  deterministic seeded hyperplanes hashed per row; candidates are restricted
+  to buckets matching the query's code (with multi-probe on Hamming-1
+  neighbors), then exact-ranked. At 100 TB this turns a full-corpus scan
+  per query into a partition-pruned bucket read when the table is written
+  partitioned by bucket code.
+- ``pairwise_near_dup``: embedding-cosine near-duplicate pairs via the same
+  LSH bucketing (self-join within buckets only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity_col(vec_col: Column | str, query: list[float]) -> Column:
+    """Cosine similarity of each row's vector against a constant query
+    vector, as one JVM-side expression (double precision)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return _dot(v, q) / (_norm(v) * _norm(q))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k vs one query vector. Deterministic tie-break on id.
+    Returns (id, cosine) ordered best-first."""
+    sim = cosine_similarity_col(vec_col, query).alias("cosine")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_codes(
+    vec_col: Column | str, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Sign-LSH bucket code (int) from ``n_planes`` deterministic pseudo-random
+    hyperplanes. Plane components are derived from xxhash64(seed, plane, dim
+    index) scaled to [-1, 1] — reproducible on any engine, no driver RNG."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    code = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (F.xxhash64(F.lit(seed), F.lit(p), i) % 2000001) / 1000000.0
+            ),
+        )
+        proj = F.aggregate(
+            F.zip_with(v, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0).cast("bigint"))
+        )
+    return code
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: restrict candidates to rows whose LSH code
+    is within ``multiprobe_hamming`` bits of the query's code, then
+    exact-rank the candidates. Recall grows with probes; cost shrinks
+    ~2^-n_planes per probe."""
+    dim = len(query)
+    codes = df.withColumn("_code", hyperplane_codes(vec_col, dim, n_planes, seed))
+    # Query code via the same JVM expression over a one-row DataFrame, so
+    # driver and executors use identical hash arithmetic.
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(query,)], "q: array<double>")
+    qcode = qdf.select(hyperplane_codes("q", dim, n_planes, seed).alias("c")).collect()[0]["c"]
+    probe_codes = [qcode]
+    if multiprobe_hamming >= 1:
+        probe_codes += [qcode ^ (1 << b) for b in range(n_planes)]
+    cand = codes.filter(F.col("_code").isin(probe_codes))
+    sim = cosine_similarity_col(vec_col, query).alias("cosine")
+    return (
+        cand.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (equal
+    codes only), exact cosine on candidates, filter by threshold."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    codes = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_codes(vec_col, dim, n_planes, seed).alias("_code")
+    )
+    a, b = codes.alias("a"), codes.alias("b")
+    cand = a.join(
+        b,
+        on=[F.col("a._code") == F.col("b._code"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("va"),
+        F.col(f"b.{vec_col}").alias("vb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return cand.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen-friendly) — a 100 TB corpus
+runs these as a single scan-project stage with zero shuffles and zero
+Python. The stopword list is tiny and inlined as a literal array, never a
+driver-side join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal English stopword set used by the quality and lang-id heuristics.
+EN_STOPWORDS = ("a", "an", "and", "the", "of", "to", "in", "is", "it", "that")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: array<string> of tokens."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish refinement: see bpe_token_estimate)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """Rough BPE token estimate: word-piece-ish regex split. A real
+    tokenizer would be a pandas_udf over a vocab broadcast; this keeps the
+    estimate JVM-side (≈ words + punctuation runs)."""
+    c = _c(col)
+    return F.size(
+        F.split(F.trim(c), r"(?<=\W)|(?=\W)")
+    ).cast("bigint")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature family: lengths, punctuation / whitespace /
+    stopword ratios. Each is one expression; combine into a score with any
+    weighting downstream."""
+    c = _c(col)
+    toks = tokens(c)
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(c).cast("bigint")
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))
+    ).cast("bigint")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))),
+        "stopword_ratio": (stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1))),
+        "mean_token_len": (
+            (n_chars - (n_tokens - 1)).cast("double") / F.greatest(n_tokens, F.lit(1))
+        ),
+    }
+
+
+def language_id(col: Column | str, stop_threshold: int = 1) -> Column:
+    """N-gram/stopword language-ID heuristic: English when enough English
+    stopwords appear as whole tokens; Vietnamese when diacritic characters
+    appear; else 'unknown'. Deliberately simple and fully SQL-expressible so
+    the oracle can replicate it."""
+    c = _c(col)
+    stop_hits = F.size(F.filter(tokens(c), lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    has_vi = c.rlike("[ạảấầẩẫậắằẳẵặẹẻẽềếểễệỉịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹđ]")
+    return (
+        F.when(has_vi, F.lit("vi"))
+        .when(stop_hits >= stop_threshold, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 over whitespace-normalized,
+    lowercased text. Stable across engines (md5 is identical in Spark and
+    DuckDB), O(1) per row, and the join key for exact near-normalized dedup."""
+    c = _c(col)
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

@@ -1,0 +1,113 @@
+"""Aggregation operators (SURVEY.md section 2.4, A1-A6 and the mart queries
+Q2/Q3 from section 2.8).
+
+All are single groupBy/agg passes — Spark's partial (map-side) + final hash
+aggregation replaces the reference's driver-heap counting maps
+(ETLMain.java:363-368) and the JPQL scalar subqueries
+(Backend/.../MartRepository.java:14-33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+
+def draws_per_date(transform_df: DataFrame, date_col: str = "full_date") -> DataFrame:
+    """A1: rows per draw date — the reference's totalDrawsPerDate map
+    (ETLMain.java:363-368). Counts ALL transform rows per date including
+    intra-date duplicate numbers (SURVEY 2.7.2)."""
+    return transform_df.groupBy(date_col).agg(F.count("*").cast("int").alias("total_draws"))
+
+
+def reciprocal_probability(total_draws_col: str = "total_draws") -> F.Column:
+    """A2: probability_value = 1 / total_draws as an exact decimal
+    (ETLMain.java:392 uses BigDecimal)."""
+    return (
+        F.lit(1).cast(DecimalType(10, 6)) / F.col(total_draws_col)
+    ).cast(DecimalType(10, 6))
+
+
+def last_appearance(fact_like: DataFrame, key: str, date_col: str = "full_date") -> DataFrame:
+    """A3: per-key max date — dim_number.last_appeared_date maintenance
+    (ETLMain.java:419-429) as one agg instead of a running map + UPDATE."""
+    return fact_like.groupBy(key).agg(F.max(date_col).alias("last_appeared_date"))
+
+
+def mart_rollup(
+    fact: DataFrame,
+    dim_number: DataFrame,
+    as_of: str | None = None,
+) -> DataFrame:
+    """A4/Q3: build mart_two_digit_probability from fact x dim_number
+    [mart SQL absent in reference; reconstructed from the JPA entity
+    Backend/.../entity/Mart.java:15-34 — SURVEY 2.8].
+
+    - total_occurrences = SUM(occurrence_count)    (DECIMAL(32,0), MySQL SUM(INT))
+    - total_draws       = global draw-row count in scope
+    - probability       = total_occurrences / total_draws as DECIMAL(36,4)
+    - last_appeared_date, days_since_last (vs ``as_of``; current_date if None)
+
+    One broadcast join + one hash aggregate; the global total_draws scalar is
+    attached with a second tiny aggregate cross-joined in (a 1-row broadcast,
+    not a window over the whole fact).
+    """
+    joined = fact.join(F.broadcast(dim_number), "number_key", "inner")
+    per_number = joined.groupBy("number_value").agg(
+        F.sum("occurrence_count").cast(DecimalType(32, 0)).alias("total_occurrences"),
+        F.max("full_date").alias("last_appeared_date"),
+    )
+    total = fact.agg(F.sum("total_draws_contrib").cast("int").alias("total_draws")) \
+        if "total_draws_contrib" in fact.columns else \
+        fact.agg(F.count("*").cast("int").alias("total_draws"))
+    as_of_col = F.to_date(F.lit(as_of)) if as_of else F.current_date()
+    return (
+        per_number.crossJoin(F.broadcast(total))
+        .withColumn(
+            "probability",
+            (F.col("total_occurrences") / F.col("total_draws")).cast(DecimalType(36, 4)),
+        )
+        .withColumn("days_since_last", F.datediff(as_of_col, F.col("last_appeared_date")).cast("int"))
+        .select(
+            "number_value",
+            "total_occurrences",
+            "total_draws",
+            "probability",
+            "last_appeared_date",
+            "days_since_last",
+        )
+    )
+
+
+def mart_statistics(mart: DataFrame) -> DataFrame:
+    """A5/Q2: the /mart/statistic endpoint as ONE single-row aggregate.
+
+    Reference issues four sequential JPQL queries with scalar subqueries
+    (MartRepository.java:14-33); here it is one pass with max_by/min_by.
+    Ties broken deterministically by lowest number_value (the reference's
+    single-int contract would throw on ties — SURVEY 2.8 note), implemented
+    by max/min over a (count, -number) struct ordering.
+    """
+    # Deterministic argmax: order by (total_occurrences, number_value DESC)
+    # so ties pick the LOWEST number_value; argmin symmetric.
+    num_int = F.col("number_value").cast("int")
+    return mart.agg(
+        F.max("total_draws").cast("int").alias("total_occurrences"),
+        F.max(F.struct(F.col("total_occurrences"), (-num_int).alias("neg")))["neg"]
+        .cast("int").alias("most_number_neg"),
+        F.min(F.struct(F.col("total_occurrences"), num_int.alias("num")))["num"]
+        .cast("int").alias("least_number"),
+        F.max("last_appeared_date").alias("last_update"),
+    ).select(
+        F.col("total_occurrences"),
+        (-F.col("most_number_neg")).cast("int").alias("most_number"),
+        F.col("least_number"),
+        F.col("last_update"),
+    )
+
+
+def row_count_audit(df: DataFrame) -> int:
+    """A6: COUNT(*) audit for the process_log row-count delta
+    (ETLMain.java:222-230)."""
+    return df.count()

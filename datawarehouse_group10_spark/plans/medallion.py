@@ -1,0 +1,212 @@
+"""The medallion pipeline: bronze (raw crawl rows) -> silver (typed
+transform) -> gold (star schema) -> mart (serving aggregate).
+
+This is the Spark-first re-expression of the reference's P2-P4 stages
+(StagingDW, transform_staging, load_warehouse) as four declarative
+DataFrame plans. Each build_* function is pure (DataFrame in, DataFrame
+out) so Catalyst sees the whole lineage; persistence/partitioning is the
+caller's concern (sources.parquet_source.write_layer).
+
+Documented deviations from the reference (SURVEY.md 2.7 / 7.4):
+- total_draws and days_since_last are computed over the FULL input, not the
+  load batch (the reference's values are load-order-dependent; ours are a
+  deterministic function of the data).
+- dim_number.number_key is row_number() over the natural key instead of
+  MySQL AUTO_INCREMENT (deterministic surrogate).
+- argmax/argmin tie-breaks are deterministic (lowest number_value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..operators.transforms import (
+    GIAI_BAY,
+    calendar_attributes,
+    decade_bucket,
+    derive_flags,
+    filter_prize,
+    last_digit,
+    last_k_digits,
+    normalize_numeric_string,
+    parse_draw_date,
+    surrogate_date_key,
+    vietnamese_day_name,
+)
+from ..operators.joins import anti_join_new_rows, broadcast_lookup_join
+from ..operators.aggregates import mart_rollup
+from ..operators.windows import days_since_last
+
+
+def bronze_to_silver(bronze: DataFrame) -> DataFrame:
+    """P3: staging strings -> typed transform rows (T1-T6 chain).
+
+    Filter one prize tier, take last 2 digits, parse the date, derive the
+    decade bucket and 0/1 flags. Unparseable rows drop (T6 tolerance);
+    the <2-char guard is inside last_k_digits.
+    """
+    num = last_k_digits("number_value", 2)
+    dt = parse_draw_date("full_date")
+    flags = derive_flags(F.col("number_value_int"), F.col("full_date_d"))
+    return (
+        filter_prize(bronze, GIAI_BAY)
+        .withColumn("number_value_int", num)
+        .withColumn("full_date_d", dt)
+        .filter(F.col("number_value_int").isNotNull() & F.col("full_date_d").isNotNull())
+        .withColumn("range_group", decade_bucket("number_value_int"))
+        .withColumn("is_weekend", flags["is_weekend"])
+        .withColumn("is_even", flags["is_even"])
+        .select(
+            F.col("number_value_int").alias("number_value"),
+            F.col("full_date_d").alias("full_date"),
+            "range_group",
+            "is_weekend",
+            "is_even",
+            F.col("load_timestamp"),
+        )
+    )
+
+
+def build_dim_date(silver: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+    """Gold dim_date (T8-T10 + J2 anti-join dedupe vs existing dimension).
+
+    Distinct draw dates -> calendar attributes. At scale the distinct is a
+    partial-agg shuffle on a low-cardinality key (dates), which is cheap.
+    """
+    cal = calendar_attributes("full_date")
+    dim = (
+        silver.select("full_date")
+        .distinct()
+        .withColumn("date_key", surrogate_date_key("full_date"))
+        .withColumn("day_of_month", cal["day_of_month"])
+        .withColumn("month_of_year", cal["month_of_year"])
+        .withColumn("year_value", cal["year_value"])
+        .withColumn("year_month_value", cal["year_month_value"])
+        .withColumn("day_name", vietnamese_day_name("full_date"))
+        .withColumn("is_weekend", F.dayofweek("full_date").isin(1, 7).cast("int"))
+        .select(
+            "date_key", "full_date", "day_of_month", "month_of_year",
+            "year_value", "year_month_value", "day_name", "is_weekend",
+        )
+    )
+    if existing is not None:
+        dim = anti_join_new_rows(dim, existing, "date_key")
+    return dim
+
+
+def build_dim_number(silver: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+    """Gold dim_number (T7, T11, J3; deterministic surrogate key).
+
+    Natural key = normalized number string (leading zeros stripped, T7).
+    number_key = row_number() over natural-key order: deterministic, unlike
+    the reference's AUTO_INCREMENT (documented deviation, SURVEY 4).
+    The window has no partition, but it runs over <=100 distinct rows
+    post-aggregation, so the single-partition sort is trivial.
+    """
+    base = (
+        silver.select(
+            normalize_numeric_string(F.col("number_value").cast("string")).alias("number_value"),
+            "is_even",
+            "full_date",
+        )
+        .groupBy("number_value")
+        .agg(
+            F.max("is_even").cast("int").alias("is_even"),
+            F.max("full_date").alias("last_appeared_date"),
+        )
+        .withColumn("last_digit", last_digit("number_value"))
+    )
+    if existing is not None:
+        base = anti_join_new_rows(base, existing, "number_value")
+    w = Window.orderBy(F.col("number_value").cast("int").asc_nulls_last(), F.col("number_value"))
+    return base.withColumn("number_key", F.row_number().over(w).cast("int")).select(
+        "number_key", "number_value", "is_even", "last_digit", "last_appeared_date"
+    )
+
+
+def build_fact_prize(
+    silver: DataFrame,
+    dim_number: DataFrame,
+    existing: DataFrame | None = None,
+) -> DataFrame:
+    """Gold fact_prize (W1-W2, A1-A2, J1, J4 + SURVEY 2.7 grain rules).
+
+    Grain = distinct (date, number): intra-date duplicate numbers collapse
+    to one row with occurrence_count=1 (2.7.1), while total_draws counts ALL
+    transform rows of that date including the duplicates (2.7.2).
+    days_since_last = lag over per-number date order, NULL on first
+    appearance (2.7.3) — computed over the full input (documented deviation).
+    """
+    total = silver.groupBy("full_date").agg(F.count("*").cast("int").alias("total_draws"))
+    distinct_dn = (
+        silver.select(
+            surrogate_date_key("full_date").alias("date_key"),
+            F.col("full_date"),
+            normalize_numeric_string(F.col("number_value").cast("string")).alias("number_value"),
+        )
+        .dropDuplicates(["date_key", "number_value"])
+    )
+    fact = (
+        distinct_dn
+        .join(F.broadcast(total), "full_date", "inner")  # A1 attach
+        .transform(lambda d: broadcast_lookup_join(d, dim_number.select("number_key", "number_value"), "number_value"))  # J1
+        .withColumn(
+            "probability_value",
+            (F.lit(1).cast(DecimalType(10, 6)) / F.col("total_draws")).cast(DecimalType(10, 6)),
+        )
+        .transform(lambda d: days_since_last(d, key="number_key", date_col="full_date"))  # W2
+        .withColumn("occurrence_count", F.lit(1).cast("int"))
+        .select(
+            "date_key", "number_key", "occurrence_count",
+            "total_draws", "probability_value", "days_since_last", "full_date",
+        )
+    )
+    if existing is not None:
+        fact = anti_join_new_rows(fact, existing, ["date_key", "number_key"], distinct=False)
+    return fact
+
+
+def build_mart(fact: DataFrame, dim_number: DataFrame, as_of: str | None = None) -> DataFrame:
+    """Gold -> serving mart (A4/Q3). See operators.aggregates.mart_rollup.
+
+    total_draws for the mart is the total transform-row count in scope,
+    reconstructed as sum over one row per (date) of that date's total_draws.
+    """
+    per_date = fact.select("date_key", "total_draws").dropDuplicates(["date_key"])
+    total = per_date.agg(F.sum("total_draws").cast("int").alias("total_draws"))
+    joined = fact.join(F.broadcast(dim_number.select("number_key", "number_value")), "number_key")
+    per_number = joined.groupBy("number_value").agg(
+        F.sum("occurrence_count").cast(DecimalType(32, 0)).alias("total_occurrences"),
+        F.max("full_date").alias("last_appeared_date"),
+    )
+    as_of_col = F.to_date(F.lit(as_of)) if as_of else F.current_date()
+    return (
+        per_number.crossJoin(F.broadcast(total))
+        .withColumn(
+            "probability",
+            (F.col("total_occurrences") / F.col("total_draws")).cast(DecimalType(36, 4)),
+        )
+        .withColumn("days_since_last", F.datediff(as_of_col, F.col("last_appeared_date")).cast("int"))
+        .select(
+            "number_value", "total_occurrences", "total_draws",
+            "probability", "last_appeared_date", "days_since_last",
+        )
+    )
+
+
+def run_full_pipeline(bronze: DataFrame, as_of: str | None = None) -> dict[str, DataFrame]:
+    """End-to-end P2->P4: returns every layer keyed by name."""
+    silver = bronze_to_silver(bronze)
+    dim_date = build_dim_date(silver)
+    dim_number = build_dim_number(silver)
+    fact = build_fact_prize(silver, dim_number)
+    mart = build_mart(fact, dim_number, as_of=as_of)
+    return {
+        "silver": silver,
+        "dim_date": dim_date,
+        "dim_number": dim_number,
+        "fact_prize": fact,
+        "mart": mart,
+    }

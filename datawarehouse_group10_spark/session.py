@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The defaults here are the scale-hygiene settings SURVEY.md section 7.7 calls
+for: AQE on (runtime partition coalescing, skew-join splitting, dynamic
+broadcast), Arrow for any pandas interchange, and a shuffle-partition count
+that the caller overrides per deployment (32 for local[32] tests; thousands
+on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "datawarehouse_group10_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster ``master`` comes from spark-submit and this function
+    only contributes the SQL confs; locally it defaults to ``local[N]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+
+    conf = {
+        # Adaptive execution: runtime coalescing, skew-join handling, and
+        # dynamic broadcast conversion. Essential at 100 TB, free locally.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Arrow for every pandas_udf / toPandas round-trip.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Dimensions in this model are tiny; let them broadcast aggressively.
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Timestamps in testdata are ntz-like; keep session in UTC so
+        # date arithmetic is deterministic across engines.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,47 @@
+"""Parquet lakehouse readers for the driver-generated testdata and for the
+medallion layers this engine writes.
+
+The reference's JDBC full-table scans (operator S5, ETLMain.java:195-220)
+become parquet scans here: columnar, vectorized, predicate-pushdown-capable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    """Load every synthetic table from ``sf_dir`` (TESTDATA.md)."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = spark.read.parquet(p)
+    return out
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view so spark.sql() queries see the same
+    names the DuckDB oracle uses."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_layer(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """Write a medallion layer. Partitioning by date keys keeps re-loads
+    idempotent (overwrite one partition, not the table) and gives downstream
+    scans partition pruning — the 100 TB-scale replacement for the
+    reference's INSERT IGNORE idempotence (ETLMain.java:244)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
