@@ -9,6 +9,7 @@ dimensions, shuffle only on bucketed keys).
 from .text import (
     token_count,
     tokens,
+    bpe_token_estimate,
     quality_features,
     language_id,
     doc_fingerprint,
@@ -18,13 +19,20 @@ from .dedup import (
     minhash_signatures,
     minhash_lsh_dup_pairs,
     simhash64,
+    simhash_dup_pairs,
     ngram_jaccard_pairs,
 )
-from .similarity import cosine_similarity_col, brute_force_topk, lsh_bucket_topk
+from .similarity import (
+    cosine_similarity_col,
+    brute_force_topk,
+    lsh_bucket_topk,
+    pairwise_near_dup,
+)
 
 __all__ = [
     "token_count",
     "tokens",
+    "bpe_token_estimate",
     "quality_features",
     "language_id",
     "doc_fingerprint",
@@ -32,8 +40,10 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_dup_pairs",
     "simhash64",
+    "simhash_dup_pairs",
     "ngram_jaccard_pairs",
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucket_topk",
+    "pairwise_near_dup",
 ]

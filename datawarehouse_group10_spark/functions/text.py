@@ -31,12 +31,14 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_token_estimate(col: Column | str) -> Column:
-    """Rough BPE token estimate: word-piece-ish regex split. A real
-    tokenizer would be a pandas_udf over a vocab broadcast; this keeps the
-    estimate JVM-side (≈ words + punctuation runs)."""
+    """Rough BPE token estimate: count of word / digit / punctuation pieces
+    (letters run together, digits count one-by-one, every symbol counts —
+    the shape a byte-pair vocab converges to). A real tokenizer would be a
+    pandas_udf over a vocab broadcast; this keeps the estimate JVM-side.
+    The pattern is RE2-safe (no lookarounds) so any engine can replicate."""
     c = _c(col)
     return F.size(
-        F.split(F.trim(c), r"(?<=\W)|(?=\W)")
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))
     ).cast("bigint")
 
 

@@ -25,7 +25,7 @@ from .aggregates import (
     mart_rollup,
     mart_statistics,
 )
-from .windows import days_since_last, recency_bucket, percent_display
+from .windows import days_since_last, recency_bucket, percent_display, top_k
 
 __all__ = [
     "filter_prize",
@@ -49,4 +49,5 @@ __all__ = [
     "days_since_last",
     "recency_bucket",
     "percent_display",
+    "top_k",
 ]

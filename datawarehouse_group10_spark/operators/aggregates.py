@@ -58,9 +58,17 @@ def mart_rollup(
         F.sum("occurrence_count").cast(DecimalType(32, 0)).alias("total_occurrences"),
         F.max("full_date").alias("last_appeared_date"),
     )
-    total = fact.agg(F.sum("total_draws_contrib").cast("int").alias("total_draws")) \
-        if "total_draws_contrib" in fact.columns else \
-        fact.agg(F.count("*").cast("int").alias("total_draws"))
+    # Global denominator = sum of each date's total_draws over ONE row per
+    # date (SURVEY 2.7.2: per-date counts include intra-date duplicates, but
+    # the fact grain collapsed them — so fact.count() would undercount).
+    if "total_draws" in fact.columns and "date_key" in fact.columns:
+        total = (
+            fact.select("date_key", "total_draws")
+            .dropDuplicates(["date_key"])
+            .agg(F.sum("total_draws").cast("int").alias("total_draws"))
+        )
+    else:
+        total = fact.agg(F.count("*").cast("int").alias("total_draws"))
     as_of_col = F.to_date(F.lit(as_of)) if as_of else F.current_date()
     return (
         per_number.crossJoin(F.broadcast(total))
@@ -91,7 +99,7 @@ def mart_statistics(mart: DataFrame) -> DataFrame:
     """
     # Deterministic argmax: order by (total_occurrences, number_value DESC)
     # so ties pick the LOWEST number_value; argmin symmetric.
-    num_int = F.col("number_value").cast("int")
+    num_int = F.col("number_value").try_cast("int")
     return mart.agg(
         F.max("total_draws").cast("int").alias("total_occurrences"),
         F.max(F.struct(F.col("total_occurrences"), (-num_int).alias("neg")))["neg"]

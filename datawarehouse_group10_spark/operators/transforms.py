@@ -41,14 +41,16 @@ def last_k_digits(col: Column | str, k: int = 2) -> Column:
     is shorter than k (reference skips those rows,
     LotteryTransform.java:128-130)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(c) >= k, F.substring(c, -k, k).cast("int"))
+    # try_cast, not cast: ANSI mode would throw on non-digit strings; the
+    # reference skips such rows (T6 tolerance), so NULL -> filtered later.
+    return F.when(F.length(c) >= k, F.substring(c, -k, k).try_cast("int"))
 
 
 def parse_draw_date(col: Column | str, fmt: str = "dd-MM-yyyy") -> Column:
     """T3: dd-MM-yyyy string -> DATE (LotteryTransform.java:125,131).
     try_to_date keeps T6 bad-record tolerance: unparseable -> NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_date(c, F.lit(fmt))
+    return F.try_to_date(c, fmt)
 
 
 def decade_bucket(col: Column | str, width: int = 10) -> Column:
@@ -75,7 +77,7 @@ def normalize_numeric_string(col: Column | str) -> Column:
     """T7: trim, strip leading zeros via int round-trip; non-numeric strings
     pass through trimmed ('07'->'7', 'abc'->'abc') — ETLMain.java:432-442."""
     c = F.trim(F.col(col) if isinstance(col, str) else col)
-    return F.when(c.rlike(r"^\d+$"), c.cast("bigint").cast("string")).otherwise(c)
+    return F.when(c.rlike(r"^\d+$"), c.try_cast("bigint").cast("string")).otherwise(c)
 
 
 def surrogate_date_key(col: Column | str) -> Column:
@@ -110,7 +112,7 @@ def last_digit(col: Column | str) -> Column:
     """T11: last digit of a numeric string; 0 when unparseable — preserves the
     reference's 0-default quirk (ETLMain.java:314-316)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(F.try_cast(c, "int") % 10, F.lit(0))
+    return F.coalesce(c.try_cast("int") % 10, F.lit(0))
 
 
 def iso_z_timestamp(col: Column | str) -> Column:

@@ -120,7 +120,7 @@ def build_dim_number(silver: DataFrame, existing: DataFrame | None = None) -> Da
     )
     if existing is not None:
         base = anti_join_new_rows(base, existing, "number_value")
-    w = Window.orderBy(F.col("number_value").cast("int").asc_nulls_last(), F.col("number_value"))
+    w = Window.orderBy(F.col("number_value").try_cast("int").asc_nulls_last(), F.col("number_value"))
     return base.withColumn("number_key", F.row_number().over(w).cast("int")).select(
         "number_key", "number_value", "is_even", "last_digit", "last_appeared_date"
     )

@@ -48,7 +48,6 @@ def get_spark(
         # Timestamps in testdata are ntz-like; keep session in UTC so
         # date arithmetic is deterministic across engines.
         "spark.sql.session.timeZone": "UTC",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
     if extra_conf:
         conf.update(extra_conf)
