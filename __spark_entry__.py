@@ -3,36 +3,45 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual registry lives in ``datawarehouse_group10_spark.contract`` —
+one named query per SURVEY.md §2 operator plus the LLM-data-pipeline ops
+(dedup / similarity / text / multimodal / streaming), each with a DuckDB
+oracle where the semantics are SQL-expressible (hash-based ops are
+rows-only by design and documented as such on the query callables).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datawarehouse_group10_spark.contract import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full medallion pipeline (bronze -> silver ->
+    star schema -> mart) over the sf0.001 testdata, returning the serving
+    mart — the reference's entire P2-P4 + mart build as one declarative
+    plan."""
+    return QUERIES["pipeline_mart"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (and per
+    LLM-pipeline op). Each callable takes (spark, sf_dir) and returns a
+    DataFrame with oracle-matching column names."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query. Keys absent here
+    (minhash/simhash/LSH top-k) are hash-bucket ops whose exact semantics
+    aren't SQL-expressible; the driver records rows-only checks for them."""
+    return dict(ORACLES)

@@ -1,0 +1,73 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced through the `noop` sink — full plan execution
+(scan, shuffle, window, UDF) with zero serialization back to Python, so
+the timing measures the engine, not the driver round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: The headline set: one per workload family (full medallion pipeline,
+#: scan+agg, broadcast join, window, exact dedup, LSH near-dup, ANN,
+#: text quality, streaming ingest).
+HEADLINE = [
+    "pipeline_mart",
+    "tpch_q1_pricing_summary",
+    "j1_broadcast_join",
+    "w2_days_since_last",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_scores",
+    "text_quality",
+    "stream_hourly_counts",
+]
+
+
+def main() -> None:
+    from datawarehouse_group10_spark.contract import QUERIES
+    from datawarehouse_group10_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not first-touch costs.
+    QUERIES["a5_minmax_scalars"](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

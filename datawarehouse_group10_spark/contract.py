@@ -1,0 +1,1068 @@
+"""Driver-contract query registry: one named query per SURVEY.md §2
+operator (and per LLM-pipeline op), each with a DuckDB-equivalent ANSI-SQL
+oracle able to run on the same parquet tables.
+
+Cross-engine value-stability rules (the whole point of this module):
+
+- Aggregated money values are cast to DECIMAL **before** summing on both
+  sides (exact arithmetic, order-independent), then the final value is
+  cast to DOUBLE (deterministic conversion) — never a raw float sum.
+- DATE outputs are serialized as 'yyyy-MM-dd' strings; no raw timestamps
+  leave a query (the oracle can't know the driver session's timezone).
+- Ratio outputs are either exact IEEE divisions of identical operands
+  (bit-identical across engines) or explicitly rounded on both sides.
+- Every computed column is aliased identically in the Spark plan and the
+  SQL text (the driver compare joins on column names).
+
+The lottery-pipeline operators run on a deterministic lottery-shaped
+"bronze" table derived from the `events` testdata with engine-identical
+expressions (CASE over event_id%8 for the prize tier, floor(value*100)%100
+left-padded for the two-digit number, dd-MM-yyyy formatting of ts).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    DecimalType,
+    FloatType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from .functions.dedup import (
+    exact_dedup,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from .functions.similarity import (
+    _dot,
+    _norm,
+    brute_force_topk,
+    cosine_similarity_col,
+    lsh_bucket_topk,
+)
+from .functions.text import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+from .multimodal import attach_binary_payload, decode_features
+from .operators.aggregates import draws_per_date, last_appearance, mart_statistics
+from .operators.joins import anti_join_new_rows, broadcast_lookup_join
+from .operators.transforms import (
+    GIAI_BAY,
+    calendar_attributes,
+    decade_bucket,
+    derive_flags,
+    filter_prize,
+    iso_z_timestamp,
+    last_digit,
+    last_k_digits,
+    normalize_numeric_string,
+    parse_draw_date,
+    surrogate_date_key,
+    vietnamese_day_name,
+)
+from .operators.windows import days_since_last, percent_display, recency_bucket, top_k
+from .plans.medallion import (
+    bronze_to_silver,
+    build_dim_date,
+    build_dim_number,
+    build_fact_prize,
+    build_mart,
+)
+from .sources.csv_source import write_crawl_csv
+from .streaming import events_hourly_counts, run_stream_to_table
+
+#: Fixed "today" for every recency computation so results are a pure
+#: function of the input data, not of the wall clock.
+AS_OF = "2026-01-01"
+
+_PRIZES = [
+    "Giải Đặc Biệt", "Giải Nhất", "Giải Nhì", "Giải Ba",
+    "Giải Tư", "Giải Năm", "Giải Sáu", "Giải Bảy",
+]
+
+
+# ---------------------------------------------------------------------------
+# Shared plumbing
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table's ``ts`` is parquet TIMESTAMP(NANOS), which Spark
+    has no native type for (PARQUET_TYPE_ILLEGAL). Read it as a nanos long
+    and rebuild a microsecond timestamp by integer division — the same
+    truncation DuckDB applies when it narrows TIMESTAMP_NS on read, so
+    both engines see identical values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _utc(spark: SparkSession) -> None:
+    """The oracle's timestamps are timezone-naive; pin the Spark session to
+    UTC so both engines render the same calendar values regardless of the
+    driver host's timezone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def stable(df: DataFrame) -> DataFrame:
+    """Serialize a result to engine-portable types: decimal->double,
+    float->double, date->'yyyy-MM-dd' string, timestamp->formatted string."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, DecimalType):
+            c = c.cast("double")
+        elif isinstance(f.dataType, FloatType):
+            c = c.cast("double")
+        elif isinstance(f.dataType, DateType):
+            c = F.date_format(c, "yyyy-MM-dd")
+        elif isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+            c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+def lottery_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lottery-shaped bronze rows derived from `events` —
+    engine-identical twin of the `bronze` CTE in _LOTTERY_CTE."""
+    ev = _events(spark, sf_dir)
+    tier = (F.col("event_id") % 8).cast("int")
+    prize = F.lit(_PRIZES[-1])
+    for i in range(7):
+        prize = F.when(tier == i, F.lit(_PRIZES[i])).otherwise(prize)
+    return ev.select(
+        prize.alias("prize"),
+        F.lpad(
+            ((F.floor(F.col("value") * 100) % 100).cast("bigint")).cast("string"),
+            2, "0",
+        ).alias("number_value"),
+        F.date_format("ts", "dd-MM-yyyy").alias("full_date"),
+        F.col("ts").alias("load_timestamp"),
+        F.col("event_id"),
+    )
+
+
+#: DuckDB CTE chain replicating lottery_bronze -> silver -> star -> mart.
+_LOTTERY_CTE = """
+WITH bronze AS (
+  SELECT
+    CASE CAST(event_id % 8 AS INT)
+      WHEN 0 THEN 'Giải Đặc Biệt' WHEN 1 THEN 'Giải Nhất'
+      WHEN 2 THEN 'Giải Nhì'      WHEN 3 THEN 'Giải Ba'
+      WHEN 4 THEN 'Giải Tư'       WHEN 5 THEN 'Giải Năm'
+      WHEN 6 THEN 'Giải Sáu'      ELSE 'Giải Bảy' END AS prize,
+    lpad(CAST(CAST(FLOOR(value * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+      AS number_value,
+    strftime(ts, '%d-%m-%Y') AS full_date,
+    event_id
+  FROM events
+),
+silver AS (
+  SELECT
+    CAST(number_value AS INT) AS number_value,
+    CAST(strptime(full_date, '%d-%m-%Y') AS DATE) AS full_date,
+    printf('%02d-%02d', (CAST(number_value AS INT) // 10) * 10,
+                        (CAST(number_value AS INT) // 10) * 10 + 9) AS range_group,
+    CASE WHEN isodow(CAST(strptime(full_date, '%d-%m-%Y') AS DATE)) IN (6, 7)
+         THEN 1 ELSE 0 END AS is_weekend,
+    CASE WHEN CAST(number_value AS INT) % 2 = 0 THEN 1 ELSE 0 END AS is_even
+  FROM bronze
+  WHERE prize = 'Giải Bảy' AND length(number_value) >= 2
+),
+dim_date AS (
+  SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key,
+         full_date,
+         CAST(day(full_date) AS INT) AS day_of_month,
+         CAST(month(full_date) AS INT) AS month_of_year,
+         CAST(year(full_date) AS INT) AS year_value,
+         strftime(full_date, '%Y-%m') AS year_month_value,
+         CASE isodow(full_date)
+           WHEN 1 THEN 'Thứ 2' WHEN 2 THEN 'Thứ 3' WHEN 3 THEN 'Thứ 4'
+           WHEN 4 THEN 'Thứ 5' WHEN 5 THEN 'Thứ 6' WHEN 6 THEN 'Thứ 7'
+           ELSE 'Chủ nhật' END AS day_name,
+         CASE WHEN isodow(full_date) IN (6, 7) THEN 1 ELSE 0 END AS is_weekend
+  FROM (SELECT DISTINCT full_date FROM silver)
+),
+dim_number AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(number_value AS INT)) AS INT)
+           AS number_key,
+         number_value, is_even,
+         CAST(CAST(number_value AS INT) % 10 AS INT) AS last_digit,
+         last_appeared_date
+  FROM (
+    SELECT CAST(CAST(number_value AS INT) AS VARCHAR) AS number_value,
+           CAST(MAX(is_even) AS INT) AS is_even,
+           MAX(full_date) AS last_appeared_date
+    FROM silver GROUP BY 1
+  )
+),
+total_per_date AS (
+  SELECT full_date, CAST(COUNT(*) AS INT) AS total_draws
+  FROM silver GROUP BY full_date
+),
+fact AS (
+  SELECT fb.date_key, dn.number_key,
+         CAST(1 AS INT) AS occurrence_count,
+         t.total_draws,
+         CAST(CAST(CAST(1 AS DECIMAL(10,6)) / t.total_draws AS DECIMAL(10,6))
+              AS DOUBLE) AS probability_value,
+         CAST(date_diff('day',
+              LAG(fb.full_date) OVER (PARTITION BY dn.number_key
+                                      ORDER BY fb.full_date),
+              fb.full_date) AS INT) AS days_since_last,
+         fb.full_date
+  FROM (SELECT DISTINCT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key,
+               full_date,
+               CAST(CAST(number_value AS INT) AS VARCHAR) AS number_value
+        FROM silver) fb
+  JOIN total_per_date t USING (full_date)
+  JOIN dim_number dn USING (number_value)
+),
+mart AS (
+  SELECT p.number_value,
+         p.total_occurrences,
+         g.total_draws,
+         CAST(CAST(CAST(p.total_occurrences AS DECIMAL(32,0)) / g.total_draws
+              AS DECIMAL(36,4)) AS DOUBLE) AS probability,
+         p.last_appeared_date,
+         CAST(date_diff('day', p.last_appeared_date, DATE '{as_of}') AS INT)
+           AS days_since_last
+  FROM (
+    SELECT dn.number_value,
+           CAST(SUM(f.occurrence_count) AS BIGINT) AS total_occurrences,
+           MAX(f.full_date) AS last_appeared_date
+    FROM fact f JOIN dim_number dn USING (number_key)
+    GROUP BY dn.number_value
+  ) p
+  CROSS JOIN (
+    SELECT CAST(SUM(total_draws) AS INT) AS total_draws
+    FROM (SELECT DISTINCT date_key, total_draws FROM fact)
+  ) g
+)
+""".replace("{as_of}", AS_OF)
+
+
+# ---------------------------------------------------------------------------
+# Lottery medallion pipeline queries
+
+def q_pipeline_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
+    return stable(silver.drop("load_timestamp"))
+
+
+def q_pipeline_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
+    return stable(build_dim_date(silver))
+
+
+def q_pipeline_dim_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
+    return stable(build_dim_number(silver))
+
+
+def q_pipeline_fact_prize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
+    fact = build_fact_prize(silver, build_dim_number(silver))
+    return stable(fact)
+
+
+def q_pipeline_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
+    dim_number = build_dim_number(silver)
+    fact = build_fact_prize(silver, dim_number)
+    mart = build_mart(fact, dim_number, as_of=AS_OF)
+    # total_occurrences is DECIMAL(32,0) (an integer count) — expose as
+    # BIGINT, the rest via stable().
+    return stable(
+        mart.withColumn(
+            "total_occurrences", F.col("total_occurrences").cast("bigint")
+        )
+    )
+
+
+def q_pipeline_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
+    dim_number = build_dim_number(silver)
+    fact = build_fact_prize(silver, dim_number)
+    mart = build_mart(fact, dim_number, as_of=AS_OF)
+    return stable(mart_statistics(mart))
+
+
+def q_t1_filter_prize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    bronze = lottery_bronze(spark, sf_dir)
+    return filter_prize(bronze, GIAI_BAY).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def q_s2_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (header CSV sink) + S3 (directory CSV scan): write a projection
+    of documents out as CSV, read the directory back, aggregate."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    write_crawl_csv(docs, tmp)  # S2 header sink
+    back = (  # S3 directory scan (the read is lazy; the dir stays in /tmp)
+        spark.read.schema("doc_id BIGINT, lang STRING, source STRING")
+        .option("header", "true")
+        .csv(tmp)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-transform micro-queries (T2-T12)
+
+def q_t2_t3_digits_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    bronze = lottery_bronze(spark, sf_dir)
+    return bronze.select(
+        "event_id",
+        last_k_digits("number_value", 2).alias("last2"),
+        F.date_format(parse_draw_date("full_date"), "yyyy-MM-dd").alias("d"),
+    )
+
+
+def q_t4_decade_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", decade_bucket("p_size").alias("size_bucket")
+    )
+
+
+def q_t5_derive_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    bronze = lottery_bronze(spark, sf_dir)
+    parsed = bronze.select(
+        "event_id",
+        last_k_digits("number_value", 2).alias("num"),
+        parse_draw_date("full_date").alias("d"),
+    )
+    flags = derive_flags("num", "d")
+    return parsed.select(
+        "event_id",
+        flags["is_even"].alias("is_even"),
+        flags["is_weekend"].alias("is_weekend"),
+    )
+
+
+def q_t7_normalize_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        normalize_numeric_string(
+            F.lpad(F.col("p_size").cast("string"), 4, "0")
+        ).alias("norm_size"),
+        normalize_numeric_string("p_brand").alias("norm_brand"),
+    )
+
+
+def q_t8_t9_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    dates = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    cal = calendar_attributes("d")
+    return dates.select(
+        surrogate_date_key("d").alias("date_key"),
+        cal["day_of_month"].cast("int").alias("day_of_month"),
+        cal["month_of_year"].cast("int").alias("month_of_year"),
+        cal["year_value"].cast("int").alias("year_value"),
+        cal["year_month_value"].alias("year_month_value"),
+    )
+
+
+def q_t10_day_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(vietnamese_day_name(F.to_date("o_orderdate")).alias("day_name"))
+        .groupBy("day_name")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_t11_last_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        last_digit(F.col("p_size").cast("string")).cast("int").alias("size_last_digit"),
+        last_digit("p_brand").cast("int").alias("brand_last_digit"),
+    )
+
+
+def q_t12_iso_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", iso_z_timestamp("ts").alias("iso_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Joins
+
+def q_j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    joined = broadcast_lookup_join(li, part, "l_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+def q_j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    existing = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join_new_rows(cust, existing, "c_custkey")
+
+
+def q_j4_composite_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    finished = _t(spark, sf_dir, "orders").filter("o_orderstatus = 'F'").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    kept = anti_join_new_rows(li, finished, "l_orderkey", distinct=False)
+    return kept.agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+
+def q_a1_a2_draws_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(F.to_date("ts").alias("d"))
+    per_date = draws_per_date(ev, date_col="d")
+    return per_date.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("total_draws").cast("int").alias("total_draws"),
+        (F.lit(1.0) / F.col("total_draws")).alias("probability"),
+        percent_display(F.lit(1.0) / F.col("total_draws")).alias("pct"),
+    )
+
+
+def q_a3_last_appearance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d"))
+    out = last_appearance(ev, key="user_id", date_col="d")
+    return stable(out)
+
+
+def q_a5_minmax_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic TPC-H Q1 shape over the synthetic lineitem — the
+    headline scan+aggregate benchmark query. Decimal-exact arithmetic so
+    the oracle hash-matches."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    tax1 = (F.lit(1.0) + F.col("l_tax")).cast("decimal(18,6)")
+    disc_price = (base * disc1).cast("decimal(18,6)")
+    charge = (disc_price * tax1).cast("decimal(18,6)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(base).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+
+def q_w2_days_since_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
+    out = days_since_last(ev, key="user_id", date_col="d")
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("days_since_last").cast("int").alias("days_since_last"),
+    )
+
+
+def q_w4_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return top_k(orders, "o_totalprice", 20).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+def q_w5_recency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
+    lagged = days_since_last(ev, key="user_id", date_col="d")
+    return (
+        lagged.filter(F.col("days_since_last").isNotNull())
+        .select(recency_bucket("days_since_last", recent=2, old=5).alias("recency"))
+        .groupBy("recency")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents)
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_estimate("text").alias("n_bpe"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity (documents + embeddings)
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # Uncapped: the oracle computes the exact same inverted-index jaccard.
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_posting_len=None)
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (xxhash64 is not expressible in the oracle); the
+    returned jaccard values ARE exact, so pairs here are true near-dups."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dup_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (bit-level hashing, no SQL oracle)."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, max_hamming=3)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 1).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def q_sim_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.round(cosine_similarity_col("embedding", q), 5).alias("cos5"),
+    )
+
+
+def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: exact top-10 (rank order near-ties make a SQL oracle
+    fragile; agreement with cosine_scores is checked in tests)."""
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    out = brute_force_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-bucketed ANN top-10 over the same query vector."""
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    out = lsh_bucket_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
+def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with label blocking (exact within block —
+    oracle-checkable, unlike the hash-bucketed variant)."""
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.label") == F.col("b.label"),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+        ],
+    )
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 5).alias("cos5"),
+        )
+        .filter(F.col("cos5") >= 0.6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + streaming
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    binary_docs = attach_binary_payload(docs)
+    return decode_features(binary_docs)
+
+
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    stream = events_hourly_counts(spark, os.path.join(sf_dir, "events.parquet"))
+    result = run_stream_to_table(stream, "events_hourly_counts_q")
+    return result.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # lottery medallion pipeline (SURVEY §2 pipeline operators)
+    "pipeline_silver": q_pipeline_silver,
+    "pipeline_dim_date": q_pipeline_dim_date,
+    "pipeline_dim_number": q_pipeline_dim_number,
+    "pipeline_fact_prize": q_pipeline_fact_prize,
+    "pipeline_mart": q_pipeline_mart,
+    "pipeline_statistics": q_pipeline_statistics,
+    "t1_filter_prize": q_t1_filter_prize,
+    "s2_s3_csv_roundtrip": q_s2_s3_csv_roundtrip,
+    # row transforms
+    "t2_t3_digits_dates": q_t2_t3_digits_dates,
+    "t4_decade_bucket": q_t4_decade_bucket,
+    "t5_derive_flags": q_t5_derive_flags,
+    "t7_normalize_numeric": q_t7_normalize_numeric,
+    "t8_t9_calendar": q_t8_t9_calendar,
+    "t10_day_name": q_t10_day_name,
+    "t11_last_digit": q_t11_last_digit,
+    "t12_iso_timestamp": q_t12_iso_timestamp,
+    # joins
+    "j1_broadcast_join": q_j1_broadcast_join,
+    "j2_anti_join": q_j2_anti_join,
+    "j4_composite_anti": q_j4_composite_anti,
+    # aggregations
+    "a1_a2_draws_probability": q_a1_a2_draws_probability,
+    "a3_last_appearance": q_a3_last_appearance,
+    "a5_minmax_scalars": q_a5_minmax_scalars,
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    # windows
+    "w2_days_since_last": q_w2_days_since_last,
+    "w4_top_k": q_w4_top_k,
+    "w5_recency_bucket": q_w5_recency_bucket,
+    # text analysis
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    # dedup / similarity
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_cosine_scores": q_sim_cosine_scores,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
+    # multimodal + streaming
+    "multimodal_decode": q_multimodal_decode,
+    "stream_hourly_counts": q_stream_hourly_counts,
+}
+
+
+ORACLES: dict[str, str] = {
+    "pipeline_silver": _LOTTERY_CTE + """
+SELECT number_value, strftime(full_date, '%Y-%m-%d') AS full_date,
+       range_group, is_weekend, is_even
+FROM silver
+""",
+    "pipeline_dim_date": _LOTTERY_CTE + """
+SELECT date_key, strftime(full_date, '%Y-%m-%d') AS full_date, day_of_month,
+       month_of_year, year_value, year_month_value, day_name, is_weekend
+FROM dim_date
+""",
+    "pipeline_dim_number": _LOTTERY_CTE + """
+SELECT number_key, number_value, is_even, last_digit,
+       strftime(last_appeared_date, '%Y-%m-%d') AS last_appeared_date
+FROM dim_number
+""",
+    "pipeline_fact_prize": _LOTTERY_CTE + """
+SELECT date_key, number_key, occurrence_count, total_draws, probability_value,
+       days_since_last, strftime(full_date, '%Y-%m-%d') AS full_date
+FROM fact
+""",
+    "pipeline_mart": _LOTTERY_CTE + """
+SELECT number_value, total_occurrences, total_draws, probability,
+       strftime(last_appeared_date, '%Y-%m-%d') AS last_appeared_date,
+       days_since_last
+FROM mart
+""",
+    "pipeline_statistics": _LOTTERY_CTE + """
+SELECT CAST(MAX(total_draws) AS INT) AS total_occurrences,
+       (SELECT CAST(number_value AS INT) FROM mart
+        ORDER BY total_occurrences DESC, CAST(number_value AS INT) LIMIT 1)
+         AS most_number,
+       (SELECT CAST(number_value AS INT) FROM mart
+        ORDER BY total_occurrences ASC, CAST(number_value AS INT) LIMIT 1)
+         AS least_number,
+       strftime(MAX(last_appeared_date), '%Y-%m-%d') AS last_update
+FROM mart
+""",
+    "t1_filter_prize": _LOTTERY_CTE + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bronze WHERE prize = 'Giải Bảy'
+""",
+    "s2_s3_csv_roundtrip": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang
+""",
+    "t2_t3_digits_dates": _LOTTERY_CTE + """
+SELECT event_id,
+       CAST(number_value AS INT) AS last2,
+       strftime(CAST(strptime(full_date, '%d-%m-%Y') AS DATE), '%Y-%m-%d') AS d
+FROM bronze
+""",
+    "t4_decade_bucket": """
+SELECT p_partkey,
+       printf('%02d-%02d', (p_size // 10) * 10, (p_size // 10) * 10 + 9)
+         AS size_bucket
+FROM part
+""",
+    "t5_derive_flags": _LOTTERY_CTE + """
+SELECT event_id,
+       CAST(CASE WHEN CAST(number_value AS INT) % 2 = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_even,
+       CAST(CASE WHEN isodow(CAST(strptime(full_date, '%d-%m-%Y') AS DATE))
+                 IN (6, 7) THEN 1 ELSE 0 END AS INT) AS is_weekend
+FROM bronze
+""",
+    "t7_normalize_numeric": """
+SELECT p_partkey,
+       CAST(CAST(lpad(CAST(p_size AS VARCHAR), 4, '0') AS BIGINT) AS VARCHAR)
+         AS norm_size,
+       trim(p_brand) AS norm_brand
+FROM part
+""",
+    "t8_t9_calendar": """
+SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+       CAST(day(d) AS INT) AS day_of_month,
+       CAST(month(d) AS INT) AS month_of_year,
+       CAST(year(d) AS INT) AS year_value,
+       strftime(d, '%Y-%m') AS year_month_value
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+""",
+    "t10_day_name": """
+SELECT CASE isodow(CAST(o_orderdate AS DATE))
+         WHEN 1 THEN 'Thứ 2' WHEN 2 THEN 'Thứ 3' WHEN 3 THEN 'Thứ 4'
+         WHEN 4 THEN 'Thứ 5' WHEN 5 THEN 'Thứ 6' WHEN 6 THEN 'Thứ 7'
+         ELSE 'Chủ nhật' END AS day_name,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+""",
+    "t11_last_digit": """
+SELECT p_partkey,
+       CAST(p_size % 10 AS INT) AS size_last_digit,
+       CAST(0 AS INT) AS brand_last_digit
+FROM part
+""",
+    "t12_iso_timestamp": """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.') || substr(strftime(ts, '%f'), 1, 3)
+         || 'Z' AS iso_ts
+FROM events
+""",
+    "j1_broadcast_join": """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    "j2_anti_join": """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    "j4_composite_anti": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderstatus = 'F' AND o.o_orderkey = l.l_orderkey
+)
+""",
+    "a1_a2_draws_probability": """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       CAST(COUNT(*) AS INT) AS total_draws,
+       1.0 / COUNT(*) AS probability,
+       round(1.0 / COUNT(*) * 100, 2) AS pct
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+    "a3_last_appearance": """
+SELECT user_id, strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_appeared_date
+FROM events GROUP BY user_id
+""",
+    "a5_minmax_scalars": """
+SELECT CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+""",
+    "tpch_q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))
+            * CAST(1.0 + l_tax AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "w2_days_since_last": """
+SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
+       CAST(date_diff('day',
+            LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS INT)
+         AS days_since_last
+FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+""",
+    "w4_top_k": """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC LIMIT 20
+""",
+    "w5_recency_bucket": """
+SELECT CASE WHEN days_since_last <= 2 THEN 'recent'
+            WHEN days_since_last <= 5 THEN 'old'
+            ELSE 'long' END AS recency,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT CAST(date_diff('day',
+              LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS INT)
+           AS days_since_last
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+)
+WHERE days_since_last IS NOT NULL
+GROUP BY 1
+""",
+    "text_token_counts": r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe
+FROM documents
+""",
+    "text_quality": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('a','an','and','the','of','to','in','is','it','that')))
+            AS DOUBLE)
+         / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+         AS stopword_ratio,
+       CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1)
+            AS DOUBLE)
+         / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+         AS mean_token_len
+FROM documents
+""",
+    "text_language_id": r"""
+SELECT CASE
+         WHEN regexp_matches(text,
+           '[ạảấầẩẫậắằẳẵặẹẻẽềếểễệỉịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹđ]') THEN 'vi'
+         WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> lower(x) IN ('a','an','and','the','of','to','in','is','it','that')))
+              >= 1 THEN 'en'
+         ELSE 'unknown' END AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_fingerprint": r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+""",
+    "dedup_ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ')
+                      FOR i IN range(1, len(t) - 1)]
+                ELSE [array_to_string(t, ' ')] END
+         ) AS shingles
+  FROM toks
+),
+postings AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM postings a JOIN postings b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+""",
+    "sim_cosine_scores": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id,
+       round(
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])))), 5) AS cos5
+FROM embeddings e CROSS JOIN q
+""",
+    "ann_label_blocked_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])))), 5) AS cos5
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])))), 5) >= 0.6
+""",
+    "multimodal_decode": """
+SELECT doc_id,
+       'application/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 AS INT) AS width,
+       CAST((octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+       md5(text) AS digest
+FROM documents
+""",
+    "stream_hourly_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+}

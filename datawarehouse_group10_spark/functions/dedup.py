@@ -90,6 +90,7 @@ def minhash_lsh_dup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH over MinHash signatures, verified
     with exact shingle-set Jaccard on the candidates.
@@ -98,6 +99,13 @@ def minhash_lsh_dup_pairs(
     only inside LSH buckets — at 100 TB the bucket key (band_idx, band_hash)
     is high-cardinality and uniform, so the join shuffle is balanced and the
     candidate set is tiny relative to all-pairs.
+
+    Skew guard: a cluster of EXACT duplicates lands its whole cluster in one
+    bucket of every band -> n^2 candidate pairs on one key. Run
+    :func:`exact_dedup` first to collapse exact copies, and
+    ``max_bucket_size`` drops any residual bucket larger than the cap
+    (pairs inside an over-cap bucket are near-certain duplicates of an
+    exact-dup cluster, not signal). ``None`` disables the cap.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
@@ -121,6 +129,18 @@ def minhash_lsh_dup_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+
+    if max_bucket_size is not None:
+        # One extra agg on the (uniform) bucket key; window-free so it stays
+        # a partial+final hash aggregate.
+        bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        banded = (
+            banded.join(bucket_sizes, ["band_idx", "band_hash"])
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -190,7 +210,18 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     4x16-bit block keys (pigeonhole: any pair within distance 3 shares at
-    least one exact 16-bit block) to avoid the all-pairs join."""
+    least one exact 16-bit block) to avoid the all-pairs join.
+
+    ``max_hamming`` must be <= 3: with 4 blocks the pigeonhole guarantee
+    breaks at distance 4 (a pair can differ in every block) and recall
+    silently degrades — refuse rather than return wrong answers.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_dup_pairs: max_hamming must be <= 3 for 4-block "
+            "pigeonhole completeness; use more blocks or MinHash-LSH for "
+            "looser thresholds"
+        )
     sig = simhash64(df, text_col, id_col)
     blocks = sig.select(
         id_col,
@@ -233,19 +264,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_posting_len: int | None = 1_000,
 ) -> DataFrame:
     """Exact k-word-shingle Jaccard over pairs that share at least one
     shingle (inverted-index join — never a cross join). Returns
     (id_a, id_b, jaccard >= threshold), id_a < id_b.
 
-    Scale path: the shingle-posting join explodes hot shingles; for a
-    100 TB corpus cap posting-list length (drop shingles appearing in more
-    than N docs — they carry no discriminative signal) before the join.
+    Hot-shingle guard: a stopword-like shingle appearing in N docs
+    contributes N^2 join rows; ``max_posting_len`` drops shingles whose
+    posting list exceeds the cap before the join (they carry ~no
+    discriminative signal, and the denominators still use the FULL shingle
+    counts so jaccard stays a lower bound, slightly conservative).
+    ``None`` disables the cap — exact but quadratic on hot shingles.
     """
     shingled = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
     postings = shingled.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
+    if max_posting_len is not None:
+        hot = postings.groupBy("sh").agg(F.count("*").alias("_df"))
+        postings = (
+            postings.join(hot, "sh")
+            .filter(F.col("_df") <= max_posting_len)
+            .drop("_df")
+        )
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])

@@ -1,0 +1,150 @@
+"""Multimodal (image/audio/video) column plumbing over binary columns.
+
+Design (the part that matters at 100 TB):
+
+- Media payloads travel as opaque ``binary`` columns next to typed
+  metadata (``media_type``, byte length, source id) — one row per asset,
+  colocated with its features, so a scan prunes to metadata-only when the
+  payload isn't needed (parquet column pruning skips the blob bytes).
+- Decode / feature-extraction runs as **Arrow-batched mapInPandas**: the
+  JVM ships columnar batches to Python once per batch, never per row, and
+  the UDF's output schema is declared so Catalyst plans downstream
+  operators normally.
+- Real codecs (PIL/libsndfile/ffmpeg) are NOT in this container; the
+  decode core is isolated behind ``_decode_bytes`` which raises
+  ``NotImplementedError`` for real media types and produces a
+  deterministic fake for ``application/fake`` — the Spark-side plumbing
+  (schema, batching, partitioning) is identical either way and is what
+  gets tested.
+
+Batch-shape note: mapInPandas receives an iterator of pandas DataFrames
+(one per Arrow batch, bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``)
+— memory per task is bounded regardless of partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_binary_payload",
+    "decode_features",
+    "resize_stub",
+    "frame_sample_stub",
+]
+
+#: Output schema of decode_features — declared so Catalyst can plan
+#: downstream projection/aggregation over the extracted features.
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, n_bytes BIGINT, "
+    "width INT, height INT, digest STRING"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    media_type: str = "application/fake",
+) -> DataFrame:
+    """Model a multimodal table from the documents testdata: payload =
+    UTF-8 bytes of the text as an opaque ``binary`` column plus typed
+    metadata. On a real corpus the payload comes from the storage layer
+    (e.g. ``spark.read.format('binaryFile')``); the downstream plumbing is
+    identical."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.lit(media_type).alias("media_type"),
+    )
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Extract per-asset features from the binary payload with one
+    Arrow-batched mapInPandas pass. Input needs columns
+    (doc_id, content, media_type); output follows FEATURE_SCHEMA.
+
+    This is the slow-path pattern done right: batch-at-a-time Python,
+    vectorized columns in and out, no row loops across the JVM boundary.
+
+    The batch function is deliberately self-contained (nested decode +
+    local imports): cloudpickle ships it by value, so executors never need
+    this package importable on their own sys.path.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _decode_bytes(payload: bytes, media_type: str) -> dict:
+            # Real codecs are NOT available in this environment — any real
+            # media type raises; 'application/fake' produces a
+            # deterministic pseudo-decode so the distributed plumbing is
+            # exercised end-to-end. A real impl dispatches to PIL /
+            # soundfile / av here.
+            if media_type != "application/fake":
+                raise NotImplementedError(
+                    f"no codec for media_type={media_type!r}"
+                )
+            n = len(payload)
+            return {
+                "n_bytes": n,
+                "width": n % 64,  # deterministic fake dimensions
+                "height": (n // 64) % 64,
+                "digest": _hashlib.md5(payload).hexdigest(),
+            }
+
+        for pdf in it:
+            feats = [
+                _decode_bytes(payload, mt)
+                for payload, mt in zip(pdf["content"], pdf["media_type"])
+            ]
+            out = _pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[["doc_id", "media_type", "n_bytes", "width", "height", "digest"]]
+
+    return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: same mapInPandas shape as decode_features,
+    payload transformation stubbed to a deterministic truncation (a real
+    impl swaps `_resize` for a PIL call; schema and batching unchanged)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _resize(payload: bytes) -> bytes:
+            return payload[: max(1, (width * height) % (len(payload) + 1))]
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [_resize(p) for p in pdf["content"]]
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=df.schema)
+
+
+def frame_sample_stub(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Video frame-sampling plumbing: one input row fans out to N frame
+    rows (mapInPandas may return more rows than it receives — the frame
+    explosion happens inside the Arrow batch, not via a JVM explode of
+    pre-materialized frames)."""
+    schema = "doc_id BIGINT, frame_idx INT, frame BINARY"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    rows.append((doc_id, i, payload[off : off + every_n_bytes]))
+            yield _pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(_batches, schema=schema)

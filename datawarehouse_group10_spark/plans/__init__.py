@@ -6,6 +6,7 @@ from .medallion import (
     build_dim_number,
     build_fact_prize,
     build_mart,
+    full_dim_number,
     run_full_pipeline,
 )
 from .orchestrator import ProcessLog
@@ -16,6 +17,7 @@ __all__ = [
     "build_dim_number",
     "build_fact_prize",
     "build_mart",
+    "full_dim_number",
     "run_full_pipeline",
     "ProcessLog",
 ]

@@ -104,6 +104,13 @@ def build_dim_number(silver: DataFrame, existing: DataFrame | None = None) -> Da
     the reference's AUTO_INCREMENT (documented deviation, SURVEY 4).
     The window has no partition, but it runs over <=100 distinct rows
     post-aggregation, so the single-partition sort is trivial.
+
+    Incremental semantics (mirrors AUTO_INCREMENT continuing past the
+    existing max, ETLMain.java:299-302): when ``existing`` is given, only
+    NEW natural keys are returned and their surrogate keys start at
+    max(existing.number_key) + 1 — re-loads never collide with or renumber
+    already-issued keys. Callers needing the full dimension union the
+    result with ``existing`` (see :func:`full_dim_number`).
     """
     base = (
         silver.select(
@@ -118,12 +125,31 @@ def build_dim_number(silver: DataFrame, existing: DataFrame | None = None) -> Da
         )
         .withColumn("last_digit", last_digit("number_value"))
     )
+    key_offset = F.lit(0)
     if existing is not None:
         base = anti_join_new_rows(base, existing, "number_value")
+        # 1-row broadcast of the existing max key; no driver collect.
+        offset_df = existing.agg(
+            F.coalesce(F.max("number_key"), F.lit(0)).cast("int").alias("_key_offset")
+        )
+        base = base.crossJoin(F.broadcast(offset_df))
+        key_offset = F.col("_key_offset")
     w = Window.orderBy(F.col("number_value").try_cast("int").asc_nulls_last(), F.col("number_value"))
-    return base.withColumn("number_key", F.row_number().over(w).cast("int")).select(
+    return base.withColumn(
+        "number_key", (F.row_number().over(w) + key_offset).cast("int")
+    ).select(
         "number_key", "number_value", "is_even", "last_digit", "last_appeared_date"
     )
+
+
+def full_dim_number(new: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+    """The complete dimension after an incremental load: existing members
+    (keys unchanged) plus newly issued ones. Pass THIS to
+    :func:`build_fact_prize` so facts for already-known numbers keep
+    resolving (an inner join against only-new members would drop them)."""
+    if existing is None:
+        return new
+    return existing.select(*new.columns).unionByName(new)
 
 
 def build_fact_prize(

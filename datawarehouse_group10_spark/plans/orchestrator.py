@@ -13,10 +13,11 @@ DataFrame reads, no driver-side SQL.
 from __future__ import annotations
 
 import datetime as _dt
-import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..schemas import PROCESS_LOG
 
@@ -33,9 +34,16 @@ class ProcessLog:
 
     # -- reads ------------------------------------------------------------
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        # Existence is probed through Spark itself (AnalysisException on a
+        # missing path), not os.path — the ledger may live on HDFS/S3 where
+        # a driver-local filesystem check would silently say "absent" and
+        # bypass all gating.
+        try:
+            df = self.spark.read.schema(PROCESS_LOG).parquet(self.path)
+            df.isEmpty()  # force path resolution now
+            return df
+        except AnalysisException:
             return self.spark.createDataFrame([], PROCESS_LOG)
-        return self.spark.read.schema(PROCESS_LOG).parquet(self.path)
 
     def latest_status(self, process_code: str) -> str | None:
         row = (
@@ -48,18 +56,37 @@ class ProcessLog:
         return row[0]["status"] if row else None
 
     def can_start(self, process_code: str) -> bool:
-        """Predecessor-SUCCESS gate + self-not-RUNNING guard."""
+        """Predecessor-SUCCESS gate + self-not-RUNNING guard. GATED rows
+        (a gated-out attempt) do not count as terminal state: the latest
+        *non-GATED* row decides, so a rejected attempt can't flip a stage
+        that is still RUNNING into apparently-FAILED."""
         idx = _STAGES.index(process_code)
-        if self.latest_status(process_code) == "RUNNING":
+        if self._latest_effective_status(process_code) == "RUNNING":
             return False
         if idx == 0:
             return True
-        return self.latest_status(_STAGES[idx - 1]) == "SUCCESS"
+        return self._latest_effective_status(_STAGES[idx - 1]) == "SUCCESS"
+
+    def _latest_effective_status(self, process_code: str) -> str | None:
+        row = (
+            self.read()
+            .filter(
+                (F.col("process_code") == process_code)
+                & (F.col("status") != "GATED")
+            )
+            .orderBy(F.col("process_id").desc())
+            .limit(1)
+            .collect()
+        )
+        return row[0]["status"] if row else None
 
     # -- writes -----------------------------------------------------------
-    def _next_id(self) -> int:
-        row = self.read().agg(F.max("process_id").alias("m")).collect()[0]
-        return (row["m"] or 0) + 1
+    @staticmethod
+    def _next_id() -> int:
+        # Monotonic wall-clock id: unique under concurrent writers (ns
+        # resolution), time-ordered, and needs no read-max-then-append
+        # round trip (which was racy).
+        return time.time_ns()
 
     def log(
         self,
@@ -78,9 +105,11 @@ class ProcessLog:
     # -- the reference's run shape ----------------------------------------
     def run_stage(self, process_code: str, fn, *args, **kwargs):
         """RUNNING -> fn() -> SUCCESS(+message) | FAILED(+error), with gating.
-        Returns fn's result; raises RuntimeError when gated out."""
+        Returns fn's result; raises RuntimeError when gated out. A gated-out
+        attempt is recorded as GATED (not FAILED) so it never masks the
+        in-flight run's real status."""
         if not self.can_start(process_code):
-            self.log(process_code, "FAILED", message="gate: predecessor not SUCCESS or self RUNNING")
+            self.log(process_code, "GATED", message="gate: predecessor not SUCCESS or self RUNNING")
             raise RuntimeError(f"{process_code} gated: predecessor not SUCCESS or already RUNNING")
         started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         self.log(process_code, "RUNNING", started_at=started)

@@ -1,0 +1,141 @@
+"""Structured Streaming ingest (SURVEY.md §2.6 optional modernization).
+
+The reference is a daily batch gated on wall-clock time
+(crawl_data/.../LotteryCrawler.java:106-110); its streaming-shaped rebuild
+is a file-source stream with ``Trigger.AvailableNow`` — process everything
+that has landed, then stop — which is exactly the reference's "run once a
+day over whatever files arrived" contract, but restartable, checkpointed,
+and incremental at any scale.
+
+Two surfaces:
+
+- :func:`read_crawl_csv_stream` / :func:`stream_bronze_to_silver`: the
+  lottery pipeline's bronze CSV directory as a stream.
+- :func:`events_hourly_counts`: watermarked tumbling-window aggregation
+  over the ``events`` testdata table — the canonical late-data-tolerant
+  streaming aggregate.
+
+Scale notes: the file source distributes listing + reading across
+executors; ``maxFilesPerTrigger`` bounds per-micro-batch work; watermark
+state is bounded (old windows are dropped), so the stateful aggregation
+survives unbounded input.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import STG_LOTTERY_DATA
+
+__all__ = [
+    "read_crawl_csv_stream",
+    "stream_bronze_to_silver",
+    "events_hourly_counts",
+    "run_stream_to_table",
+]
+
+#: Explicit schema for the events stream (streams cannot infer schemas).
+#: ts is parquet TIMESTAMP(NANOS) — no native Spark type — so it is read
+#: as a nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong) and rebuilt.
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """File sources list a directory; if ``path`` is a single file, expose
+    it through a temp directory symlink (local convenience — on a cluster
+    the input is always a directory)."""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def read_crawl_csv_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of sources.read_crawl_csv_dir (operators S2/S3/S6):
+    every ``*.csv`` landing in ``path`` becomes a micro-batch of bronze rows
+    with the ``load_timestamp`` audit column."""
+    reader = (
+        spark.readStream.schema(
+            "prize STRING, number_value STRING, full_date STRING, created_at STRING"
+        )
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .option("pathGlobFilter", "*.csv")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.csv(_as_stream_dir(path))
+    return df.filter(
+        F.col("prize").isNotNull() & F.col("number_value").isNotNull()
+    ).withColumn("load_timestamp", F.current_timestamp())
+
+
+def stream_bronze_to_silver(bronze_stream: DataFrame) -> DataFrame:
+    """Apply the batch silver transform to the stream — the T1-T6 chain is
+    stateless, so the identical plan runs under either engine."""
+    from ..plans.medallion import bronze_to_silver
+
+    return bronze_to_silver(bronze_stream)
+
+
+def events_hourly_counts(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling 1-hour window counts per event_type as an
+    unbounded streaming aggregate (the SURVEY §2.6 'windowed aggs for late
+    data' pattern). Returns the *streaming* DataFrame; run it with
+    :func:`run_stream_to_table`."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(_as_stream_dir(events_path))
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+        )
+    )
+
+
+def run_stream_to_table(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory sink and return the materialized result table.
+
+    AvailableNow processes every file currently present then stops — the
+    streaming equivalent of the reference's run-once-per-day batch. On a
+    real deployment the sink would be a parquet/Delta path + checkpoint
+    dir; the memory sink keeps the local harness hermetic.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(query_name)
