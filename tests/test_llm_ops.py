@@ -1,0 +1,154 @@
+"""LLM-data-pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — semantics on crafted inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_group10_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_dup_pairs,
+)
+from datawarehouse_group10_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_similarity_col,
+    lsh_bucket_topk,
+    pairwise_near_dup,
+)
+from datawarehouse_group10_spark.functions.text import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    language_id,
+    token_count,
+)
+from datawarehouse_group10_spark.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample_stub,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog again and AGAIN!"),  # near dup
+    (4, "completely different content about spark query engines at scale"),
+    (5, "xin chào các bạn hôm nay xổ số miền bắc quay thưởng"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2       # docs 1+2 identical, min id kept
+    assert out[3] == 1
+
+
+def test_minhash_lsh_finds_exact_pair_only(spark, docs):
+    pairs = minhash_lsh_dup_pairs(docs, jaccard_threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_ngram_jaccard_near_pair(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0     # near-dup shares most shingles
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dup_and_guard(spark, docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sims[1] == sims[2]             # identical text -> identical simhash
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_dup_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_dup_pairs(docs, max_hamming=4)
+
+
+def test_text_analysis(spark, docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            bpe_token_estimate("text").alias("bpe"),
+            language_id("text").alias("lang"),
+            doc_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert rows[1]["tc"] == 12
+    assert rows[1]["bpe"] >= rows[1]["tc"] - 2  # sub-word-ish, not fewer pieces
+    assert rows[1]["lang"] == "en"
+    assert rows[5]["lang"] == "vi"
+    assert rows[1]["fp"] == rows[2]["fp"]
+    # fingerprint ignores whitespace runs + case
+    norm = spark.createDataFrame(
+        [(9, "THE  quick   brown fox jumps over the lazy dog again and again")],
+        "doc_id bigint, text string",
+    )
+    fp9 = norm.select(doc_fingerprint("text").alias("fp")).first()["fp"]
+    assert fp9 == rows[1]["fp"]
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0], 0),
+    (2, [0.9, 0.1, 0.0], 0),     # close to 1
+    (3, [0.0, 1.0, 0.0], 1),
+    (4, [0.0, 0.95, 0.05], 1),   # close to 3
+    (5, [0.0, 0.0, 1.0], 2),
+]
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id bigint, embedding array<float>, label int")
+
+
+def test_cosine_and_topk(spark, vecs):
+    out = brute_force_topk(vecs, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert out[1]["cosine"] == pytest.approx(0.9 / math.sqrt(0.82))
+
+
+def test_lsh_topk_agrees_with_brute_force(spark, vecs):
+    q = [1.0, 0.0, 0.0]
+    brute = [r["vec_id"] for r in brute_force_topk(vecs, q, k=1).collect()]
+    approx = [r["vec_id"] for r in lsh_bucket_topk(vecs, q, k=1, n_planes=4).collect()]
+    assert brute == approx == [1]
+
+
+def test_pairwise_near_dup_buckets(spark, vecs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in pairwise_near_dup(vecs, threshold=0.9).collect()
+    }
+    # LSH recall is approximate, but identical-direction pairs share buckets
+    assert pairs <= {(1, 2), (3, 4)}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_near_dup(vecs, threshold=0.9, n_planes=1).collect()
+    }
+    assert (1, 2) in exact
+
+
+def test_multimodal_decode_and_frames(spark, docs):
+    binary = attach_binary_payload(docs, text_col="text", id_col="doc_id")
+    feats = {r["doc_id"]: r for r in decode_features(binary).collect()}
+    assert feats[1]["n_bytes"] == len(DOCS[0][1].encode())
+    assert feats[1]["digest"] == feats[2]["digest"]
+    frames = frame_sample_stub(binary, every_n_bytes=16)
+    n_frames = frames.filter(F.col("doc_id") == 1).count()
+    assert n_frames == math.ceil(len(DOCS[0][1].encode()) / 16)

@@ -1,0 +1,121 @@
+"""End-to-end medallion semantics on crafted rows — the SURVEY §2.7 trap
+list as executable assertions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datawarehouse_group10_spark.operators.aggregates import mart_statistics
+from datawarehouse_group10_spark.plans.medallion import (
+    bronze_to_silver,
+    build_dim_date,
+    build_dim_number,
+    build_fact_prize,
+    build_mart,
+    full_dim_number,
+    run_full_pipeline,
+)
+
+
+def test_silver_drops_exactly_the_bad_rows(spark, lottery_bronze_rows):
+    silver = bronze_to_silver(lottery_bronze_rows)
+    rows = silver.collect()
+    # 6 valid Giải-Bảy rows survive (dup kept at silver); the other tiers,
+    # len<2, non-numeric, and bad-date rows are gone.
+    assert len(rows) == 6
+    assert all(0 <= r["number_value"] <= 99 for r in rows)
+
+
+def test_fact_grain_and_total_draws(spark, lottery_bronze_rows):
+    out = run_full_pipeline(lottery_bronze_rows, as_of="2024-01-10")
+    fact = out["fact_prize"].collect()
+    # 2.7.1: the duplicate (01-01, 07) collapses -> 3 facts on 01-01, 2 on 02-01
+    assert len(fact) == 5
+    assert all(r["occurrence_count"] == 1 for r in fact)
+    by_date = {r["date_key"]: r["total_draws"] for r in fact}
+    # 2.7.2: total_draws counts ALL silver rows of the date, including dups
+    assert by_date[20240101] == 4
+    assert by_date[20240102] == 2
+
+
+def test_days_since_last_null_on_first(spark, lottery_bronze_rows):
+    out = run_full_pipeline(lottery_bronze_rows, as_of="2024-01-10")
+    fact = out["fact_prize"]
+    dim = out["dim_number"]
+    joined = fact.join(dim, "number_key").select("number_value", "date_key", "days_since_last")
+    rows = {(r["number_value"], r["date_key"]): r["days_since_last"] for r in joined.collect()}
+    assert rows[("23", 20240101)] is None     # 2.7.3: first appearance
+    assert rows[("23", 20240102)] == 1        # next day
+
+
+def test_dim_number_normalization_and_keys(spark, lottery_bronze_rows):
+    dim = build_dim_number(bronze_to_silver(lottery_bronze_rows)).collect()
+    values = [r["number_value"] for r in dim]
+    assert values == ["7", "23", "41", "99"]           # zeros stripped, int order
+    assert [r["number_key"] for r in dim] == [1, 2, 3, 4]
+    assert dim[0]["last_digit"] == 7
+
+
+def test_incremental_dim_number_keys_continue(spark, lottery_bronze_rows):
+    silver = bronze_to_silver(lottery_bronze_rows)
+    existing = build_dim_number(silver)
+    # new batch introduces 55 (and repeats 23, which must not be re-issued)
+    ts = dt.datetime(2024, 1, 7)
+    new_bronze = spark.createDataFrame(
+        [
+            ("Giải Bảy", "55", "05-01-2024", "x", ts),
+            ("Giải Bảy", "23", "05-01-2024", "x", ts),
+        ],
+        lottery_bronze_rows.schema,
+    )
+    new_silver = bronze_to_silver(new_bronze)
+    delta = build_dim_number(new_silver, existing=existing).collect()
+    assert [(r["number_value"], r["number_key"]) for r in delta] == [("55", 5)]
+    full = full_dim_number(
+        build_dim_number(new_silver, existing=existing), existing
+    )
+    assert full.count() == 5
+    # keys stay unique and stable
+    assert full.select("number_key").distinct().count() == 5
+
+
+def test_mart_probability_and_denominator(spark, lottery_bronze_rows):
+    out = run_full_pipeline(lottery_bronze_rows, as_of="2024-01-10")
+    mart = {r["number_value"]: r for r in out["mart"].collect()}
+    # denominator = 4 + 2 silver rows = 6 (including the intra-date dup)
+    assert all(r["total_draws"] == 6 for r in mart.values())
+    assert float(mart["23"]["probability"]) == 0.3333  # 2/6 at DECIMAL(36,4)
+    assert int(mart["23"]["total_occurrences"]) == 2
+    assert mart["23"]["days_since_last"] == 8          # as_of 01-10 vs 01-02
+
+
+def test_statistics_deterministic_tiebreak(spark, lottery_bronze_rows):
+    out = run_full_pipeline(lottery_bronze_rows, as_of="2024-01-10")
+    stats = mart_statistics(out["mart"]).first()
+    assert stats["most_number"] == 23                  # unique max
+    # 7, 41, 99 all tie at 1 occurrence -> lowest wins deterministically
+    assert stats["least_number"] == 7
+    assert stats["total_occurrences"] == 6             # MAX(total_draws)
+    assert stats["last_update"] == dt.date(2024, 1, 2)
+
+
+def test_dim_date_attributes(spark, lottery_bronze_rows):
+    dim = build_dim_date(bronze_to_silver(lottery_bronze_rows))
+    rows = {r["date_key"]: r for r in dim.collect()}
+    assert set(rows) == {20240101, 20240102}
+    r = rows[20240101]
+    assert (r["day_of_month"], r["month_of_year"], r["year_value"]) == (1, 1, 2024)
+    assert r["year_month_value"] == "2024-01"
+    assert r["day_name"] == "Thứ 2"                    # 2024-01-01 is a Monday
+    assert r["is_weekend"] == 0
+
+
+def test_fact_anti_join_idempotent_reload(spark, lottery_bronze_rows):
+    silver = bronze_to_silver(lottery_bronze_rows)
+    dim = build_dim_number(silver)
+    fact1 = build_fact_prize(silver, dim)
+    # re-loading the same batch against the existing fact adds nothing (J4)
+    fact2 = build_fact_prize(silver, dim, existing=fact1)
+    assert fact2.count() == 0

@@ -1,0 +1,86 @@
+"""Joins / aggregates / windows operator checks (SURVEY §2.3-2.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datawarehouse_group10_spark.operators.aggregates import (
+    draws_per_date,
+    last_appearance,
+    row_count_audit,
+)
+from datawarehouse_group10_spark.operators.joins import (
+    anti_join_new_rows,
+    broadcast_lookup_join,
+)
+from datawarehouse_group10_spark.operators.windows import (
+    days_since_last,
+    percent_display,
+    recency_bucket,
+    top_k,
+)
+
+
+def test_j1_inner_join_drops_misses(spark):
+    fact = spark.createDataFrame([("a", 1), ("b", 2), ("zz", 3)], "k string, v int")
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, dv int")
+    out = broadcast_lookup_join(fact, dim, "k")
+    assert out.count() == 2  # 'zz' dropped like the reference's HashMap miss
+
+
+def test_j2_anti_join_distinct_collapse(spark):
+    incoming = spark.createDataFrame([("a",), ("a",), ("b",), ("c",)], "k string")
+    existing = spark.createDataFrame([("c",)], "k string")
+    out = anti_join_new_rows(incoming, existing, "k")
+    assert sorted(r["k"] for r in out.collect()) == ["a", "b"]  # dup 'a' collapsed
+    out2 = anti_join_new_rows(incoming, existing, "k", distinct=False)
+    assert sorted(r["k"] for r in out2.collect()) == ["a", "a", "b"]
+
+
+def test_a1_counts_duplicates(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1),)] * 3 + [(dt.date(2024, 1, 2),)], "full_date date"
+    )
+    out = {r["full_date"]: r["total_draws"] for r in draws_per_date(df).collect()}
+    assert out == {dt.date(2024, 1, 1): 3, dt.date(2024, 1, 2): 1}
+
+
+def test_a3_last_appearance(spark):
+    df = spark.createDataFrame(
+        [("x", dt.date(2024, 1, 1)), ("x", dt.date(2024, 2, 1)), ("y", dt.date(2024, 1, 5))],
+        "k string, full_date date",
+    )
+    out = {r["k"]: r["last_appeared_date"] for r in last_appearance(df, "k").collect()}
+    assert out == {"x": dt.date(2024, 2, 1), "y": dt.date(2024, 1, 5)}
+
+
+def test_a6_row_count(spark):
+    assert row_count_audit(spark.range(7)) == 7
+
+
+def test_w2_lag_null_first(spark):
+    df = spark.createDataFrame(
+        [("x", dt.date(2024, 1, 1)), ("x", dt.date(2024, 1, 4)), ("y", dt.date(2024, 1, 2))],
+        "k string, full_date date",
+    )
+    out = days_since_last(df, key="k").collect()
+    vals = {(r["k"], r["full_date"]): r["days_since_last"] for r in out}
+    assert vals[("x", dt.date(2024, 1, 1))] is None
+    assert vals[("x", dt.date(2024, 1, 4))] == 3
+    assert vals[("y", dt.date(2024, 1, 2))] is None
+
+
+def test_w4_top_k_deterministic(spark):
+    df = spark.createDataFrame([(i, i % 5) for i in range(100)], "id int, v int")
+    out = top_k(df, "v", 3)
+    assert [r["v"] for r in out.collect()] == [4, 4, 4]
+
+
+def test_w5_w6_display(spark):
+    df = spark.createDataFrame([(5,), (20,), (99,)], "d int")
+    buckets = [r["b"] for r in df.select(recency_bucket("d").alias("b")).collect()]
+    assert buckets == ["recent", "old", "long"]
+    p = spark.createDataFrame([(0.12345,)], "p double")
+    assert p.select(percent_display("p").alias("x")).first()["x"] == 12.35
