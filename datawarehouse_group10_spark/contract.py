@@ -79,8 +79,7 @@ from .plans.medallion import (
     bronze_to_silver,
     build_dim_date,
     build_dim_number,
-    build_fact_prize,
-    build_mart,
+    run_full_pipeline,
 )
 from .sources.csv_source import write_crawl_csv
 from .streaming import events_hourly_counts, run_stream_to_table
@@ -281,21 +280,17 @@ def q_pipeline_dim_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_fact_prize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
-    fact = build_fact_prize(silver, build_dim_number(silver))
-    return stable(fact)
+    layers = run_full_pipeline(lottery_bronze(spark, sf_dir), as_of=AS_OF)
+    return stable(layers["fact_prize"])
 
 
 def q_pipeline_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
-    dim_number = build_dim_number(silver)
-    fact = build_fact_prize(silver, dim_number)
-    mart = build_mart(fact, dim_number, as_of=AS_OF)
+    layers = run_full_pipeline(lottery_bronze(spark, sf_dir), as_of=AS_OF)
     # total_occurrences is DECIMAL(32,0) (an integer count) — expose as
     # BIGINT, the rest via stable().
     return stable(
-        mart.withColumn(
+        layers["mart"].withColumn(
             "total_occurrences", F.col("total_occurrences").cast("bigint")
         )
     )
@@ -303,11 +298,8 @@ def q_pipeline_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    silver = bronze_to_silver(lottery_bronze(spark, sf_dir))
-    dim_number = build_dim_number(silver)
-    fact = build_fact_prize(silver, dim_number)
-    mart = build_mart(fact, dim_number, as_of=AS_OF)
-    return stable(mart_statistics(mart))
+    layers = run_full_pipeline(lottery_bronze(spark, sf_dir), as_of=AS_OF)
+    return stable(mart_statistics(layers["mart"]))
 
 
 def q_t1_filter_prize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,11 +222,24 @@ def build_mart(fact: DataFrame, dim_number: DataFrame, as_of: str | None = None)
     )
 
 
-def run_full_pipeline(bronze: DataFrame, as_of: str | None = None) -> dict[str, DataFrame]:
-    """End-to-end P2->P4: returns every layer keyed by name."""
+def run_full_pipeline(
+    bronze: DataFrame, as_of: str | None = None, cache_silver: bool = True
+) -> dict[str, DataFrame]:
+    """End-to-end P2->P4: returns every layer keyed by name.
+
+    ``cache_silver`` persists the silver layer before fanning out — the
+    in-memory equivalent of what a deployed medallion does by WRITING
+    silver to parquet: dim_date, dim_number, fact, and mart all read it,
+    and without persistence Catalyst re-derives the whole bronze scan +
+    transform chain once per consumer (~5x the work).
+    """
     silver = bronze_to_silver(bronze)
+    if cache_silver:
+        silver = silver.cache()
     dim_date = build_dim_date(silver)
     dim_number = build_dim_number(silver)
+    if cache_silver:
+        dim_number = dim_number.cache()
     fact = build_fact_prize(silver, dim_number)
     mart = build_mart(fact, dim_number, as_of=as_of)
     return {
