@@ -15,8 +15,12 @@ Layout
                    MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
                    similarity search (brute-force / LSH-bucketed ANN), text
                    analysis (lang-id, quality, tokens, fingerprints)
-- ``streaming``  : Structured Streaming ingest of the bronze CSV directory
-- ``multimodal`` : binary-column (image/audio/video) plumbing over mapInPandas
+- ``streaming``  : Structured Streaming ingest (AvailableNow CSV-dir stream,
+                   watermarked windowed aggregation over events)
+- ``multimodal`` : binary-column (image/audio/video) plumbing over
+                   Arrow-batched mapInPandas (decode/resize/frame-sample)
+- ``contract``   : the driver-facing query registry — one named query per
+                   surveyed operator with a DuckDB-equivalent SQL oracle
 
 Everything is the DataFrame API: declarative plans that Catalyst can push
 filters into, prune columns for, and broadcast small dimensions for. No RDDs;

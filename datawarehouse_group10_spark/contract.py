@@ -678,7 +678,7 @@ def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             F.round(cos, 5).alias("cos5"),
         )
-        .filter(F.col("cos5") >= 0.6)
+        .filter(F.col("cos5") >= 0.3)
     )
 
 
@@ -1040,7 +1040,7 @@ WHERE round(
          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                   CAST(a.embedding AS DOUBLE[])))
             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])))), 5) >= 0.6
+                                    CAST(b.embedding AS DOUBLE[])))), 5) >= 0.3
 """,
     "multimodal_decode": """
 SELECT doc_id,
