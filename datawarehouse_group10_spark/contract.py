@@ -685,6 +685,46 @@ def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal + streaming
 
+def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from .functions.text import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary(docs)
+
+
+def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from .functions.text import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, n=2)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: connected-component resolution of near-dup pairs into
+    (doc_id, canonical_id) keep decisions — iterative, not SQL-expressible
+    without recursion; semantics pinned by pytest."""
+    _utc(spark)
+    from .functions.dedup import resolve_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_posting_len=None)
+    return resolve_duplicate_clusters(pairs)
+
+
+def q_sql_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q2 statistics through the thin SQL view layer (spark.sql over
+    registered medallion views) instead of the DataFrame API — same
+    result, exercising the SQL surface."""
+    _utc(spark)
+    from .plans.warehouse_job import SQL_MART_STATISTIC, register_views
+
+    layers = run_full_pipeline(lottery_bronze(spark, sf_dir), as_of=AS_OF)
+    register_views(spark, {"mart": layers["mart"]})
+    return stable(spark.sql(SQL_MART_STATISTIC))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = _t(spark, sf_dir, "documents")
@@ -752,6 +792,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": q_sim_brute_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
     "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
+    # corpus statistics + cluster resolution + SQL surface
+    "text_vocabulary": q_text_vocabulary,
+    "text_ngram_counts": q_text_ngram_counts,
+    "dedup_clusters": q_dedup_clusters,
+    "sql_statistics": q_sql_statistics,
     # multimodal + streaming
     "multimodal_decode": q_multimodal_decode,
     "stream_hourly_counts": q_stream_hourly_counts,
@@ -1041,6 +1086,41 @@ WHERE round(
                                   CAST(a.embedding AS DOUBLE[])))
             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])))), 5) >= 0.3
+""",
+    "text_vocabulary": r"""
+SELECT lower(t) AS token,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+)
+GROUP BY 1
+""",
+    "text_ngram_counts": r"""
+SELECT s AS ngram, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(
+    list_distinct(
+      CASE WHEN len(t) >= 2
+           THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+           ELSE [array_to_string(t, ' ')] END
+    )
+  ) AS s
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents)
+)
+GROUP BY 1
+""",
+    "sql_statistics": _LOTTERY_CTE + """
+SELECT CAST(MAX(total_draws) AS INT) AS total_occurrences,
+       (SELECT CAST(number_value AS INT) FROM mart
+        ORDER BY total_occurrences DESC, CAST(number_value AS INT) LIMIT 1)
+         AS most_number,
+       (SELECT CAST(number_value AS INT) FROM mart
+        ORDER BY total_occurrences ASC, CAST(number_value AS INT) LIMIT 1)
+         AS least_number,
+       strftime(MAX(last_appeared_date), '%Y-%m-%d') AS last_update
+FROM mart
 """,
     "multimodal_decode": """
 SELECT doc_id,

@@ -303,3 +303,46 @@ def ngram_jaccard_pairs(
     return inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (apply step)
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Turn near-dup PAIRS into KEEP decisions: connected components by
+    iterative min-label propagation, returning (doc_id, canonical_id)
+    where canonical_id is the smallest id in the component (the kept doc).
+
+    Each iteration is one join + one min-aggregate; labels converge in
+    O(component diameter) rounds — near-dup clusters are shallow (pairs
+    all share a bucket), so ``max_iter=5`` covers real corpora. At scale
+    every join keys on doc id (uniform), no skew; this is the standard
+    large-graph CC-by-hashing shape, bounded so a pathological chain can't
+    run away.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.groupBy("src").agg(F.least(F.min("dst"), F.min("src")).alias("label"))
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_labels, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("canonical_id"))

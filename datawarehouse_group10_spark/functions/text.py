@@ -86,3 +86,32 @@ def doc_fingerprint(col: Column | str) -> Column:
     DuckDB), O(1) per row, and the join key for exact near-normalized dedup."""
     c = _c(col)
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def vocabulary(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus vocabulary statistics: per lowercased token, total term
+    frequency and document frequency. One explode + one hash aggregate —
+    the canonical map-side-combinable corpus scan (tf is summed partially
+    per partition before the shuffle on the uniform token key).
+
+    ``id_col`` must be the real document key: a generated id would be
+    evaluated per exploded row, inflating df to equal tf.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(F.lower("tok").alias("token"), "_doc")
+    return toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.countDistinct("_doc").cast("bigint").alias("df"),
+    )
+
+
+def ngram_counts(df, text_col: str = "text", n: int = 2):
+    """Word n-gram frequency over the corpus (training-data n-gram stats /
+    contamination screens). Shingle arrays are built per row JVM-side and
+    exploded once; the count is a partial+final hash aggregate."""
+    from .dedup import word_shingles
+
+    grams = df.select(F.explode(word_shingles(text_col, n)).alias("ngram"))
+    return grams.groupBy("ngram").agg(F.count("*").cast("bigint").alias("n"))

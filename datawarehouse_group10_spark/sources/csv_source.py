@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import RAW_CRAWL, STG_LOTTERY_DATA
+from ..schemas import RAW_CRAWL, RAW_CRAWL_ALT, STG_LOTTERY_DATA
 
 
 def read_crawl_csv_dir(spark: SparkSession, path: str) -> DataFrame:
@@ -50,3 +50,33 @@ def write_crawl_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header (operator S2). BOM is not reproduced — Spark
     writes clean UTF-8; readers of both forms behave identically."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_alt_crawl_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution path: the reference's alternate crawl layout
+    (crawl_data/xsmb_23102025_CRAWL_001.csv:1 — BOM-prefixed
+    ``process_code,ngay_trung,thu,ten_giai,so_trung,range_group,
+    is_weekend,is_even,crawl_time`` with yyyy-MM-dd dates and true/false
+    booleans) mapped onto the canonical bronze columns so the same silver
+    transform runs on either vintage of file."""
+    df = (
+        spark.read.schema(RAW_CRAWL_ALT)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .option("pathGlobFilter", "*.csv")
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+    return df.filter(
+        F.col("ten_giai").isNotNull() & F.col("so_trung").isNotNull()
+    ).select(
+        F.col("ten_giai").alias("prize"),
+        F.col("so_trung").alias("number_value"),
+        # canonical bronze carries dd-MM-yyyy (LotteryCrawler.java:24) —
+        # re-render the alt layout's yyyy-MM-dd to it.
+        F.date_format(F.to_date("ngay_trung", "yyyy-MM-dd"), "dd-MM-yyyy").alias(
+            "full_date"
+        ),
+        F.col("crawl_time").alias("created_at"),
+        F.current_timestamp().alias("load_timestamp"),
+    )

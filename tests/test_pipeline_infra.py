@@ -119,5 +119,89 @@ def test_contract_registry_consistent():
     assert set(ORACLES) <= set(QUERIES)
     documented_rows_only = {
         "dedup_minhash_lsh", "dedup_simhash", "sim_brute_topk", "sim_lsh_topk",
+        "dedup_clusters",
     }
     assert set(QUERIES) - set(ORACLES) == documented_rows_only
+
+
+def test_alt_crawl_format_maps_to_bronze(spark, tmp_path):
+    from datawarehouse_group10_spark.sources.csv_source import read_alt_crawl_csv
+
+    (tmp_path / "alt.csv").write_text(
+        "process_code,ngay_trung,thu,ten_giai,so_trung,range_group,"
+        "is_weekend,is_even,crawl_time\n"
+        "CRAWL_001,2025-10-23,Thứ năm,Giải Bảy,74,70-79,false,true,"
+        "2025-10-23 00:56:14\n"
+        "CRAWL_001,2025-10-23,Thứ năm,Giải Đặc Biệt,49274,00000-99999,false,"
+        "true,2025-10-23 00:56:14\n",
+        encoding="utf-8-sig",  # the reference artifact is BOM-prefixed
+    )
+    bronze = read_alt_crawl_csv(spark, str(tmp_path))
+    rows = {r["prize"]: r for r in bronze.collect()}
+    assert rows["Giải Bảy"]["number_value"] == "74"
+    assert rows["Giải Bảy"]["full_date"] == "23-10-2025"  # re-rendered dd-MM-yyyy
+    silver = bronze_to_silver(bronze)
+    out = silver.collect()
+    assert len(out) == 1 and out[0]["number_value"] == 74
+
+
+def test_warehouse_job_end_to_end(spark, tmp_path):
+    from datawarehouse_group10_spark.plans.warehouse_job import (
+        SQL_MART_STATISTIC,
+        register_views,
+        run_warehouse_job,
+    )
+    from datawarehouse_group10_spark.sources import write_config_tables
+
+    csv = tmp_path / "csv"
+    csv.mkdir()
+    (csv / "data.csv").write_text(
+        "prize,number_value,full_date,created_at\n"
+        "Giải Bảy,07,01-01-2024,x\nGiải Bảy,23,01-01-2024,x\n"
+        "Giải Bảy,23,02-01-2024,x\n",
+        encoding="utf-8",
+    )
+    cfg = str(tmp_path / "config_source")
+    write_config_tables(
+        spark,
+        [{"source_id": 3, "source_name": "t", "source_url": "u",
+          "file_location": str(csv), "destination_staging": "s"}],
+        {}, cfg, str(tmp_path / "config_db"),
+    )
+    out_dir = str(tmp_path / "dwh")
+    layers = run_warehouse_job(
+        spark, config_source_path=cfg, source_id=3,
+        output_dir=out_dir, as_of="2024-01-10",
+    )
+    # layers landed as parquet and the ledger shows the full SUCCESS chain
+    mart = spark.read.parquet(f"{out_dir}/mart")
+    assert mart.count() == 2
+    ledger = spark.read.parquet(f"{out_dir}/process_log")
+    statuses = {(r["process_code"], r["status"]) for r in ledger.collect()}
+    assert {("P1", "SUCCESS"), ("P2", "SUCCESS"), ("P3", "SUCCESS"),
+            ("P4", "SUCCESS")} <= statuses
+    # the SQL view layer answers Q2 identically to the DataFrame path
+    register_views(spark, {"mart": mart})
+    stats = spark.sql(SQL_MART_STATISTIC).first()
+    assert stats["most_number"] == 23 and stats["least_number"] == 7
+
+
+def test_vocabulary_and_cluster_resolution(spark):
+    from datawarehouse_group10_spark.functions.dedup import (
+        resolve_duplicate_clusters,
+    )
+    from datawarehouse_group10_spark.functions.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id bigint, text string"
+    )
+    vocab = {r["token"]: (r["tf"], r["df"]) for r in vocabulary(docs).collect()}
+    assert vocab["a"] == (2, 1) and vocab["b"] == (2, 2) and vocab["c"] == (1, 1)
+
+    # chain 1-2, 2-3 plus isolated pair 8-9 -> two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in resolve_duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
