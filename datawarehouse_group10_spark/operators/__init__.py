@@ -26,6 +26,12 @@ from .aggregates import (
     mart_statistics,
 )
 from .windows import days_since_last, recency_bucket, percent_display, top_k
+from .skew import (
+    salted_join,
+    two_phase_agg,
+    write_bucketed_table,
+    read_table,
+)
 
 __all__ = [
     "filter_prize",
@@ -50,4 +56,8 @@ __all__ = [
     "recency_bucket",
     "percent_display",
     "top_k",
+    "salted_join",
+    "two_phase_agg",
+    "write_bucketed_table",
+    "read_table",
 ]

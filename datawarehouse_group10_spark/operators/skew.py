@@ -1,0 +1,102 @@
+"""Skew and co-location utilities — the shuffle-discipline toolkit for
+the 100 TB deployment (none of this exists in the reference, whose
+single-threaded loops have no notion of a shuffle; it is what makes the
+same operators viable on a cluster).
+
+- :func:`salted_join`: explicit key-salting for joins whose build side
+  fits per-salt replication but whose probe side has pathological hot
+  keys. AQE's skew-join split (on in session defaults) covers sort-merge
+  joins at runtime; salting is for the cases AQE can't re-plan, e.g. a
+  hot key inside a broadcast-unfriendly aggregation-join chain.
+- :func:`two_phase_agg`: salt -> partial agg -> final agg, for aggregates
+  whose per-key state is heavy (collect_set/large maps) where Spark's
+  map-side partial aggregation alone still funnels one hot key through
+  one reducer.
+- :func:`write_bucketed_table` / :func:`read_table`: hash-bucketed layout
+  so repeated equi-joins/aggregations on the bucket keys run with ZERO
+  shuffle (both sides pre-partitioned on disk) — the lakehouse answer to
+  the reference's single-node "everything is already local".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with explicit salt: the probe side's hot keys are spread
+    over ``salt_buckets`` reducers; the build side is replicated once per
+    salt value (cost: |build| x salt_buckets rows — use for small-to-mid
+    build sides only; for tiny ones just broadcast).
+
+    The salt value never leaks into the result and does not alter join
+    semantics — it only splits one hot reducer into ``salt_buckets``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_s = probe.withColumn(
+        "_salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    build_s = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return probe_s.join(build_s, on=keys + ["_salt"], how=how).drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str | Sequence[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation for hot keys with heavy aggregation state:
+    phase 1 groups by (key, salt) so a hot key's rows split across
+    ``salt_buckets`` tasks; phase 2 merges the partials per key.
+
+    ``partial_aggs`` maps output name -> aggregate over the raw rows;
+    ``final_aggs`` maps final name -> aggregate over those partial columns.
+    Example (count): partial {"c": F.count("*")}, final {"c": F.sum("c")}.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salted = df.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[c.alias(n) for n, c in final_aggs.items()]
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_keys: Sequence[str],
+    num_buckets: int = 32,
+    sort_keys: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a hash-bucketed (optionally sorted) parquet table. Two
+    tables bucketed on the same keys with the same bucket count equi-join
+    with no Exchange on either side; sorted buckets additionally skip the
+    sort of a sort-merge join."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_keys)
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a saved (bucketed) table back with its bucketing metadata —
+    plain ``spark.read.parquet(path)`` would lose the bucket spec."""
+    return spark.table(table)

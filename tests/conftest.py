@@ -13,7 +13,11 @@ def spark():
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # static conf: needed by the bucketed-table test's saveAsTable
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -84,3 +84,64 @@ def test_w5_w6_display(spark):
     assert buckets == ["recent", "old", "long"]
     p = spark.createDataFrame([(0.12345,)], "p double")
     assert p.select(percent_display("p").alias("x")).first()["x"] == 12.35
+
+
+def test_salted_join_semantics(spark):
+    from datawarehouse_group10_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", 0)], "k string, v int"
+    )
+    build = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
+    out = salted_join(probe, build, "k", salt_buckets=8)
+    # semantics identical to a plain join: every probe row matched once
+    assert out.count() == 201
+    assert out.filter("k = 'cold'").first()["w"] == 2
+    assert "_salt" not in out.columns
+
+
+def test_two_phase_agg_matches_single_phase(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(500)] + [("b", 1)], "k string, v int"
+    )
+    out = two_phase_agg(
+        df, "k",
+        partial_aggs={"c": F.count("*"), "s": F.sum("v")},
+        final_aggs={"c": F.sum("c").cast("bigint"), "s": F.sum("s").cast("bigint")},
+    )
+    got = {r["k"]: (r["c"], r["s"]) for r in out.collect()}
+    exact = {
+        r["k"]: (r["c"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("c"), F.sum("v").cast("bigint").alias("s"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from datawarehouse_group10_spark.operators.skew import (
+        read_table,
+        write_bucketed_table,
+    )
+
+    a = spark.createDataFrame([(i, i * 2) for i in range(100)], "k bigint, v bigint")
+    b = spark.createDataFrame([(i, i * 3) for i in range(100)], "k bigint, w bigint")
+    write_bucketed_table(a, "bk_a", ["k"], num_buckets=4, sort_keys=["k"])
+    write_bucketed_table(b, "bk_b", ["k"], num_buckets=4, sort_keys=["k"])
+    # disable broadcast so the join would normally shuffle both sides
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "bk_a").join(read_table(spark, "bk_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan          # bucketing removed the shuffle
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
