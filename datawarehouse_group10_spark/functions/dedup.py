@@ -91,6 +91,7 @@ def minhash_lsh_dup_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 10_000,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH over MinHash signatures, verified
     with exact shingle-set Jaccard on the candidates.
@@ -106,9 +107,35 @@ def minhash_lsh_dup_pairs(
     ``max_bucket_size`` drops any residual bucket larger than the cap
     (pairs inside an over-cap bucket are near-certain duplicates of an
     exact-dup cluster, not signal). ``None`` disables the cap.
+
+    The shingle arrays feed three consumers (signatures, and both sides of
+    the Jaccard verification). ``persist_shingles`` trades recompute for a
+    cache: measured OFF-is-faster at moderate scale (pipelined codegen
+    recompute beats serializing large string arrays — 5s vs 10s cold at
+    5k docs), while a many-times-reused corpus at cluster scale should
+    instead WRITE the shingled projection to parquet once and read it.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+    )
+    if persist_shingles:
+        shingled = shingled.persist()
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+        )
+    )
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -157,9 +184,6 @@ def minhash_lsh_dup_pairs(
         .distinct()
     )
 
-    shingled = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
-    )
     verified = (
         cand.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
