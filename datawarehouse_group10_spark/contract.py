@@ -647,11 +647,16 @@ def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed ANN top-10 over the same query vector."""
+    """Rows-only: LSH-bucketed ANN top-10 over the same query vector.
+
+    Plane count sizes buckets to ~2^6 of the corpus: recall needs tens of
+    candidates per probe set, so p is small for a small corpus and grows
+    with log2(n) on a real one.
+    """
     _utc(spark)
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    out = lsh_bucket_topk(emb, q, k=10)
+    out = lsh_bucket_topk(emb, q, k=10, n_planes=6)
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
 
@@ -723,6 +728,40 @@ def q_sql_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     layers = run_full_pipeline(lottery_bronze(spark, sf_dir), as_of=AS_OF)
     register_views(spark, {"mart": layers["mart"]})
     return stable(spark.sql(SQL_MART_STATISTIC))
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF (inverted-file) ANN top-10 — the scale path that
+    turns per-query full scans into n_probe partition-pruned cell reads.
+    Agreement with brute force is pinned in tests."""
+    _utc(spark)
+    from .functions.similarity import deterministic_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    cents = deterministic_centroids(emb, k=16)
+    out = ivf_topk(emb, q, cents, k=10, n_probe=4)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
+def q_serving_mart_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 + W3/W4/W5/W6: the dashboard's display projection — mart rows
+    with percent-formatted probability and recency classification, top-50
+    by occurrences (sortable table + pagination)."""
+    _utc(spark)
+    layers = run_full_pipeline(lottery_bronze(spark, sf_dir), as_of=AS_OF)
+    view = layers["mart"].select(
+        "number_value",
+        F.col("total_occurrences").cast("bigint").alias("total_occurrences"),
+        percent_display(F.col("probability").cast("double")).alias("pct"),
+        F.date_format("last_appeared_date", "yyyy-MM-dd").alias("last_appeared_date"),
+        recency_bucket("days_since_last").alias("recency"),
+    )
+    # k exceeds the two-digit key space, so pagination is exercised without
+    # a tie-broken cutoff that engines could resolve differently.
+    return top_k(view, "total_occurrences", 200).withColumn(
+        "total_occurrences", F.col("total_occurrences").cast("bigint")
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,6 +836,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_counts": q_text_ngram_counts,
     "dedup_clusters": q_dedup_clusters,
     "sql_statistics": q_sql_statistics,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "serving_mart_view": q_serving_mart_view,
     # multimodal + streaming
     "multimodal_decode": q_multimodal_decode,
     "stream_hourly_counts": q_stream_hourly_counts,
@@ -1120,6 +1161,16 @@ SELECT CAST(MAX(total_draws) AS INT) AS total_occurrences,
         ORDER BY total_occurrences ASC, CAST(number_value AS INT) LIMIT 1)
          AS least_number,
        strftime(MAX(last_appeared_date), '%Y-%m-%d') AS last_update
+FROM mart
+""",
+    "serving_mart_view": _LOTTERY_CTE + """
+SELECT number_value,
+       total_occurrences,
+       round(CAST(probability AS DOUBLE) * 100, 2) AS pct,
+       strftime(last_appeared_date, '%Y-%m-%d') AS last_appeared_date,
+       CASE WHEN days_since_last <= 10 THEN 'recent'
+            WHEN days_since_last <= 30 THEN 'old'
+            ELSE 'long' END AS recency
 FROM mart
 """,
     "multimodal_decode": """

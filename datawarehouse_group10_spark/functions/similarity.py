@@ -153,3 +153,87 @@ def pairwise_near_dup(
     return cand.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (inverted-file index over deterministic centroids)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (the IVF coarse
+    quantizer). ``centroids`` is a small driver-side list (k in the
+    hundreds at most) — shipped as one literal array expression, so the
+    assignment is a single scan-project with no join and no shuffle.
+    Output adds ``_cell`` (centroid id).
+
+    The argmin is an array build + array_min + array_position — each
+    per-centroid distance appears ONCE in the plan. (A folded
+    when/otherwise chain doubles the expression tree per centroid:
+    2^k nodes, OOM at plan time by k=16.)
+
+    ``centroids`` must be ordered by id 0..k-1 (deterministic_centroids
+    produces exactly that) — _cell is derived from array position.
+    """
+    v = F.col(vec_col)
+    dists = []
+    for cid, vec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        # squared L2 up to the per-row constant dot(v,v): argmin-equivalent
+        dists.append(_dot(c, c) - 2 * _dot(v, c))
+    darr = F.array(*dists)
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return df.withColumn("_cell", cell)
+
+
+def deterministic_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids without iterative training: the k
+    lowest-id vectors. A production index would k-means these; for an
+    inverted-file LAYOUT the only requirement is a fixed, reproducible
+    partitioning of the space, which any fixed vector set provides.
+    One small collect (k rows) at index-build time, never per query."""
+    rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: rank centroids by distance to the query driver-side
+    (k_centroids ops, trivial), then exact-rank only the vectors assigned
+    to the ``n_probe`` nearest cells.
+
+    Scale path: persist the assignment once (`ivf_assign` then write
+    partitioned by ``_cell``) and every query becomes a partition-pruned
+    scan of n_probe cells — the classic inverted-file trade of recall for
+    a ~k/n_probe scan reduction.
+    """
+    import math
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(centroids, key=lambda c: sqdist(c[1], query))
+    probe = [cid for cid, _ in order[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("_cell").isin(probe))
+    sim = cosine_similarity_col(vec_col, query).alias("cosine")
+    return (
+        cand.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

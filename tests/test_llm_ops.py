@@ -152,3 +152,19 @@ def test_multimodal_decode_and_frames(spark, docs):
     frames = frame_sample_stub(binary, every_n_bytes=16)
     n_frames = frames.filter(F.col("doc_id") == 1).count()
     assert n_frames == math.ceil(len(DOCS[0][1].encode()) / 16)
+
+
+def test_ivf_topk_agrees_with_brute_force(spark, vecs):
+    from datawarehouse_group10_spark.functions.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    q = [1.0, 0.0, 0.0]
+    cents = deterministic_centroids(vecs, k=3)
+    got = [r["vec_id"] for r in ivf_topk(vecs, q, cents, k=2, n_probe=3).collect()]
+    brute = [r["vec_id"] for r in brute_force_topk(vecs, q, k=2).collect()]
+    assert got == brute == [1, 2]  # probing all cells == exact
+    # probing ONE cell still finds the nearest (it lives in the best cell)
+    one = [r["vec_id"] for r in ivf_topk(vecs, q, cents, k=1, n_probe=1).collect()]
+    assert one == [1]

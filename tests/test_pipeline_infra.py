@@ -119,7 +119,7 @@ def test_contract_registry_consistent():
     assert set(ORACLES) <= set(QUERIES)
     documented_rows_only = {
         "dedup_minhash_lsh", "dedup_simhash", "sim_brute_topk", "sim_lsh_topk",
-        "dedup_clusters",
+        "dedup_clusters", "sim_ivf_topk",
     }
     assert set(QUERIES) - set(ORACLES) == documented_rows_only
 
