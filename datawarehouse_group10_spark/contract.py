@@ -23,7 +23,6 @@ left-padded for the two-digit number, dd-MM-yyyy formatting of ts).
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 from collections.abc import Callable
 

@@ -75,7 +75,11 @@ def derive_flags(number_col: Column | str, date_col: Column | str) -> dict[str, 
 
 def normalize_numeric_string(col: Column | str) -> Column:
     """T7: trim, strip leading zeros via int round-trip; non-numeric strings
-    pass through trimmed ('07'->'7', 'abc'->'abc') — ETLMain.java:432-442."""
+    pass through trimmed ('07'->'7', 'abc'->'abc') — ETLMain.java:432-442.
+
+    Divergence note: SQL trim removes only ' ' whereas Java String.trim
+    also removes control chars <= 0x20; the domain (digit strings) never
+    hits the difference, and SQL semantics keep oracle parity."""
     c = F.trim(F.col(col) if isinstance(col, str) else col)
     return F.when(c.rlike(r"^\d+$"), c.try_cast("bigint").cast("string")).otherwise(c)
 

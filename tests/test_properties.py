@@ -1,0 +1,109 @@
+"""Property-based checks (hypothesis) for the pure-expression operators.
+
+Pattern: hypothesis generates a BATCH of inputs per property, the batch
+runs as ONE Spark job, and invariants are asserted per row — property
+coverage without a JVM round-trip per example.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from datawarehouse_group10_spark.operators.transforms import (
+    decade_bucket,
+    last_digit,
+    last_k_digits,
+    normalize_numeric_string,
+    surrogate_date_key,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+text_values = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(values=text_values)
+@settings(**_SETTINGS)
+def test_normalize_idempotent_and_shape(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.select(
+        "v",
+        normalize_numeric_string(F.col("v")).alias("n1"),
+        normalize_numeric_string(normalize_numeric_string(F.col("v"))).alias("n2"),
+    ).collect()
+    for r in out:
+        # idempotent: normalizing twice changes nothing
+        assert r["n1"] == r["n2"]
+        # numeric results never keep leading zeros (except "0" itself)
+        if r["n1"] and r["n1"].isdigit():
+            assert r["n1"] == "0" or not r["n1"].startswith("0")
+        # non-numeric strings pass through trimmed. NOTE: Spark's (and
+        # DuckDB's) trim removes only ' ' — unlike Java String.trim /
+        # Python strip, which also eat control chars <= 0x20. The engine
+        # keeps SQL semantics (documented divergence, irrelevant to the
+        # digit-string domain), so mirror it here.
+        v = r["v"].strip(" ")
+        if not (v.isdigit() and v != ""):
+            assert r["n1"] == v
+
+
+@given(values=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_decade_bucket_contains_value(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    out = df.select("v", decade_bucket("v").alias("b")).collect()
+    for r in out:
+        lo, hi = (int(x) for x in r["b"].split("-"))
+        assert lo <= r["v"] % 10**7  # parse sanity
+        assert lo <= r["v"] <= hi or r["v"] > hi  # bucket covers or exceeds format width
+        assert hi - lo == 9 and lo % 10 == 0
+
+
+@given(values=st.lists(st.text(alphabet="0123456789", min_size=0, max_size=10), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_digit_ops_agree_with_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.select(
+        "v",
+        last_k_digits(F.col("v"), 2).alias("l2"),
+        last_digit(F.col("v")).alias("ld"),
+    ).collect()
+    for r in out:
+        v = r["v"]
+        expect_l2 = int(v[-2:]) if len(v) >= 2 else None
+        assert r["l2"] == expect_l2
+        # the 0-default quirk: unparseable/overflowing -> 0, else int(v)%10
+        expect_ld = int(v) % 10 if v and len(v.lstrip("0") or "0") <= 9 else 0
+        if v and int(v) <= 2**31 - 1:
+            assert r["ld"] == int(v) % 10
+        else:
+            assert r["ld"] == 0  # empty or >int32 -> try_cast NULL -> 0
+
+
+@given(
+    dates=st.lists(
+        st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2100, 12, 31)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_date_key_roundtrip(spark, dates):
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    out = df.select("d", surrogate_date_key("d").alias("k")).collect()
+    for r in out:
+        assert r["k"] == int(r["d"].strftime("%Y%m%d"))
