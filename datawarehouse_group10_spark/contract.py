@@ -433,9 +433,13 @@ def q_j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
+    # customers with no finished order — non-empty at every sf, so the
+    # anti-join is evidenced by actual surviving rows, not an empty match.
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    existing = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    existing = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return anti_join_new_rows(cust, existing, "c_custkey")
 
@@ -954,7 +958,10 @@ GROUP BY p.p_brand
 """,
     "j2_anti_join": """
 SELECT c_custkey FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
 """,
     "j4_composite_anti": """
 SELECT CAST(COUNT(*) AS BIGINT) AS n

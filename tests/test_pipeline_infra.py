@@ -205,3 +205,63 @@ def test_vocabulary_and_cluster_resolution(spark):
     out = {r["doc_id"]: r["canonical_id"]
            for r in resolve_duplicate_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics, as Spark actually implements them: the
+    watermark is a STATE-EVICTION bound. A late row merging into
+    still-live state is kept; a late row arriving after its window was
+    finalized and evicted is dropped. Three micro-batches
+    (maxFilesPerTrigger=1, files ordered by mtime) stage exactly that:
+
+    - batch a: 00:10 + 03:00 -> max event 03:00
+    - batch b: 03:30 — at its end, watermark 02:00 evicts+emits the
+      00:00 window (n=1)
+    - batch c: 00:30 — LATE, its window's state is gone -> dropped
+    """
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.streaming import run_stream_to_table
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    now = time.time()
+
+    def write_events(name, rows, mtime):
+        df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = str(stream_dir / f"{name}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))  # file source orders batches by mtime
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    write_events("a", [(1, t0 + 10 * m), (2, t0 + 180 * m)], now - 300)
+    write_events("b", [(3, t0 + 210 * m)], now - 200)
+    write_events("c", [(4, t0 + 30 * m)], now - 100)  # late arrival
+
+    ev = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = run_stream_to_table(agg, "late_data_test", output_mode="append")
+    rows = [(r["ws"], r["n"]) for r in out.collect()]
+    # the 00:00 window emitted exactly once with only the on-time event;
+    # the late 00:30 row neither re-opened it nor produced a duplicate
+    assert rows.count((t0, 1)) == 1
+    assert (t0, 2) not in rows
+    assert len([r for r in rows if r[0] == t0]) == 1
