@@ -733,6 +733,36 @@ def q_sql_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable(spark.sql(SQL_MART_STATISTIC))
 
 
+def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions over the events stream: per (user, session),
+    event count and duration — the lag + conditional-cumsum window
+    composition every clickstream pipeline needs."""
+    _utc(spark)
+    from .operators.windows import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    sess = sessionize(ev, key="user_id", ts_col="ts", gap_minutes=30)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+
+
+def q_a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont, bit-identical) plus the approx sketch counterpart for
+    the scale path (rows-only checked via the exact columns)."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF (inverted-file) ANN top-10 — the scale path that
     turns per-query full scans into n_probe partition-pruned cell reads.
@@ -841,6 +871,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_statistics": q_sql_statistics,
     "sim_ivf_topk": q_sim_ivf_topk,
     "serving_mart_view": q_serving_mart_view,
+    "w7_sessionize": q_w7_sessionize,
+    "a7_percentiles": q_a7_percentiles,
     # multimodal + streaming
     "multimodal_decode": q_multimodal_decode,
     "stream_hourly_counts": q_stream_hourly_counts,
@@ -1168,6 +1200,37 @@ SELECT CAST(MAX(total_draws) AS INT) AS total_occurrences,
          AS least_number,
        strftime(MAX(last_appeared_date), '%Y-%m-%d') AS last_update
 FROM mart
+""",
+    "w7_sessionize": """
+WITH es AS (
+  -- Spark's timestamp->long cast truncates to whole seconds; mirror it.
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+lagged AS (
+  SELECT user_id, ts, sec,
+         CASE WHEN LAG(sec) OVER w IS NULL
+                   OR sec - LAG(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM es
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, sec,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM lagged
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_id
+""",
+    "a7_percentiles": """
+SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders
 """,
     "serving_mart_view": _LOTTERY_CTE + """
 SELECT number_value,

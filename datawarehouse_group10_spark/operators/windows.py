@@ -51,3 +51,28 @@ def top_k(df: DataFrame, order_col: str, k: int, desc: bool = True) -> DataFrame
     (TakeOrderedAndProject), so it never materializes a full global sort."""
     order = F.col(order_col).desc() if desc else F.col(order_col).asc()
     return df.orderBy(order).limit(k)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the key's gap
+    since the previous event exceeds ``gap_minutes``. session_id is the
+    running count of session starts (1-based) per key — the classic
+    lag + conditional cumulative-sum window composition.
+
+    Physically: one shuffle on the key, one sort within partitions, both
+    window functions share the same window frame — a single WindowExec.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap_sec = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(
+        gap_sec.isNull() | (gap_sec > gap_minutes * 60), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )

@@ -145,3 +145,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_w7_sessionize(spark):
+    import datetime as dt
+
+    from datawarehouse_group10_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        ("u1", t0),                 # session 1
+        ("u1", t0 + 10 * m),        # still session 1 (gap 10m <= 30m)
+        ("u1", t0 + 50 * m),        # session 2 (gap 40m)
+        ("u1", t0 + 55 * m),        # session 2
+        ("u2", t0),                 # u2 session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {(r["user_id"], r["ts"]): r["session_id"]
+           for r in sessionize(df, key="user_id", gap_minutes=30).collect()}
+    assert out[("u1", t0)] == 1
+    assert out[("u1", t0 + 10 * m)] == 1
+    assert out[("u1", t0 + 50 * m)] == 2
+    assert out[("u1", t0 + 55 * m)] == 2
+    assert out[("u2", t0)] == 1
