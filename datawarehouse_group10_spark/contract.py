@@ -513,6 +513,57 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Windows
 
+def q_a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (returnflag -> linestatus ->
+    grand total): the grouping-set family the reference lacks entirely.
+    NULL group markers serialize as the literal 'ALL' so the oracle's
+    representation matches."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: events per (date x event_type) as one column per type —
+    groupBy().pivot() with an explicit value list so the plan is a single
+    aggregate, no second distinct-values job."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"), "event_type"
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("d").pivot("event_type", types).count()
+    return out.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit set operations: customers appearing in BOTH order halves
+    (intersect) minus those with any open order (except)."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    first_half = orders.filter(F.year(F.to_date("o_orderdate")) <= 1997).select("o_custkey")
+    second_half = orders.filter(F.year(F.to_date("o_orderdate")) >= 1998).select("o_custkey")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        first_half.intersect(second_half).exceptAll(open_orders.distinct())
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
 def q_w2_days_since_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
@@ -873,6 +924,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "serving_mart_view": q_serving_mart_view,
     "w7_sessionize": q_w7_sessionize,
     "a7_percentiles": q_a7_percentiles,
+    "a8_rollup": q_a8_rollup,
+    "a9_pivot": q_a9_pivot,
+    "set_ops": q_set_ops,
     # multimodal + streaming
     "multimodal_decode": q_multimodal_decode,
     "stream_hourly_counts": q_stream_hourly_counts,
@@ -1231,6 +1285,32 @@ SELECT quantile_cont(o_totalprice, 0.5) AS p50,
        quantile_cont(o_totalprice, 0.9) AS p90,
        quantile_cont(o_totalprice, 0.99) AS p99
 FROM orders
+""",
+    "a8_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "a9_pivot": """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)    AS click,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)     AS view,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)   AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)    AS error
+FROM events GROUP BY 1
+""",
+    "set_ops": """
+SELECT o_custkey AS custkey FROM (
+  (SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) <= 1997
+   INTERSECT
+   SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1998)
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
 """,
     "serving_mart_view": _LOTTERY_CTE + """
 SELECT number_value,
