@@ -36,6 +36,8 @@ __all__ = [
     "stream_bronze_to_silver",
     "events_hourly_counts",
     "run_stream_to_table",
+    "stream_dedup_events",
+    "running_user_stats_stateful",
 ]
 
 #: Explicit schema for the events stream (streams cannot infer schemas).
@@ -139,3 +141,58 @@ def run_stream_to_table(
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    events_path: str,
+    id_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes it, so the state store stays O(events per
+    watermark window) instead of O(all history) — the streaming twin of
+    the batch anti-join dedupe (J2-J4)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(_as_stream_dir(events_path))
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
+
+
+def running_user_stats_stateful(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count and max value, carried across micro-batches in
+    the state store (the brief's 'custom stateful operators' pattern).
+
+    The update function is self-contained (local imports) so executors
+    unpickle it without this package on sys.path. State times out with
+    the watermark so per-user state is bounded.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id BIGINT, n_events BIGINT, max_value DOUBLE"
+    state_schema = "n BIGINT, mx DOUBLE"
+
+    def update(key, pdf_iter, state):
+        import pandas as _pd
+
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -265,3 +265,95 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert rows.count((t0, 1)) == 1
     assert (t0, 2) not in rows
     assert len([r for r in rows if r[0] == t0]) == 1
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream containing exact
+    duplicate event_ids keeps one copy of each."""
+    import datetime as dt
+
+    from datawarehouse_group10_spark.streaming import (
+        run_stream_to_table,
+        stream_dedup_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, t0, 10, "click", 1.0, "{}"), (1, t0, 10, "click", 1.0, "{}"),
+            (2, t0, 11, "view", 2.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    # write with ts as nanos long to mirror the testdata's physical layout
+    from pyspark.sql import functions as F
+
+    df.withColumn("ts", (F.col("ts").cast("long") * 1_000_000_000)).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "ev"))
+    out = run_stream_to_table(
+        stream_dedup_events(spark, str(tmp_path / "ev")),
+        "stream_dedup_test",
+        output_mode="append",
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [1, 2]
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState carries per-user running aggregates across
+    micro-batches (two files -> two batches -> updated state)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.streaming import (
+        EVENTS_SCHEMA,
+        running_user_stats_stateful,
+    )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    now = time.time()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = str(stream_dir / f"{name}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    ns = int(t0.timestamp()) * 1_000_000_000
+    write("a", [(1, ns, 7, "x", 5.0, "{}"), (2, ns, 7, "x", 9.0, "{}")], now - 100)
+    write("b", [(3, ns, 7, "x", 2.0, "{}")], now - 50)
+
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stats = running_user_stats_stateful(ev)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("user_stats_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("user_stats_test").collect()
+    # update mode emits one row per batch per touched key; the LAST row for
+    # user 7 carries the cumulative state: 3 events, max 9.0
+    assert (7, 3, 9.0) in {(r["user_id"], r["n_events"], r["max_value"]) for r in rows}
+    assert (7, 2, 9.0) in {(r["user_id"], r["n_events"], r["max_value"]) for r in rows}
