@@ -564,6 +564,51 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the most recent
+    prior view's value for the same user (trade->quote shape). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    _utc(spark)
+    from .operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe quote timestamps so equal-instant ties can't differ by engine
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("quote_value"))
+    )
+    out = asof_join(trades, quotes, on="ts", by="user_id", right_cols=["quote_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "quote_value",
+        F.date_format("matched_at", "yyyy-MM-dd HH:mm:ss").alias("matched_at"),
+    )
+
+
+def q_j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bucketed equi-join: event values
+    against part-derived [lo, hi] intervals, counted per part."""
+    _utc(spark)
+    from .operators.temporal import range_join
+
+    points = _events(spark, sf_dir).select("event_id", "value")
+    intervals = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_size") * 5.0).alias("lo"),
+        (F.col("p_size") * 5.0 + F.col("p_size")).alias("hi"),
+    )
+    joined = range_join(points, intervals, "value", "lo", "hi", bucket_width=16.0)
+    return joined.groupBy("p_partkey").agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+
+
 def q_w2_days_since_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
@@ -892,6 +937,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_broadcast_join": q_j1_broadcast_join,
     "j2_anti_join": q_j2_anti_join,
     "j4_composite_anti": q_j4_composite_anti,
+    "j6_asof_join": q_j6_asof_join,
+    "j7_range_join": q_j7_range_join,
     # aggregations
     "a1_a2_draws_probability": q_a1_a2_draws_probability,
     "a3_last_appearance": q_a3_last_appearance,
@@ -1056,6 +1103,29 @@ WHERE NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_orderstatus = 'F' AND o.o_orderkey = l.l_orderkey
 )
+""",
+    "j6_asof_join": """
+WITH trades AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+quotes AS (
+  SELECT user_id, ts, MAX(value) AS quote_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT t.event_id, t.user_id,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       q.quote_value,
+       strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS matched_at
+FROM trades t ASOF LEFT JOIN quotes q
+  ON t.user_id = q.user_id AND t.ts >= q.ts
+""",
+    "j7_range_join": """
+SELECT i.p_partkey, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM events e
+JOIN (SELECT p_partkey, p_size * 5.0 AS lo, p_size * 5.0 + p_size AS hi
+      FROM part) i
+  ON e.value >= i.lo AND e.value <= i.hi
+GROUP BY i.p_partkey
 """,
     "a1_a2_draws_probability": """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,

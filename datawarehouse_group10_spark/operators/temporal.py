@@ -1,0 +1,118 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+point-in-interval range join (the brief's named examples of operators to
+re-express as compositions of DataFrame primitives rather than UDFs).
+
+Both are pure DataFrame compositions — no Python in the row path — with
+plans chosen for the 100 TB case:
+
+- ``asof_join``: union the two sides tagged, ONE window pass per key
+  ordered by time carrying the last seen right-side values forward
+  (last_value ignoreNulls), keep left rows. Cost = one shuffle on the
+  key + one in-partition sort — the same cost as the naive "latest prior
+  row" correlated subquery would pay PER ROW.
+- ``range_join``: intervals and points are both mapped onto fixed-width
+  buckets (intervals explode to every bucket they cover), the join is an
+  EQUI-join on the bucket id, then the exact BETWEEN predicate filters.
+  A naive theta-join is a broadcast nested loop (quadratic); bucketing
+  makes the shuffle key uniform and the candidate set near-exact when
+  ``bucket_width`` matches the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent
+    right row with the same ``by`` key and ``on`` time <= the left time.
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    everything except the keys). ``tolerance_seconds`` drops matches
+    older than the window (NULL payload instead).
+
+    Tie rule: a right row at exactly the left timestamp matches (<=),
+    and among equal right timestamps the last in (time, is_left) order
+    wins — deterministic because the union sorts right rows before left
+    rows at the same instant.
+    """
+    payload = right_cols or [c for c in right.columns if c not in (on, by)]
+    l_tag = left.withColumn("_is_left", F.lit(1)).withColumn("_rt", F.lit(None).cast("timestamp"))
+    r_tag = (
+        right.select(by, on, *payload)
+        .withColumn("_is_left", F.lit(0))
+        .withColumn("_rt", F.col(on))
+    )
+    # align schemas: left keeps its own columns; right contributes payload
+    for c in payload:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None).cast(r_tag.schema[c].dataType))
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
+    unioned = l_tag.select(*l_tag.columns).unionByName(r_tag.select(*l_tag.columns))
+
+    # right rows sort BEFORE left rows at the same timestamp so an exact-
+    # timestamp quote is visible to the trade (<= semantics).
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned
+    for c in payload:
+        carried = carried.withColumn(c, F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True).over(w))
+    carried = carried.withColumn(
+        "_matched_at", F.last(F.when(F.col("_is_left") == 0, F.col("_rt")), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.col(on).cast("long") - F.col("_matched_at").cast("long")
+        ) > tolerance_seconds
+        for c in payload:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        out = out.withColumn("_matched_at", F.when(stale, F.lit(None)).otherwise(F.col("_matched_at")))
+    return out.drop("_is_left", "_rt").withColumnRenamed("_matched_at", "matched_at")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lower_col: str,
+    upper_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join ([lower, upper] inclusive) via bucketed
+    equi-join + exact refinement. ``bucket_width`` should be on the order
+    of the typical interval length: too small explodes interval
+    replication, too large inflates false candidates (both only cost
+    work, never correctness).
+    """
+    b = float(bucket_width)
+    pts = points.withColumn("_bkt", F.floor(F.col(point_col) / b).cast("long"))
+    ivl = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lower_col) / b).cast("long"),
+                F.floor(F.col(upper_col) / b).cast("long"),
+            )
+        ),
+    )
+    joined = pts.join(ivl, on="_bkt", how=how).filter(
+        (F.col(point_col) >= F.col(lower_col)) & (F.col(point_col) <= F.col(upper_col))
+    )
+    return joined.drop("_bkt")

@@ -169,3 +169,50 @@ def test_w7_sessionize(spark):
     assert out[("u1", t0 + 50 * m)] == 2
     assert out[("u1", t0 + 55 * m)] == 2
     assert out[("u2", t0)] == 1
+
+
+def test_j6_asof_join_semantics(spark):
+    import datetime as dt
+
+    from datawarehouse_group10_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    trades = spark.createDataFrame(
+        [(1, "u", t0 + 10 * s), (2, "u", t0 + 5 * s), (3, "u", t0 - 5 * s),
+         (4, "v", t0)],
+        "trade_id bigint, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("u", t0, 100.0), ("u", t0 + 5 * s, 105.0), ("v", t0 + 1 * s, 50.0)],
+        "sym string, ts timestamp, px double",
+    )
+    out = {r["trade_id"]: (r["px"], r["matched_at"])
+           for r in asof_join(trades, quotes, on="ts", by="sym",
+                              right_cols=["px"]).collect()}
+    assert out[1] == (105.0, t0 + 5 * s)   # latest prior
+    assert out[2] == (105.0, t0 + 5 * s)   # exact-timestamp quote matches (<=)
+    assert out[3] == (None, None)          # no prior quote
+    assert out[4] == (None, None)          # v's quote is in the future
+    # tolerance drops stale matches
+    tol = {r["trade_id"]: r["px"]
+           for r in asof_join(trades, quotes, on="ts", by="sym",
+                              right_cols=["px"], tolerance_seconds=3).collect()}
+    assert tol[1] is None and tol[2] == 105.0
+
+
+def test_j7_range_join_boundaries(spark):
+    from datawarehouse_group10_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 20.0), (4, 20.0001), (5, 55.0)],
+        "pid bigint, x double",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10.0, 20.0), (200, 0.0, 55.0)], "iid bigint, lo double, hi double"
+    )
+    # bucket width far smaller than the wide interval -> multi-bucket explode
+    out = {(r["pid"], r["iid"]) for r in
+           range_join(points, intervals, "x", "lo", "hi", bucket_width=4.0).collect()}
+    assert out == {(1, 200), (2, 100), (2, 200), (3, 100), (3, 200),
+                   (4, 200), (5, 200)}  # inclusive bounds, 20.0001 excluded from 100
