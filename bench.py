@@ -27,7 +27,10 @@ HEADLINE = [
     "pipeline_mart",
     "tpch_q1_pricing_summary",
     "j1_broadcast_join",
+    "j6_asof_join",
     "w2_days_since_last",
+    "w7_sessionize",
+    "a8_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_scores",
