@@ -222,8 +222,6 @@ def ivf_topk(
     scan of n_probe cells — the classic inverted-file trade of recall for
     a ~k/n_probe scan reduction.
     """
-    import math
-
     def sqdist(a: list[float], b: list[float]) -> float:
         return sum((x - y) ** 2 for x, y in zip(a, b))
 

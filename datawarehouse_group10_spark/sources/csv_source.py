@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import RAW_CRAWL, RAW_CRAWL_ALT, STG_LOTTERY_DATA
+from ..schemas import RAW_CRAWL, RAW_CRAWL_ALT
 
 
 def read_crawl_csv_dir(spark: SparkSession, path: str) -> DataFrame:

@@ -29,8 +29,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import STG_LOTTERY_DATA
-
 __all__ = [
     "read_crawl_csv_stream",
     "stream_bronze_to_silver",
