@@ -859,6 +859,19 @@ def q_a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a10_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (row/null/distinct counts, min/max) over
+    the customer table — the generic data-quality sweep. Float columns
+    are excluded from the profile here because engines render extreme
+    doubles as strings differently; their profiling path is tested in
+    pytest."""
+    _utc(spark)
+    from .operators.aggregates import profile
+
+    cust = _t(spark, sf_dir, "customer")
+    return profile(cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF (inverted-file) ANN top-10 — the scale path that
     turns per-query full scans into n_probe partition-pruned cell reads.
@@ -973,6 +986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_percentiles": q_a7_percentiles,
     "a8_rollup": q_a8_rollup,
     "a9_pivot": q_a9_pivot,
+    "a10_profile": q_a10_profile,
     "set_ops": q_set_ops,
     # multimodal + streaming
     "multimodal_decode": q_multimodal_decode,
@@ -1372,6 +1386,32 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
        CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)   AS signup,
        CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)    AS error
 FROM events GROUP BY 1
+""",
+    "a10_profile": """
+SELECT 'c_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+FROM customer
+UNION ALL
+SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+       CAST(COUNT(DISTINCT c_name) AS BIGINT),
+       MIN(c_name), MAX(c_name)
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+       CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+       MIN(c_mktsegment), MAX(c_mktsegment)
+FROM customer
 """,
     "set_ops": """
 SELECT o_custkey AS custkey FROM (

@@ -119,3 +119,52 @@ def row_count_audit(df: DataFrame) -> int:
     """A6: COUNT(*) audit for the process_log row-count delta
     (ETLMain.java:222-230)."""
     return df.count()
+
+
+def approx_distinct_counts(df: DataFrame, cols: list[str], rsd: float = 0.05) -> DataFrame:
+    """Approximate distinct counts (HyperLogLog++) next to their exact
+    counterparts' column names — the constant-memory scale path where an
+    exact countDistinct would shuffle every distinct value. ``rsd`` is
+    the guaranteed relative standard deviation."""
+    return df.agg(
+        *[F.approx_count_distinct(c, rsd).cast("bigint").alias(f"{c}_approx") for c in cols]
+    )
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profiling: per column, row/null/distinct counts and
+    min/max rendered as strings. The whole profile is ONE aggregate job
+    (all statistics computed together), then pivoted to one row per
+    column driver-side — standard data-quality sweep for arbitrary
+    tables.
+
+    Distinct counts are exact here; swap in approx_count_distinct for a
+    100 TB profile (same plan shape, constant memory).
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"{c}__nonnull"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(F.count(F.lit(1)).cast("bigint").alias("__total"), *aggs).first()
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            row["__total"],
+            row["__total"] - row[f"{c}__nonnull"],
+            row[f"{c}__distinct"],
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
+        "min_value string, max_value string",
+    )

@@ -222,6 +222,50 @@ def build_mart(fact: DataFrame, dim_number: DataFrame, as_of: str | None = None)
     )
 
 
+def merge_mart(existing_mart: DataFrame, batch_mart: DataFrame) -> DataFrame:
+    """Incremental mart maintenance: combine an existing mart with a new
+    batch's mart WITHOUT rescanning history — per-number partial
+    aggregates merge (occurrences add, last-appearance maxes) and the
+    global denominator adds, then probability is re-derived from the
+    merged totals. This is the incremental-view-maintenance shape: state
+    = the mart itself plus one global scalar, both already materialized.
+
+    Both inputs must have been built with the SAME ``as_of``: then
+    days_since_last is a strictly decreasing function of
+    last_appeared_date, so min(days) is exactly the value belonging to
+    max(date) and the merge needs no datediff of its own.
+    """
+    total_new = (
+        existing_mart.select(F.max("total_draws").alias("a"))
+        .crossJoin(batch_mart.select(F.max("total_draws").alias("b")))
+        .select((F.coalesce("a", F.lit(0)) + F.coalesce("b", F.lit(0))).cast("int").alias("total_draws"))
+    )
+    unioned = existing_mart.select(
+        "number_value", "total_occurrences", "last_appeared_date", "days_since_last"
+    ).unionByName(
+        batch_mart.select(
+            "number_value", "total_occurrences", "last_appeared_date", "days_since_last"
+        )
+    )
+    merged = unioned.groupBy("number_value").agg(
+        F.sum("total_occurrences").cast(DecimalType(32, 0)).alias("total_occurrences"),
+        F.max("last_appeared_date").alias("last_appeared_date"),
+        # the row with the max date carries the correct recency
+        F.min("days_since_last").alias("days_since_last"),
+    )
+    return (
+        merged.crossJoin(F.broadcast(total_new))
+        .withColumn(
+            "probability",
+            (F.col("total_occurrences") / F.col("total_draws")).cast(DecimalType(36, 4)),
+        )
+        .select(
+            "number_value", "total_occurrences", "total_draws",
+            "probability", "last_appeared_date", "days_since_last",
+        )
+    )
+
+
 def run_full_pipeline(
     bronze: DataFrame, as_of: str | None = None, cache_silver: bool = True
 ) -> dict[str, DataFrame]:

@@ -119,3 +119,36 @@ def test_fact_anti_join_idempotent_reload(spark, lottery_bronze_rows):
     # re-loading the same batch against the existing fact adds nothing (J4)
     fact2 = build_fact_prize(silver, dim, existing=fact1)
     assert fact2.count() == 0
+
+
+def test_merge_mart_equals_full_recompute(spark, lottery_bronze_rows):
+    from datawarehouse_group10_spark.plans.medallion import merge_mart
+
+    # split the batch by date: 01-01 rows vs later rows
+    b1 = lottery_bronze_rows.filter("full_date = '01-01-2024'")
+    b2 = lottery_bronze_rows.filter("full_date <> '01-01-2024'")
+    m1 = run_full_pipeline(b1, as_of="2024-01-10")["mart"]
+    m2 = run_full_pipeline(b2, as_of="2024-01-10")["mart"]
+    merged = merge_mart(m1, m2)
+    full = run_full_pipeline(lottery_bronze_rows, as_of="2024-01-10")["mart"]
+    a = {tuple(map(str, r)) for r in merged.collect()}
+    b = {tuple(map(str, r)) for r in full.collect()}
+    assert a == b
+
+
+def test_profile_and_approx_distinct(spark):
+    from datawarehouse_group10_spark.operators.aggregates import (
+        approx_distinct_counts,
+        profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")], "k int, v string"
+    )
+    prof = {r["column"]: r for r in profile(df).collect()}
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "4"
+    assert prof["k"]["n_rows"] == 4
+    big = spark.range(0, 10000).select((F.col("id") % 1000).alias("x"))
+    approx = approx_distinct_counts(big, ["x"]).first()["x_approx"]
+    assert abs(approx - 1000) / 1000 < 0.1   # HLL within guaranteed rsd
