@@ -137,33 +137,23 @@ def minhash_lsh_dup_pairs(
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    sigs = (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    # Band hash straight off the per-permutation min columns: one xxhash64
+    # over the band's r bigints (multi-arg, JVM codegen). The previous
+    # shape built an array, sliced it per band, cast every element to
+    # string and concatenated before hashing — measured slower for zero
+    # benefit (PERF.md round 3).
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+            ).alias("band_hash"),
         )
-    )
+        for b in range(bands)
+    ])
     banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
+        F.col(id_col), F.explode(band_structs).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
 
     if max_bucket_size is not None:
@@ -364,36 +354,71 @@ def resolve_duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 5,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Turn near-dup PAIRS into KEEP decisions: connected components by
-    iterative min-label propagation, returning (doc_id, canonical_id)
+    min-label propagation TO A FIXPOINT, returning (doc_id, canonical_id)
     where canonical_id is the smallest id in the component (the kept doc).
 
-    Each iteration is one join + one min-aggregate; labels converge in
-    O(component diameter) rounds — near-dup clusters are shallow (pairs
-    all share a bucket), so ``max_iter=5`` covers real corpora. At scale
-    every join keys on doc id (uniform), no skew; this is the standard
-    large-graph CC-by-hashing shape, bounded so a pathological chain can't
-    run away.
+    Each round does one neighbor-propagation hop PLUS one pointer-doubling
+    hop (label <- label's label), so convergence is O(log diameter), then
+    checks an exact changed-label count and stops at zero. ``max_iter`` is
+    a safety bound only; if it is exhausted before the fixpoint the
+    function RAISES rather than silently returning split components
+    (2^20 doubling covers any real corpus). Every join keys on doc id
+    (uniform), no skew; per-round results are persisted so lineage stays
+    O(1) across iterations.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    labels = edges.groupBy("src").agg(F.least(F.min("dst"), F.min("src")).alias("label"))
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.min("src")).alias("label"))
+        .persist()
+    )
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(neighbor_labels, "src", "left")
+        hop = labels.join(neighbor_labels, "src", "left").select(
+            "src",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        # Pointer doubling: jump straight to the label's own label.
+        ptr = hop.select(F.col("src").alias("_l"), F.col("label").alias("_ll"))
+        new_labels = (
+            hop.alias("h")
+            .join(ptr.alias("p"), F.col("h.label") == F.col("p._l"), "left")
             .select(
-                "src",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.col("h.src").alias("src"),
+                F.least(
+                    F.col("h.label"), F.coalesce(F.col("p._ll"), F.col("h.label"))
+                ).alias("label"),
             )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"resolve_duplicate_clusters: no fixpoint after {max_iter} "
+            "doubling rounds — component structure is pathological; raise "
+            "max_iter explicitly"
         )
     return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("canonical_id"))

@@ -39,9 +39,21 @@ def salted_join(
     salt value (cost: |build| x salt_buckets rows — use for small-to-mid
     build sides only; for tiny ones just broadcast).
 
-    The salt value never leaks into the result and does not alter join
-    semantics — it only splits one hot reducer into ``salt_buckets``.
+    The salt value never leaks into the result and, for the supported
+    join types, does not alter join semantics — it only splits one hot
+    reducer into ``salt_buckets``. Because the build side is replicated
+    once per salt, ``right``/``full`` outer joins would emit every
+    unmatched build row ``salt_buckets`` times; those types are refused
+    (salt the other side, or dedupe unmatched build rows yourself).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe (unmatched build "
+            f"rows would be replicated {salt_buckets}x); use one of "
+            "inner/left/left_semi/left_anti"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     probe_s = probe.withColumn(
         "_salt", (F.rand(seed) * salt_buckets).cast("int")

@@ -47,6 +47,14 @@ def asof_join(
     rows at the same instant.
     """
     payload = right_cols or [c for c in right.columns if c not in (on, by)]
+    clobbered = [c for c in payload if c in left.columns]
+    if clobbered:
+        raise ValueError(
+            "asof_join: right payload column(s) "
+            f"{clobbered} already exist on the left side and would be "
+            "silently overwritten; rename them on one side or pass "
+            "right_cols excluding them"
+        )
     l_tag = left.withColumn("_is_left", F.lit(1)).withColumn("_rt", F.lit(None).cast("timestamp"))
     r_tag = (
         right.select(by, on, *payload)
@@ -100,10 +108,24 @@ def range_join(
     of the typical interval length: too small explodes interval
     replication, too large inflates false candidates (both only cost
     work, never correctness).
+
+    For ``how='left'`` every point is preserved (NULL-extended when no
+    interval contains it) — the BETWEEN refinement lives in the join
+    condition itself, not a post-join filter, so outer semantics hold.
+    ``how`` must be 'inner' or 'left': interval-preserving variants would
+    emit each unmatched interval once per replicated bucket row.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"range_join: how={how!r} unsupported (intervals are "
+            "bucket-replicated, so right/full outer would duplicate "
+            "unmatched intervals); use 'inner' or 'left'"
+        )
     b = float(bucket_width)
-    pts = points.withColumn("_bkt", F.floor(F.col(point_col) / b).cast("long"))
-    ivl = intervals.withColumn(
+    pts = points.alias("p").withColumn(
+        "_bkt", F.floor(F.col(point_col) / b).cast("long")
+    )
+    ivl = intervals.alias("i").withColumn(
         "_bkt",
         F.explode(
             F.sequence(
@@ -112,7 +134,10 @@ def range_join(
             )
         ),
     )
-    joined = pts.join(ivl, on="_bkt", how=how).filter(
-        (F.col(point_col) >= F.col(lower_col)) & (F.col(point_col) <= F.col(upper_col))
+    cond = (
+        (pts["_bkt"] == ivl["_bkt"])
+        & (F.col(point_col) >= F.col(lower_col))
+        & (F.col(point_col) <= F.col(upper_col))
     )
+    joined = pts.join(ivl, on=cond, how=how)
     return joined.drop("_bkt")

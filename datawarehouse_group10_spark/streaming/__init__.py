@@ -34,6 +34,7 @@ __all__ = [
     "stream_bronze_to_silver",
     "events_hourly_counts",
     "run_stream_to_table",
+    "run_stream_to_parquet",
     "stream_dedup_events",
     "running_user_stats_stateful",
 ]
@@ -47,14 +48,22 @@ EVENTS_SCHEMA = (
 )
 
 
+_STREAM_DIR_CACHE: dict[str, str] = {}
+
+
 def _as_stream_dir(path: str) -> str:
     """File sources list a directory; if ``path`` is a single file, expose
     it through a temp directory symlink (local convenience — on a cluster
-    the input is always a directory)."""
+    the input is always a directory). Cached per source path so repeated
+    calls in one process reuse one temp dir instead of leaking one each."""
     if os.path.isdir(path):
         return path
-    d = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    ap = os.path.abspath(path)
+    d = _STREAM_DIR_CACHE.get(ap)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(ap, os.path.join(d, os.path.basename(path)))
+        _STREAM_DIR_CACHE[ap] = d
     return d
 
 
@@ -141,6 +150,38 @@ def run_stream_to_table(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """The DEPLOYABLE sink: append-mode parquet files + a checkpoint
+    directory, Trigger.AvailableNow.
+
+    Unlike the memory sink (driver-resident, complete-mode state), this is
+    the plan a cluster runs: executors write partitioned parquet, the
+    checkpoint WAL tracks which source files are committed, and a restart
+    with the same ``checkpoint_dir`` processes ONLY files that landed
+    since the previous run (exactly-once over the file source). Watermarked
+    aggregations emit a window downstream once the watermark passes it —
+    state never accumulates on the driver.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def stream_dedup_events(
     spark: SparkSession,
     events_path: str,
@@ -160,37 +201,58 @@ def stream_dedup_events(
     )
 
 
-def running_user_stats_stateful(stream_df: DataFrame) -> DataFrame:
+def running_user_stats_stateful(
+    stream_df: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count and max value, carried across micro-batches in
     the state store (the brief's 'custom stateful operators' pattern).
 
     The update function is self-contained (local imports) so executors
-    unpickle it without this package on sys.path. State times out with
-    the watermark so per-user state is bounded.
+    unpickle it without this package on sys.path.
+
+    State lifetime: with ``state_ttl_ms`` set, the input stream MUST carry
+    a watermark (``.withWatermark`` on the event-time column) and per-user
+    state expires via ``EventTimeTimeout`` once the watermark passes
+    last-update + ttl — bounded state, the production setting. With the
+    default ``None`` the state is UNBOUNDED (``NoTimeout``): acceptable
+    for AvailableNow backfills over finite input, wrong for a
+    forever-running stream over unbounded keys.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "user_id BIGINT, n_events BIGINT, max_value DOUBLE"
     state_schema = "n BIGINT, mx DOUBLE"
+    ttl = state_ttl_ms
 
     def update(key, pdf_iter, state):
         import pandas as _pd
 
+        if state.hasTimedOut:
+            # Watermark passed last-update + ttl: evict, emit nothing.
+            state.remove()
+            return
         n, mx = state.get if state.exists else (0, float("-inf"))
         for pdf in pdf_iter:
             n += len(pdf)
             if len(pdf):
                 mx = max(mx, float(pdf["value"].max()))
         state.update((n, mx))
+        if ttl is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + max(ttl, 1))
         yield _pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
         )
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream_df.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -216,3 +216,74 @@ def test_j7_range_join_boundaries(spark):
            range_join(points, intervals, "x", "lo", "hi", bucket_width=4.0).collect()}
     assert out == {(1, 200), (2, 100), (2, 200), (3, 100), (3, 200),
                    (4, 200), (5, 200)}  # inclusive bounds, 20.0001 excluded from 100
+
+
+def test_salted_join_rejects_build_preserving_outer(spark):
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([("a", 1)], "k string, v int")
+    build = spark.createDataFrame([("a", 2), ("b", 3)], "k string, w int")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salt-safe"):
+            salted_join(probe, build, "k", how=how)
+    # left join keeps unmatched PROBE rows exactly once
+    probe2 = spark.createDataFrame([("a", 1), ("zz", 9)], "k string, v int")
+    left = salted_join(probe2, build, "k", how="left").collect()
+    assert len(left) == 2
+    assert {r["k"] for r in left} == {"a", "zz"}
+
+
+def test_j7_range_join_left_preserves_unmatched_points(spark):
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 999.0)], "pid bigint, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0.0, 10.0)], "iid bigint, lo double, hi double"
+    )
+    out = {r["pid"]: r["iid"] for r in
+           range_join(points, intervals, "x", "lo", "hi",
+                      bucket_width=4.0, how="left").collect()}
+    # point 2 matches nothing but survives, NULL-extended
+    assert out == {1: 100, 2: None}
+    with _pytest.raises(ValueError, match="unsupported"):
+        range_join(points, intervals, "x", "lo", "hi",
+                   bucket_width=4.0, how="right")
+
+
+def test_cluster_resolution_deep_chain_converges(spark):
+    """A 14-node path graph (diameter 13) must fully converge to one
+    component — the old one-hop max_iter=5 silently split it."""
+    from datawarehouse_group10_spark.functions.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(13)], "id_a bigint, id_b bigint, j double"
+    )
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in resolve_duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(14)}
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", t0, 7.0)], "trade_id bigint, sym string, ts timestamp, px double"
+    )
+    right = spark.createDataFrame(
+        [("u", t0, 9.0)], "sym string, ts timestamp, px double"
+    )
+    with _pytest.raises(ValueError, match="px"):
+        asof_join(left, right, on="ts", by="sym")

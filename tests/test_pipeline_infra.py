@@ -357,3 +357,70 @@ def test_stateful_running_user_stats(spark, tmp_path):
     # user 7 carries the cumulative state: 3 events, max 9.0
     assert (7, 3, 9.0) in {(r["user_id"], r["n_events"], r["max_value"]) for r in rows}
     assert (7, 2, 9.0) in {(r["user_id"], r["n_events"], r["max_value"]) for r in rows}
+
+
+def test_stateful_state_ttl_eviction(spark, tmp_path):
+    """With state_ttl_ms set, per-user state is dropped once the watermark
+    passes it: user 7's count restarts at 1 in the third batch instead of
+    continuing at 3 (EventTimeTimeout + hasTimedOut removal)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.streaming import (
+        EVENTS_SCHEMA,
+        running_user_stats_stateful,
+    )
+
+    stream_dir = tmp_path / "stream_ttl"
+    stream_dir.mkdir()
+    now = time.time()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = str(stream_dir / f"{name}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def ns(minutes):
+        return int((t0 + dt.timedelta(minutes=minutes)).timestamp()) * 1_000_000_000
+
+    # batch 1: user 7 twice; batch 2: user 8 six hours later (advances the
+    # watermark far past user 7's ttl); batch 3: user 7 again.
+    write("a", [(1, ns(0), 7, "x", 5.0, "{}"), (2, ns(0), 7, "x", 9.0, "{}")], now - 100)
+    write("b", [(3, ns(360), 8, "x", 2.0, "{}")], now - 50)
+    write("c", [(4, ns(361), 7, "x", 4.0, "{}")], now - 10)
+
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stats = running_user_stats_stateful(
+        ev.withWatermark("ts", "1 hour"), state_ttl_ms=60_000
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("user_stats_ttl_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["user_id"], r["n_events"], r["max_value"])
+            for r in spark.table("user_stats_ttl_test").collect()}
+    assert (7, 2, 9.0) in rows        # batch 1 cumulative
+    assert (7, 1, 4.0) in rows        # state evicted -> restart at 1
+    assert (7, 3, 9.0) not in rows    # NOT carried across the ttl
