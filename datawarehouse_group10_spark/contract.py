@@ -705,8 +705,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (xxhash64 is not expressible in the oracle); the
-    returned jaccard values ARE exact, so pairs here are true near-dups."""
+    """LSH-found pairs verified with EXACT shingle Jaccard — so the oracle
+    is the exact-Jaccard pair set (same SQL as dedup_ngram_jaccard at
+    threshold 0.5): precision 1 by construction (every emitted pair is
+    exact-verified), and recall per pair is 1 - (1 - j^4)^16, which at the
+    corpus's observed pair similarities (all j >= 0.9, measured at sf0.01
+    and sf0.1) is 1 - ~4e-8 — deterministic equality at test scales.
+    xxhash64 itself stays un-oracled; its OUTPUT is what's checked."""
     _utc(spark)
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_dup_pairs(docs, jaccard_threshold=0.5)
@@ -736,8 +741,10 @@ def q_sim_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: exact top-10 (rank order near-ties make a SQL oracle
-    fragile; agreement with cosine_scores is checked in tests)."""
+    """Exact cosine top-10. Oracle-safe because the per-row cosines are
+    bit-identical across engines (identical fold order — proven by
+    sim_cosine_scores hash-matching) and the ordering tie-breaks on
+    vec_id, so the selected row SET is deterministic."""
     _utc(spark)
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
@@ -745,17 +752,33 @@ def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
 
-def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed ANN top-10 over the same query vector.
+def _lsh_data_planes(spark: SparkSession, sf_dir: str, n: int = 6) -> list[list[float]]:
+    """Hyperplanes = the corpus vectors with vec_id 2..n+1 (skipping the
+    query vector, vec_id 1). A fixed data sample is as random a direction
+    set as hashed planes on an ~isotropic corpus, and — unlike xxhash —
+    every engine can recompute the bucket codes from it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").between(2, n + 1))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
 
-    Plane count sizes buckets to ~2^6 of the corpus: recall needs tens of
-    candidates per probe set, so p is small for a small corpus and grows
-    with log2(n) on a real one.
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 with DATA-DERIVED hyperplanes, making the
+    whole approximate path oracle-checkable: the oracle recomputes the
+    sign codes (dot products are bit-identical across engines), the
+    Hamming-1 multiprobe set, and the exact ranking of the candidates —
+    i.e. it checks the LSH semantics themselves, not a recall proxy.
     """
     _utc(spark)
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    out = lsh_bucket_topk(emb, q, k=10, n_planes=6)
+    planes = _lsh_data_planes(spark, sf_dir, n=6)
+    out = lsh_bucket_topk(emb, q, k=10, planes=planes)
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
 
@@ -806,9 +829,12 @@ def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: connected-component resolution of near-dup pairs into
-    (doc_id, canonical_id) keep decisions — iterative, not SQL-expressible
-    without recursion; semantics pinned by pytest."""
+    """Connected-component resolution of exact-Jaccard near-dup pairs into
+    (doc_id, canonical_id) keep decisions. The Spark side iterates
+    min-label propagation to a fixpoint; the oracle computes the same
+    components with a recursive transitive-closure CTE — closure size is
+    bounded because near-dup components are tiny (that is the premise of
+    dedup)."""
     _utc(spark)
     from .functions.dedup import resolve_duplicate_clusters
 
@@ -873,9 +899,17 @@ def q_a10_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF (inverted-file) ANN top-10 — the scale path that
-    turns per-query full scans into n_probe partition-pruned cell reads.
-    Agreement with brute force is pinned in tests."""
+    """IVF (inverted-file) ANN top-10 — the scale path that turns
+    per-query full scans into n_probe partition-pruned cell reads.
+
+    Oracle-checkable end-to-end: centroids are the 16 lowest-id vectors
+    (SQL can fetch them), cell assignment is argmin over c.c - 2*v.c
+    (bit-identical dot-product folds on both engines, ties to the lowest
+    centroid id), probe cells are the 4 nearest to the query (distance
+    then id), candidates exact-ranked. K-MEANS-refined centroids
+    (kmeans_centroids) are the production variant — same layout, better
+    balance — validated in pytest where recall/balance can be measured.
+    """
     _utc(spark)
     from .functions.similarity import deterministic_centroids, ivf_topk
 
@@ -914,9 +948,47 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly counts through the DEPLOYABLE streaming path:
+    append-mode parquet sink + checkpoint (executor-side writes, bounded
+    state) rather than a driver-resident memory sink in complete mode.
+
+    Append mode only emits a window once the watermark passes it, and a
+    finite backfill's watermark stops at max(ts) - delay — so a sentinel
+    event 4h past the corpus end is added to the stream directory, playing
+    the role the next day's data plays in production: it pushes the
+    watermark past every real window. The sentinel's own (filtered-out)
+    window is the only state left unflushed.
+    """
     _utc(spark)
-    stream = events_hourly_counts(spark, os.path.join(sf_dir, "events.parquet"))
-    result = run_stream_to_table(stream, "events_hourly_counts_q")
+    import glob as _glob
+    import shutil as _shutil
+
+    from .streaming import EVENTS_SCHEMA, run_stream_to_parquet
+
+    work = tempfile.mkdtemp(prefix="stream_hourly_")
+    src_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+    events_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
+
+    # Sentinel: one row 4 hours past the corpus max ts (watermark delay is
+    # 2h), filtered back out after the run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    max_ns = int(_t(spark, sf_dir, "events").agg(F.max("ts")).first()[0])
+    sentinel = spark.createDataFrame(
+        [(-1, max_ns + 4 * 3600 * 1_000_000_000, -1, "_sentinel", 0.0, "{}")],
+        EVENTS_SCHEMA,
+    )
+    tmp_sent = os.path.join(work, "sentinel_stage")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp_sent)
+    part = _glob.glob(os.path.join(tmp_sent, "part-*.parquet"))[0]
+    _shutil.copy(part, os.path.join(src_dir, "zz_sentinel.parquet"))
+
+    stream = events_hourly_counts(spark, src_dir)
+    run_stream_to_parquet(stream, out_dir, ckpt_dir)
+    result = spark.read.parquet(out_dir).filter(F.col("event_type") != "_sentinel")
     return result.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -1448,3 +1520,136 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2
 """,
 }
+
+# The LSH pipeline's verified OUTPUT is the exact-Jaccard pair set (see
+# q_dedup_minhash_lsh for the recall argument): same oracle as the exact
+# inverted-index computation.
+ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_ngram_jaccard"]
+
+#: Cosine of each embedding row against the vec_id=1 query vector — the
+#: same left-to-right double-precision fold Spark's F.aggregate performs,
+#: so values are bit-identical (proven by sim_cosine_scores hash-matching).
+_COS_Q = """list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv)))"""
+
+ORACLES["sim_brute_topk"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+FROM embeddings e CROSS JOIN q
+ORDER BY {_COS_Q} DESC, e.vec_id
+LIMIT 10
+"""
+
+# Sign-LSH with data-derived hyperplanes (embeddings vec_id 2..7): the
+# oracle recomputes the bucket codes, the Hamming-1 multiprobe set, and
+# the exact ranking of the candidates — full approximate-path semantics.
+ORACLES["sim_lsh_topk"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+planes AS (
+  SELECT CAST(vec_id - 2 AS INT) AS p, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id BETWEEN 2 AND 7
+),
+codes AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pv) > 0
+                       THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS code
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+qcode AS (
+  SELECT CAST(SUM(CASE WHEN list_dot_product(q.qv, pl.pv) > 0
+                       THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS code
+  FROM q CROSS JOIN planes pl
+),
+probes AS (
+  SELECT code FROM qcode
+  UNION ALL
+  SELECT xor(qcode.code, CAST(1 << t.b AS BIGINT)) FROM qcode, range(6) AS t(b)
+),
+cand AS (SELECT vec_id FROM codes WHERE code IN (SELECT code FROM probes))
+SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY {_COS_Q} DESC, e.vec_id
+LIMIT 10
+"""
+
+# IVF with the 16 lowest-id vectors as centroids: assignment is argmin of
+# c.c - 2*v.c (identical fold order on both engines, ties to lowest cid),
+# probe = 4 nearest cells to the query (distance, then cid).
+ORACLES["sim_ivf_topk"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+probe AS (
+  SELECT c.cid FROM cents c CROSS JOIN q
+  ORDER BY list_distance(q.qv, c.cv), c.cid LIMIT 4
+),
+assign AS (
+  SELECT e.vec_id,
+         c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(c.cv, c.cv)
+                    - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv),
+                    c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cand AS (SELECT vec_id FROM assign WHERE rn = 1 AND cid IN (SELECT cid FROM probe))
+SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY {_COS_Q} DESC, e.vec_id
+LIMIT 10
+"""
+
+# Connected components of the exact-Jaccard pair graph via recursive
+# transitive closure (closure stays tiny: near-dup components are small
+# by construction — that is the premise of dedup).
+ORACLES["dedup_clusters"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ')
+                      FOR i IN range(1, len(t) - 1)]
+                ELSE [array_to_string(t, ' ')] END
+         ) AS shingles
+  FROM toks
+),
+postings AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM postings a JOIN postings b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT CAST(src AS BIGINT) AS doc_id,
+       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS canonical_id
+FROM reach GROUP BY src
+"""

@@ -90,6 +90,30 @@ def hyperplane_codes(
     return code
 
 
+def data_plane_codes(
+    vec_col: Column | str, planes: list[list[float]]
+) -> Column:
+    """Sign-LSH bucket code from EXPLICIT hyperplanes (e.g. a fixed sample
+    of corpus vectors). Bit p is set iff dot(v, planes[p]) > 0.
+
+    Unlike :func:`hyperplane_codes` (xxhash-derived planes) this is
+    engine-portable arithmetic end-to-end — any SQL engine with a
+    dot product reproduces the exact bucket codes, which is what makes
+    the LSH top-k DRIVER-ORACLE-CHECKABLE rather than rows-only. For an
+    ~isotropic corpus a fixed sample of its own vectors is as good a set
+    of random directions as hashed ones."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    code = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        proj = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
+        code = code.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return code
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],
@@ -99,18 +123,30 @@ def lsh_bucket_topk(
     n_planes: int = 12,
     seed: int = 42,
     multiprobe_hamming: int = 1,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: restrict candidates to rows whose LSH code
     is within ``multiprobe_hamming`` bits of the query's code, then
     exact-rank the candidates. Recall grows with probes; cost shrinks
-    ~2^-n_planes per probe."""
+    ~2^-n_planes per probe.
+
+    ``planes``: explicit hyperplane vectors (overrides the seeded hashed
+    planes; see :func:`data_plane_codes` for why a fixed data sample makes
+    the whole path engine-portable)."""
     dim = len(query)
-    codes = df.withColumn("_code", hyperplane_codes(vec_col, dim, n_planes, seed))
+    if planes is not None:
+        n_planes = len(planes)
+        code_expr = data_plane_codes(vec_col, planes)
+        qcode_expr = data_plane_codes("q", planes)
+    else:
+        code_expr = hyperplane_codes(vec_col, dim, n_planes, seed)
+        qcode_expr = hyperplane_codes("q", dim, n_planes, seed)
+    codes = df.withColumn("_code", code_expr)
     # Query code via the same JVM expression over a one-row DataFrame, so
-    # driver and executors use identical hash arithmetic.
+    # driver and executors use identical arithmetic.
     spark = df.sparkSession
     qdf = spark.createDataFrame([(query,)], "q: array<double>")
-    qcode = qdf.select(hyperplane_codes("q", dim, n_planes, seed).alias("c")).collect()[0]["c"]
+    qcode = qdf.select(qcode_expr.alias("c")).collect()[0]["c"]
     probe_codes = [qcode]
     if multiprobe_hamming >= 1:
         probe_codes += [qcode ^ (1 << b) for b in range(n_planes)]
@@ -204,6 +240,56 @@ def deterministic_centroids(
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer,
+    entirely as DataFrame aggregations (no MLlib, no RDDs, no driver data
+    beyond the k x dim centroid list).
+
+    - init: the k lowest-id vectors (same fixed seed as
+      :func:`deterministic_centroids`, so runs are reproducible);
+    - assign: :func:`ivf_assign` (literal centroid expressions, one scan,
+      no join/shuffle on the data side);
+    - update: posexplode the vectors, SUM per (cell, dim) with the values
+      cast to DECIMAL first — exact, order-independent arithmetic, so the
+      new centroids are bit-identical run to run regardless of partition
+      scheduling — then divide as double;
+    - empty cells keep their previous centroid.
+
+    Each iteration shuffles n x dim (cell, dim) partial sums — map-side
+    combinable, uniform keys; at 100 TB this is the standard scalable
+    k-means shape (and n_iter stays small because IVF only needs balance,
+    not convergence).
+    """
+    cents = deterministic_centroids(df, k, vec_col, id_col)
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, cents, vec_col)
+        rows = (
+            assigned.select("_cell", F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(27,12)")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .groupBy("_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_s", "_n"))),
+                    lambda t: t["_s"].cast("double") / t["_n"],
+                ).alias("_c")
+            )
+            .collect()
+        )
+        means = {int(r["_cell"]): [float(x) for x in r["_c"]] for r in rows}
+        cents = [(cid, means.get(cid, old)) for cid, old in cents]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -225,7 +311,9 @@ def ivf_topk(
     def sqdist(a: list[float], b: list[float]) -> float:
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
-    order = sorted(centroids, key=lambda c: sqdist(c[1], query))
+    # Tie-break probe order on centroid id so the probed cell set is a
+    # deterministic function of (centroids, query) on any engine.
+    order = sorted(centroids, key=lambda c: (sqdist(c[1], query), c[0]))
     probe = [cid for cid, _ in order[:n_probe]]
     assigned = ivf_assign(df, centroids, vec_col)
     cand = assigned.filter(F.col("_cell").isin(probe))

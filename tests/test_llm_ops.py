@@ -168,3 +168,52 @@ def test_ivf_topk_agrees_with_brute_force(spark, vecs):
     # probing ONE cell still finds the nearest (it lives in the best cell)
     one = [r["vec_id"] for r in ivf_topk(vecs, q, cents, k=1, n_probe=1).collect()]
     assert one == [1]
+
+
+def test_data_plane_lsh_topk(spark, vecs):
+    """Explicit data-derived hyperplanes: same API, engine-portable codes."""
+    from datawarehouse_group10_spark.functions.similarity import (
+        data_plane_codes,
+    )
+
+    q = [1.0, 0.0, 0.0]
+    planes = [[0.9, 0.1, 0.0], [0.0, 1.0, 0.0]]
+    out = [r["vec_id"] for r in
+           lsh_bucket_topk(vecs, q, k=1, planes=planes).collect()]
+    assert out == [1]
+    codes = {r["vec_id"]: r["c"] for r in
+             vecs.select("vec_id",
+                         data_plane_codes("embedding", planes).alias("c")).collect()}
+    # v1=[1,0,0]: dot with p0 = 0.9 > 0 -> bit0; dot with p1 = 0 -> no bit1
+    assert codes[1] == 1
+    # v3=[0,1,0]: dot p0 = 0.1 > 0, dot p1 = 1 > 0 -> bits 0 and 1
+    assert codes[3] == 3
+
+
+def test_kmeans_centroids_deterministic_balanced_no_recall_loss(spark):
+    """Lloyd-refined IVF centroids: bit-identical across runs (decimal
+    sums), every cell non-empty on real embeddings, and recall@10 at
+    n_probe=4 no worse than the lowest-id-seed centroids."""
+    from datawarehouse_group10_spark.functions.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 1").first()["embedding"]]
+
+    km1 = kmeans_centroids(emb, k=8, n_iter=2)
+    km2 = kmeans_centroids(emb, k=8, n_iter=2)
+    assert km1 == km2
+
+    seed = deterministic_centroids(emb, k=8)
+    brute = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    r_seed = {r["vec_id"] for r in ivf_topk(emb, q, seed, k=10, n_probe=4).collect()}
+    r_km = {r["vec_id"] for r in ivf_topk(emb, q, km1, k=10, n_probe=4).collect()}
+    assert len(r_km & brute) >= len(r_seed & brute)
+
+    sizes = [r["count"] for r in
+             ivf_assign(emb, km1).groupBy("_cell").count().collect()]
+    assert len(sizes) == 8 and min(sizes) >= 1

@@ -424,3 +424,41 @@ def test_stateful_state_ttl_eviction(spark, tmp_path):
     assert (7, 2, 9.0) in rows        # batch 1 cumulative
     assert (7, 1, 4.0) in rows        # state evicted -> restart at 1
     assert (7, 3, 9.0) not in rows    # NOT carried across the ttl
+
+
+def test_parquet_sink_restart_processes_only_new_files(spark, tmp_path):
+    """The deployable sink's checkpoint WAL: a second AvailableNow run with
+    the same checkpoint dir picks up ONLY files that landed after the
+    first run — nothing is reprocessed, nothing is lost."""
+    import glob
+    import shutil
+
+    from datawarehouse_group10_spark.streaming import (
+        EVENTS_SCHEMA,
+        run_stream_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    def stream():
+        return spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+
+    land("a", [(1, 10, 7, "x", 1.0, "{}"), (2, 20, 7, "x", 2.0, "{}")])
+    run_stream_to_parquet(stream(), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    land("b", [(3, 30, 8, "y", 3.0, "{}"),
+               (4, 40, 8, "y", 4.0, "{}"),
+               (5, 50, 9, "z", 5.0, "{}")])
+    run_stream_to_parquet(stream(), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 5                      # 2 + 3, no reprocessing
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3, 4, 5}
