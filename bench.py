@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced through the `noop` sink — full plan execution
 (scan, shuffle, window, UDF) with zero serialization back to Python, so
 the timing measures the engine, not the driver round-trip.
+
+Each query runs REPEATS (3) times and reports the per-query MINIMUM:
+single whole-process runs vary +-30% (JIT, GC, page cache — measured,
+PERF.md), which would drown round-over-round deltas; min-of-3 is the
+standard variance-floor estimator for this. The spread is reported in
+"variance" as max/min per query so the JSON stays honest about noise.
 """
 
 from __future__ import annotations
@@ -50,12 +56,18 @@ def main() -> None:
     # query, not first-touch costs.
     QUERIES["a5_minmax_scalars"](spark, SF_DIR).collect()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        times[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -65,6 +77,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "repeats": repeats,
+                "variance": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -13,9 +13,12 @@ Spark's JDBC data source replaces both hand-rolled loops:
 - writes become batched prepared-statement inserts per partition
   (``batchsize`` maps to the reference's ``executeBatch`` cadence).
 
-No JDBC driver jar ships in this container, so these wrappers are
-exercised by unit tests on option construction; against a real database
-they are plain ``spark.read.jdbc`` / ``df.write.jdbc`` calls.
+Tested END-TO-END against the embedded Apache Derby database whose driver
+ships on Spark's own classpath (tests/test_pipeline_infra.py::
+test_jdbc_roundtrip_embedded_derby): real batched inserts, real bounded
+range scans. For the reference's MySQL, the identical calls apply with
+``spark-submit --jars mysql-connector-j.jar`` and a ``jdbc:mysql://`` url
+(recipe in DEPLOY.md §JDBC).
 """
 
 from __future__ import annotations
