@@ -986,8 +986,17 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _glob.glob(os.path.join(tmp_sent, "part-*.parquet"))[0]
     _shutil.copy(part, os.path.join(src_dir, "zz_sentinel.parquet"))
 
-    stream = events_hourly_counts(spark, src_dir)
-    run_stream_to_parquet(stream, out_dir, ckpt_dir)
+    # State-store instance count == shuffle partitions at stream start and
+    # is baked into the (fresh) checkpoint. 32 stores for ~3.6k windows is
+    # pure per-store overhead at this scale (measured 8.7s -> 5.4s); a
+    # cluster deployment sizes it to executor-core count instead.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = events_hourly_counts(spark, src_dir)
+        run_stream_to_parquet(stream, out_dir, ckpt_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     result = spark.read.parquet(out_dir).filter(F.col("event_type") != "_sentinel")
     return result.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

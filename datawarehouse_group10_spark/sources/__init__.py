@@ -2,7 +2,7 @@
 layers, partitioned JDBC scans / batched JDBC writes, and the control-DB
 config tables."""
 
-from .csv_source import read_crawl_csv_dir, write_crawl_csv
+from .csv_source import read_alt_crawl_csv, read_crawl_csv_dir, write_crawl_csv
 from .parquet_source import load_testdata, register_testdata_views, write_layer
 from .jdbc_source import jdbc_read_options, read_jdbc_table, write_jdbc_table
 from .config_tables import (
@@ -14,6 +14,7 @@ from .config_tables import (
 )
 
 __all__ = [
+    "read_alt_crawl_csv",
     "read_crawl_csv_dir",
     "write_crawl_csv",
     "load_testdata",

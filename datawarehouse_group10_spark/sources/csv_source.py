@@ -5,10 +5,14 @@ Replaces the reference's hand-rolled directory scan + line splitter
 and CSV writer with BOM (crawl_data/.../LotteryCrawler.java:298-308, S2).
 
 Spark reads the whole directory natively — one job, splittable across
-executors — so the per-file Java loop disappears. Malformed rows (<4 fields,
-CsvLoader.java:39) are dropped by DROPMALFORMED, matching the reference's
-skip-and-continue tolerance (T6). UTF-8 BOM files parse because Spark's
-univocity parser strips the BOM from the first header cell.
+executors — so the per-file Java loop disappears. Short rows (<4 fields,
+CsvLoader.java:39): Spark null-pads missing TRAILING fields rather than
+flagging them malformed, so a 2-field row reaches bronze with NULL date
+and is dropped by the silver transform's null filter — the same
+skip-and-continue tolerance (T6) as the reference, applied one layer
+later; rows that are structurally unparseable are dropped at read by
+DROPMALFORMED. UTF-8 BOM files parse because Spark's univocity parser
+strips the BOM from the first header cell.
 """
 
 from __future__ import annotations
