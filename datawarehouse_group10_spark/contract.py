@@ -718,10 +718,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (bit-level hashing, no SQL oracle)."""
+    """Portable SimHash near-dup pairs (md5-derived 32-bit halves): the
+    oracle recomputes the signature bit sums, the 4x16-bit pigeonhole
+    blocks, and bit_count hamming — full bit-level parity. The xxhash64
+    variant (simhash_dup_pairs) is the faster production default with
+    identical structure; its semantics are pinned by pytest."""
     _utc(spark)
+    from .functions.dedup import simhash_dup_pairs_portable
+
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dup_pairs(docs, max_hamming=3)
+    return simhash_dup_pairs_portable(docs, max_hamming=3)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1614,6 +1620,68 @@ SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
 FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
 ORDER BY {_COS_Q} DESC, e.vec_id
 LIMIT 10
+"""
+
+# Portable SimHash: md5 token hashes split into unsigned 32-bit halves,
+# 64 sign-sum bits, 4x16-bit pigeonhole blocks, bit_count hamming — the
+# same arithmetic the Spark side runs, generated once for both engines.
+_SIMHASH_BITS = ",\n         ".join(
+    (
+        f"SUM(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        if j < 32
+        else f"SUM(CASE WHEN (hi >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    )
+    for j in range(64)
+)
+_SIMHASH_LO = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+)
+_SIMHASH_HI = " + ".join(
+    f"(CASE WHEN b{j + 32} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+)
+ORACLES["dedup_simhash"] = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+  FROM tok
+),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_BITS}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CAST({_SIMHASH_HI} AS BIGINT) AS sim_hi,
+         CAST({_SIMHASH_LO} AS BIGINT) AS sim_lo
+  FROM bits
+),
+blocks AS (
+  SELECT doc_id, sim_hi, sim_lo, 0 AS blk, sim_lo & 65535 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 1, (sim_lo >> 16) & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 2, sim_hi & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 3, (sim_hi >> 16) & 65535 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim_hi AS hi_a, a.sim_lo AS lo_a,
+         b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 """
 
 # Connected components of the exact-Jaccard pair graph via recursive

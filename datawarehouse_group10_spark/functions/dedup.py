@@ -295,6 +295,104 @@ def simhash_dup_pairs(
     ).select("id_a", "id_b", "hamming")
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable SimHash: token hash = md5 (identical hex on every
+    engine) split into two UNSIGNED 32-bit halves carried as bigints —
+    (sim_hi, sim_lo) instead of one signed 64-bit value, so no shift ever
+    touches the sign bit on any engine. Same aggregation shape as
+    :func:`simhash64` (one explode + one groupBy with 64 conditional
+    sums); md5 costs more than xxhash64 per token, which is why the
+    xxhash64 variant stays the production default and THIS one backs the
+    driver-oracle-checked query."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(lo, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ] + [
+        F.sum(
+            F.when(F.shiftright(hi, j - 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32, 64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+
+    def _pack(lo_bit: int) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for j in range(32):
+            acc = acc + F.when(
+                F.col(f"b{j + lo_bit}") > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), j),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    return sums.select(
+        F.col(id_col), _pack(32).alias("sim_hi"), _pack(0).alias("sim_lo")
+    )
+
+
+def simhash_dup_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by portable-SimHash Hamming distance, same 4x16-bit
+    pigeonhole blocking as :func:`simhash_dup_pairs` (and the same
+    max_hamming<=3 completeness guard). Every step — md5 halves, bit-sum
+    signs, block keys, bit_count(xor) — is reproducible in ANSI-ish SQL,
+    so this variant carries a full DuckDB oracle."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_dup_pairs_portable: max_hamming must be <= 3 for "
+            "4-block pigeonhole completeness"
+        )
+    sig = simhash_portable(df, text_col, id_col)
+    key_exprs = [
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("sim_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("sim_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
+    blocks = sig.select(
+        id_col,
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("blk"), k.alias("key"))
+                for i, k in enumerate(key_exprs)
+            ])
+        ).alias("b"),
+    ).select(id_col, "sim_hi", "sim_lo", "b.blk", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.key") == F.col("b.key"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("b.sim_hi").alias("hi_b"),
+            F.col("b.sim_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return cand.withColumn("hamming", hamming.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (exact, for small candidate sets or as LSH verification)
 

@@ -217,3 +217,26 @@ def test_kmeans_centroids_deterministic_balanced_no_recall_loss(spark):
     sizes = [r["count"] for r in
              ivf_assign(emb, km1).groupBy("_cell").count().collect()]
     assert len(sizes) == 8 and min(sizes) >= 1
+
+
+def test_simhash_portable_matches_xxhash_structure(spark, docs):
+    """The md5-halved portable SimHash finds the same exact-duplicate
+    pairs (hamming 0) as the xxhash64 variant — hash choice changes
+    near-miss pairs, never identical-text pairs — and its halves stay
+    inside unsigned 32-bit range (no sign-bit hazards on any engine)."""
+    from datawarehouse_group10_spark.functions.dedup import (
+        simhash_dup_pairs_portable,
+        simhash_portable,
+    )
+
+    fast = {(r["id_a"], r["id_b"]) for r in
+            simhash_dup_pairs(docs, max_hamming=0).collect()}
+    port = {(r["id_a"], r["id_b"]) for r in
+            simhash_dup_pairs_portable(docs, max_hamming=0).collect()}
+    assert fast == port and len(port) >= 1
+
+    sig = simhash_portable(docs).collect()
+    assert all(0 <= r["sim_hi"] < 2**32 and 0 <= r["sim_lo"] < 2**32 for r in sig)
+
+    with pytest.raises(ValueError):
+        simhash_dup_pairs_portable(docs, max_hamming=4)
