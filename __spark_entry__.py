@@ -7,9 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual registry lives in ``datawarehouse_group10_spark.contract`` —
 one named query per SURVEY.md §2 operator plus the LLM-data-pipeline ops
-(dedup / similarity / text / multimodal / streaming), each with a DuckDB
-oracle where the semantics are SQL-expressible (hash-based ops are
-rows-only by design and documented as such on the query callables).
+(dedup / similarity / text / multimodal / streaming). Since round 3
+EVERY registered query carries a full DuckDB oracle: the hash-based ops
+were made engine-portable (md5-half SimHash, data-derived LSH planes,
+SQL-expressible IVF) or oracled on their exact-verified outputs
+(MinHash-LSH pairs, recursive-CTE connected components).
 """
 
 from __future__ import annotations

@@ -32,6 +32,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "pipeline_mart",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "j1_broadcast_join",
     "j6_asof_join",
     "w2_days_since_last",

@@ -510,6 +510,81 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to the testdata schema (o_orderpriority for the
+    absent o_shippriority): the canonical selective 3-way join. Plan shape
+    that matters at 100 TB: both date filters and the segment filter push
+    to the parquet scans, the filtered customer key set broadcasts into
+    the orders join, revenue sums as decimal (order-independent, so the
+    top-10 cut is deterministic), and the top-10 is a
+    TakeOrderedAndProject, never a global sort."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-06-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-06-01")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    out = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (6-table star-ish join, one year, one region):
+    region/nation/supplier broadcast (tiny dims), the customer⋈orders⋈
+    lineitem chain shuffles on its keys, revenue decimal-exact. The
+    c_nationkey = s_nationkey 'local supplier' predicate rides the join."""
+    _utc(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    asian_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    sup = supplier.join(
+        F.broadcast(asian_nations),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows
 
@@ -1044,6 +1119,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_last_appearance": q_a3_last_appearance,
     "a5_minmax_scalars": q_a5_minmax_scalars,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     # windows
     "w2_days_since_last": q_w2_days_since_last,
     "w4_top_k": q_w4_top_k,
@@ -1260,6 +1337,40 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3_shipping_priority": """
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-01'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    "tpch_q5_local_supplier": """
+SELECT n.n_name,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n.n_name
 """,
     "w2_days_since_last": """
 SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
