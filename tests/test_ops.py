@@ -287,3 +287,22 @@ def test_asof_join_rejects_payload_collision(spark):
     )
     with _pytest.raises(ValueError, match="px"):
         asof_join(left, right, on="ts", by="sym")
+
+
+def test_tpch_q3_plan_shape(spark):
+    """The physical plan the 100 TB case needs: all three filters pushed
+    into the parquet scans, the dimension side broadcast (no shuffle for
+    it), and the top-10 as TakeOrderedAndProject, never a global Sort."""
+    from datawarehouse_group10_spark.contract import QUERIES
+
+    df = QUERIES["tpch_q3_shipping_priority"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    # no global sort node anywhere (TakeOrdered subsumes it)
+    assert "\n   Sort " not in plan
