@@ -107,3 +107,70 @@ def test_date_key_roundtrip(spark, dates):
     out = df.select("d", surrogate_date_key("d").alias("k")).collect()
     for r in out:
         assert r["k"] == int(r["d"].strftime("%Y%m%d"))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**_SETTINGS)
+def test_simhash_word_order_and_repetition_invariants(spark, docs, seed):
+    """SimHash is a function of the token MULTISET direction: shuffling
+    word order never changes it, and concatenating a doc with itself
+    (doubling every bit-sum) never changes it either."""
+    import random as _random
+
+    from datawarehouse_group10_spark.functions.dedup import simhash_portable
+
+    rng = _random.Random(seed)
+    rows = []
+    for i, words in enumerate(docs):
+        shuffled = list(words)
+        rng.shuffle(shuffled)
+        rows.append((i * 3, " ".join(words)))
+        rows.append((i * 3 + 1, " ".join(shuffled)))
+        rows.append((i * 3 + 2, " ".join(words + words)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+           for r in simhash_portable(df).collect()}
+    for i in range(len(docs)):
+        assert sig[i * 3] == sig[i * 3 + 1]    # order-invariant
+        assert sig[i * 3] == sig[i * 3 + 2]    # repetition-invariant
+
+
+@given(
+    points=st.lists(st.floats(min_value=-100, max_value=100,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=30),
+    intervals=st.lists(
+        st.tuples(st.floats(min_value=-100, max_value=100,
+                            allow_nan=False, allow_infinity=False),
+                  st.floats(min_value=0, max_value=50,
+                            allow_nan=False, allow_infinity=False)),
+        min_size=1, max_size=10),
+    width=st.sampled_from([1.0, 7.5, 40.0]),
+)
+@settings(**_SETTINGS)
+def test_range_join_equals_naive_theta_join(spark, points, intervals, width):
+    """The bucketed range join returns EXACTLY the rows of the naive
+    (quadratic) theta join for any bucket width — width only moves cost."""
+    from datawarehouse_group10_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)], "pid int, x double"
+    )
+    ivl = spark.createDataFrame(
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(intervals)],
+        "iid int, lo double, hi double",
+    )
+    fast = {(r["pid"], r["iid"])
+            for r in range_join(pts, ivl, "x", "lo", "hi", width).collect()}
+    naive = {(r["pid"], r["iid"])
+             for r in pts.crossJoin(ivl)
+             .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+             .collect()}
+    assert fast == naive
