@@ -1,0 +1,83 @@
+"""Deterministic sampling / splitting / mixing for training-data
+pipelines — the operations that sit between "deduped corpus" and "training
+shards" at 100 TB.
+
+Everything here is HASH-BASED, never RNG-based: a row's split is a pure
+function of its id, so (a) re-runs and backfills are stable, (b) adding
+data never reshuffles old rows across splits, (c) any engine can recompute
+the assignment (the md5-derived bucket is the same engine-portable trick
+as functions.dedup.simhash_portable), and (d) no `sample()`/`rand()`
+nondeterminism ever reaches a data path. All expressions are JVM-side
+column arithmetic: one scan, zero shuffles, zero Python.
+
+At scale: a split/mixture is a FILTER, so it composes with partition
+pruning and pushes work to the scan; nothing materializes an intermediate
+sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "deterministic_split", "mixture_sample"]
+
+#: Buckets per unit of probability — percentages with 0.01% resolution.
+_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, buckets: int = _BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from the row id: first 8 hex chars of
+    md5(id) as an integer (engine-portable; uniform for any id type that
+    casts to a stable string)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % buckets
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Train/val/test assignment as a derived column (no shuffle, no RNG):
+    bucket < train_frac -> 'train'; < train_frac+val_frac -> 'val';
+    else 'test'. Fractions are exact to 1/10000.
+
+    A row's split NEVER changes when the corpus grows — the property that
+    keeps eval sets honest across dataset versions.
+    """
+    b = hash_bucket(id_col)
+    t = int(round(train_frac * _BUCKETS))
+    v = int(round((train_frac + val_frac) * _BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(b < t, F.lit("train")).when(b < v, F.lit("val")).otherwise(F.lit("test")),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Dataset mixing: keep each row with its source's sampling rate
+    (e.g. {'web': 0.3, 'books': 1.0}) — the up/down-weighting step every
+    LLM data recipe applies before sharding. Deterministic per row
+    (hash-bucketed, same guarantees as :func:`deterministic_split`);
+    unknown sources fall back to ``default_rate``.
+
+    The rate table is a literal CASE expression, not a join — mixing
+    composes into the scan filter.
+    """
+    b = hash_bucket(id_col)
+    src = F.col(source_col)
+    rate_expr: Column = F.lit(float(default_rate))
+    for name, rate in sorted(rates.items()):
+        rate_expr = F.when(src == name, F.lit(float(rate))).otherwise(rate_expr)
+    return df.filter(b < (rate_expr * _BUCKETS).cast("bigint"))

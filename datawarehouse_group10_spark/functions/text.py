@@ -25,6 +25,35 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(_c(col)), r"\s+")
 
 
+def chunk_token_windows(df, text_col: str = "text", id_col: str = "doc_id",
+                        window: int = 64):
+    """Sequence packing: split each document into fixed-size token windows
+    (the pre-tokenizer chunking step of an LLM training pipeline) —
+    (id, chunk_idx, chunk_text, n_tokens) with the last chunk ragged.
+
+    Pure column arithmetic: one explode of the chunk-index range, slices
+    of the token array — a single scan-project stage, no shuffle, no
+    Python; at 100 TB the chunk rows stream straight into the shard
+    writer. The token array rides along the explode (duplicated per
+    chunk), which is bounded by window size — never quadratic."""
+    toks = tokens(text_col)
+    df2 = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    n_chunks = F.ceil(n / F.lit(float(window))).cast("int")
+    exploded = df2.select(
+        F.col(id_col),
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * window
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(F.slice("_toks", start + 1, window), " ").alias("chunk_text"),
+        F.least(F.lit(window), F.size("_toks") - start).cast("int").alias("n_tokens"),
+    )
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (BPE-ish refinement: see bpe_token_estimate)."""
     return F.size(tokens(col)).cast("bigint")

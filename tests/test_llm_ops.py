@@ -269,3 +269,77 @@ def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
     full = spark.read.parquet(path)
     expected = full.filter(F.col("_cell").isin([0, 3])).count()
     assert probed.count() == expected > 0
+
+
+def test_deterministic_split_stable_under_growth(spark):
+    """A row's split assignment never changes when the corpus grows, and
+    the realized fractions track the requested ones."""
+    from datawarehouse_group10_spark.functions.sampling import (
+        deterministic_split,
+    )
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"]
+               for r in deterministic_split(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in deterministic_split(big).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())   # stability
+    from collections import Counter
+
+    frac = Counter(s_big.values())
+    assert abs(frac["train"] / 5000 - 0.8) < 0.03
+    assert abs(frac["val"] / 5000 - 0.1) < 0.02
+    assert abs(frac["test"] / 5000 - 0.1) < 0.02
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from datawarehouse_group10_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)],
+        "doc_id bigint, source string",
+    )
+    kept1 = {r["doc_id"] for r in
+             mixture_sample(df, {"a": 1.0, "b": 0.25}).collect()}
+    kept2 = {r["doc_id"] for r in
+             mixture_sample(df, {"a": 1.0, "b": 0.25}).collect()}
+    assert kept1 == kept2                                   # no RNG anywhere
+    n_a = sum(1 for i in kept1 if i % 2)
+    n_b = len(kept1) - n_a
+    assert n_a == 1000                                       # rate 1.0 keeps all
+    assert abs(n_b / 1000 - 0.25) < 0.05
+    # unknown source with default_rate=0 drops everything
+    assert mixture_sample(df, {"a": 1.0}, default_rate=0.0).filter(
+        "source = 'b'"
+    ).count() == 0
+
+
+def test_chunk_token_windows_reassembly(spark):
+    """Chunks partition the token stream exactly: joining every chunk back
+    in order reproduces the tokenized text, n_tokens sums to the doc's
+    token count, and only the last chunk is ragged."""
+    from datawarehouse_group10_spark.functions.text import (
+        chunk_token_windows,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine"),
+         (2, "a b c"),
+         (3, "exactly four tokens here")],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_token_windows(docs, window=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    counts = {r["doc_id"]: r["n"] for r in
+              docs.select("doc_id", token_count("text").alias("n")).collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        joined = " ".join(r["chunk_text"] for r in rows)
+        original = docs.filter(F.col("doc_id") == doc_id).first()["text"].strip()
+        assert joined == original
+        assert sum(r["n_tokens"] for r in rows) == counts[doc_id]
+        assert all(r["n_tokens"] == 4 for r in rows[:-1])    # full windows
+        assert 1 <= rows[-1]["n_tokens"] <= 4
