@@ -942,6 +942,38 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-3-gram ratio per document (repetition
+    filtering signal)."""
+    _utc(spark)
+    from .functions.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features("text", n=3)
+    return docs.select(
+        "doc_id",
+        feats["n_grams"].alias("n_grams"),
+        feats["n_distinct_grams"].alias("n_distinct_grams"),
+        F.round(feats["dup_gram_ratio"], 6).alias("dup_ratio6"),
+    )
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL redaction with audit counts; the redacted text is
+    digest-compared (md5, engine-portable)."""
+    _utc(spark)
+    from .functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = redact_pii("text")
+    return docs.select(
+        "doc_id",
+        feats["n_emails"].alias("n_emails"),
+        feats["n_urls"].alias("n_urls"),
+        feats["redacted_digest"].alias("redacted_digest"),
+    )
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing into 7-token windows (small window so every doc
     produces several ragged-tail chunks at test scale)."""
@@ -1194,6 +1226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split": q_sample_split,
     "sample_mixture": q_sample_mixture,
     "text_chunks": q_text_chunks,
+    "text_repetition": q_text_repetition,
+    "text_redact_pii": q_text_redact_pii,
     "sql_statistics": q_sql_statistics,
     "sim_ivf_topk": q_sim_ivf_topk,
     "serving_mart_view": q_serving_mart_view,
@@ -1844,6 +1878,41 @@ SELECT id_a, id_b,
          AS hamming
 FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+"""
+
+ORACLES["text_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
+       round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+             / greatest(len(g), 1), 6) AS dup_ratio6
+FROM grams
+"""
+
+ORACLES["text_redact_pii"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+         AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'))
+         AS redacted_digest
+FROM documents
 """
 
 ORACLES["sample_split"] = """

@@ -109,6 +109,55 @@ def language_id(col: Column | str, stop_threshold: int = 1) -> Column:
     )
 
 
+#: Conservative, lookaround-free patterns that Java regex and RE2 parse
+#: identically — the portability constraint for oracle-checked redaction.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def repetition_features(col: Column | str, n: int = 3) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals: the fraction of
+    n-gram OCCURRENCES that are duplicates of an earlier occurrence
+    (0 = no repetition, ->1 = the doc is a loop). Boilerplate, template
+    spam, and decoding loops score high and get filtered before training.
+    Pure array arithmetic on one scan — no explode, no shuffle."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return {
+        "n_grams": total.cast("bigint"),
+        "n_distinct_grams": distinct.cast("bigint"),
+        "dup_gram_ratio": (
+            (total - distinct).cast("double") / F.greatest(total, F.lit(1))
+        ),
+    }
+
+
+def redact_pii(col: Column | str) -> dict[str, Column]:
+    """PII scrubbing (emails, URLs) with audit counts — the
+    decontamination step a corpus pass applies before training. Counts
+    come from regexp_extract_all; the redacted text is returned as an
+    md5 digest column so downstream equality checks stay cheap (the full
+    redacted text is one `regexp_replace` away with the same patterns)."""
+    c = _c(col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return {
+        # group 0 = the full match (the patterns are group-free; Spark's
+        # default idx=1 would error the moment a row actually matches)
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("bigint"),
+        "n_urls": F.size(F.regexp_extract_all(c, F.lit(URL_RE), 0)).cast("bigint"),
+        "redacted_digest": F.md5(redacted),
+    }
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 over whitespace-normalized,
     lowercased text. Stable across engines (md5 is identical in Spark and

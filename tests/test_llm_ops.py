@@ -343,3 +343,43 @@ def test_chunk_token_windows_reassembly(spark):
         assert sum(r["n_tokens"] for r in rows) == counts[doc_id]
         assert all(r["n_tokens"] == 4 for r in rows[:-1])    # full windows
         assert 1 <= rows[-1]["n_tokens"] <= 4
+
+
+def test_repetition_features_detect_loops(spark):
+    from datawarehouse_group10_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "all words here are fully distinct tokens"),
+         (3, "ab")],
+        "doc_id bigint, text string",
+    )
+    feats = repetition_features("text", n=3)
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", feats["dup_gram_ratio"].alias("r"),
+        feats["n_grams"].alias("n"), feats["n_distinct_grams"].alias("d"),
+    ).collect()}
+    assert out[1]["r"] == pytest.approx(3 / 4)   # 4 grams, 1 distinct
+    assert out[2]["r"] == 0.0
+    assert out[3]["n"] == 1 and out[3]["r"] == 0.0  # short doc: whole-text gram
+
+
+def test_redact_pii_counts_and_digest(spark):
+    from datawarehouse_group10_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b+c@example.org or see https://x.io/p?q=1 now"),
+         (2, "no pii here")],
+        "doc_id bigint, text string",
+    )
+    feats = redact_pii("text")
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", feats["n_emails"].alias("e"), feats["n_urls"].alias("u"),
+        feats["redacted_digest"].alias("h"),
+    ).collect()}
+    assert out[1]["e"] == 1 and out[1]["u"] == 1
+    assert out[2]["e"] == 0 and out[2]["u"] == 0
+    import hashlib
+
+    expected = hashlib.md5(b"mail me at <EMAIL> or see <URL> now").hexdigest()
+    assert out[1]["h"] == expected
