@@ -549,3 +549,24 @@ def test_http_mart_serving(spark, tmp_path):
         assert stat2["totalOccurrences"] == 21
     finally:
         srv.stop()
+
+
+def test_no_row_at_a_time_python_in_any_registered_query(spark):
+    """Global anti-pattern guard: no registered query's physical plan may
+    contain BatchEvalPython (row-at-a-time Python UDF — the slow path the
+    design bans). Arrow-batched MapInPandas/ArrowEvalPython is allowed
+    ONLY in the multimodal query, where batch-Python is the point."""
+    from datawarehouse_group10_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().explainString(mode)
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython"
+        if "InPandas" in plan and name != "multimodal_decode":
+            offenders[name] = "MapInPandas outside multimodal"
+    assert offenders == {}, offenders
