@@ -912,6 +912,18 @@ def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(docs, n=2)
 
 
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs outside src0 sharing at least one
+    5-gram with the src0 'eval set', plus the shared-shingle count."""
+    _utc(spark)
+    from .functions.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return contamination_check(train, eval_set, k=5)
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (hash-bucketed md5, no
     RNG): stable under corpus growth, recomputable by any engine — the
@@ -1228,6 +1240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": q_text_chunks,
     "text_repetition": q_text_repetition,
     "text_redact_pii": q_text_redact_pii,
+    "dedup_contamination": q_dedup_contamination,
     "sql_statistics": q_sql_statistics,
     "sim_ivf_topk": q_sim_ivf_topk,
     "serving_mart_view": q_serving_mart_view,
@@ -1913,6 +1926,34 @@ SELECT doc_id,
              'https?://[^\s]+', '<URL>', 'g'))
          AS redacted_digest
 FROM documents
+"""
+
+ORACLES["dedup_contamination"] = r"""
+WITH train AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE source <> 'src0'
+),
+ev AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE source = 'src0'
+),
+tg AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 5
+         THEN [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)]
+         ELSE [array_to_string(t, ' ')] END)) AS g
+  FROM train
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct(
+    CASE WHEN len(t) >= 5
+         THEN [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)]
+         ELSE [array_to_string(t, ' ')] END)) AS g
+  FROM ev
+)
+SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM tg JOIN eg ON tg.g = eg.g
+GROUP BY tg.doc_id
 """
 
 ORACLES["sample_split"] = """

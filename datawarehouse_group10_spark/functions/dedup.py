@@ -444,6 +444,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing at least one
+    k-word shingle with the EVAL corpus, with the shared-shingle count —
+    the docs a training pipeline drops so eval numbers stay honest.
+
+    Shape: inverted-index join on the shingle (train side exploded, eval
+    side exploded + distinct), then a count per doc — never a doc×doc
+    comparison. At 100 TB the eval side is tiny (benchmarks), so Spark
+    broadcasts it and the check is one scan over the corpus; the join key
+    is a shingle string with the same hot-key caveat as
+    :func:`ngram_jaccard_pairs` (k>=5 makes stopword collisions rare).
+    """
+    train = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("g")
+    )
+    eval_grams = (
+        eval_df.select(F.explode(word_shingles(text_col, k)).alias("g")).distinct()
+    )
+    return (
+        train.join(eval_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution (apply step)
 

@@ -383,3 +383,25 @@ def test_redact_pii_counts_and_digest(spark):
 
     expected = hashlib.md5(b"mail me at <EMAIL> or see <URL> now").hexdigest()
     assert out[1]["h"] == expected
+
+
+def test_contamination_check_semantics(spark):
+    """Contamination = sharing at least one k-gram with the eval set;
+    counts are DISTINCT shared shingles; clean docs are absent."""
+    from datawarehouse_group10_spark.functions.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated training text with no overlap at all"),
+         (3, "quick brown fox jumps over shared prefix plus extra words")],
+        "doc_id bigint, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over something else")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_shared_grams"]
+           for r in contamination_check(train, eval_set, k=5).collect()}
+    # doc 1 shares the 5-grams starting at 'the','quick' ("the quick brown
+    # fox jumps", "quick brown fox jumps over"); doc 3 only the latter
+    assert got == {1: 2, 3: 1}
