@@ -550,4 +550,12 @@ def resolve_duplicate_clusters(
             "doubling rounds — component structure is pathological; raise "
             "max_iter explicitly"
         )
-    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("canonical_id"))
+    # Materialize the (small: one row per doc appearing in any dup pair)
+    # result eagerly so the final round's cache can be released — repeated
+    # calls in a long-lived driver otherwise accumulate persisted RDDs.
+    # localCheckpoint also truncates the O(log n)-deep join lineage.
+    result = labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("canonical_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return result

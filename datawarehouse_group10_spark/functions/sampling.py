@@ -26,15 +26,32 @@ __all__ = ["hash_bucket", "deterministic_split", "mixture_sample"]
 _BUCKETS = 10_000
 
 
-def hash_bucket(id_col: Column | str, buckets: int = _BUCKETS) -> Column:
+def hash_bucket(
+    id_col: Column | str, buckets: int = _BUCKETS, salt: str = ""
+) -> Column:
     """Stable bucket in [0, buckets) from the row id: first 8 hex chars of
-    md5(id) as an integer (engine-portable; uniform for any id type that
-    casts to a stable string)."""
+    md5(id || salt) as an integer (engine-portable; uniform for any id type
+    that casts to a stable string).
+
+    ``salt`` decorrelates independent uses of the bucket on the same id
+    column.  Without it, two hash-based decisions (e.g. a mixture filter
+    followed by a train/val/test split) would share one bucket value, so
+    the second decision would see only the survivors of the first — e.g.
+    mixture rate 0.3 then train_frac 0.8 would yield 100% 'train'.  Each
+    public operation in this module passes its own fixed salt.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    keyed = F.concat(c.cast("string"), F.lit(salt)) if salt else c.cast("string")
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10)
         .cast("bigint") % buckets
     )
+
+
+#: Per-purpose salts: split and mixture decisions on the same id column
+#: must be statistically independent (see :func:`hash_bucket`).
+SPLIT_SALT = ":split"
+MIXTURE_SALT = ":mix"
 
 
 def deterministic_split(
@@ -48,9 +65,11 @@ def deterministic_split(
     else 'test'. Fractions are exact to 1/10000.
 
     A row's split NEVER changes when the corpus grows — the property that
-    keeps eval sets honest across dataset versions.
+    keeps eval sets honest across dataset versions.  The bucket is salted
+    (``SPLIT_SALT``) so the split is independent of any prior
+    :func:`mixture_sample` filter on the same ids.
     """
-    b = hash_bucket(id_col)
+    b = hash_bucket(id_col, salt=SPLIT_SALT)
     t = int(round(train_frac * _BUCKETS))
     v = int(round((train_frac + val_frac) * _BUCKETS))
     return df.withColumn(
@@ -73,9 +92,11 @@ def mixture_sample(
     unknown sources fall back to ``default_rate``.
 
     The rate table is a literal CASE expression, not a join — mixing
-    composes into the scan filter.
+    composes into the scan filter.  The bucket is salted (``MIXTURE_SALT``)
+    so a downstream :func:`deterministic_split` on the survivors stays
+    uniform across train/val/test.
     """
-    b = hash_bucket(id_col)
+    b = hash_bucket(id_col, salt=MIXTURE_SALT)
     src = F.col(source_col)
     rate_expr: Column = F.lit(float(default_rate))
     for name, rate in sorted(rates.items()):

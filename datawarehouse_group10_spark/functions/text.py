@@ -146,13 +146,19 @@ def redact_pii(col: Column | str) -> dict[str, Column]:
     md5 digest column so downstream equality checks stay cheap (the full
     redacted text is one `regexp_replace` away with the same patterns)."""
     c = _c(col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-    )
+    # URL pass FIRST: a URL with userinfo (http://user@host/x) contains an
+    # email-shaped substring, so redacting emails first would mutate the
+    # URL and desynchronize the audit counts from the emitted tokens.
+    # Counting n_urls on the original text and n_emails on the URL-redacted
+    # stage makes each count equal the number of its token in the output.
+    url_redacted = F.regexp_replace(c, URL_RE, "<URL>")
+    redacted = F.regexp_replace(url_redacted, EMAIL_RE, "<EMAIL>")
     return {
         # group 0 = the full match (the patterns are group-free; Spark's
         # default idx=1 would error the moment a row actually matches)
-        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("bigint"),
+        "n_emails": F.size(
+            F.regexp_extract_all(url_redacted, F.lit(EMAIL_RE), 0)
+        ).cast("bigint"),
         "n_urls": F.size(F.regexp_extract_all(c, F.lit(URL_RE), 0)).cast("bigint"),
         "redacted_digest": F.md5(redacted),
     }

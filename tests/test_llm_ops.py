@@ -314,6 +314,33 @@ def test_mixture_sample_rates_and_determinism(spark):
     ).count() == 0
 
 
+def test_split_independent_of_mixture(spark):
+    """Split and mixture buckets are salted per purpose, so splitting the
+    survivors of a mixture filter still yields ~train_frac/val/test — not
+    100% 'train' (the unsalted failure mode: after rate r, survivors all
+    sit in buckets [0, r*10000), which train_frac >= r maps wholly to
+    'train')."""
+    from collections import Counter
+
+    from datawarehouse_group10_spark.functions.sampling import (
+        deterministic_split,
+        mixture_sample,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id").withColumn(
+        "source", F.lit("web")
+    )
+    kept = mixture_sample(df, {"web": 0.3})
+    split = deterministic_split(kept, train_frac=0.8, val_frac=0.1)
+    frac = Counter(r["split"] for r in split.collect())
+    n = sum(frac.values())
+    assert abs(n / 5000 - 0.3) < 0.03
+    assert abs(frac["train"] / n - 0.8) < 0.05
+    assert frac["val"] > 0 and frac["test"] > 0
+    assert abs(frac["val"] / n - 0.1) < 0.04
+    assert abs(frac["test"] / n - 0.1) < 0.04
+
+
 def test_chunk_token_windows_reassembly(spark):
     """Chunks partition the token stream exactly: joining every chunk back
     in order reproduces the tokenized text, n_tokens sums to the doc's
@@ -369,7 +396,8 @@ def test_redact_pii_counts_and_digest(spark):
 
     docs = spark.createDataFrame(
         [(1, "mail me at a.b+c@example.org or see https://x.io/p?q=1 now"),
-         (2, "no pii here")],
+         (2, "no pii here"),
+         (3, "fetch http://user@host.com/x today")],
         "doc_id bigint, text string",
     )
     feats = redact_pii("text")
@@ -383,6 +411,10 @@ def test_redact_pii_counts_and_digest(spark):
 
     expected = hashlib.md5(b"mail me at <EMAIL> or see <URL> now").hexdigest()
     assert out[1]["h"] == expected
+    # URL pass runs first: a userinfo URL is one <URL> token, not a
+    # mangled email inside it — and the audit counts match the output.
+    assert out[3]["u"] == 1 and out[3]["e"] == 0
+    assert out[3]["h"] == hashlib.md5(b"fetch <URL> today").hexdigest()
 
 
 def test_contamination_check_semantics(spark):
