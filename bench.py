@@ -7,17 +7,20 @@ Each query is forced through the `noop` sink — full plan execution
 (scan, shuffle, window, UDF) with zero serialization back to Python, so
 the timing measures the engine, not the driver round-trip.
 
-Each query runs REPEATS (3) times and reports the per-query MINIMUM:
-single whole-process runs vary +-30% (JIT, GC, page cache — measured,
-PERF.md), which would drown round-over-round deltas; min-of-3 is the
-standard variance-floor estimator for this. The spread is reported in
-"variance" as max/min per query so the JSON stays honest about noise.
+Each query runs REPEATS (3) times and reports the per-query MINIMUM
+(headline "value" total) plus the per-query MEDIAN: single whole-process
+runs vary +-30% (JIT, GC, page cache — measured, PERF.md); min-of-3 is
+the variance-floor estimator, and the median makes warm-up asymmetry
+visible so regressions aren't hidden by one lucky run. The spread is
+reported in "variance" as max/min per query so the JSON stays honest
+about noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -28,7 +31,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 #: The headline set: one per workload family (full medallion pipeline,
 #: scan+agg, broadcast join, window, exact dedup, LSH near-dup, ANN,
-#: text quality, streaming ingest).
+#: text quality, streaming ingest). Names are q_* function names in
+#: contract.py (NOT registry keys): several are timed individually here
+#: but registered inside consolidated suite queries, and benching the
+#: function keeps the series comparable across rounds.
 HEADLINE = [
     "pipeline_mart",
     "tpch_q1_pricing_summary",
@@ -47,7 +53,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    from datawarehouse_group10_spark.contract import QUERIES
+    from datawarehouse_group10_spark import contract
     from datawarehouse_group10_spark.session import get_spark
 
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
@@ -55,19 +61,22 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query times measure the
     # query, not first-touch costs.
-    QUERIES["a5_minmax_scalars"](spark, SF_DIR).collect()
+    contract.q_a5_minmax_scalars(spark, SF_DIR).collect()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
+        fn = getattr(contract, f"q_{name}")
         samples = []
         for _ in range(repeats):
             t0 = time.time()
-            df = QUERIES[name](spark, SF_DIR)
+            df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         times[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,6 +87,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "median": medians,
+                "median_total": round(sum(medians.values()), 3),
                 "repeats": repeats,
                 "variance": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

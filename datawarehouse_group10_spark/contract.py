@@ -316,6 +316,29 @@ def q_pipeline_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-split invariance of the incremental path (merge_mart IVM +
+    the incremental dim/fact anti-join semantics): bronze is split into
+    two date-disjoint batches, each runs the full pipeline, and the two
+    marts merge WITHOUT rescanning history (per-number partials add,
+    last-appearance maxes, denominator adds). The merged mart must
+    hash-match the one-shot full-load mart — the oracle is literally
+    pipeline_mart's."""
+    _utc(spark)
+    from .plans.medallion import merge_mart
+
+    bronze = lottery_bronze(spark, sf_dir)
+    day = F.substring("full_date", 1, 2).cast("int")
+    m1 = run_full_pipeline(bronze.filter(day <= 15), as_of=AS_OF)["mart"]
+    m2 = run_full_pipeline(bronze.filter(day > 15), as_of=AS_OF)["mart"]
+    merged = merge_mart(m1, m2)
+    return stable(
+        merged.withColumn(
+            "total_occurrences", F.col("total_occurrences").cast("bigint")
+        )
+    )
+
+
 def q_pipeline_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     layers = run_full_pipeline(lottery_bronze(spark, sf_dir), as_of=AS_OF)
@@ -1208,8 +1231,231 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Consolidated suites
+#
+# The driver's correctness gate covers the first 50 registry entries, so
+# related operators are registered as ONE suite query each (wide select or
+# long-format union of the SAME underlying q_* bodies, which stay importable
+# individually — bench.py times them separately). Every operator keeps full
+# oracle coverage; nothing is rows-only.
+
+def q_t_part_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + T7 + T11 on one scan of `part`: decade bucket, numeric-string
+    normalization, last-digit extraction — the reference's independent row
+    transforms (ETLMain) as one projection."""
+    _utc(spark)
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        decade_bucket("p_size").alias("size_bucket"),
+        normalize_numeric_string(
+            F.lpad(F.col("p_size").cast("string"), 4, "0")
+        ).alias("norm_size"),
+        normalize_numeric_string("p_brand").alias("norm_brand"),
+        last_digit(F.col("p_size").cast("string")).cast("int").alias("size_last_digit"),
+        last_digit("p_brand").cast("int").alias("brand_last_digit"),
+    )
+
+
+def q_t_bronze_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 + T3 + T5 + T12 on one scan of the lottery bronze: last-2-digits,
+    dd-MM-yyyy parse, even/weekend flags, ISO-8601-Z formatting — keyed by
+    event_id so every row value is oracle-checked."""
+    _utc(spark)
+    bronze = lottery_bronze(spark, sf_dir)
+    parsed = bronze.select(
+        "event_id",
+        last_k_digits("number_value", 2).alias("last2"),
+        parse_draw_date("full_date").alias("d0"),
+        iso_z_timestamp("load_timestamp").alias("iso_ts"),
+    )
+    flags = derive_flags("last2", "d0")
+    return parsed.select(
+        "event_id",
+        "last2",
+        F.date_format("d0", "yyyy-MM-dd").alias("d"),
+        flags["is_even"].alias("is_even"),
+        flags["is_weekend"].alias("is_weekend"),
+        "iso_ts",
+    )
+
+
+def q_t_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 + T9 + T10: surrogate date key, calendar attributes, and the
+    Vietnamese day name, per distinct order date (day name checked per
+    date — finer grain than the old 7-row aggregate)."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    dates = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    cal = calendar_attributes("d")
+    return dates.select(
+        surrogate_date_key("d").alias("date_key"),
+        cal["day_of_month"].cast("int").alias("day_of_month"),
+        cal["month_of_year"].cast("int").alias("month_of_year"),
+        cal["year_value"].cast("int").alias("year_value"),
+        cal["year_month_value"].alias("year_month_value"),
+        vietnamese_day_name(F.col("d")).alias("day_name"),
+    )
+
+
+def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 + W5 per (user, date): lag-based days_since_last plus its
+    recency classification on every row (NULL for each user's first date,
+    matching the lag)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
+    out = days_since_last(ev, key="user_id", date_col="d")
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("days_since_last").cast("int").alias("days_since_last"),
+        F.when(F.col("days_since_last").isNull(), F.lit(None).cast("string"))
+        .otherwise(recency_bucket("days_since_last", recent=2, old=5))
+        .alias("recency"),
+    )
+
+
+def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + A8 + A9 + A10 (percentiles, ROLLUP, PIVOT, one-pass profiling)
+    as one long-format result: (section, k1, k2, metric, val, sval).
+    Numeric metrics ride `val` (doubles — counts are exact below 2^53 and
+    the percentile/sum values were already bit-identical across engines);
+    string min/max from the profile ride `sval`."""
+    _utc(spark)
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+
+    pct = q_a7_percentiles(spark, sf_dir).selectExpr(
+        "stack(3, 'p50', p50, 'p90', p90, 'p99', p99) as (metric, val)"
+    ).select(
+        F.lit("percentiles").alias("section"),
+        F.lit("").alias("k1"), F.lit("").alias("k2"),
+        "metric", F.col("val").cast("double").alias("val"), nul_s.alias("sval"),
+    )
+    ro = q_a8_rollup(spark, sf_dir).selectExpr(
+        "l_returnflag", "l_linestatus",
+        "stack(2, 'n', cast(n as double), 'sum_qty', sum_qty) as (metric, val)",
+    ).select(
+        F.lit("rollup").alias("section"),
+        F.col("l_returnflag").alias("k1"), F.col("l_linestatus").alias("k2"),
+        "metric", "val", nul_s.alias("sval"),
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    stack_pv = ", ".join(f"'{t}', cast({t} as double)" for t in types)
+    pv = q_a9_pivot(spark, sf_dir).selectExpr(
+        "d", f"stack({len(types)}, {stack_pv}) as (metric, val)"
+    ).select(
+        F.lit("pivot").alias("section"),
+        F.col("d").alias("k1"), F.lit("").alias("k2"),
+        "metric", "val", nul_s.alias("sval"),
+    )
+    prof = q_a10_profile(spark, sf_dir)
+    prof_num = prof.selectExpr(
+        "`column`",
+        "stack(3, 'n_rows', cast(n_rows as double), 'n_nulls', cast(n_nulls as double),"
+        " 'n_distinct', cast(n_distinct as double)) as (metric, val)",
+    ).select(
+        F.lit("profile").alias("section"),
+        F.col("column").alias("k1"), F.lit("").alias("k2"),
+        "metric", "val", nul_s.alias("sval"),
+    )
+    prof_str = prof.selectExpr(
+        "`column`",
+        "stack(2, 'min_value', min_value, 'max_value', max_value) as (metric, sval)",
+    ).select(
+        F.lit("profile").alias("section"),
+        F.col("column").alias("k1"), F.lit("").alias("k2"),
+        "metric", nul_d.alias("val"), "sval",
+    )
+    return pct.unionByName(ro).unionByName(pv).unionByName(prof_num).unionByName(prof_str)
+
+
+def q_statistics_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 statistics computed twice — DataFrame API and the registered-view
+    SQL surface — tagged by `surface`; both rows must agree with the
+    oracle, proving the two surfaces are equivalent."""
+    _utc(spark)
+    df_api = q_pipeline_statistics(spark, sf_dir).withColumn(
+        "surface", F.lit("dataframe")
+    )
+    via_sql = q_sql_statistics(spark, sf_dir).withColumn("surface", F.lit("sql"))
+    return df_api.unionByName(via_sql)
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality features + Gopher-style repetition on ONE
+    scan of documents — the per-doc feature pass a corpus pipeline
+    actually runs (computing them together is the production shape)."""
+    _utc(spark)
+    from .functions.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features("text")
+    r = repetition_features("text", n=3)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_estimate("text").alias("n_bpe"),
+        q["n_chars"].alias("n_chars"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+        r["n_grams"].alias("n_grams"),
+        r["n_distinct_grams"].alias("n_distinct_grams"),
+        F.round(r["dup_gram_ratio"], 6).alias("dup_ratio6"),
+    )
+
+
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (token tf/df) + distinct-bigram document counts
+    in one long-format result tagged by `kind`."""
+    _utc(spark)
+    vocab = q_text_vocabulary(spark, sf_dir).select(
+        F.lit("token").alias("kind"),
+        F.col("token").alias("term"),
+        "tf",
+        "df",
+    )
+    grams = q_text_ngram_counts(spark, sf_dir).select(
+        F.lit("bigram").alias("kind"),
+        F.col("ngram").alias("term"),
+        F.col("n").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+    )
+    return vocab.unionByName(grams)
+
+
+def q_sample_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split + mixture sampling on the full documents grain:
+    every doc carries its split AND whether the mixture filter keeps it —
+    also proving the two salted hash decisions are independent."""
+    _utc(spark)
+    from .functions.sampling import deterministic_split, mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    split = deterministic_split(docs, train_frac=0.8, val_frac=0.1).select(
+        "doc_id", "source", "split"
+    )
+    kept = mixture_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.3, "src3": 0.0},
+        default_rate=0.1,
+    ).select("doc_id", F.lit(1).alias("k"))
+    return split.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "split",
+        F.coalesce("k", F.lit(0)).cast("int").alias("mix_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 
+# ≤50 entries by contract: the driver's correctness gate reads the first
+# 50, so every entry here gets a CORRECTNESS row every round. Related
+# operators ride consolidated suite queries (see section above); the
+# underlying q_* bodies remain importable for bench.py and tests.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # lottery medallion pipeline (SURVEY §2 pipeline operators)
     "pipeline_silver": q_pipeline_silver,
@@ -1217,18 +1463,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_dim_number": q_pipeline_dim_number,
     "pipeline_fact_prize": q_pipeline_fact_prize,
     "pipeline_mart": q_pipeline_mart,
-    "pipeline_statistics": q_pipeline_statistics,
+    "pipeline_incremental": q_pipeline_incremental,
+    "statistics_surfaces": q_statistics_surfaces,
     "t1_filter_prize": q_t1_filter_prize,
     "s2_s3_csv_roundtrip": q_s2_s3_csv_roundtrip,
-    # row transforms
-    "t2_t3_digits_dates": q_t2_t3_digits_dates,
-    "t4_decade_bucket": q_t4_decade_bucket,
-    "t5_derive_flags": q_t5_derive_flags,
-    "t7_normalize_numeric": q_t7_normalize_numeric,
-    "t8_t9_calendar": q_t8_t9_calendar,
-    "t10_day_name": q_t10_day_name,
-    "t11_last_digit": q_t11_last_digit,
-    "t12_iso_timestamp": q_t12_iso_timestamp,
+    # row transforms (suites: T2/T3/T5/T12, T4/T7/T11, T8/T9/T10)
+    "t_bronze_suite": q_t_bronze_suite,
+    "t_part_suite": q_t_part_suite,
+    "t_calendar_suite": q_t_calendar_suite,
     # joins
     "j1_broadcast_join": q_j1_broadcast_join,
     "j2_anti_join": q_j2_anti_join,
@@ -1239,46 +1481,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_a2_draws_probability": q_a1_a2_draws_probability,
     "a3_last_appearance": q_a3_last_appearance,
     "a5_minmax_scalars": q_a5_minmax_scalars,
+    "a_extended": q_a_extended,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     # windows
-    "w2_days_since_last": q_w2_days_since_last,
+    "w_recency_suite": q_w_recency_suite,
     "w4_top_k": q_w4_top_k,
-    "w5_recency_bucket": q_w5_recency_bucket,
+    "w7_sessionize": q_w7_sessionize,
     # text analysis
-    "text_token_counts": q_text_token_counts,
-    "text_quality": q_text_quality,
+    "text_features": q_text_features,
     "text_language_id": q_text_language_id,
+    "text_corpus_stats": q_text_corpus_stats,
+    "text_chunks": q_text_chunks,
+    "text_redact_pii": q_text_redact_pii,
+    # dedup / similarity
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
-    # dedup / similarity
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_contamination": q_dedup_contamination,
     "sim_cosine_scores": q_sim_cosine_scores,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
-    "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
-    # corpus statistics + cluster resolution + SQL surface
-    "text_vocabulary": q_text_vocabulary,
-    "text_ngram_counts": q_text_ngram_counts,
-    "dedup_clusters": q_dedup_clusters,
-    "sample_split": q_sample_split,
-    "sample_mixture": q_sample_mixture,
-    "text_chunks": q_text_chunks,
-    "text_repetition": q_text_repetition,
-    "text_redact_pii": q_text_redact_pii,
-    "dedup_contamination": q_dedup_contamination,
-    "sql_statistics": q_sql_statistics,
     "sim_ivf_topk": q_sim_ivf_topk,
-    "serving_mart_view": q_serving_mart_view,
-    "w7_sessionize": q_w7_sessionize,
-    "a7_percentiles": q_a7_percentiles,
-    "a8_rollup": q_a8_rollup,
-    "a9_pivot": q_a9_pivot,
-    "a10_profile": q_a10_profile,
+    "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
+    # sampling + set ops + serving
+    "sample_ops": q_sample_ops,
     "set_ops": q_set_ops,
+    "serving_mart_view": q_serving_mart_view,
     # multimodal + streaming
     "multimodal_decode": q_multimodal_decode,
     "stream_hourly_counts": q_stream_hourly_counts,
@@ -1312,16 +1545,29 @@ SELECT number_value, total_occurrences, total_draws, probability,
        days_since_last
 FROM mart
 """,
-    "pipeline_statistics": _LOTTERY_CTE + """
-SELECT CAST(MAX(total_draws) AS INT) AS total_occurrences,
-       (SELECT CAST(number_value AS INT) FROM mart
-        ORDER BY total_occurrences DESC, CAST(number_value AS INT) LIMIT 1)
-         AS most_number,
-       (SELECT CAST(number_value AS INT) FROM mart
-        ORDER BY total_occurrences ASC, CAST(number_value AS INT) LIMIT 1)
-         AS least_number,
-       strftime(MAX(last_appeared_date), '%Y-%m-%d') AS last_update
+    # Two-batch incremental load must reproduce the one-shot mart exactly:
+    # the oracle IS the full-load mart.
+    "pipeline_incremental": _LOTTERY_CTE + """
+SELECT number_value, total_occurrences, total_draws, probability,
+       strftime(last_appeared_date, '%Y-%m-%d') AS last_appeared_date,
+       days_since_last
 FROM mart
+""",
+    "statistics_surfaces": _LOTTERY_CTE + """
+, stats AS (
+  SELECT CAST(MAX(total_draws) AS INT) AS total_occurrences,
+         (SELECT CAST(number_value AS INT) FROM mart
+          ORDER BY total_occurrences DESC, CAST(number_value AS INT) LIMIT 1)
+           AS most_number,
+         (SELECT CAST(number_value AS INT) FROM mart
+          ORDER BY total_occurrences ASC, CAST(number_value AS INT) LIMIT 1)
+           AS least_number,
+         strftime(MAX(last_appeared_date), '%Y-%m-%d') AS last_update
+  FROM mart
+)
+SELECT *, 'dataframe' AS surface FROM stats
+UNION ALL
+SELECT *, 'sql' AS surface FROM stats
 """,
     "t1_filter_prize": _LOTTERY_CTE + """
 SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bronze WHERE prize = 'Giải Bảy'
@@ -1331,60 +1577,40 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
 FROM documents GROUP BY lang
 """,
-    "t2_t3_digits_dates": _LOTTERY_CTE + """
-SELECT event_id,
-       CAST(number_value AS INT) AS last2,
-       strftime(CAST(strptime(full_date, '%d-%m-%Y') AS DATE), '%Y-%m-%d') AS d
-FROM bronze
+    "t_bronze_suite": _LOTTERY_CTE + """
+SELECT b.event_id,
+       CAST(b.number_value AS INT) AS last2,
+       strftime(CAST(strptime(b.full_date, '%d-%m-%Y') AS DATE), '%Y-%m-%d') AS d,
+       CAST(CASE WHEN CAST(b.number_value AS INT) % 2 = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_even,
+       CAST(CASE WHEN isodow(CAST(strptime(b.full_date, '%d-%m-%Y') AS DATE))
+                 IN (6, 7) THEN 1 ELSE 0 END AS INT) AS is_weekend,
+       strftime(e.ts, '%Y-%m-%dT%H:%M:%S.') || substr(strftime(e.ts, '%f'), 1, 3)
+         || 'Z' AS iso_ts
+FROM bronze b JOIN events e USING (event_id)
 """,
-    "t4_decade_bucket": """
+    "t_part_suite": """
 SELECT p_partkey,
        printf('%02d-%02d', (p_size // 10) * 10, (p_size // 10) * 10 + 9)
-         AS size_bucket
-FROM part
-""",
-    "t5_derive_flags": _LOTTERY_CTE + """
-SELECT event_id,
-       CAST(CASE WHEN CAST(number_value AS INT) % 2 = 0 THEN 1 ELSE 0 END AS INT)
-         AS is_even,
-       CAST(CASE WHEN isodow(CAST(strptime(full_date, '%d-%m-%Y') AS DATE))
-                 IN (6, 7) THEN 1 ELSE 0 END AS INT) AS is_weekend
-FROM bronze
-""",
-    "t7_normalize_numeric": """
-SELECT p_partkey,
+         AS size_bucket,
        CAST(CAST(lpad(CAST(p_size AS VARCHAR), 4, '0') AS BIGINT) AS VARCHAR)
          AS norm_size,
-       trim(p_brand) AS norm_brand
-FROM part
-""",
-    "t8_t9_calendar": """
-SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
-       CAST(day(d) AS INT) AS day_of_month,
-       CAST(month(d) AS INT) AS month_of_year,
-       CAST(year(d) AS INT) AS year_value,
-       strftime(d, '%Y-%m') AS year_month_value
-FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
-""",
-    "t10_day_name": """
-SELECT CASE isodow(CAST(o_orderdate AS DATE))
-         WHEN 1 THEN 'Thứ 2' WHEN 2 THEN 'Thứ 3' WHEN 3 THEN 'Thứ 4'
-         WHEN 4 THEN 'Thứ 5' WHEN 5 THEN 'Thứ 6' WHEN 6 THEN 'Thứ 7'
-         ELSE 'Chủ nhật' END AS day_name,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders GROUP BY 1
-""",
-    "t11_last_digit": """
-SELECT p_partkey,
+       trim(p_brand) AS norm_brand,
        CAST(p_size % 10 AS INT) AS size_last_digit,
        CAST(0 AS INT) AS brand_last_digit
 FROM part
 """,
-    "t12_iso_timestamp": """
-SELECT event_id,
-       strftime(ts, '%Y-%m-%dT%H:%M:%S.') || substr(strftime(ts, '%f'), 1, 3)
-         || 'Z' AS iso_ts
-FROM events
+    "t_calendar_suite": """
+SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+       CAST(day(d) AS INT) AS day_of_month,
+       CAST(month(d) AS INT) AS month_of_year,
+       CAST(year(d) AS INT) AS year_value,
+       strftime(d, '%Y-%m') AS year_month_value,
+       CASE isodow(d)
+         WHEN 1 THEN 'Thứ 2' WHEN 2 THEN 'Thứ 3' WHEN 3 THEN 'Thứ 4'
+         WHEN 4 THEN 'Thứ 5' WHEN 5 THEN 'Thứ 6' WHEN 6 THEN 'Thứ 7'
+         ELSE 'Chủ nhật' END AS day_name
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
 """,
     "j1_broadcast_join": """
 SELECT p.p_brand,
@@ -1499,42 +1725,38 @@ WHERE r.r_name = 'ASIA'
   AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
 GROUP BY n.n_name
 """,
-    "w2_days_since_last": """
-SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
-       CAST(date_diff('day',
-            LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS INT)
-         AS days_since_last
-FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    "w_recency_suite": """
+SELECT user_id, strftime(d, '%Y-%m-%d') AS d, days_since_last,
+       CASE WHEN days_since_last IS NULL THEN NULL
+            WHEN days_since_last <= 2 THEN 'recent'
+            WHEN days_since_last <= 5 THEN 'old'
+            ELSE 'long' END AS recency
+FROM (
+  SELECT user_id, d,
+         CAST(date_diff('day',
+              LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS INT)
+           AS days_since_last
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+)
 """,
     "w4_top_k": """
 SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders ORDER BY o_totalprice DESC LIMIT 20
 """,
-    "w5_recency_bucket": """
-SELECT CASE WHEN days_since_last <= 2 THEN 'recent'
-            WHEN days_since_last <= 5 THEN 'old'
-            ELSE 'long' END AS recency,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM (
-  SELECT CAST(date_diff('day',
-              LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS INT)
-           AS days_since_last
-  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    "text_features": r"""
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
 )
-WHERE days_since_last IS NOT NULL
-GROUP BY 1
-""",
-    "text_token_counts": r"""
-SELECT doc_id,
+SELECT d.doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
-            AS BIGINT) AS n_bpe
-FROM documents
-""",
-    "text_quality": r"""
-SELECT doc_id,
+            AS BIGINT) AS n_bpe,
        CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
             AS DOUBLE)
          / greatest(length(text), 1) AS punct_ratio,
@@ -1546,8 +1768,12 @@ SELECT doc_id,
        CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1)
             AS DOUBLE)
          / greatest(len(string_split_regex(trim(text), '\s+')), 1)
-         AS mean_token_len
-FROM documents
+         AS mean_token_len,
+       CAST(len(g.g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g.g)) AS BIGINT) AS n_distinct_grams,
+       round(CAST(len(g.g) - len(list_distinct(g.g)) AS DOUBLE)
+             / greatest(len(g.g), 1), 6) AS dup_ratio6
+FROM documents d JOIN grams g USING (doc_id)
 """,
     "text_language_id": r"""
 SELECT CASE
@@ -1629,18 +1855,19 @@ WHERE round(
             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])))), 5) >= 0.3
 """,
-    "text_vocabulary": r"""
-SELECT lower(t) AS token,
+    "text_corpus_stats": r"""
+SELECT 'token' AS kind, lower(t) AS term,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 FROM (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
   FROM documents
 )
-GROUP BY 1
-""",
-    "text_ngram_counts": r"""
-SELECT s AS ngram, CAST(COUNT(*) AS BIGINT) AS n
+GROUP BY 2
+UNION ALL
+SELECT 'bigram' AS kind, s AS term,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(NULL AS BIGINT) AS df
 FROM (
   SELECT unnest(
     list_distinct(
@@ -1651,18 +1878,7 @@ FROM (
   ) AS s
   FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents)
 )
-GROUP BY 1
-""",
-    "sql_statistics": _LOTTERY_CTE + """
-SELECT CAST(MAX(total_draws) AS INT) AS total_occurrences,
-       (SELECT CAST(number_value AS INT) FROM mart
-        ORDER BY total_occurrences DESC, CAST(number_value AS INT) LIMIT 1)
-         AS most_number,
-       (SELECT CAST(number_value AS INT) FROM mart
-        ORDER BY total_occurrences ASC, CAST(number_value AS INT) LIMIT 1)
-         AS least_number,
-       strftime(MAX(last_appeared_date), '%Y-%m-%d') AS last_update
-FROM mart
+GROUP BY 2
 """,
     "w7_sessionize": """
 WITH es AS (
@@ -1689,54 +1905,80 @@ SELECT user_id, session_id,
        CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
 FROM sess GROUP BY user_id, session_id
 """,
-    "a7_percentiles": """
-SELECT quantile_cont(o_totalprice, 0.5) AS p50,
-       quantile_cont(o_totalprice, 0.9) AS p90,
-       quantile_cont(o_totalprice, 0.99) AS p99
-FROM orders
-""",
-    "a8_rollup": """
-SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
-       coalesce(l_linestatus, 'ALL') AS l_linestatus,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-    "a9_pivot": """
-SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
-       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)    AS click,
-       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)     AS view,
-       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)   AS signup,
-       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)    AS error
-FROM events GROUP BY 1
-""",
-    "a10_profile": """
-SELECT 'c_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
-       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
-       CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
-       CAST(MAX(c_custkey) AS VARCHAR) AS max_value
-FROM customer
+    "a_extended": """
+WITH prof AS (
+  SELECT 'c_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+         CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+  FROM customer
+  UNION ALL
+  SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+         CAST(COUNT(DISTINCT c_name) AS BIGINT),
+         MIN(c_name), MAX(c_name)
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+         CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+         CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+         MIN(c_mktsegment), MAX(c_mktsegment)
+  FROM customer
+)
+SELECT 'percentiles' AS section, '' AS k1, '' AS k2, m AS metric,
+       v AS val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT unnest(['p50', 'p90', 'p99']) AS m,
+         unnest([quantile_cont(o_totalprice, 0.5),
+                 quantile_cont(o_totalprice, 0.9),
+                 quantile_cont(o_totalprice, 0.99)]) AS v
+  FROM orders
+)
 UNION ALL
-SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
-       CAST(COUNT(DISTINCT c_name) AS BIGINT),
-       MIN(c_name), MAX(c_name)
-FROM customer
+SELECT 'rollup', coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'),
+       m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         unnest(['n', 'sum_qty']) AS m,
+         unnest([CAST(COUNT(*) AS DOUBLE),
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)]) AS v
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+)
 UNION ALL
-SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
-       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
-       CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
-FROM customer
+SELECT 'pivot', d, '', m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+         unnest(['click', 'view', 'purchase', 'signup', 'error']) AS m,
+         unnest([CAST(COUNT(*) FILTER (event_type = 'click') AS DOUBLE),
+                 CAST(COUNT(*) FILTER (event_type = 'view') AS DOUBLE),
+                 CAST(COUNT(*) FILTER (event_type = 'purchase') AS DOUBLE),
+                 CAST(COUNT(*) FILTER (event_type = 'signup') AS DOUBLE),
+                 CAST(COUNT(*) FILTER (event_type = 'error') AS DOUBLE)]) AS v
+  FROM events GROUP BY 1
+)
 UNION ALL
-SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
-       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
-       MIN(c_mktsegment), MAX(c_mktsegment)
-FROM customer
+SELECT 'profile', col, '', m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT col, unnest(['n_rows', 'n_nulls', 'n_distinct']) AS m,
+         unnest([CAST(n_rows AS DOUBLE), CAST(n_nulls AS DOUBLE),
+                 CAST(n_distinct AS DOUBLE)]) AS v
+  FROM prof
+)
+UNION ALL
+SELECT 'profile', col, '', m, CAST(NULL AS DOUBLE), s
+FROM (
+  SELECT col, unnest(['min_value', 'max_value']) AS m,
+         unnest([min_value, max_value]) AS s
+  FROM prof
+)
 """,
     "set_ops": """
 SELECT o_custkey AS custkey FROM (
@@ -1922,26 +2164,6 @@ FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 """
 
-ORACLES["text_repetition"] = r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-),
-grams AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3
-              THEN [array_to_string(t[i:i+2], ' ')
-                    FOR i IN range(1, len(t) - 1)]
-              ELSE [array_to_string(t, ' ')] END AS g
-  FROM toks
-)
-SELECT doc_id,
-       CAST(len(g) AS BIGINT) AS n_grams,
-       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
-       round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
-             / greatest(len(g), 1), 6) AS dup_ratio6
-FROM grams
-"""
-
 ORACLES["text_redact_pii"] = r"""
 -- URL pass first, emails counted on the URL-redacted stage: each audit
 -- count equals the number of its token in the digested text (mirrors
@@ -1991,28 +2213,24 @@ FROM tg JOIN eg ON tg.g = eg.g
 GROUP BY tg.doc_id
 """
 
-ORACLES["sample_split"] = """
-SELECT doc_id,
-       CASE WHEN b < 8000 THEN 'train'
-            WHEN b < 9000 THEN 'val'
-            ELSE 'test' END AS split
+ORACLES["sample_ops"] = """
+SELECT doc_id, source,
+       CASE WHEN sb < 8000 THEN 'train'
+            WHEN sb < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(CASE WHEN mb < CAST(FLOOR(rate * 10000) AS BIGINT)
+                 THEN 1 ELSE 0 END AS INT) AS mix_kept
 FROM (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT % 10000 AS b
-  FROM documents
-)
-"""
-
-ORACLES["sample_mixture"] = """
-SELECT doc_id, source FROM (
   SELECT doc_id, source,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT % 10000 AS b,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
+           % 10000 AS sb,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+           % 10000 AS mb,
          CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                      WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.0
                      ELSE 0.1 END AS rate
   FROM documents
 )
-WHERE b < CAST(FLOOR(rate * 10000) AS BIGINT)
 """
 
 ORACLES["text_chunks"] = r"""

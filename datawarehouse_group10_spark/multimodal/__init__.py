@@ -10,12 +10,14 @@ Design (the part that matters at 100 TB):
   JVM ships columnar batches to Python once per batch, never per row, and
   the UDF's output schema is declared so Catalyst plans downstream
   operators normally.
-- Real codecs (PIL/libsndfile/ffmpeg) are NOT in this container; the
-  decode core is isolated behind ``_decode_bytes`` which raises
-  ``NotImplementedError`` for real media types and produces a
-  deterministic fake for ``application/fake`` — the Spark-side plumbing
-  (schema, batching, partitioning) is identical either way and is what
-  gets tested.
+- Codecs are OPTIONAL dependencies: ``image/*`` dispatches to Pillow
+  when importable (checked per executor inside the batch function, so a
+  cluster only needs Pillow on executors); other real media types
+  (audio/video — soundfile/av) raise ``NotImplementedError``.
+  ``application/fake`` produces a deterministic pseudo-decode so the
+  Spark-side plumbing (schema, batching, partitioning) is exercised
+  end-to-end with zero codec dependencies — that path is what the
+  driver's oracle checks.
 
 Batch-shape note: mapInPandas receives an iterator of pandas DataFrames
 (one per Arrow batch, bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``)
@@ -79,26 +81,46 @@ def decode_features(df: DataFrame) -> DataFrame:
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import io as _io
 
         import pandas as _pd
 
+        # Optional-dependency seam: image/* dispatches to Pillow when it
+        # is importable (per-executor check, once per Arrow-batch stream);
+        # other real media types need soundfile / av and still raise.
+        try:
+            from PIL import Image as _PILImage  # type: ignore
+        except Exception:
+            _PILImage = None
+
         def _decode_bytes(payload: bytes, media_type: str) -> dict:
-            # Real codecs are NOT available in this environment — any real
-            # media type raises; 'application/fake' produces a
-            # deterministic pseudo-decode so the distributed plumbing is
-            # exercised end-to-end. A real impl dispatches to PIL /
-            # soundfile / av here.
-            if media_type != "application/fake":
-                raise NotImplementedError(
-                    f"no codec for media_type={media_type!r}"
+            if media_type == "application/fake":
+                # Deterministic pseudo-decode: exercises the distributed
+                # plumbing end-to-end without any codec dependency.
+                n = len(payload)
+                return {
+                    "n_bytes": n,
+                    "width": n % 64,  # deterministic fake dimensions
+                    "height": (n // 64) % 64,
+                    "digest": _hashlib.md5(payload).hexdigest(),
+                }
+            if media_type.startswith("image/") and _PILImage is not None:
+                with _PILImage.open(_io.BytesIO(payload)) as im:
+                    w, h = im.size
+                return {
+                    "n_bytes": len(payload),
+                    "width": int(w),
+                    "height": int(h),
+                    "digest": _hashlib.md5(payload).hexdigest(),
+                }
+            raise NotImplementedError(
+                f"no codec for media_type={media_type!r}"
+                + (
+                    " (install Pillow for image/*)"
+                    if media_type.startswith("image/")
+                    else ""
                 )
-            n = len(payload)
-            return {
-                "n_bytes": n,
-                "width": n % 64,  # deterministic fake dimensions
-                "height": (n // 64) % 64,
-                "digest": _hashlib.md5(payload).hexdigest(),
-            }
+            )
 
         for pdf in it:
             feats = [

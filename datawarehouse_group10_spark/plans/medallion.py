@@ -96,7 +96,11 @@ def build_dim_date(silver: DataFrame, existing: DataFrame | None = None) -> Data
     return dim
 
 
-def build_dim_number(silver: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+def build_dim_number(
+    silver: DataFrame,
+    existing: DataFrame | None = None,
+    max_natural_keys: int | None = 100_000,
+) -> DataFrame:
     """Gold dim_number (T7, T11, J3; deterministic surrogate key).
 
     Natural key = normalized number string (leading zeros stripped, T7).
@@ -104,6 +108,19 @@ def build_dim_number(silver: DataFrame, existing: DataFrame | None = None) -> Da
     the reference's AUTO_INCREMENT (documented deviation, SURVEY 4).
     The window has no partition, but it runs over <=100 distinct rows
     post-aggregation, so the single-partition sort is trivial.
+
+    SCALE GUARD: the unpartitioned ``row_number()`` serializes the whole
+    post-aggregation dimension through one task. That is correct and
+    trivial for the lottery's two-digit domain, but anyone reusing this
+    builder on a high-cardinality natural key would silently inherit a
+    single-partition sort — so the build RAISES when the distinct-key
+    count exceeds ``max_natural_keys`` (checked with an early-stopping
+    ``limit(n+1).count()``, not a full count). For a genuinely large
+    dimension, assign keys without a global sort instead:
+    ``monotonically_increasing_id()`` (sparse but unique + stable within a
+    write) or zipWithIndex-style dense ranks per partition plus a
+    partition-offset cumulative sum. Pass ``max_natural_keys=None`` only
+    when the domain is provably bounded.
 
     Incremental semantics (mirrors AUTO_INCREMENT continuing past the
     existing max, ETLMain.java:299-302): when ``existing`` is given, only
@@ -125,6 +142,17 @@ def build_dim_number(silver: DataFrame, existing: DataFrame | None = None) -> Da
         )
         .withColumn("last_digit", last_digit("number_value"))
     )
+    if max_natural_keys is not None:
+        n = base.select("number_value").limit(max_natural_keys + 1).count()
+        if n > max_natural_keys:
+            raise ValueError(
+                f"build_dim_number: >{max_natural_keys} distinct natural keys — "
+                "the unpartitioned row_number() surrogate would serialize the "
+                "dimension through one task. Use a scalable key assignment "
+                "(monotonically_increasing_id or per-partition dense rank + "
+                "offset cumsum), or pass max_natural_keys=None for a provably "
+                "bounded domain."
+            )
     key_offset = F.lit(0)
     if existing is not None:
         base = anti_join_new_rows(base, existing, "number_value")

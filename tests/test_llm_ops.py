@@ -154,6 +154,40 @@ def test_multimodal_decode_and_frames(spark, docs):
     assert n_frames == math.ceil(len(DOCS[0][1].encode()) / 16)
 
 
+def test_multimodal_real_image_decode_with_pillow(spark):
+    """When Pillow is installed, image/* payloads decode for real through
+    the same mapInPandas plumbing (skips cleanly where PIL is absent);
+    the fake-type path is covered by test_multimodal_decode_and_frames."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image/png")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    row = decode_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (12, 7)
+    assert row["n_bytes"] == len(png)
+
+
+def test_multimodal_unknown_media_type_still_raises(spark):
+    """Non-image real media types have no optional codec wired and must
+    fail loudly, not decode garbage."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFF...."), "audio/wav")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    with pytest.raises(Exception, match="no codec|NotImplementedError"):
+        decode_features(df).collect()
+
+
 def test_ivf_topk_agrees_with_brute_force(spark, vecs):
     from datawarehouse_group10_spark.functions.similarity import (
         deterministic_centroids,
