@@ -46,6 +46,7 @@ HEADLINE = [
     "a8_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_materialized",
     "sim_cosine_scores",
     "text_quality",
     "stream_hourly_counts",

@@ -82,6 +82,26 @@ def minhash_signatures(
     )
 
 
+def materialize_shingles(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Write the shingled projection (id, array<string> shingles) to
+    parquet ONCE and return a reader over it — the many-consumer scale
+    path PERF.md prescribes: signatures and both Jaccard-verify sides then
+    scan columnar shingles instead of re-deriving tokenize→slice→join
+    per consumer. At 100 TB this is the difference between one corpus-wide
+    string-processing pass and three. Feed the result to
+    :func:`minhash_lsh_dup_pairs` via ``pre_shingled``."""
+    df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+    ).write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -93,6 +113,7 @@ def minhash_lsh_dup_pairs(
     max_bucket_size: int | None = 10_000,
     persist_shingles: bool = False,
     prune_verify: bool = False,
+    pre_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH over MinHash signatures, verified
     with exact shingle-set Jaccard on the candidates.
@@ -123,13 +144,22 @@ def minhash_lsh_dup_pairs(
     passes overlap in the pipeline anyway; at corpus scale, where the two
     extra full-corpus shingle passes dominate and candidates are a
     vanishing fraction, turn it ON.
+
+    ``pre_shingled`` supplies an already-shingled projection (columns
+    ``id_col``, ``shingles``) — typically :func:`materialize_shingles`'s
+    parquet reader — and skips in-query shingling entirely (ignores
+    ``persist_shingles``; with ``prune_verify`` the verify side still
+    re-shingles only candidate rows from ``df``).
     """
     rows_per_band = num_perm // bands
-    shingled = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
-    )
-    if persist_shingles:
-        shingled = shingled.persist()
+    if pre_shingled is not None:
+        shingled = pre_shingled.select(F.col(id_col), "shingles")
+    else:
+        shingled = df.select(
+            F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+        )
+        if persist_shingles:
+            shingled = shingled.persist()
     exploded = shingled.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )

@@ -59,6 +59,19 @@ def test_minhash_lsh_finds_exact_pair_only(spark, docs):
     assert all(r["jaccard"] == 1.0 for r in pairs)
 
 
+def test_minhash_materialized_shingles_identical(spark, docs, tmp_path):
+    """The parquet-materialized shingle path (many-consumer scale variant)
+    must produce byte-identical pairs to lineage recompute."""
+    from datawarehouse_group10_spark.functions.dedup import materialize_shingles
+
+    pre = materialize_shingles(docs, str(tmp_path / "sh.parquet"))
+    a = sorted(map(tuple, minhash_lsh_dup_pairs(docs, jaccard_threshold=0.5).collect()))
+    b = sorted(map(tuple, minhash_lsh_dup_pairs(
+        docs, jaccard_threshold=0.5, pre_shingled=pre
+    ).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_ngram_jaccard_near_pair(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
