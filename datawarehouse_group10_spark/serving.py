@@ -78,10 +78,15 @@ class MartServer:
     GET /mart/statistic  -> the Q2 one-row DTO
     """
 
+    #: Seconds between artifact mtime re-checks: a dashboard refreshing at
+    #: any human rate shouldn't trigger a directory walk per request.
+    STAT_TTL_SEC = 1.0
+
     def __init__(self, mart_path: str, host: str = "127.0.0.1", port: int = 0):
         self._path = mart_path
         self._mtime: float | None = None
         self._rows: list[dict] = []
+        self._checked_at: float = 0.0
         self._lock = threading.Lock()
         outer = self
 
@@ -110,7 +115,16 @@ class MartServer:
 
     def rows(self) -> list[dict]:
         """Cached mart rows, refreshed when the artifact's mtime moves —
-        the serving tier notices a new warehouse-job run without restarts."""
+        the serving tier notices a new warehouse-job run without restarts.
+        The mtime walk itself is rate-limited to once per ``STAT_TTL_SEC``
+        so request throughput never depends on directory size."""
+        import time
+
+        now = time.monotonic()
+        with self._lock:
+            fresh = self._mtime is not None and now - self._checked_at < self.STAT_TTL_SEC
+            if fresh:
+                return self._rows
         mtime = max(
             (os.path.getmtime(os.path.join(r, f))
              for r, _, fs in os.walk(self._path) for f in fs),
@@ -120,6 +134,7 @@ class MartServer:
             if mtime != self._mtime:
                 self._rows = _load_mart_rows(self._path)
                 self._mtime = mtime
+            self._checked_at = now
             return self._rows
 
     def start(self) -> None:

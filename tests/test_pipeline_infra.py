@@ -541,7 +541,9 @@ def test_http_mart_serving(spark, tmp_path):
             "leastNumber": 7,   # tie 5 vs 5 -> lower numeric value
             "lastUpdate": "2024-01-10",
         }
-        # artifact refresh without restart
+        # artifact refresh without restart (drop the mtime-check TTL so the
+        # rewrite is visible to the very next request)
+        srv.STAT_TTL_SEC = 0.0
         mart.withColumn("total_draws", F.lit(21)).coalesce(1).write.mode(
             "overwrite"
         ).parquet(path)
