@@ -1529,6 +1529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_materialized": q_dedup_minhash_materialized,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_contamination": q_dedup_contamination,
@@ -2047,8 +2048,10 @@ FROM events GROUP BY 1, 2
 
 # The LSH pipeline's verified OUTPUT is the exact-Jaccard pair set (see
 # q_dedup_minhash_lsh for the recall argument): same oracle as the exact
-# inverted-index computation.
+# inverted-index computation. The materialized-shingle variant computes
+# the identical result from a parquet-staged projection — same oracle.
 ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_ngram_jaccard"]
+ORACLES["dedup_minhash_materialized"] = ORACLES["dedup_ngram_jaccard"]
 
 #: Cosine of each embedding row against the vec_id=1 query vector — the
 #: same left-to-right double-precision fold Spark's F.aggregate performs,
