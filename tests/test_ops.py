@@ -306,3 +306,36 @@ def test_tpch_q3_plan_shape(spark):
     assert "LessThan(o_orderdate" in plan
     # no global sort node anywhere (TakeOrdered subsumes it)
     assert "\n   Sort " not in plan
+
+
+def test_suite_projection_plans_are_single_stage(spark):
+    """The consolidated transform/text suites must stay pure
+    scan-projections: computing six part transforms or ten per-doc text
+    features together is only the production shape if it costs ONE scan
+    and ZERO shuffles — at 100 TB an accidental Exchange here would be a
+    corpus-wide repartition for row-local arithmetic."""
+    from datawarehouse_group10_spark.contract import QUERIES
+
+    for name in ["t_part_suite", "text_features"]:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan, name
+        # formatted explain lists each node in the tree and the detail
+        # section, so one physical scan appears exactly twice
+        assert plan.count("Scan parquet") == 2, name
+
+
+def test_w_recency_suite_window_is_partitioned(spark):
+    """The lag window must partition by user_id — an unpartitioned window
+    would serialize all users through one task (the exact failure the
+    dim_number guard exists for, here checked on the plan)."""
+    from datawarehouse_group10_spark.contract import QUERIES
+
+    df = QUERIES["w_recency_suite"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
