@@ -549,8 +549,15 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.sum(base).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # Round scale-6 decimal sums to cents BEFORE the double cast:
+            # above ~sf1 the scale-6 unscaled value exceeds 2^53 and the
+            # decimal->double conversion rounds differently across engines
+            # (last-ulp divergence). At scale 2 the unscaled value stays
+            # exactly representable, so every engine produces the same
+            # correctly-rounded double. Spark HALF_UP == DuckDB ROUND
+            # (half away from zero) for these positive sums.
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -582,7 +589,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -627,7 +634,7 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
     )
 
 
@@ -1709,12 +1716,12 @@ FROM orders
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-            * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
             AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(ROUND(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
             * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))
-            * CAST(1.0 + l_tax AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+            * CAST(1.0 + l_tax AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
             AS DOUBLE) AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -1725,8 +1732,8 @@ GROUP BY l_returnflag, l_linestatus
 SELECT l.l_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o.o_orderpriority,
-       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
             AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1740,8 +1747,8 @@ LIMIT 10
 """,
     "tpch_q5_local_supplier": """
 SELECT n.n_name,
-       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
             AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey

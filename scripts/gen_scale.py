@@ -50,11 +50,40 @@ KEYED = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
 FIXED = ["region", "nation"]
+
+
+def _gen_events(k: int, out: str) -> None:
+    """events via pyarrow, not Spark or DuckDB: ts is parquet
+    TIMESTAMP(NANOS). Spark would write it as plain INT64 (breaking the
+    DuckDB oracles' CAST(ts AS DATE)) and DuckDB's writer narrows it to
+    micros (breaking Spark's nanosAsLong read path). pyarrow round-trips
+    timestamp[ns] exactly (parquet format 2.6), so the scaled file keeps
+    the driver's physical type for BOTH engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SRC}/events.parquet")
+    copies = []
+    for i in range(k):
+        c = t.set_column(
+            t.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(t.column("event_id"), i * OFFSET),
+        )
+        c = c.set_column(
+            c.schema.get_field_index("user_id"),
+            "user_id",
+            pc.add(c.column("user_id"), i * OFFSET),
+        )
+        copies.append(c)
+    pq.write_table(
+        pa.concat_tables(copies), f"{out}/events.parquet", version="2.6"
+    )
 
 
 def _write_single_file(df, out: str, t: str) -> None:
@@ -77,6 +106,9 @@ def main() -> None:
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    _gen_events(k, out)
+    print(f"events: {k}x written (pyarrow, TIMESTAMP_NS preserved)")
 
     for t in FIXED:
         _write_single_file(spark.read.parquet(f"{SRC}/{t}.parquet"), out, t)
