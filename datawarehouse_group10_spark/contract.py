@@ -1353,11 +1353,14 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 + A8 + A9 + A10 (percentiles, ROLLUP, PIVOT, one-pass profiling)
-    as one long-format result: (section, k1, k2, metric, val, sval).
-    Numeric metrics ride `val` (doubles — counts are exact below 2^53 and
-    the percentile/sum values were already bit-identical across engines);
-    string min/max from the profile ride `sval`."""
+    + semi-structured JSON extraction, as one long-format result:
+    (section, k1, k2, metric, val, sval). Numeric metrics ride `val`
+    (doubles — counts are exact below 2^53 and the percentile/sum values
+    were already bit-identical across engines); string min/max from the
+    profile ride `sval`."""
     _utc(spark)
+    from .functions.semistructured import json_fields
+
     nul_s = F.lit(None).cast("string")
     nul_d = F.lit(None).cast("double")
 
@@ -1403,7 +1406,42 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("column").alias("k1"), F.lit("").alias("k2"),
         "metric", nul_d.alias("val"), "sval",
     )
-    return pct.unionByName(ro).unionByName(pv).unionByName(prof_num).unionByName(prof_str)
+    # Semi-structured: pull the typed `k` field out of the JSON `props`
+    # payload (one from_json parse per row, pure codegen) and audit it in
+    # the same aggregate pass — n events, sum of k, extraction-NULL count.
+    ev = _events(spark, sf_dir)
+    k = json_fields("props", {"k": "bigint"}).getField("k")
+    js = (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("k").cast("double").alias("sum_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("double")
+            .alias("n_null_k"),
+        )
+        .selectExpr(
+            "event_type",
+            "stack(3, 'n', n, 'sum_k', sum_k, 'n_null_k', n_null_k)"
+            " as (metric, val)",
+        )
+        .select(
+            F.lit("json").alias("section"),
+            F.col("event_type").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
+    return (
+        pct.unionByName(ro)
+        .unionByName(pv)
+        .unionByName(prof_num)
+        .unionByName(prof_str)
+        .unionByName(js)
+    )
 
 
 def q_statistics_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2015,6 +2053,15 @@ FROM (
   SELECT col, unnest(['min_value', 'max_value']) AS m,
          unnest([min_value, max_value]) AS s
   FROM prof
+)
+UNION ALL
+SELECT 'json', event_type, '', m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT event_type, unnest(['n', 'sum_k', 'n_null_k']) AS m,
+         unnest([CAST(COUNT(*) AS DOUBLE),
+                 CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE),
+                 CAST(COUNT(*) - COUNT(props->>'$.k') AS DOUBLE)]) AS v
+  FROM events GROUP BY 1
 )
 """,
     "set_ops": """

@@ -28,6 +28,11 @@ from .similarity import (
     lsh_bucket_topk,
     pairwise_near_dup,
 )
+from .semistructured import (
+    json_get,
+    json_fields,
+    flatten_json,
+)
 
 __all__ = [
     "token_count",
@@ -46,4 +51,7 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucket_topk",
     "pairwise_near_dup",
+    "json_get",
+    "json_fields",
+    "flatten_json",
 ]

@@ -484,3 +484,34 @@ def test_contamination_check_semantics(spark):
     # doc 1 shares the 5-grams starting at 'the','quick' ("the quick brown
     # fox jumps", "quick brown fox jumps over"); doc 3 only the latter
     assert got == {1: 2, 3: 1}
+
+
+def test_json_extraction_typed_and_null_tolerant(spark):
+    """flatten_json promotes payload fields to typed columns; malformed
+    JSON, missing keys, and type mismatches yield NULL, never an error."""
+    from datawarehouse_group10_spark.functions.semistructured import (
+        flatten_json,
+        json_get,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'),
+         (2, '{"tag": "b"}'),            # missing k
+         (3, 'not json at all'),          # malformed
+         (4, '{"k": "notanint"}'),        # wrong type
+         (5, None)],                      # null payload
+        "id bigint, props string",
+    )
+    out = flatten_json(df, "props", {"k": "bigint", "tag": "string"})
+    assert out.columns == ["id", "k", "tag"]
+    rows = {r["id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert rows[1] == (7, "a")
+    assert rows[2] == (None, "b")
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
+    assert rows[5] == (None, None)
+    # json_get single-path variant agrees on the happy row
+    got = df.filter("id = 1").select(
+        json_get("props", "$.k", "bigint").alias("k")
+    ).collect()[0]["k"]
+    assert got == 7
