@@ -37,6 +37,8 @@ __all__ = [
     "run_stream_to_parquet",
     "stream_dedup_events",
     "running_user_stats_stateful",
+    "stream_interval_join",
+    "attributed_conversions",
 ]
 
 #: Explicit schema for the events stream (streams cannot infer schemas).
@@ -255,4 +257,97 @@ def running_user_stats_stateful(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (append mode, bounded state).
+
+    Joins two event-time streams on an equality key plus a time interval:
+    ``right_ts BETWEEN left_ts - lower AND left_ts + upper``. Both sides
+    carry the watermark, so Spark can compute how long each side's rows
+    must be buffered and EVICT state once the watermark passes — the
+    state store stays O(events per watermark horizon) regardless of
+    stream lifetime. Without the interval bounds a stream-stream join
+    would need unbounded buffering; this is the canonical scalable form.
+
+    The equality key also becomes the shuffle key on both sides — at
+    cluster scale both streams hash-partition on ``on``, so each task
+    joins co-located buffers with no broadcast and no skewless-key risk
+    beyond the data's own key distribution.
+
+    ``lower``/``upper`` are interval strings like ``"1 hour"``; pass
+    ``"0 seconds"`` for a one-sided window.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.{right_ts} >= l.{left_ts} - interval {lower}"
+        f" AND r.{right_ts} <= l.{left_ts} + interval {upper}"
+    )
+    return l.join(r, cond, "inner")
+
+
+def attributed_conversions(
+    spark: SparkSession,
+    events_path: str,
+    attr_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Click→purchase attribution as a stream-stream join: every purchase
+    pairs with the SAME user's clicks in the preceding ``attr_window``.
+
+    The marketing-attribution shape every event warehouse runs; here it
+    exercises :func:`stream_interval_join` end-to-end over the events
+    testdata (clicks and purchases are two filtered views of one source
+    stream — on a deployment they'd be two topics). Output: one row per
+    (purchase, attributed click) pair, append-mode emittable as soon as
+    the watermark passes the purchase timestamp.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _typed(event_type: str) -> DataFrame:
+        ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+            _as_stream_dir(events_path)
+        )
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev.filter(F.col("event_type") == event_type)
+
+    clicks = _typed("click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = _typed("purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = stream_interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lower=attr_window,
+        upper="0 seconds",
+        watermark=watermark,
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
     )

@@ -572,3 +572,45 @@ def test_no_row_at_a_time_python_in_any_registered_query(spark):
         if "InPandas" in plan and name != "multimodal_decode":
             offenders[name] = "MapInPandas outside multimodal"
     assert offenders == {}, offenders
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream attribution join (availableNow) produces exactly the
+    batch interval-join result: every purchase paired with the same
+    user's clicks in the preceding hour."""
+    from datawarehouse_group10_spark.streaming import (
+        attributed_conversions,
+        run_stream_to_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = attributed_conversions(spark, f"{sf}/events.parquet")
+    got = run_stream_to_table(
+        stream, "attr_stream_test", output_mode="append"
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS cu", "event_id AS click_id", "ts AS click_ts"
+    )
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id AS purchase_id", "ts AS purchase_ts",
+        "value AS purchase_value"
+    )
+    batch = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = cu AND click_ts >= purchase_ts - interval 1 hour"
+            " AND click_ts <= purchase_ts"
+        ),
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts"
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b
+    assert len(a) > 0
