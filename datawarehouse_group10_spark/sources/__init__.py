@@ -3,7 +3,12 @@ layers, partitioned JDBC scans / batched JDBC writes, and the control-DB
 config tables."""
 
 from .csv_source import read_alt_crawl_csv, read_crawl_csv_dir, write_crawl_csv
-from .parquet_source import load_testdata, register_testdata_views, write_layer
+from .parquet_source import (
+    load_testdata,
+    register_testdata_views,
+    write_layer,
+    write_sorted_layer,
+)
 from .jdbc_source import jdbc_read_options, read_jdbc_table, write_jdbc_table
 from .config_tables import (
     read_config_source,
@@ -20,6 +25,7 @@ __all__ = [
     "load_testdata",
     "register_testdata_views",
     "write_layer",
+    "write_sorted_layer",
     "jdbc_read_options",
     "read_jdbc_table",
     "write_jdbc_table",

@@ -45,3 +45,37 @@ def write_layer(df: DataFrame, path: str, partition_by: list[str] | None = None,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_sorted_layer(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write with a data-skipping layout: range-partition on ``sort_cols``
+    then sort within each partition, so every output file (and every row
+    group inside it) covers a NARROW, non-overlapping range of the sort
+    key. Parquet footers carry per-column min/max; a selective filter on
+    the sort key then skips whole files and row groups at scan time
+    instead of reading and discarding — at 100 TB the difference between
+    touching a few hundred MB and the whole table.
+
+    Use for the column(s) queries filter on most (event time, tenant id).
+    ``partition_by`` composes: directory-level partition pruning first,
+    min/max skipping within each partition. One shuffle
+    (``repartitionByRange`` samples the key to build balanced range
+    bounds — skew-tolerant by construction), then a per-partition sort
+    that spills if needed; no global sort ever happens.
+    """
+    n = int(
+        num_files
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

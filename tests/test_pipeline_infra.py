@@ -614,3 +614,47 @@ def test_stream_interval_join_matches_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_sorted_layout_yields_skippable_files(spark, tmp_path):
+    """write_sorted_layer produces files whose parquet min/max stats are
+    narrow and non-overlapping on the sort key (so selective scans skip
+    them), and a filtered read pushes the predicate to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datawarehouse_group10_spark.sources import write_sorted_layer
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "sorted")
+    write_sorted_layer(ev, out, sort_cols=["user_id"], num_files=8)
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) >= 4
+    spans, bounds = [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min), maxs.append(st.max)
+        spans.append(max(maxs) - min(mins))
+        bounds.append((min(mins), max(maxs)))
+    lo = min(b[0] for b in bounds)
+    hi = max(b[1] for b in bounds)
+    # each file covers a narrow slice of the key domain...
+    assert max(spans) < (hi - lo) / 2
+    # ...and the slices are pairwise non-overlapping (range partitioning)
+    bounds.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
+    # the filter reaches the parquet scan as a pushed predicate
+    plan = (
+        spark.read.parquet(out)
+        .filter("user_id = 42")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "user_id" in plan
