@@ -18,6 +18,8 @@ from .dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_lsh_dup_pairs,
+    build_minhash_index,
+    incremental_minhash_dup_pairs,
     simhash64,
     simhash_dup_pairs,
     ngram_jaccard_pairs,
@@ -44,6 +46,8 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_dup_pairs",
+    "build_minhash_index",
+    "incremental_minhash_dup_pairs",
     "simhash64",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",

@@ -102,6 +102,41 @@ def materialize_shingles(
     return df.sparkSession.read.parquet(path)
 
 
+def _band_keys(
+    shingled: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH keys from a shingled projection.
+
+    Permutation i is min over shingles of xxhash64(shingle, i); the band
+    hash is one multi-arg xxhash64 straight off the band's r per-
+    permutation min columns (building an array and string-concatenating
+    it measured slower for zero benefit — PERF.md round 3). Shared by the
+    one-shot self-join path and the incremental index path so both sides
+    of an incremental match use bit-identical keys.
+    """
+    rows_per_band = num_perm // bands
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -151,7 +186,6 @@ def minhash_lsh_dup_pairs(
     ``persist_shingles``; with ``prune_verify`` the verify side still
     re-shingles only candidate rows from ``df``).
     """
-    rows_per_band = num_perm // bands
     if pre_shingled is not None:
         shingled = pre_shingled.select(F.col(id_col), "shingles")
     else:
@@ -163,28 +197,7 @@ def minhash_lsh_dup_pairs(
     exploded = shingled.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sigs = exploded.groupBy(id_col).agg(*aggs)
-    # Band hash straight off the per-permutation min columns: one xxhash64
-    # over the band's r bigints (multi-arg, JVM codegen). The previous
-    # shape built an array, sliced it per band, cast every element to
-    # string and concatenated before hashing — measured slower for zero
-    # benefit (PERF.md round 3).
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
-    banded = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    banded = _band_keys(shingled, id_col, num_perm, bands)
 
     if max_bucket_size is not None:
         # One extra agg on the (uniform) bucket key; window-free so it stays
@@ -243,6 +256,129 @@ def minhash_lsh_dup_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Persist the corpus near-dup index: ``{path}/shingles`` (id,
+    shingles) and ``{path}/bands`` (id, band_idx, band_hash), both
+    parquet.
+
+    The production corpus-ingest shape: mine the full corpus ONCE, then
+    every new batch dedups against the index via
+    :func:`incremental_minhash_dup_pairs` — no re-shingling or
+    re-signing of the existing corpus, ever. At 100 TB the index is a
+    small multiple of the text column and both files are plain parquet
+    (partition/bucket them by band_hash / id downstream if the store
+    supports it).
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+    )
+    shingled.write.mode("overwrite").parquet(f"{path}/shingles")
+    spark = df.sparkSession
+    shingled_r = spark.read.parquet(f"{path}/shingles")
+    _band_keys(shingled_r, id_col, num_perm, bands).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+
+
+def incremental_minhash_dup_pairs(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against a persisted corpus
+    index (:func:`build_minhash_index` with the same parameters).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b where at least one
+    side is a new document — new×new and new×corpus pairs; corpus×corpus
+    pairs were already emitted when the corpus itself was ingested.
+    Identical hash family and band construction on both sides, so the
+    result equals exactly the new-involving subset of a full-corpus
+    :func:`minhash_lsh_dup_pairs` run — verified by test.
+
+    Scale shape: only the new batch is shingled and signed; the index
+    side is two columnar scans. The candidate join keys on the uniform
+    (band_idx, band_hash) pair and is bounded by ``max_bucket_size``
+    computed over the COMBINED bucket population (a new batch landing in
+    an already-hot corpus bucket is capped like any other skew).
+    """
+    spark = new_df.sparkSession
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    idx_shingles = spark.read.parquet(f"{index_path}/shingles")
+
+    new_shingled = new_df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+    )
+    new_banded = _band_keys(new_shingled, id_col, num_perm, bands)
+    all_banded = new_banded.unionByName(idx_bands)
+
+    if max_bucket_size is not None:
+        sizes = all_banded.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        hot = sizes.filter(F.col("_bucket_n") > max_bucket_size).drop("_bucket_n")
+        new_banded = new_banded.join(
+            hot, ["band_idx", "band_hash"], "left_anti"
+        )
+        all_banded = all_banded.join(
+            hot, ["band_idx", "band_hash"], "left_anti"
+        )
+
+    a = new_banded.alias("a")
+    b = all_banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+    all_shingled = new_shingled.unionByName(idx_shingles)
+    return (
+        cand.join(
+            all_shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "shingles", "sh_a"
+            ),
+            "id_a",
+        )
+        .join(
+            all_shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "shingles", "sh_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

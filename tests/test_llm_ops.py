@@ -515,3 +515,32 @@ def test_json_extraction_typed_and_null_tolerant(spark):
         json_get("props", "$.k", "bigint").alias("k")
     ).collect()[0]["k"]
     assert got == 7
+
+
+def test_incremental_minhash_matches_full_run(spark, tmp_path):
+    """Dedup of a new batch against a persisted corpus index yields
+    exactly the new-involving subset of a full-corpus LSH run."""
+    from datawarehouse_group10_spark.functions.dedup import (
+        build_minhash_index,
+        incremental_minhash_dup_pairs,
+        minhash_lsh_dup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+
+    idx = str(tmp_path / "minhash_index")
+    build_minhash_index(old, idx)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in incremental_minhash_dup_pairs(new, idx).collect()
+    }
+
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_dup_pairs(docs).collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    assert got == full
+    assert len(got) > 0
