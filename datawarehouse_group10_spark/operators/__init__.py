@@ -26,6 +26,7 @@ from .aggregates import (
     mart_statistics,
 )
 from .windows import days_since_last, recency_bucket, percent_display, top_k
+from .scd import scd2_apply, scd2_as_of
 from .skew import (
     salted_join,
     two_phase_agg,
@@ -56,6 +57,8 @@ __all__ = [
     "recency_bucket",
     "percent_display",
     "top_k",
+    "scd2_apply",
+    "scd2_as_of",
     "salted_join",
     "two_phase_agg",
     "write_bucketed_table",

@@ -339,3 +339,55 @@ def test_w_recency_suite_window_is_partitioned(spark):
     )
     assert "hashpartitioning(user_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_scd2_apply_versions_and_as_of(spark):
+    """SCD2 merge: changed attributes close + reopen, equal updates are
+    idempotent, new keys insert, history is preserved, and the as-of view
+    reconstructs any past state."""
+    from datetime import date
+
+    from datawarehouse_group10_spark.operators.scd import scd2_apply, scd2_as_of
+
+    cur = spark.createDataFrame(
+        [
+            # key 1: open row with an older closed version
+            (1, "NYC", date(2020, 1, 1), date(2021, 1, 1), False),
+            (1, "LA", date(2021, 1, 1), date(9999, 12, 31), True),
+            # key 2: open only
+            (2, "CHI", date(2020, 6, 1), date(9999, 12, 31), True),
+        ],
+        "cust_id bigint, city string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "SF", date(2022, 3, 1)),     # change -> close + reopen
+            (1, "SEA", date(2022, 2, 1)),    # older intra-batch update: ignored
+            (2, "CHI", date(2022, 3, 1)),    # equal -> untouched
+            (3, "BOS", date(2022, 3, 1)),    # new key -> insert
+        ],
+        "cust_id bigint, city string, effective_date date",
+    )
+    out = scd2_apply(cur, upd, key_cols=["cust_id"], tracked_cols=["city"])
+    rows = {
+        (r["cust_id"], r["city"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "NYC", "2020-01-01", "2021-01-01", False),
+        (1, "LA", "2021-01-01", "2022-03-01", False),
+        (1, "SF", "2022-03-01", "9999-12-31", True),
+        (2, "CHI", "2020-06-01", "9999-12-31", True),
+        (3, "BOS", "2022-03-01", "9999-12-31", True),
+    }
+    # idempotent: re-applying the same batch changes nothing
+    again = scd2_apply(out, upd, key_cols=["cust_id"], tracked_cols=["city"])
+    assert {tuple(map(str, r)) for r in again.collect()} == {
+        tuple(map(str, r)) for r in out.collect()
+    }
+    # as-of reconstruction
+    asof = {
+        (r["cust_id"], r["city"])
+        for r in scd2_as_of(out, "2021-06-01").collect()
+    }
+    assert asof == {(1, "LA"), (2, "CHI")}
