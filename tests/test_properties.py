@@ -174,3 +174,64 @@ def test_range_join_equals_naive_theta_join(spark, points, intervals, width):
              .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
              .collect()}
     assert fast == naive
+
+
+# ---------------------------------------------------------------------------
+# SCD2: Spark merge == dict-based reference model over random update batches
+
+
+scd_updates = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),          # key
+            st.sampled_from(["a", "b", "c"]),               # tracked value
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],                           # one update/key/batch
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=scd_updates)
+@settings(**_SETTINGS)
+def test_scd2_sequence_matches_reference_model(spark, batches):
+    """Applying N update batches in sequence yields exactly the history a
+    naive per-key simulation produces: one closed interval per change,
+    one open row per live key, intervals contiguous."""
+    import datetime as _dt
+
+    from datawarehouse_group10_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [],
+        "k bigint, v string, valid_from date, valid_to date, is_current boolean",
+    )
+    model: dict[int, list[tuple[str, _dt.date, _dt.date, bool]]] = {}
+    high = _dt.date(9999, 12, 31)
+    for i, batch in enumerate(batches):
+        eff = _dt.date(2020, 1, 1) + _dt.timedelta(days=i)
+        upd = spark.createDataFrame(
+            [(k, v, eff) for k, v in batch], "k bigint, v string, effective_date date"
+        )
+        dim = scd2_apply(dim, upd, key_cols=["k"], tracked_cols=["v"])
+        for k, v in batch:
+            versions = model.setdefault(k, [])
+            if versions and versions[-1][3]:
+                last_v, last_from, _, _ = versions[-1]
+                if last_v == v:
+                    continue                       # equal -> untouched
+                versions[-1] = (last_v, last_from, eff, False)
+            versions.append((v, eff, high, True))
+    expected = {
+        (k, v, str(f), str(t), c)
+        for k, vers in model.items()
+        for (v, f, t, c) in vers
+    }
+    got = {
+        (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in dim.collect()
+    }
+    assert got == expected
