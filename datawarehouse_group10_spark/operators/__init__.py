@@ -27,6 +27,7 @@ from .aggregates import (
 )
 from .windows import days_since_last, recency_bucket, percent_display, top_k
 from .scd import scd2_apply, scd2_as_of
+from .temporal import asof_join, range_join, time_bucket, rolling_agg
 from .skew import (
     salted_join,
     two_phase_agg,
@@ -57,6 +58,10 @@ __all__ = [
     "recency_bucket",
     "percent_display",
     "top_k",
+    "asof_join",
+    "range_join",
+    "time_bucket",
+    "rolling_agg",
     "scd2_apply",
     "scd2_as_of",
     "salted_join",

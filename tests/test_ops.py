@@ -391,3 +391,45 @@ def test_scd2_apply_versions_and_as_of(spark):
         for r in scd2_as_of(out, "2021-06-01").collect()
     }
     assert asof == {(1, "LA"), (2, "CHI")}
+
+
+def test_time_bucket_and_rolling_agg(spark):
+    """time_bucket downsamples into exact tumbling buckets; rolling_agg
+    computes event-time trailing-window aggregates (RANGE frame: ties
+    and irregular gaps handled exactly)."""
+    from datetime import datetime
+
+    from datawarehouse_group10_spark.operators.temporal import (
+        rolling_agg,
+        time_bucket,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 10.0),
+        (1, datetime(2024, 1, 1, 10, 10, 0), 20.0),
+        (1, datetime(2024, 1, 1, 10, 40, 0), 30.0),   # outside 15m of 2nd
+        (2, datetime(2024, 1, 1, 10, 5, 0), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+
+    tb = {
+        (r["k"], str(r["bucket_start"]), r["n"], r["sum_v"])
+        for r in time_bucket(
+            df, "ts", "15 minutes", by=["k"],
+            aggs={"n": F.count("*"), "sum_v": F.sum("v")},
+        ).collect()
+    }
+    assert tb == {
+        (1, "2024-01-01 10:00:00", 2, 30.0),
+        (1, "2024-01-01 10:30:00", 1, 30.0),
+        (2, "2024-01-01 10:00:00", 1, 100.0),
+    }
+
+    ra = {
+        (r["k"], str(r["ts"])): (r["roll_count"], r["roll_sum"])
+        for r in rolling_agg(df, "k", "ts", "v", trailing_seconds=900).collect()
+    }
+    assert ra[(1, "2024-01-01 10:00:00")] == (1, 10.0)
+    assert ra[(1, "2024-01-01 10:10:00")] == (2, 30.0)   # 10:00 within 15m
+    assert ra[(1, "2024-01-01 10:40:00")] == (1, 30.0)   # both others aged out
+    assert ra[(2, "2024-01-01 10:05:00")] == (1, 100.0)
