@@ -24,6 +24,7 @@ from .aggregates import (
     last_appearance,
     mart_rollup,
     mart_statistics,
+    approx_percentiles,
 )
 from .windows import days_since_last, recency_bucket, percent_display, top_k
 from .scd import scd2_apply, scd2_as_of
@@ -54,6 +55,7 @@ __all__ = [
     "last_appearance",
     "mart_rollup",
     "mart_statistics",
+    "approx_percentiles",
     "days_since_last",
     "recency_bucket",
     "percent_display",

@@ -433,3 +433,16 @@ def test_time_bucket_and_rolling_agg(spark):
     assert ra[(1, "2024-01-01 10:10:00")] == (2, 30.0)   # 10:00 within 15m
     assert ra[(1, "2024-01-01 10:40:00")] == (1, 30.0)   # both others aged out
     assert ra[(2, "2024-01-01 10:05:00")] == (1, 100.0)
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """Sketch percentiles land within the documented rank-error bound of
+    the exact values (single pass, no full sort)."""
+    from datawarehouse_group10_spark.operators.aggregates import approx_percentiles
+
+    df = spark.range(0, 10_001).selectExpr("CAST(id AS DOUBLE) AS v")
+    got = approx_percentiles(df, "v", [0.5, 0.9, 0.99], accuracy=10_000).collect()[0]
+    # rank error <= n/accuracy ~ 1 rank to either side here
+    assert abs(got["p50"] - 5000) <= 2
+    assert abs(got["p90"] - 9000) <= 2
+    assert abs(got["p99"] - 9900) <= 2
