@@ -29,10 +29,23 @@ def get_spark(
     only contributes the SQL confs; locally it defaults to ``local[N]``.
     """
     builder = SparkSession.builder.appName(app_name)
+    local = False
     if master:
         builder = builder.master(master)
+        local = master.startswith("local")
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
+        local = True
+    if local:
+        # Spark's local-mode default driver memory is 1g, and in local mode
+        # EVERY task thread shares that one heap — local[32] at 1g OOMs the
+        # JVM long before any plan is at fault (observed: a 45-query sf1.0
+        # session died mid-fixpoint). Size it like the executors it stands
+        # in for. Only effective at JVM launch, hence set here, not later.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
 
     conf = {
         # Adaptive execution: runtime coalescing, skew-join handling, and
