@@ -41,6 +41,7 @@ from .functions.dedup import (
     exact_dedup,
     minhash_lsh_dup_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_dup_pairs,
 )
 from .functions.similarity import (
@@ -638,6 +639,217 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6/Q14/Q17/Q19-shaped scalar aggregates in one long-format
+    (query, value) result — the single-value decision-support family:
+
+    - q6:  forecast-revenue — pure scan + predicate pushdown, no join.
+    - q14: promo revenue share — join + conditional aggregate + ratio.
+    - q17: small-quantity yearly revenue — correlated per-part average
+           threshold, expressed division-free (5 * qty * cnt < sum_qty
+           <=> qty < 0.2 * avg) so the comparison is decimal-EXACT and
+           engine-portable; the per-part aggregate is a self-join on
+           the uniform l_partkey.
+    - q19: disjunctive brand/size/quantity predicate (OR-of-ANDs) over
+           the part join — the filter shape optimizers must not
+           flatten wrong.
+
+    The synthetic part table has no p_container and lineitem no
+    l_shipmode/l_shipinstruct, so those predicates use p_size /
+    l_quantity instead — the plan shapes (scan-agg, ratio, correlated
+    threshold, disjunctive join filter) are the point. All decimal sums
+    round to cents BEFORE the double cast (PERF.md round 4: the 2^53
+    cross-engine rule); ratios divide doubles IEEE-identically."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ship = F.to_date("l_shipdate")
+    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (
+        base * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+
+    q6 = (
+        li.filter(
+            (ship >= F.lit("1997-01-01"))
+            & (ship < F.lit("1998-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((base * F.col("l_discount").cast("decimal(18,6)")).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("value")
+        )
+        .select(F.lit("q6_forecast_revenue").alias("query"), "value")
+    )
+
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    )
+    q14 = (
+        li.filter((ship >= F.lit("1997-09-01")) & (ship < F.lit("1997-10-01")))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.round(promo, 2).cast("double")
+                / F.round(F.sum(disc_price), 2).cast("double")
+            ).alias("value")
+        )
+        .select(F.lit("q14_promo_revenue").alias("query"), "value")
+    )
+
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty_dec).alias("_sum_qty"),
+        F.count("*").alias("_cnt"),
+    )
+    q17 = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#23")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(per_part, "l_partkey")
+        .filter(qty_dec * F.lit(5) * F.col("_cnt") < F.col("_sum_qty"))
+        .agg(
+            (F.round(F.sum(base), 2).cast("double") / F.lit(7.0)).alias("value")
+        )
+        .select(F.lit("q17_small_qty_yearly").alias("query"), "value")
+    )
+
+    q19_cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    q19 = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(q19_cond)
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("value"))
+        .select(F.lit("q19_disjunctive_revenue").alias("query"), "value")
+    )
+
+    return q6.unionByName(q14).unionByName(q17).unionByName(q19)
+
+
+def q_tpch_grouped_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4/Q12/Q13/Q18-shaped grouped aggregates in one long-format
+    (query, k, n, val) result:
+
+    - q4:  order counts per priority where an associated lineitem
+           shipped >30 days after the order date — a correlated EXISTS,
+           planned as a left-semi join with a non-equi residual.
+    - q12: high/low-priority line counts per return flag for one ship
+           year (conditional aggregate over the orders join; the
+           synthetic lineitem has no l_shipmode, so the group key is
+           l_returnflag — same CASE-count plan shape).
+    - q13: customer order-count distribution — LEFT join so zero-order
+           customers land in bucket 0, then a histogram of counts.
+    - q18: large-volume orders (sum qty > 250) — groupBy + HAVING on
+           the decimal-exact quantity sum.
+
+    One normalized schema: n carries counts (NULL for q18), val carries
+    the quantity sum (NULL elsewhere, double-exact at cents scale)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ship = F.to_date("l_shipdate")
+    null_n = F.lit(None).cast("bigint")
+    null_val = F.lit(None).cast("double")
+
+    od = F.to_date("o_orderdate")
+    q4 = (
+        orders.filter((od >= F.lit("1997-01-01")) & (od < F.lit("1997-04-01")))
+        .join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (F.to_date(li["l_shipdate"]) > F.date_add(F.to_date(orders["o_orderdate"]), 30)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("q4_priority_count").alias("query"),
+            F.col("o_orderpriority").alias("k"),
+            "n",
+            null_val.alias("val"),
+        )
+    )
+
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    g12 = (
+        li.filter((ship >= F.lit("1997-01-01")) & (ship < F.lit("1998-01-01")))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(is_high.cast("bigint")).alias("high"),
+            F.sum((~is_high).cast("bigint")).alias("low"),
+        )
+    )
+    q12 = g12.select(
+        F.lit("q12_high").alias("query"),
+        F.col("l_returnflag").alias("k"),
+        F.col("high").alias("n"),
+        null_val.alias("val"),
+    ).unionByName(
+        g12.select(
+            F.lit("q12_low").alias("query"),
+            F.col("l_returnflag").alias("k"),
+            F.col("low").alias("n"),
+            null_val.alias("val"),
+        )
+    )
+
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    q13 = (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("q13_custdist").alias("query"),
+            F.col("c_count").cast("string").alias("k"),
+            "n",
+            null_val.alias("val"),
+        )
+    )
+
+    q18 = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select(
+            F.lit("q18_large_volume").alias("query"),
+            F.col("l_orderkey").cast("string").alias("k"),
+            null_n.alias("n"),
+            F.col("_sq").cast("double").alias("val"),
+        )
+    )
+
+    return q4.unionByName(q12).unionByName(q13).unionByName(q18)
+
+
 # ---------------------------------------------------------------------------
 # Windows
 
@@ -821,6 +1033,42 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup family in one long-format result tagged by `kind`:
+    whole-text md5 dup groups (keep_id = deterministic min doc_id) and
+    whitespace-normalized rolling-fingerprint counts. Both are single
+    hash-groupBys on uniform digest keys — the 100 TB-safe shape."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    exact = exact_dedup(docs).select(
+        F.lit("md5").alias("kind"),
+        F.col("text_hash").alias("key"),
+        F.col("keep_id"),
+        F.col("dup_count").alias("n"),
+    )
+    fp = (
+        docs.select(doc_fingerprint("text").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("fingerprint").alias("kind"),
+            "key",
+            F.lit(None).cast("bigint").alias("keep_id"),
+            "n",
+        )
+    )
+    return exact.unionByName(fp)
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph(segment)-level exact dedup with order-preserving document
+    reconstruction — the FineWeb/RefinedWeb sub-document dedup step. See
+    functions/dedup.py:paragraph_dedup for the plan shape."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, window=20)
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity (documents + embeddings)
 
@@ -911,6 +1159,21 @@ def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir)
     out = brute_force_topk(emb, q, k=10)
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
+def q_sim_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine scoring surfaces in one `surface`-tagged result: the full
+    per-row score projection ('scores') and the exact top-10
+    ('top10', TakeOrderedAndProject). Consolidates sim_cosine_scores +
+    sim_brute_topk so both stay driver-checked within the 50-row
+    correctness window."""
+    scores = q_sim_cosine_scores(spark, sf_dir).select(
+        F.lit("scores").alias("surface"), "vec_id", "cos5"
+    )
+    topk = q_sim_brute_topk(spark, sf_dir).select(
+        F.lit("top10").alias("surface"), "vec_id", "cos5"
+    )
+    return scores.unionByName(topk)
 
 
 def _lsh_data_planes(spark: SparkSession, sf_dir: str, n: int = 6) -> list[list[float]]:
@@ -1481,8 +1744,8 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary (token tf/df) + distinct-bigram document counts
-    in one long-format result tagged by `kind`."""
+    """Corpus vocabulary (token tf/df), distinct-bigram counts, and
+    language-id distribution in one long-format result tagged by `kind`."""
     _utc(spark)
     vocab = q_text_vocabulary(spark, sf_dir).select(
         F.lit("token").alias("kind"),
@@ -1496,7 +1759,13 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("tf"),
         F.lit(None).cast("bigint").alias("df"),
     )
-    return vocab.unionByName(grams)
+    lang = q_text_language_id(spark, sf_dir).select(
+        F.lit("lang").alias("kind"),
+        F.col("lang_pred").alias("term"),
+        F.col("n").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+    )
+    return vocab.unionByName(grams).unionByName(lang)
 
 
 def q_sample_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,27 +1828,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_scalar_suite": q_tpch_scalar_suite,
+    "tpch_grouped_suite": q_tpch_grouped_suite,
     # windows
     "w_recency_suite": q_w_recency_suite,
     "w4_top_k": q_w4_top_k,
     "w7_sessionize": q_w7_sessionize,
-    # text analysis
+    # text analysis (language-id rides text_corpus_stats' `lang` rows)
     "text_features": q_text_features,
-    "text_language_id": q_text_language_id,
     "text_corpus_stats": q_text_corpus_stats,
     "text_chunks": q_text_chunks,
     "text_redact_pii": q_text_redact_pii,
     # dedup / similarity
-    "dedup_exact": q_dedup_exact,
-    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_exact_suite": q_dedup_exact_suite,
+    "dedup_paragraph": q_dedup_paragraph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_materialized": q_dedup_minhash_materialized,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_contamination": q_dedup_contamination,
-    "sim_cosine_scores": q_sim_cosine_scores,
-    "sim_brute_topk": q_sim_brute_topk,
+    "sim_cosine_suite": q_sim_cosine_suite,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
@@ -1800,6 +2069,115 @@ WHERE r.r_name = 'ASIA'
   AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
 GROUP BY n.n_name
 """,
+    "tpch_scalar_suite": """
+WITH disc AS (
+  SELECT l_partkey, l_quantity, CAST(l_shipdate AS DATE) AS ship,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS base,
+         l_discount,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))
+           AS disc_price
+  FROM lineitem
+),
+q6 AS (
+  SELECT 'q6_forecast_revenue' AS query,
+         CAST(ROUND(SUM(CAST(base * CAST(l_discount AS DECIMAL(18,6))
+              AS DECIMAL(18,6))), 2) AS DOUBLE) AS value
+  FROM disc
+  WHERE ship >= DATE '1997-01-01' AND ship < DATE '1998-01-01'
+    AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+),
+q14 AS (
+  SELECT 'q14_promo_revenue' AS query,
+         100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN d.disc_price ELSE CAST(0 AS DECIMAL(18,6)) END), 2)
+                 AS DOUBLE)
+              / CAST(ROUND(SUM(d.disc_price), 2) AS DOUBLE) AS value
+  FROM disc d JOIN part p ON d.l_partkey = p.p_partkey
+  WHERE d.ship >= DATE '1997-09-01' AND d.ship < DATE '1997-10-01'
+),
+per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+q17 AS (
+  SELECT 'q17_small_qty_yearly' AS query,
+         CAST(ROUND(SUM(d.base), 2) AS DOUBLE) / 7.0 AS value
+  FROM disc d
+  JOIN part p ON d.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+  JOIN per_part pp ON d.l_partkey = pp.l_partkey
+  WHERE CAST(d.l_quantity AS DECIMAL(18,2)) * 5 * pp.cnt < pp.sum_qty
+),
+q19 AS (
+  SELECT 'q19_disjunctive_revenue' AS query,
+         CAST(ROUND(SUM(d.disc_price), 2) AS DOUBLE) AS value
+  FROM disc d JOIN part p ON d.l_partkey = p.p_partkey
+  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+         AND d.l_quantity BETWEEN 1 AND 11)
+     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+         AND d.l_quantity BETWEEN 10 AND 20)
+     OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15
+         AND d.l_quantity BETWEEN 20 AND 30)
+)
+SELECT * FROM q6 UNION ALL SELECT * FROM q14
+UNION ALL SELECT * FROM q17 UNION ALL SELECT * FROM q19
+""",
+    "tpch_grouped_suite": """
+WITH q4 AS (
+  SELECT 'q4_priority_count' AS query, o.o_orderpriority AS k,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS val
+  FROM orders o
+  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+    AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
+    )
+  GROUP BY 2
+),
+g12 AS (
+  SELECT l.l_returnflag AS k,
+         SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS high,
+         SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END) AS low
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+  GROUP BY 1
+),
+q13 AS (
+  SELECT 'q13_custdist' AS query, CAST(c_count AS VARCHAR) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS val
+  FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+  )
+  GROUP BY 2
+),
+q18 AS (
+  SELECT 'q18_large_volume' AS query, CAST(l_orderkey AS VARCHAR) AS k,
+         CAST(NULL AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT * FROM q4
+UNION ALL
+SELECT 'q12_high' AS query, k, CAST(high AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS val FROM g12
+UNION ALL
+SELECT 'q12_low' AS query, k, CAST(low AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS val FROM g12
+UNION ALL
+SELECT * FROM q13
+UNION ALL
+SELECT * FROM q18
+""",
     "w_recency_suite": """
 SELECT user_id, strftime(d, '%Y-%m-%d') AS d, days_since_last,
        CASE WHEN days_since_last IS NULL THEN NULL
@@ -1850,27 +2228,42 @@ SELECT d.doc_id,
              / greatest(len(g.g), 1), 6) AS dup_ratio6
 FROM documents d JOIN grams g USING (doc_id)
 """,
-    "text_language_id": r"""
-SELECT CASE
-         WHEN regexp_matches(text,
-           '[ạảấầẩẫậắằẳẵặẹẻẽềếểễệỉịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹđ]') THEN 'vi'
-         WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
-                x -> lower(x) IN ('a','an','and','the','of','to','in','is','it','that')))
-              >= 1 THEN 'en'
-         ELSE 'unknown' END AS lang_pred,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM documents GROUP BY 1
-""",
-    "dedup_exact": """
-SELECT md5(text) AS text_hash,
+    # (whole-text md5 dedup, rolling fingerprints, and language-id now
+    # ride dedup_exact_suite / text_corpus_stats so every surface stays
+    # inside the driver's 50-row correctness window)
+    "dedup_exact_suite": r"""
+SELECT 'md5' AS kind, md5(text) AS key,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id,
-       CAST(COUNT(*) AS BIGINT) AS dup_count
-FROM documents GROUP BY md5(text)
-""",
-    "dedup_fingerprint": r"""
-SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM documents GROUP BY 1
+FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'fingerprint' AS kind,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS key,
+       CAST(NULL AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 2
+""",
+    "dedup_paragraph": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i * 20 + 1):((i + 1) * 20)], ' ') AS seg
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, seg_idx) AS rk
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' '
+                               ORDER BY seg_idx), '')) AS kept_hash
+FROM ranked GROUP BY doc_id
 """,
     "dedup_ngram_jaccard": r"""
 WITH toks AS (
@@ -1902,17 +2295,7 @@ SELECT id_a, id_b,
 FROM inter
 WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
 """,
-    "sim_cosine_scores": """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
-SELECT e.vec_id,
-       round(
-         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                  CAST(e.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
-                                    CAST(q.qv AS DOUBLE[])))), 5) AS cos5
-FROM embeddings e CROSS JOIN q
-""",
+    # (per-row cosine scores + exact top-10 now ride sim_cosine_suite)
     "ann_label_blocked_pairs": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(
@@ -1954,6 +2337,18 @@ FROM (
   FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents)
 )
 GROUP BY 2
+UNION ALL
+SELECT 'lang' AS kind,
+       CASE
+         WHEN regexp_matches(text,
+           '[ạảấầẩẫậắằẳẵặẹẻẽềếểễệỉịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹđ]') THEN 'vi'
+         WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> lower(x) IN ('a','an','and','the','of','to','in','is','it','that')))
+              >= 1 THEN 'en'
+         ELSE 'unknown' END AS term,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(NULL AS BIGINT) AS df
+FROM documents GROUP BY 2
 """,
     "w7_sessionize": """
 WITH es AS (
@@ -2115,12 +2510,18 @@ _COS_Q = """list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
                                   CAST(e.embedding AS DOUBLE[])))
             * sqrt(list_dot_product(q.qv, q.qv)))"""
 
-ORACLES["sim_brute_topk"] = f"""
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
-SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+ORACLES["sim_cosine_suite"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+top10 AS (
+  SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+  FROM embeddings e CROSS JOIN q
+  ORDER BY {_COS_Q} DESC, e.vec_id
+  LIMIT 10
+)
+SELECT 'scores' AS surface, e.vec_id, round({_COS_Q}, 5) AS cos5
 FROM embeddings e CROSS JOIN q
-ORDER BY {_COS_Q} DESC, e.vec_id
-LIMIT 10
+UNION ALL
+SELECT 'top10' AS surface, vec_id, cos5 FROM top10
 """
 
 # Sign-LSH with data-derived hyperplanes (embeddings vec_id 2..7): the

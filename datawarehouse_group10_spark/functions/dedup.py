@@ -16,10 +16,10 @@ Scale design notes (the whole point of these implementations):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import chunk_token_windows, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -36,6 +36,68 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.min(id_col).cast("bigint").alias("keep_id"),
             F.count("*").cast("bigint").alias("dup_count"),
         )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Paragraph-level exact dedup with order-preserving reconstruction:
+    the sub-document dedup step of a web-corpus pipeline (boilerplate
+    paragraphs repeat across pages; the document survives with only its
+    first-seen paragraphs). The corpus here is newline-free synthetic
+    text, so "paragraph" = fixed ``window``-token segment — swap
+    ``chunk_token_windows`` for a newline splitter on real corpora; the
+    dedup/reassembly plan is identical.
+
+    Global first-occurrence wins, ordered by (doc id, segment index) —
+    deterministic, no RNG. Returns one row per input document:
+    (id, n_segments, n_kept, kept_hash) where kept_hash is md5 of the
+    document rebuilt from its surviving segments in original order
+    (md5('') when every segment was seen earlier).
+
+    Scale shape: explode to segments (bounded duplication, ~1x corpus),
+    ONE shuffle on md5(segment) — uniform key, no skew — for the
+    first-occurrence window, then ONE groupBy(id) to reassemble.
+    collect_list here is per-document (bounded by document length), and
+    array_sort on (seg_idx, seg) structs makes the rebuild order exact
+    regardless of aggregation order. No all-pairs, no driver data.
+    """
+    segs = chunk_token_windows(df, text_col=text_col, id_col=id_col, window=window)
+    seg_hash = F.md5(F.col("chunk_text"))
+    w = Window.partitionBy(seg_hash).orderBy(F.col(id_col), F.col("chunk_idx"))
+    ranked = segs.withColumn("_rk", F.row_number().over(w))
+    per_doc = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum((F.col("_rk") == 1).cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rk") == 1,
+                                    F.struct(
+                                        F.col("chunk_idx").alias("i"),
+                                        F.col("chunk_text").alias("s"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                )
+            ).alias("kept_hash"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col), "n_segments", "n_kept", "kept_hash"
     )
 
 

@@ -544,3 +544,36 @@ def test_incremental_minhash_matches_full_run(spark, tmp_path):
     }
     assert got == full
     assert len(got) > 0
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    """Paragraph(segment)-level dedup: global first occurrence by
+    (doc_id, seg_idx) wins, later repeats drop, and the surviving
+    document rebuilds in original segment order (kept_hash = md5 of the
+    space-joined kept segments; md5('') when nothing survives)."""
+    import hashlib
+
+    from datawarehouse_group10_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),            # segs: "a b c", "d e f"
+            (2, "a b c x y z"),            # "a b c" dups doc 1 -> keeps "x y z"
+            (3, "a b c d e f"),            # full duplicate -> keeps nothing
+            (4, "d e f a b c g"),          # both dup + ragged new tail "g"
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, window=3).collect()}
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["kept_hash"] == h("a b c d e f")
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["kept_hash"] == h("x y z")
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (2, 0)
+    assert out[3]["kept_hash"] == h("")
+    assert (out[4]["n_segments"], out[4]["n_kept"]) == (3, 1)
+    assert out[4]["kept_hash"] == h("g")

@@ -446,3 +446,39 @@ def test_approx_percentiles_within_rank_error(spark):
     assert abs(got["p50"] - 5000) <= 2
     assert abs(got["p90"] - 9000) <= 2
     assert abs(got["p99"] - 9900) <= 2
+
+
+def test_tpch_suites_and_paragraph_dedup_plan_shapes(spark):
+    """Scale-shape pins for the round-4 additions:
+    - tpch_scalar_suite: the part side of q14/q17/q19 broadcasts (no
+      fact-side shuffle for a 2k-row dim) and nothing degenerates to a
+      cartesian product.
+    - tpch_grouped_suite: q4's EXISTS plans as a LeftSemi join, not a
+      full join + dedup.
+    - dedup_paragraph: exactly the two shuffles the algorithm needs
+      (segment-hash window + per-doc regroup) — an extra Exchange here
+      would repartition the whole corpus at 100 TB."""
+    from datawarehouse_group10_spark.contract import QUERIES
+
+    def plan_of(name):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    scalar = plan_of("tpch_scalar_suite")
+    assert "BroadcastHashJoin" in scalar
+    assert "CartesianProduct" not in scalar
+
+    grouped = plan_of("tpch_grouped_suite")
+    assert "LeftSemi" in grouped
+    assert "CartesianProduct" not in grouped
+
+    import re
+
+    para = plan_of("dedup_paragraph")
+    # hashpartitioning on the md5 window key + on doc_id for the regroup;
+    # AQE may add AQEShuffleRead nodes but no third hash exchange.
+    # formatted mode lists each node once as "(N) Exchange" in the detail
+    # section — count those.
+    assert len(re.findall(r"\(\d+\) Exchange", para)) == 2, para
