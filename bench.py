@@ -45,10 +45,12 @@ HEADLINE = [
     "w7_sessionize",
     "a8_rollup",
     "dedup_exact",
+    "dedup_paragraph",
     "dedup_minhash_lsh",
     "dedup_minhash_materialized",
     "sim_cosine_scores",
     "text_quality",
+    "tpch_scalar_suite",
     "stream_hourly_counts",
 ]
 

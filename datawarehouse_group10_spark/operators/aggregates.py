@@ -197,3 +197,50 @@ def approx_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def hll_sketch_by(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Cardinality at 100 TB scale: per-group Datasketches HLL sketches
+    (``hll_sketch_agg``) — single pass, fixed O(2^lg_k) memory per group,
+    and the sketch column is a PERSISTABLE binary: write it with the
+    partition (per day, per source) and later roll up any combination of
+    partitions with ``hll_rollup`` without touching the raw data. That
+    union-mergeability is the property exact ``COUNT(DISTINCT)`` can
+    never have — exact distinct over a 100 TB corpus is a full shuffle
+    of every distinct value, every time the question changes.
+
+    lg_k=12 → ~1.6 KB sketches, ~1.6% relative standard error.
+    """
+    return df.groupBy(*(by or [])).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll_sketch"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    by: list[str] | None = None,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge previously materialized HLL sketches to a coarser grain (or
+    to one global row with ``by=None``) and estimate: the
+    re-aggregation path that makes per-partition sketches composable —
+    day sketches roll to months, per-source to corpus, at sketch-size
+    cost."""
+    return (
+        sketches.groupBy(*(by or []))
+        .agg(
+            F.hll_union_agg(F.col(sketch_col)).alias("merged"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            *(by or []),
+            F.hll_sketch_estimate("merged").cast("bigint").alias("approx_distinct"),
+            "n_rows",
+        )
+    )

@@ -184,6 +184,63 @@ def run_stream_to_parquet(
             q.stop()
 
 
+def run_stream_mart_upsert(
+    bronze_stream: DataFrame,
+    mart_dir: str,
+    checkpoint_dir: str,
+    as_of: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming serve-fresh mart via ``foreachBatch``: each microbatch of
+    crawl rows runs the batch medallion to its PARTIAL mart, then merges
+    into the persisted serving mart with ``merge_mart``'s
+    partial-aggregate algebra (occurrences add, last-appearance maxes,
+    denominator adds, probability re-derived) — incremental view
+    maintenance driven by the stream, exactly-once over the file source
+    via the checkpoint WAL.
+
+    Scale shape: a microbatch aggregates only its own rows; the merge
+    touches mart-sized state (|distinct keys| rows, <=100 in this
+    domain), never history. ``localCheckpoint`` materializes the merged
+    result BEFORE the overwrite, making the read-modify-write on one
+    directory safe; on a lakehouse table format the same body becomes a
+    MERGE INTO and the checkpoint semantics carry over unchanged.
+    ``cache_silver=False`` inside the batch body: microbatches are small
+    and per-batch cache entries would accumulate across a long-lived
+    stream (the round-3 ADVICE cache-leak class).
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..plans.medallion import merge_mart, run_full_pipeline
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_mart = run_full_pipeline(
+            batch_df, as_of=as_of, cache_silver=False
+        )["mart"]
+        try:
+            existing = spark.read.parquet(mart_dir)
+            merged = merge_mart(existing, batch_mart)
+        except AnalysisException:  # first batch: no mart yet
+            merged = batch_mart
+        out = merged.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(mart_dir)
+
+    q = (
+        bronze_stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def stream_dedup_events(
     spark: SparkSession,
     events_path: str,

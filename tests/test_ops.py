@@ -482,3 +482,35 @@ def test_tpch_suites_and_paragraph_dedup_plan_shapes(spark):
     # formatted mode lists each node once as "(N) Exchange" in the detail
     # section — count those.
     assert len(re.findall(r"\(\d+\) Exchange", para)) == 2, para
+
+
+def test_hll_sketches_merge_and_estimate(spark):
+    """Per-group HLL sketches estimate within the lg_k error envelope and
+    — the scale property — the UNION of per-source sketches estimates
+    the global cardinality without rescanning rows."""
+    from datawarehouse_group10_spark.operators.aggregates import (
+        hll_rollup,
+        hll_sketch_by,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact_global = docs.select("text").distinct().count()
+    exact_by_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    }
+
+    per_src = hll_sketch_by(docs, "text", by=["source"])
+    est_by_src = {
+        r["source"]: r["approx_distinct"]
+        for r in hll_rollup(per_src, by=["source"]).collect()
+    }
+    for src, exact in exact_by_src.items():
+        assert abs(est_by_src[src] - exact) <= max(3, 0.05 * exact), src
+
+    # roll the per-source sketches up to one global estimate: no raw scan
+    global_row = hll_rollup(per_src).collect()[0]
+    assert abs(global_row["approx_distinct"] - exact_global) <= 0.05 * exact_global
+    assert global_row["n_rows"] == docs.count()

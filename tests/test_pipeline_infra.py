@@ -658,3 +658,81 @@ def test_sorted_layout_yields_skippable_files(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "user_id" in plan
+
+
+def test_stream_mart_upsert_matches_batch(spark, csv_dir, tmp_path):
+    """foreachBatch incremental view maintenance: streaming the crawl dir
+    one file per microbatch and merging each partial mart into the
+    persisted one must end at EXACTLY the batch full-load mart (same
+    as_of) — and a restart with the same checkpoint must be a no-op
+    (exactly-once over the file source)."""
+    from datawarehouse_group10_spark.plans.medallion import run_full_pipeline
+    from datawarehouse_group10_spark.streaming import run_stream_mart_upsert
+
+    mart_dir = str(tmp_path / "mart")
+    ckpt = str(tmp_path / "ckpt")
+    as_of = "2024-01-10"
+
+    def go():
+        run_stream_mart_upsert(
+            read_crawl_csv_stream(spark, csv_dir, max_files_per_trigger=1),
+            mart_dir,
+            ckpt,
+            as_of=as_of,
+        )
+
+    go()
+
+    def rows(df):
+        return {
+            tuple(r)
+            for r in df.withColumn(
+                "total_occurrences", F.col("total_occurrences").cast("bigint")
+            )
+            .withColumn("probability", F.col("probability").cast("double"))
+            .collect()
+        }
+
+    got = rows(spark.read.parquet(mart_dir))
+    batch = rows(
+        run_full_pipeline(
+            read_crawl_csv_dir(spark, csv_dir), as_of=as_of
+        )["mart"]
+    )
+    assert got == batch and len(got) == 3
+
+    go()  # restart: checkpoint says everything is committed -> no change
+    assert rows(spark.read.parquet(mart_dir)) == batch
+
+
+def test_compact_layer_merges_small_files(spark, tmp_path):
+    """Compaction rewrites a many-small-files layer to ~target-size files
+    without changing its contents; the sort_cols variant re-establishes
+    the skippable (disjoint min/max) layout."""
+    from datawarehouse_group10_spark.sources.parquet_source import compact_layer
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    layer = str(tmp_path / "layer")
+    docs.repartition(32).write.parquet(layer)
+    before = {tuple(r) for r in spark.read.parquet(layer).collect()}
+
+    stats = compact_layer(spark, layer, target_mb=512)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == 1
+    assert {tuple(r) for r in spark.read.parquet(layer).collect()} == before
+
+    # sorted variant: files carry disjoint doc_id ranges
+    layer2 = str(tmp_path / "layer2")
+    docs.repartition(16).write.parquet(layer2)
+    import pyspark.sql.functions as SF
+
+    compact_layer(spark, layer2, target_mb=1, sort_cols=["doc_id"])
+    per_file = (
+        spark.read.parquet(layer2)
+        .groupBy(SF.input_file_name().alias("f"))
+        .agg(SF.min("doc_id").alias("lo"), SF.max("doc_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    assert {tuple(r) for r in spark.read.parquet(layer2).collect()} == before
