@@ -83,14 +83,16 @@ from .plans.medallion import (
     run_full_pipeline,
 )
 from .sources.csv_source import write_crawl_csv
+from .sources.parquet_source import events_ts_layout, read_events
 from .streaming import events_hourly_counts, run_stream_to_table
 
 #: Fixed "today" for every recency computation so results are a pure
 #: function of the input data, not of the wall clock.
 AS_OF = "2026-01-01"
 
-#: Per-sf_dir cache of max(events.ts) nanos (immutable testdata).
-_EVENTS_MAX_NS: dict[str, int] = {}
+#: Per-sf_dir cache of max(events.ts) (immutable testdata): a nanos int
+#: for the legacy nanos-long layout, a datetime for the native layout.
+_EVENTS_MAX_TS: dict[str, object] = {}
 
 #: Per-sf_dir cache of the streaming query's staged work dir (input
 #: symlink + sentinel file).  One dir per sf_dir for the whole process —
@@ -125,14 +127,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table's ``ts`` is parquet TIMESTAMP(NANOS), which Spark
-    has no native type for (PARQUET_TYPE_ILLEGAL). Read it as a nanos long
-    and rebuild a microsecond timestamp by integer division — the same
-    truncation DuckDB applies when it narrows TIMESTAMP_NS on read, so
-    both engines see identical values."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = _t(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Schema-adaptive events loader: the testdata has shipped ``ts`` both
+    as parquet TIMESTAMP(NANOS) (read as a nanos BIGINT and rebuilt, since
+    Spark has no nanosecond type) and as TIMESTAMP(MICROS) (read natively).
+    :func:`sources.read_events` probes the file footer and branches, so
+    every consumer sees a canonical ``ts TIMESTAMP`` under a UTC session —
+    the same instants DuckDB reads from the identical file."""
+    return read_events(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 def _utc(spark: SparkSession) -> None:
@@ -1468,36 +1469,49 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is the only state left unflushed.
     """
     _utc(spark)
+    import datetime as _dt
     import glob as _glob
     import shutil as _shutil
 
-    from .streaming import EVENTS_SCHEMA, run_stream_to_parquet
+    from .streaming import EVENTS_SCHEMA_NANOS, run_stream_to_parquet
 
     # One staged work dir per sf_dir for the process lifetime (input
     # symlink + sentinel are a pure function of the immutable testdata);
     # out/ckpt are wiped per invocation so every run measures the full
     # streaming path. atexit removes the whole cache — no tempdir leak
     # across the bench's repeated runs.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    layout = events_ts_layout(events_path)
     work = _STREAM_WORK_CACHE.get(sf_dir)
     if work is None:
         work = tempfile.mkdtemp(prefix="stream_hourly_")
         src_dir = os.path.join(work, "in")
         os.makedirs(src_dir)
-        events_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
         os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
 
         # Sentinel: one row 4 hours past the corpus max ts (watermark
-        # delay is 2h), filtered back out after the run. The max is cached
-        # per sf_dir — the testdata is immutable within a run (a 1-value
-        # cache, not a data-path collect).
-        max_ns = _EVENTS_MAX_NS.get(sf_dir)
-        if max_ns is None:
-            max_ns = int(_t(spark, sf_dir, "events").agg(F.max("ts")).first()[0])
-            _EVENTS_MAX_NS[sf_dir] = max_ns
+        # delay is 2h), filtered back out after the run, written in the
+        # SAME physical layout as the source file so the stream reader's
+        # one schema covers both. The max is cached per sf_dir — the
+        # testdata is immutable within a run (a 1-value cache, not a
+        # data-path collect).
+        max_ts = _EVENTS_MAX_TS.get(sf_dir)
+        if max_ts is None:
+            if layout == "nanos-long":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            max_ts = _t(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+            _EVENTS_MAX_TS[sf_dir] = max_ts
+        if layout == "nanos-long":
+            sent_ts = int(max_ts) + 4 * 3600 * 1_000_000_000
+            sent_schema = EVENTS_SCHEMA_NANOS
+        else:
+            sent_ts = max_ts + _dt.timedelta(hours=4)
+            sent_schema = (
+                "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING"
+            )
         sentinel = spark.createDataFrame(
-            [(-1, max_ns + 4 * 3600 * 1_000_000_000, -1, "_sentinel", 0.0, "{}")],
-            EVENTS_SCHEMA,
+            [(-1, sent_ts, -1, "_sentinel", 0.0, "{}")], sent_schema
         )
         tmp_sent = os.path.join(work, "sentinel_stage")
         sentinel.coalesce(1).write.mode("overwrite").parquet(tmp_sent)

@@ -7,13 +7,62 @@ become parquet scans here: columnar, vectorized, predicate-pushdown-capable.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def events_ts_layout(path: str, col: str = "ts") -> str:
+    """Classify how ``col`` is physically stored in a parquet file (or in
+    the first file of a directory) by reading ONE footer driver-side:
+
+    - ``"nanos-long"``: parquet TIMESTAMP(NANOS) or a plain INT64 — Spark
+      has no nanosecond timestamp type, so the column must be read as a
+      BIGINT (``spark.sql.legacy.parquet.nanosAsLong``) and rebuilt.
+    - ``"timestamp"``: TIMESTAMP(MICROS/MILLIS) — Spark reads it natively.
+
+    The testdata has shipped with BOTH layouts across driver versions;
+    every events consumer goes through this probe instead of assuming one.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        f = parts[0]
+    t = pq.read_schema(f).field(col).type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return "timestamp"
+    return "nanos-long"
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load an events parquet file/dir with a canonical ``ts TIMESTAMP``
+    (microsecond precision) regardless of the file's physical layout.
+
+    The session timezone is pinned to UTC first so the nanos-long rebuild
+    and the TIMESTAMP_NTZ->TIMESTAMP widening both map onto the same
+    instants DuckDB reads from the identical file — engine-identical
+    values by construction, not by host-timezone luck.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if events_ts_layout(path) == "nanos-long":
+        # Legacy layout: read nanos as BIGINT, truncate to micros — the
+        # same narrowing DuckDB applies to TIMESTAMP_NS.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_testdata(

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_crawl_csv_stream",
     "stream_bronze_to_silver",
+    "read_events_stream",
     "events_hourly_counts",
     "run_stream_to_table",
     "run_stream_to_parquet",
@@ -41,10 +42,19 @@ __all__ = [
     "attributed_conversions",
 ]
 
-#: Explicit schema for the events stream (streams cannot infer schemas).
-#: ts is parquet TIMESTAMP(NANOS) — no native Spark type — so it is read
-#: as a nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong) and rebuilt.
+#: Explicit schemas for the events stream (streams cannot infer schemas).
+#: The testdata has shipped ts in two physical layouts; the probe in
+#: sources.events_ts_layout picks which schema a given file needs.
+#: Native layout — TIMESTAMP(MICROS); an explicit TIMESTAMP field reads
+#: NTZ-annotated micros as the same instants under a UTC session.
 EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+#: Legacy layout — TIMESTAMP(NANOS) (no native Spark type) or plain
+#: INT64: read as a nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong)
+#: and rebuilt to a micros TIMESTAMP.
+EVENTS_SCHEMA_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
@@ -67,6 +77,25 @@ def _as_stream_dir(path: str) -> str:
         os.symlink(ap, os.path.join(d, os.path.basename(path)))
         _STREAM_DIR_CACHE[ap] = d
     return d
+
+
+def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Schema-adaptive streaming reader for the events table: probe the
+    parquet footer (driver-side, once, at plan time — file sources need
+    an explicit schema anyway) and declare the matching schema, so the
+    same stream definition runs against either physical layout the
+    testdata has shipped with. Canonical output: ``ts TIMESTAMP`` under
+    a UTC session — identical to the batch :func:`sources.read_events`.
+    """
+    from ..sources.parquet_source import events_ts_layout
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _as_stream_dir(events_path)
+    if events_ts_layout(d) == "nanos-long":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(d)
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
 
 
 def read_crawl_csv_stream(
@@ -108,9 +137,7 @@ def events_hourly_counts(
     unbounded streaming aggregate (the SURVEY §2.6 'windowed aggs for late
     data' pattern). Returns the *streaming* DataFrame; run it with
     :func:`run_stream_to_table`."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(_as_stream_dir(events_path))
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = read_events_stream(spark, events_path)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
@@ -252,9 +279,7 @@ def stream_dedup_events(
     until the watermark passes it, so the state store stays O(events per
     watermark window) instead of O(all history) — the streaming twin of
     the batch anti-join dedupe (J2-J4)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(_as_stream_dir(events_path))
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = read_events_stream(spark, events_path)
     return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         id_cols or ["event_id"]
     )
@@ -370,13 +395,9 @@ def attributed_conversions(
     (purchase, attributed click) pair, append-mode emittable as soon as
     the watermark passes the purchase timestamp.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def _typed(event_type: str) -> DataFrame:
-        ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(
-            _as_stream_dir(events_path)
-        )
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = read_events_stream(spark, events_path)
         return ev.filter(F.col("event_type") == event_type)
 
     clicks = _typed("click").select(

@@ -57,12 +57,12 @@ FIXED = ["region", "nation"]
 
 
 def _gen_events(k: int, out: str) -> None:
-    """events via pyarrow, not Spark or DuckDB: ts is parquet
-    TIMESTAMP(NANOS). Spark would write it as plain INT64 (breaking the
-    DuckDB oracles' CAST(ts AS DATE)) and DuckDB's writer narrows it to
-    micros (breaking Spark's nanosAsLong read path). pyarrow round-trips
-    timestamp[ns] exactly (parquet format 2.6), so the scaled file keeps
-    the driver's physical type for BOTH engines."""
+    """events via pyarrow, not Spark or DuckDB, so the scaled file keeps
+    the SOURCE file's physical ts type bit-for-bit (pyarrow round-trips
+    both timestamp[ns] and timestamp[us]; parquet format 2.6). Spark or
+    DuckDB writers would silently rewrite the layout, and the loaders'
+    layout probe (sources.events_ts_layout) must see the same physical
+    type at sf1.0 as the driver ships at sf0.1."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq

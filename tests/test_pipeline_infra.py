@@ -309,7 +309,7 @@ def test_stateful_running_user_stats(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from datawarehouse_group10_spark.streaming import (
-        EVENTS_SCHEMA,
+        EVENTS_SCHEMA_NANOS,
         running_user_stats_stateful,
     )
 
@@ -335,7 +335,7 @@ def test_stateful_running_user_stats(spark, tmp_path):
     write("b", [(3, ns, 7, "x", 2.0, "{}")], now - 50)
 
     ev = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(stream_dir))
     )
@@ -369,7 +369,7 @@ def test_stateful_state_ttl_eviction(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from datawarehouse_group10_spark.streaming import (
-        EVENTS_SCHEMA,
+        EVENTS_SCHEMA_NANOS,
         running_user_stats_stateful,
     )
 
@@ -400,7 +400,7 @@ def test_stateful_state_ttl_eviction(spark, tmp_path):
     write("c", [(4, ns(361), 7, "x", 4.0, "{}")], now - 10)
 
     ev = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(stream_dir))
     )
@@ -431,7 +431,7 @@ def test_parquet_sink_restart_processes_only_new_files(spark, tmp_path):
     import shutil
 
     from datawarehouse_group10_spark.streaming import (
-        EVENTS_SCHEMA,
+        EVENTS_SCHEMA_NANOS,
         run_stream_to_parquet,
     )
 
@@ -440,13 +440,13 @@ def test_parquet_sink_restart_processes_only_new_files(spark, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
     def land(name, rows):
-        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA_NANOS)
         df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
         part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
         shutil.copy(part, str(src / f"{name}.parquet"))
 
     def stream():
-        return spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+        return spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(str(src))
 
     land("a", [(1, 10, 7, "x", 1.0, "{}"), (2, 20, 7, "x", 2.0, "{}")])
     run_stream_to_parquet(stream(), out, ckpt)
@@ -589,10 +589,9 @@ def test_stream_interval_join_matches_batch(spark):
         stream, "attr_stream_test", output_mode="append"
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from datawarehouse_group10_spark.sources import read_events
+
+    ev = read_events(spark, f"{sf}/events.parquet")
     clicks = ev.filter("event_type = 'click'").selectExpr(
         "user_id AS cu", "event_id AS click_id", "ts AS click_ts"
     )
@@ -736,3 +735,63 @@ def test_compact_layer_merges_small_files(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in per_file)
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
     assert {tuple(r) for r in spark.read.parquet(layer2).collect()} == before
+
+
+def test_events_loader_adapts_to_both_physical_layouts(spark, tmp_path):
+    """Round-4 regression guard: the events loader must handle BOTH
+    physical ts layouts the testdata has shipped with — TIMESTAMP(NANOS)
+    (read as nanos BIGINT, rebuilt) and TIMESTAMP(MICROS) (read natively)
+    — and the REAL testdata artifact must load without assuming either.
+    Batch (read_events) and streaming (read_events_stream) must agree on
+    the same instants for the same rows in both layouts."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouse_group10_spark.sources import events_ts_layout, read_events
+    from datawarehouse_group10_spark.streaming import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    # (a) the real artifact, whatever layout the driver currently writes
+    real = "/root/testdata/sf0.001/events.parquet"
+    df = read_events(spark, real)
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.limit(1).count() == 1
+
+    # (b) both synthetic layouts resolve to identical values end to end
+    t0 = dt.datetime(2024, 1, 1, 12, 34, 56, 789000)
+    cols = {
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([7], pa.int64()),
+        "event_type": pa.array(["x"]),
+        "value": pa.array([1.5], pa.float64()),
+        "props": pa.array(["{}"]),
+    }
+    nanos = tmp_path / "ev_nanos.parquet"
+    micros = tmp_path / "ev_micros.parquet"
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([t0], pa.timestamp("ns"))}),
+        str(nanos),
+        version="2.6",
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([t0], pa.timestamp("us"))}), str(micros)
+    )
+    assert events_ts_layout(str(nanos)) == "nanos-long"
+    assert events_ts_layout(str(micros)) == "timestamp"
+
+    vals = {}
+    for p in (nanos, micros):
+        got = read_events(spark, str(p)).select("event_id", "ts").collect()
+        vals[p.name] = [(r["event_id"], r["ts"]) for r in got]
+        streamed = run_stream_to_table(
+            read_events_stream(spark, str(p)).select("event_id", "ts"),
+            f"layout_{p.stem}",
+            output_mode="append",
+        )
+        assert [(r["event_id"], r["ts"]) for r in streamed.collect()] == vals[p.name]
+    assert vals["ev_nanos.parquet"] == vals["ev_micros.parquet"]
+    assert vals["ev_micros.parquet"][0][1] == t0
