@@ -83,7 +83,7 @@ from .plans.medallion import (
     run_full_pipeline,
 )
 from .sources.csv_source import write_crawl_csv
-from .sources.parquet_source import events_ts_layout, read_events
+from .sources.parquet_source import ensure_conf, events_ts_layout, read_events
 from .streaming import events_hourly_counts, run_stream_to_table
 
 #: Fixed "today" for every recency computation so results are a pure
@@ -139,8 +139,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _utc(spark: SparkSession) -> None:
     """The oracle's timestamps are timezone-naive; pin the Spark session to
     UTC so both engines render the same calendar values regardless of the
-    driver host's timezone."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    driver host's timezone. Conditional set: no plan-cache churn when the
+    session is already UTC (every call after the first)."""
+    ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
 
 
 def stable(df: DataFrame) -> DataFrame:
@@ -334,7 +335,10 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze = lottery_bronze(spark, sf_dir)
     day = F.substring("full_date", 1, 2).cast("int")
     m1 = run_full_pipeline(bronze.filter(day <= 15), as_of=AS_OF)["mart"]
-    m2 = run_full_pipeline(bronze.filter(day > 15), as_of=AS_OF)["mart"]
+    # Batch 2 must not release batch 1's caches — both feed one lazy plan.
+    m2 = run_full_pipeline(
+        bronze.filter(day > 15), as_of=AS_OF, release_previous=False
+    )["mart"]
     merged = merge_mart(m1, m2)
     return stable(
         merged.withColumn(
@@ -1492,20 +1496,33 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Sentinel: one row 4 hours past the corpus max ts (watermark
         # delay is 2h), filtered back out after the run, written in the
         # SAME physical layout as the source file so the stream reader's
-        # one schema covers both. The max is cached per sf_dir — the
-        # testdata is immutable within a run (a 1-value cache, not a
-        # data-path collect).
+        # one schema covers both. The max is collected as an EPOCH INTEGER
+        # on both layouts (nanos BIGINT / unix_micros) — integer arithmetic
+        # is immune to the driver-timezone shift a naive-datetime collect
+        # of a TIMESTAMP(LTZ) column suffers on non-UTC hosts. Cached per
+        # sf_dir — the testdata is immutable within a run (a 1-value
+        # cache, not a data-path collect).
         max_ts = _EVENTS_MAX_TS.get(sf_dir)
         if max_ts is None:
             if layout == "nanos-long":
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            max_ts = _t(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+                ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+                max_ts = int(
+                    _t(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+                )
+            else:
+                max_ts = int(
+                    _t(spark, sf_dir, "events")
+                    .agg(F.unix_micros(F.max(F.col("ts").cast("timestamp"))))
+                    .first()[0]
+                )
             _EVENTS_MAX_TS[sf_dir] = max_ts
         if layout == "nanos-long":
-            sent_ts = int(max_ts) + 4 * 3600 * 1_000_000_000
+            sent_ts = max_ts + 4 * 3600 * 1_000_000_000
             sent_schema = EVENTS_SCHEMA_NANOS
         else:
-            sent_ts = max_ts + _dt.timedelta(hours=4)
+            sent_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=max_ts + 4 * 3600 * 1_000_000
+            )
             sent_schema = (
                 "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
                 "event_type STRING, value DOUBLE, props STRING"

@@ -18,47 +18,117 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def events_ts_layout(path: str, col: str = "ts") -> str:
-    """Classify how ``col`` is physically stored in a parquet file (or in
-    the first file of a directory) by reading ONE footer driver-side:
+def ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf only when the current value differs — avoids the
+    needless plan-cache invalidation a redundant ``spark.conf.set`` causes
+    when loaders run once per query in a long-lived session."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
 
-    - ``"nanos-long"``: parquet TIMESTAMP(NANOS) or a plain INT64 — Spark
-      has no nanosecond timestamp type, so the column must be read as a
-      BIGINT (``spark.sql.legacy.parquet.nanosAsLong``) and rebuilt.
-    - ``"timestamp"``: TIMESTAMP(MICROS/MILLIS) — Spark reads it natively.
 
-    The testdata has shipped with BOTH layouts across driver versions;
-    every events consumer goes through this probe instead of assuming one.
-    """
+def _file_ts_class(f: str, col: str) -> str:
+    """Layout class of one parquet file's ``col`` (see events_ts_layout)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    f = path
+    schema = pq.read_schema(f)
+    t = schema.field(col).type
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.unit != "ns" else "nanos-long"
+    if pa.types.is_integer(t):
+        # A bare INT64 is only readable on the nanos-long path if it really
+        # holds epoch NANOS — an unannotated micros/millis column would be
+        # silently off by 1000x after the div-1000 rebuild. Fail loudly via
+        # the footer min/max stats (no data read): epoch nanos for any
+        # plausible event time (>= ~1971) exceed 3e16; micros/millis never do.
+        md = pq.ParquetFile(f).metadata
+        idx = schema.names.index(col)
+        if md.num_row_groups > 0:
+            st = md.row_group(0).column(idx).statistics
+            if st is not None and st.has_min_max and 0 < st.max < 3 * 10**16:
+                raise ValueError(
+                    f"{f}: bare INT64 column {col!r} has max footer stat "
+                    f"{st.max} — too small for epoch nanoseconds (micros or "
+                    "millis?). Refusing to guess the unit; annotate the "
+                    "column as a parquet TIMESTAMP."
+                )
+        return "nanos-long"
+    raise TypeError(f"{f}: column {col!r} is {t}, not a timestamp or int64")
+
+
+#: Memoized layouts keyed by (abspath, mtime) — the probe is a cheap footer
+#: read, but it used to run once per query per bench repeat (VERDICT r5 #4).
+_LAYOUT_CACHE: dict[tuple[str, float], str] = {}
+
+
+def events_ts_layout(path: str, col: str = "ts") -> str:
+    """Classify how ``col`` is physically stored in a parquet file or
+    directory by reading footers driver-side (no data pages):
+
+    - ``"nanos-long"``: parquet TIMESTAMP(NANOS), or a bare INT64 holding
+      epoch nanos (sanity-checked against footer stats) — Spark has no
+      nanosecond timestamp type, so the column must be read as a BIGINT
+      (``spark.sql.legacy.parquet.nanosAsLong``) and rebuilt.
+    - ``"timestamp"``: TIMESTAMP(MICROS/MILLIS), adjusted-to-UTC or NTZ —
+      Spark reads it natively.
+
+    The testdata has shipped with BOTH layouts across driver versions;
+    every events consumer goes through this probe instead of assuming one.
+    For a directory, up to 32 files (16 from each end of the sorted
+    listing) are probed and a MIX of layout classes raises — one schema
+    must cover every file a (streaming) scan will read. Results are
+    memoized per (path, mtime).
+    """
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    cached = _LAYOUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not parts:
             raise FileNotFoundError(f"no parquet files under {path}")
-        f = parts[0]
-    t = pq.read_schema(f).field(col).type
-    if pa.types.is_timestamp(t) and t.unit != "ns":
-        return "timestamp"
-    return "nanos-long"
+        # Bounded sample: footer reads are cheap but a big layer can hold
+        # thousands of files; the two ends catch the write-order/layout
+        # seams that actually occur (old files + newly appended ones).
+        sample = parts if len(parts) <= 32 else parts[:16] + parts[-16:]
+        classes = {f: _file_ts_class(f, col) for f in sample}
+        if len(set(classes.values())) > 1:
+            raise ValueError(
+                f"{path}: mixed {col!r} layouts across files — "
+                f"{classes}; one reader schema cannot cover both. "
+                "Rewrite the stragglers to a single physical layout."
+            )
+        layout = next(iter(classes.values()))
+    else:
+        layout = _file_ts_class(path, col)
+    _LAYOUT_CACHE[key] = layout
+    return layout
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Load an events parquet file/dir with a canonical ``ts TIMESTAMP``
     (microsecond precision) regardless of the file's physical layout.
 
-    The session timezone is pinned to UTC first so the nanos-long rebuild
-    and the TIMESTAMP_NTZ->TIMESTAMP widening both map onto the same
-    instants DuckDB reads from the identical file — engine-identical
-    values by construction, not by host-timezone luck.
+    NOTE (sticky session confs): the session timezone is pinned to UTC so
+    the nanos-long rebuild and the TIMESTAMP_NTZ->TIMESTAMP widening both
+    map onto the same instants DuckDB reads from the identical file —
+    engine-identical values by construction, not by host-timezone luck.
+    On the legacy layout ``spark.sql.legacy.parquet.nanosAsLong`` is also
+    enabled. Both settings REMAIN on the session after the call (a
+    lazily-evaluated DataFrame must not have its confs reverted under
+    it); callers needing a different session timezone must set it back
+    after materializing the result.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     if events_ts_layout(path) == "nanos-long":
         # Legacy layout: read nanos as BIGINT, truncate to micros — the
         # same narrowing DuckDB applies to TIMESTAMP_NS.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = spark.read.parquet(path)

@@ -87,12 +87,12 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     testdata has shipped with. Canonical output: ``ts TIMESTAMP`` under
     a UTC session — identical to the batch :func:`sources.read_events`.
     """
-    from ..sources.parquet_source import events_ts_layout
+    from ..sources.parquet_source import ensure_conf, events_ts_layout
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     d = _as_stream_dir(events_path)
     if events_ts_layout(d) == "nanos-long":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(d)
         return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(d)

@@ -167,3 +167,22 @@ def test_profile_and_approx_distinct(spark):
     big = spark.range(0, 10000).select((F.col("id") % 1000).alias("x"))
     approx = approx_distinct_counts(big, ["x"]).first()["x_approx"]
     assert abs(approx - 1000) / 1000 < 0.1   # HLL within guaranteed rsd
+
+
+def test_repeated_pipeline_runs_do_not_leak_cached_rdds(spark, lottery_bronze_rows):
+    """A long-lived driver (serving, bench repeats) re-running the pipeline
+    must not accumulate dead cached RDDs: each invocation releases the
+    previous one's caches (r5 verdict item 6)."""
+    from datawarehouse_group10_spark.plans.medallion import (
+        release_pipeline_caches,
+    )
+
+    release_pipeline_caches()
+    for _ in range(3):
+        out = run_full_pipeline(lottery_bronze_rows, as_of="2024-01-10")
+        out["mart"].count()  # materialize -> populates the caches
+    # after 3 runs only the LAST invocation's caches (silver + dim_number)
+    # may be resident
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) <= 2
+    release_pipeline_caches()
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
