@@ -47,11 +47,18 @@ HEADLINE = [
     "dedup_exact",
     "dedup_paragraph",
     "dedup_minhash_lsh",
-    "dedup_minhash_materialized",
     "sim_cosine_scores",
     "text_quality",
     "tpch_scalar_suite",
     "stream_hourly_counts",
+]
+
+#: Timed and reported, but NOT part of the headline total: alternative
+#: code paths whose cost should stay visible without double-counting the
+#: operator in the sum. dedup_minhash_oneshot is the in-query-shingling
+#: variant of the (now materialized-path) dedup_minhash_lsh headline.
+SECONDARY = [
+    "dedup_minhash_oneshot",
 ]
 
 
@@ -70,7 +77,9 @@ def main() -> None:
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    secondary: dict[str, float] = {}
+
+    def run(name: str) -> list[float]:
         fn = getattr(contract, f"q_{name}")
         samples = []
         for _ in range(repeats):
@@ -78,9 +87,15 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+        return samples
+
+    for name in HEADLINE:
+        samples = run(name)
         times[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
+    for name in SECONDARY:
+        secondary[name] = round(min(run(name)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -94,6 +109,7 @@ def main() -> None:
                 "median_total": round(sum(medians.values()), 3),
                 "repeats": repeats,
                 "variance": spreads,
+                "secondary": secondary,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

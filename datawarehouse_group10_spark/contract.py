@@ -82,7 +82,7 @@ from .plans.medallion import (
     build_dim_number,
     run_full_pipeline,
 )
-from .sources.csv_source import write_crawl_csv
+from .sources.csv_source import read_alt_crawl_csv, write_crawl_csv
 from .sources.parquet_source import ensure_conf, events_ts_layout, read_events
 from .streaming import events_hourly_counts, run_stream_to_table
 
@@ -109,6 +109,10 @@ def _cleanup_stream_work() -> None:
         _shutil.rmtree(d, ignore_errors=True)
     for p in _SHINGLE_DIR_CACHE.values():
         _shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+    for d in _MINHASH_INDEX_CACHE.values():
+        _shutil.rmtree(d, ignore_errors=True)
+    for d in _ALT_CSV_DIR.values():
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 atexit.register(_cleanup_stream_work)
@@ -361,9 +365,30 @@ def q_t1_filter_prize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed alt-layout crawl fixture (SURVEY §1.1 row 2: the reference's
+#: xsmb_23102025_CRAWL_001.csv shape — BOM-prefixed, Vietnamese headers,
+#: yyyy-MM-dd dates, true/false booleans). A constant fixture is the
+#: honest input for a READER operator: the oracle states the expected
+#: parse as literals.
+_ALT_CSV_ROWS = (
+    "process_code,ngay_trung,thu,ten_giai,so_trung,range_group,"
+    "is_weekend,is_even,crawl_time\n"
+    "CRAWL_001,2025-10-23,Thứ 5,Giải Bảy,07,00-09,false,false,2025-10-23T19:30:00\n"
+    "CRAWL_001,2025-10-23,Thứ 5,Giải Bảy,23,20-29,false,false,2025-10-23T19:30:00\n"
+    "CRAWL_001,2025-10-23,Thứ 5,Giải Nhất,12345,,false,false,2025-10-23T19:30:00\n"
+    "CRAWL_001,2025-10-24,Thứ 6,Giải Bảy,41,40-49,false,false,2025-10-24T19:30:00\n"
+)
+_ALT_CSV_DIR: dict[str, str] = {}
+
+
 def q_s2_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 (header CSV sink) + S3 (directory CSV scan): write a projection
-    of documents out as CSV, read the directory back, aggregate."""
+    """S2 (header CSV sink) + S3 (directory CSV scan + the alt BOM
+    layout): write a projection of documents out as CSV, read the
+    directory back, aggregate; plus the schema-evolution reader
+    (`read_alt_crawl_csv`) over a fixed BOM-prefixed alt-layout fixture,
+    its parse checked value-by-value against oracle literals (rows tagged
+    ``alt:<prize>@<dd-MM-yyyy date>`` — the date proves the
+    yyyy-MM-dd→dd-MM-yyyy re-render ran)."""
     _utc(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
@@ -373,10 +398,35 @@ def q_s2_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .csv(tmp)
     )
-    return back.groupBy("lang").agg(
+    roundtrip = back.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
+
+    alt_dir = _ALT_CSV_DIR.get("fixture")
+    if alt_dir is None:
+        alt_dir = tempfile.mkdtemp(prefix="alt_crawl_")
+        with open(
+            os.path.join(alt_dir, "xsmb_alt.csv"), "w", encoding="utf-8-sig"
+        ) as fh:
+            fh.write(_ALT_CSV_ROWS)
+        _ALT_CSV_DIR["fixture"] = alt_dir
+    alt = read_alt_crawl_csv(spark, alt_dir)
+    alt_agg = (
+        alt.groupBy("prize", "full_date")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("number_value").cast("bigint").alias("n_sources"),
+        )
+        .select(
+            F.concat(
+                F.lit("alt:"), F.col("prize"), F.lit("@"), F.col("full_date")
+            ).alias("lang"),
+            "n",
+            "n_sources",
+        )
+    )
+    return roundtrip.unionByName(alt_agg)
 
 
 # ---------------------------------------------------------------------------
@@ -529,13 +579,21 @@ def q_a3_last_appearance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a5_minmax_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 argmax/argmin scalars + the T1 equality-filter count (Giải Bảy
+    predicate, `q_t1_filter_prize`'s body) folded into the same 1-row
+    result — both are broadcast-cheap scalar aggregates, and the merge
+    keeps the registry within the driver's 50-query correctness window."""
     _utc(spark)
     orders = _t(spark, sf_dir, "orders")
-    return orders.agg(
+    scalars = orders.agg(
         F.max("o_totalprice").cast("double").alias("max_price"),
         F.min("o_totalprice").cast("double").alias("min_price"),
         F.count("*").cast("bigint").alias("n"),
     )
+    n_bay = filter_prize(lottery_bronze(spark, sf_dir), GIAI_BAY).agg(
+        F.count("*").cast("bigint").alias("n_giai_bay")
+    )
+    return scalars.crossJoin(F.broadcast(n_bay))
 
 
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,33 +1143,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "jaccard")
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-found pairs verified with EXACT shingle Jaccard — so the oracle
-    is the exact-Jaccard pair set (same SQL as dedup_ngram_jaccard at
-    threshold 0.5): precision 1 by construction (every emitted pair is
-    exact-verified), and recall per pair is 1 - (1 - j^4)^16, which at the
-    corpus's observed pair similarities (all j >= 0.9, measured at sf0.01
-    and sf0.1) is 1 - ~4e-8 — deterministic equality at test scales.
-    xxhash64 itself stays un-oracled; its OUTPUT is what's checked."""
-    _utc(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dup_pairs(docs, jaccard_threshold=0.5)
-
-
 #: Per-sf_dir cache of the materialized shingle-projection parquet dir
 #: (cleaned at exit with the stream work dirs).
 _SHINGLE_DIR_CACHE: dict[str, str] = {}
 
 
-def q_dedup_minhash_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The many-consumer MinHash production path (PERF.md round 4): the
-    shingle projection is WRITTEN TO PARQUET once per corpus and read by
-    the signature aggregation and both Jaccard-verify sides, replacing
-    three lineage recomputes of tokenize→slice→join with columnar scans.
-    Measured 7.95s → 2.29s min-of-3 at sf0.1 (materialization itself
-    3.3s, amortized across consumers/runs); output is identical to
-    dedup_minhash_lsh — same oracle. Bench entry; the registered query
-    keeps lineage recompute as the correct one-shot default."""
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs through the PRODUCTION path (the r5
+    verdict's flip): the shingle projection is WRITTEN TO PARQUET once per
+    corpus and read by the signature aggregation and both Jaccard-verify
+    sides — three columnar scans instead of three lineage recomputes of
+    tokenize→slice→join. Measured 9.77s → ~2.7s min-of-3 at sf0.1, 7x at
+    sf1.0, and the gap widens with scale (PERF.md). The one-shot
+    lineage-recompute variant stays available as
+    :func:`q_dedup_minhash_oneshot` (bench secondary timing + pytest).
+
+    Oracle: LSH-found pairs are verified with EXACT shingle Jaccard, so
+    the oracle is the exact-Jaccard pair set (same SQL as
+    dedup_ngram_jaccard at threshold 0.5): precision 1 by construction,
+    and recall per pair is 1 - (1 - j^4)^16, which at the corpus's
+    observed pair similarities (all j >= 0.9, measured at sf0.01 and
+    sf0.1) is 1 - ~4e-8 — deterministic equality at test scales.
+    xxhash64 itself stays un-oracled; its OUTPUT is what's checked."""
     _utc(spark)
     from .functions.dedup import materialize_shingles
 
@@ -1123,6 +1176,173 @@ def q_dedup_minhash_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SHINGLE_DIR_CACHE[sf_dir] = path
     pre = spark.read.parquet(path)
     return minhash_lsh_dup_pairs(docs, jaccard_threshold=0.5, pre_shingled=pre)
+
+
+def q_dedup_minhash_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot MinHash+LSH with in-query shingling (no materialization):
+    the right call when a corpus is deduped exactly once and never again —
+    no parquet staging cost, but the shingle lineage recomputes for each
+    of its three consumers. Identical output and oracle as
+    q_dedup_minhash_lsh; timed as a bench SECONDARY so the recompute cost
+    stays visible without dominating the headline."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dup_pairs(docs, jaccard_threshold=0.5)
+
+
+#: Per-sf_dir cache of the persisted MinHash corpus index (shingles +
+#: band keys parquet), cleaned at exit with the other work dirs.
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ingest INCREMENTAL near-dup path (functions/dedup.py:
+    build_minhash_index + incremental_minhash_dup_pairs): the corpus
+    (doc_id % 4 != 0) is mined ONCE into a persisted parquet index; the
+    new batch (doc_id % 4 == 0) dedups against it without re-shingling or
+    re-signing the corpus. Emits new x new and new x corpus pairs only —
+    corpus x corpus pairs were emitted at corpus ingest.
+
+    Oracle: the same exact-Jaccard pair set as dedup_minhash_lsh (every
+    emitted pair is exact-verified, identical hash family on both sides)
+    restricted to pairs with at least one new-batch side — i.e. the
+    incremental run must equal the new-involving subset of a full-corpus
+    run, which is the property that makes the index safe to use."""
+    _utc(spark)
+    from .functions.dedup import (
+        build_minhash_index,
+        incremental_minhash_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _MINHASH_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="mh_index_")
+        build_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), path)
+        _MINHASH_INDEX_CACHE[sf_dir] = path
+    new_batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return incremental_minhash_dup_pairs(new_batch, path, jaccard_threshold=0.5)
+
+
+def q_skew_salted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-discipline toolkit (operators/skew.py) under oracle check: a
+    deliberately pathological hot key — every even user_id collapses onto
+    key 0, so ~half the table funnels through one key — is aggregated via
+    :func:`two_phase_agg` (salt → partial → final merge) and joined via
+    :func:`salted_join` (probe salted, build replicated per salt). Both
+    must be bit-equal to the plain groupBy/join the oracle computes:
+    salting may only re-route rows across reducers, never change results.
+    Decimal partial sums keep the two-phase merge order-independent
+    (exact arithmetic), so the equality is deterministic."""
+    _utc(spark)
+    from .operators.skew import salted_join, two_phase_agg
+
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("k"),
+        "value",
+    )
+    tp = two_phase_agg(
+        ev,
+        "k",
+        partial_aggs={
+            "n": F.count("*"),
+            "s": F.sum(F.col("value").cast("decimal(18,6)")),
+        },
+        final_aggs={"n": F.sum("n"), "s": F.sum("s")},
+        salt_buckets=8,
+    ).select(
+        F.lit("two_phase_agg").alias("surface"),
+        "k",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("double").alias("s"),
+    )
+    dim = (
+        ev.select("k").distinct().withColumn("w", (F.col("k") % 97).cast("bigint"))
+    )
+    sj = (
+        salted_join(ev.select("k"), dim, "k", salt_buckets=8)
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .select(
+            F.lit("salted_join").alias("surface"),
+            "k",
+            "n",
+            F.col("sw").cast("double").alias("s"),
+        )
+    )
+    return tp.unionByName(sj)
+
+
+def q_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/scd.py) under oracle
+    check: customers form the open dimension slice (segment tracked,
+    open since 1990-01-01); each customer's LATEST order date becomes an
+    update batch with a deterministic new segment ('SEG' || custkey%3 —
+    always differs from the TPC-H market segments, so every matched key
+    closes + reopens). Customers with no orders pass through untouched.
+    The as-of surface snapshots the dimension at 1995-06-01 — keys whose
+    change landed before that date show the new segment, later changes
+    the original one. The oracle reconstructs the same rows with plain
+    SQL (anti join for untouched, join for closed, the batch for
+    opened)."""
+    _utc(spark)
+    from .operators.scd import scd2_apply, scd2_as_of
+
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.to_date(F.lit("9999-12-31")).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("effective_date"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.concat(
+                F.lit("SEG"), (F.col("o_custkey") % 3).cast("string")
+            ).alias("segment"),
+            "effective_date",
+        )
+    )
+    dim = scd2_apply(current, upd, key_cols=["c_custkey"], tracked_cols=["segment"])
+    asof = scd2_as_of(dim, "1995-06-01")
+
+    def fmt(d: DataFrame, surface: str) -> DataFrame:
+        return d.select(
+            F.lit(surface).alias("surface"),
+            "c_custkey",
+            "segment",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+            F.col("is_current").cast("int").alias("is_current"),
+        )
+
+    return fmt(dim, "dim").unionByName(fmt(asof, "asof"))
+
+
+def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed + IVF partition-pruned ANN top-10 in one
+    surface-tagged result (the same consolidation shape as
+    sim_cosine_suite; both underlying q_* bodies stay importable and the
+    full LSH/IVF semantics remain oracle-checked — see their
+    docstrings)."""
+    lsh = q_sim_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("surface"), "vec_id", "cos5"
+    )
+    ivf = q_sim_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("surface"), "vec_id", "cos5"
+    )
+    return lsh.unionByName(ivf)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1839,7 +2059,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_mart": q_pipeline_mart,
     "pipeline_incremental": q_pipeline_incremental,
     "statistics_surfaces": q_statistics_surfaces,
-    "t1_filter_prize": q_t1_filter_prize,
+    # t1's equality-filter count rides a5_minmax_scalars (n_giai_bay);
+    # the alt-BOM CSV reader rides s2_s3_csv_roundtrip's `alt:` rows
     "s2_s3_csv_roundtrip": q_s2_s3_csv_roundtrip,
     # row transforms (suites: T2/T3/T5/T12, T4/T7/T11, T8/T9/T10)
     "t_bronze_suite": q_t_bronze_suite,
@@ -1875,14 +2096,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraph": q_dedup_paragraph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_materialized": q_dedup_minhash_materialized,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_contamination": q_dedup_contamination,
     "sim_cosine_suite": q_sim_cosine_suite,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ann_suite": q_sim_ann_suite,
     "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
+    # skew discipline + SCD2
+    "skew_salted_suite": q_skew_salted_suite,
+    "scd2_suite": q_scd2_suite,
     # sampling + set ops + serving
     "sample_ops": q_sample_ops,
     "set_ops": q_set_ops,
@@ -1944,13 +2167,15 @@ SELECT *, 'dataframe' AS surface FROM stats
 UNION ALL
 SELECT *, 'sql' AS surface FROM stats
 """,
-    "t1_filter_prize": _LOTTERY_CTE + """
-SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bronze WHERE prize = 'Giải Bảy'
-""",
     "s2_s3_csv_roundtrip": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
 FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(n AS BIGINT), CAST(n_sources AS BIGINT) FROM (VALUES
+  ('alt:Giải Bảy@23-10-2025', 2, 2),
+  ('alt:Giải Nhất@23-10-2025', 1, 1),
+  ('alt:Giải Bảy@24-10-2025', 1, 1)) t(lang, n, n_sources)
 """,
     "t_bronze_suite": _LOTTERY_CTE + """
 SELECT b.event_id,
@@ -2044,11 +2269,14 @@ FROM events GROUP BY CAST(ts AS DATE)
 SELECT user_id, strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_appeared_date
 FROM events GROUP BY user_id
 """,
-    "a5_minmax_scalars": """
-SELECT CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
-       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders
+    "a5_minmax_scalars": _LOTTERY_CTE + """
+SELECT o.max_price, o.min_price, o.n, g.n_giai_bay
+FROM (SELECT CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders) o
+CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_giai_bay
+            FROM bronze WHERE prize = 'Giải Bảy') g
 """,
     "tpch_q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -2528,10 +2756,10 @@ FROM events GROUP BY 1, 2
 
 # The LSH pipeline's verified OUTPUT is the exact-Jaccard pair set (see
 # q_dedup_minhash_lsh for the recall argument): same oracle as the exact
-# inverted-index computation. The materialized-shingle variant computes
-# the identical result from a parquet-staged projection — same oracle.
+# inverted-index computation. The one-shot variant (q_dedup_minhash_oneshot)
+# computes the identical result without parquet staging — pinned by pytest
+# and timed as a bench secondary.
 ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_ngram_jaccard"]
-ORACLES["dedup_minhash_materialized"] = ORACLES["dedup_ngram_jaccard"]
 
 #: Cosine of each embedding row against the vec_id=1 query vector — the
 #: same left-to-right double-precision fold Spark's F.aggregate performs,
@@ -2558,7 +2786,7 @@ SELECT 'top10' AS surface, vec_id, cos5 FROM top10
 # Sign-LSH with data-derived hyperplanes (embeddings vec_id 2..7): the
 # oracle recomputes the bucket codes, the Hamming-1 multiprobe set, and
 # the exact ranking of the candidates — full approximate-path semantics.
-ORACLES["sim_lsh_topk"] = f"""
+_LSH_TOPK_SQL = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
 planes AS (
   SELECT CAST(vec_id - 2 AS INT) AS p, CAST(embedding AS DOUBLE[]) AS pv
@@ -2591,7 +2819,7 @@ LIMIT 10
 # IVF with the 16 lowest-id vectors as centroids: assignment is argmin of
 # c.c - 2*v.c (identical fold order on both engines, ties to lowest cid),
 # probe = 4 nearest cells to the query (distance, then cid).
-ORACLES["sim_ivf_topk"] = f"""
+_IVF_TOPK_SQL = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
 cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -2618,6 +2846,75 @@ SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
 FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
 ORDER BY {_COS_Q} DESC, e.vec_id
 LIMIT 10
+"""
+
+# LSH + IVF ANN top-10 ride one surface-tagged suite (sim_ann_suite);
+# each branch keeps its full semantic oracle.
+ORACLES["sim_ann_suite"] = f"""
+SELECT 'lsh' AS surface, t.* FROM ({_LSH_TOPK_SQL}) t
+UNION ALL
+SELECT 'ivf' AS surface, t.* FROM ({_IVF_TOPK_SQL}) t
+"""
+
+# Incremental MinHash vs the persisted corpus index must equal the
+# new-involving subset of the full-corpus exact-Jaccard pair set.
+ORACLES["dedup_minhash_incremental"] = (
+    "SELECT * FROM (\n"
+    + ORACLES["dedup_ngram_jaccard"]
+    + "\n) WHERE id_a % 4 = 0 OR id_b % 4 = 0"
+)
+
+# Salting must be semantics-preserving: both skewed paths equal the plain
+# groupBy/join over the hot-key projection.
+ORACLES["skew_salted_suite"] = """
+WITH ev AS (
+  SELECT CAST(CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS BIGINT) AS k,
+         value
+  FROM events
+),
+dim AS (
+  SELECT k, CAST(k % 97 AS BIGINT) AS w FROM (SELECT DISTINCT k FROM ev)
+)
+SELECT 'two_phase_agg' AS surface, k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+FROM ev GROUP BY k
+UNION ALL
+SELECT 'salted_join' AS surface, e.k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d.w) AS DOUBLE) AS s
+FROM ev e JOIN dim d USING (k) GROUP BY e.k
+"""
+
+# SCD2: untouched rows via anti join, closed rows via the matched join,
+# opened rows straight from the (per-key latest) update batch.
+ORACLES["scd2_suite"] = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey,
+         'SEG' || CAST(o_custkey % 3 AS VARCHAR) AS segment,
+         MAX(CAST(o_orderdate AS DATE)) AS eff
+  FROM orders GROUP BY 1, 2
+),
+dim AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         DATE '1990-01-01' AS valid_from, DATE '9999-12-31' AS valid_to,
+         1 AS is_current
+  FROM customer c
+  WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd)
+  UNION ALL
+  SELECT c.c_custkey, c.c_mktsegment, DATE '1990-01-01', u.eff, 0
+  FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+  UNION ALL
+  SELECT u.c_custkey, u.segment, u.eff, DATE '9999-12-31', 1 FROM upd u
+)
+SELECT 'dim' AS surface, c_custkey, segment,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d') AS valid_to, is_current
+FROM dim
+UNION ALL
+SELECT 'asof', c_custkey, segment,
+       strftime(valid_from, '%Y-%m-%d'), strftime(valid_to, '%Y-%m-%d'),
+       is_current
+FROM dim
+WHERE valid_from <= DATE '1995-06-01' AND valid_to > DATE '1995-06-01'
 """
 
 # Portable SimHash: md5 token hashes split into unsigned 32-bit halves,
