@@ -43,7 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. Keys absent here
-    (minhash/simhash/LSH top-k) are hash-bucket ops whose exact semantics
-    aren't SQL-expressible; the driver records rows-only checks for them."""
+    """DuckDB-runnable ANSI SQL oracle per query — since round 3 EVERY
+    registered query has one (the hash-bucket ops were made
+    engine-portable or oracled on their exact-verified outputs), so the
+    driver records a full rows+schema+hash check for all 50 entries."""
     return dict(ORACLES)

@@ -795,3 +795,51 @@ def test_events_loader_adapts_to_both_physical_layouts(spark, tmp_path):
         assert [(r["event_id"], r["ts"]) for r in streamed.collect()] == vals[p.name]
     assert vals["ev_nanos.parquet"] == vals["ev_micros.parquet"]
     assert vals["ev_micros.parquet"][0][1] == t0
+
+
+def test_layout_probe_guards(spark, tmp_path):
+    """events_ts_layout must fail loudly on the two silent-corruption
+    shapes (ADVICE r5): a bare INT64 whose magnitude cannot be epoch
+    nanos (an unannotated micros column would read 1000x off), and a
+    directory mixing layout classes (one reader schema cannot cover
+    both). A bare INT64 that IS nanos-scale classifies as nanos-long
+    (the stream sentinel's physical shape), and results are memoized
+    per (path, mtime)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.parquet_source import (
+        _LAYOUT_CACHE,
+        events_ts_layout,
+    )
+
+    nanos = 1_700_000_000_000_000_000  # ~2023 in epoch nanos
+    micros = nanos // 1000
+
+    ok = str(tmp_path / "ok.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([nanos, nanos + 1], pa.int64())}), ok
+    )
+    assert events_ts_layout(ok) == "nanos-long"
+    assert any(k[0] == ok for k in _LAYOUT_CACHE)
+
+    bad_unit = str(tmp_path / "bad_unit.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([micros, micros + 1], pa.int64())}), bad_unit
+    )
+    with _pytest.raises(ValueError, match="epoch nano"):
+        events_ts_layout(bad_unit)
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([nanos], pa.timestamp("ns"))}),
+        str(mixed / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array([1], pa.timestamp("us"))}),
+        str(mixed / "b.parquet"),
+    )
+    with _pytest.raises(ValueError, match="mixed"):
+        events_ts_layout(str(mixed))
