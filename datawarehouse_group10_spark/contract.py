@@ -111,7 +111,7 @@ def _cleanup_stream_work() -> None:
         _shutil.rmtree(os.path.dirname(p), ignore_errors=True)
     for d in _MINHASH_INDEX_CACHE.values():
         _shutil.rmtree(d, ignore_errors=True)
-    for d in _ALT_CSV_DIR.values():
+    for d in _CSV_WORK_DIRS.values():
         _shutil.rmtree(d, ignore_errors=True)
 
 
@@ -378,7 +378,7 @@ _ALT_CSV_ROWS = (
     "CRAWL_001,2025-10-23,Thứ 5,Giải Nhất,12345,,false,false,2025-10-23T19:30:00\n"
     "CRAWL_001,2025-10-24,Thứ 6,Giải Bảy,41,40-49,false,false,2025-10-24T19:30:00\n"
 )
-_ALT_CSV_DIR: dict[str, str] = {}
+_CSV_WORK_DIRS: dict[str, str] = {}
 
 
 def q_s2_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +391,13 @@ def q_s2_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     yyyy-MM-dd→dd-MM-yyyy re-render ran)."""
     _utc(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    # One reused sink dir per process (repeat calls overwrite it — the S2
+    # write still runs eagerly every call; only the tempdir allocation is
+    # deduped so bench repeats don't leak a dir per invocation).
+    tmp = _CSV_WORK_DIRS.get("roundtrip_sink")
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+        _CSV_WORK_DIRS["roundtrip_sink"] = tmp
     write_crawl_csv(docs, tmp)  # S2 header sink
     back = (  # S3 directory scan (the read is lazy; the dir stays in /tmp)
         spark.read.schema("doc_id BIGINT, lang STRING, source STRING")
@@ -403,14 +409,14 @@ def q_s2_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
 
-    alt_dir = _ALT_CSV_DIR.get("fixture")
+    alt_dir = _CSV_WORK_DIRS.get("fixture")
     if alt_dir is None:
         alt_dir = tempfile.mkdtemp(prefix="alt_crawl_")
         with open(
             os.path.join(alt_dir, "xsmb_alt.csv"), "w", encoding="utf-8-sig"
         ) as fh:
             fh.write(_ALT_CSV_ROWS)
-        _ALT_CSV_DIR["fixture"] = alt_dir
+        _CSV_WORK_DIRS["fixture"] = alt_dir
     alt = read_alt_crawl_csv(spark, alt_dir)
     alt_agg = (
         alt.groupBy("prize", "full_date")
