@@ -2049,6 +2049,28 @@ def q_sample_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation run (functions/curation.py):
+    quality gate → exact dedup (keep-first by digest) → near-dup removal
+    (exact-Jaccard pairs, greedy keep-lowest-id) → split + mixture, as
+    ONE declarative plan, returning the per-document governance audit
+    (fate + split/mixture for kept docs). Subsumes sample_ops' split and
+    mixture checks (the kept rows carry both) and adds the stage
+    composition itself to the oracle surface: the SQL reconstructs every
+    stage and must agree on every document's fate. Thresholds are set
+    from the corpus' measured distributions so each gate leg actually
+    drops documents at every sf (PERF.md round 6)."""
+    _utc(spark)
+    from .functions.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.3, "src3": 0.0},
+        default_rate=0.1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -2112,8 +2134,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # skew discipline + SCD2
     "skew_salted_suite": q_skew_salted_suite,
     "scd2_suite": q_scd2_suite,
-    # sampling + set ops + serving
-    "sample_ops": q_sample_ops,
+    # curation composition (subsumes sample_ops' split/mixture) + set ops
+    # + serving
+    "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "set_ops": q_set_ops,
     "serving_mart_view": q_serving_mart_view,
     # multimodal + streaming
@@ -3034,24 +3057,88 @@ FROM tg JOIN eg ON tg.g = eg.g
 GROUP BY tg.doc_id
 """
 
-ORACLES["sample_ops"] = """
-SELECT doc_id, source,
-       CASE WHEN sb < 8000 THEN 'train'
-            WHEN sb < 9000 THEN 'val'
-            ELSE 'test' END AS split,
-       CAST(CASE WHEN mb < CAST(FLOOR(rate * 10000) AS BIGINT)
-                 THEN 1 ELSE 0 END AS INT) AS mix_kept
-FROM (
-  SELECT doc_id, source,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
-           % 10000 AS sb,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
-           % 10000 AS mb,
-         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-                     WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.0
-                     ELSE 0.1 END AS rate
+# The full curation composition: every stage reconstructed in SQL, every
+# document's fate compared. The split/mixture hash expressions are the
+# former sample_ops oracle applied to the kept set.
+ORACLES["corpus_curation_pipeline"] = r"""
+WITH toks0 AS (
+  SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS t
   FROM documents
+),
+feats AS (
+  SELECT doc_id, source, text,
+         len(t) AS n_tokens,
+         CAST(len(list_filter(t, x -> lower(x) IN
+              ('a','an','and','the','of','to','in','is','it','that')))
+              AS DOUBLE) / greatest(len(t), 1) AS stop_ratio,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks0
+),
+flags AS (
+  SELECT doc_id, source, text,
+         (n_tokens >= 15 AND stop_ratio >= 0.01
+          AND CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+              / greatest(len(g), 1) <= 0.015) AS q_ok
+  FROM feats
+),
+qpass AS (SELECT doc_id, source, text FROM flags WHERE q_ok),
+ex_keep AS (SELECT MIN(doc_id) AS doc_id FROM qpass GROUP BY md5(text)),
+ex_surv AS (SELECT q.* FROM qpass q JOIN ex_keep e USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM ex_surv)
+),
+postings AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+near_drop AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+),
+kept AS (
+  SELECT e.doc_id, e.source FROM ex_surv e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM near_drop)
+),
+sampled AS (
+  SELECT doc_id,
+         CASE WHEN sb < 8000 THEN 'train'
+              WHEN sb < 9000 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(CASE WHEN mb < CAST(FLOOR(rate * 10000) AS BIGINT)
+                   THEN 1 ELSE 0 END AS INT) AS mix_kept
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
+             % 10000 AS sb,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+             % 10000 AS mb,
+           CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                       WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.0
+                       ELSE 0.1 END AS rate
+    FROM kept
+  )
 )
+SELECT f.doc_id, f.source,
+       CASE WHEN NOT f.q_ok THEN 'quality'
+            WHEN e.doc_id IS NULL THEN 'exact_dup'
+            WHEN k.doc_id IS NULL THEN 'near_dup'
+            ELSE 'kept' END AS fate,
+       s.split, s.mix_kept
+FROM flags f
+LEFT JOIN ex_surv e ON f.doc_id = e.doc_id
+LEFT JOIN kept k ON f.doc_id = k.doc_id
+LEFT JOIN sampled s ON f.doc_id = s.doc_id
 """
 
 ORACLES["text_chunks"] = r"""

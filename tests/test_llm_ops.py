@@ -577,3 +577,36 @@ def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
     assert out[3]["kept_hash"] == h("")
     assert (out[4]["n_segments"], out[4]["n_kept"]) == (3, 1)
     assert out[4]["kept_hash"] == h("g")
+
+
+def test_curate_corpus_assigns_every_fate(spark):
+    """The composed curation pipeline (functions/curation.py) must route
+    each crafted document to its first dropping stage: quality (too
+    short / no stopwords / repetitive), exact_dup (identical text,
+    larger id), near_dup (high-Jaccard neighbor, larger id), kept (+
+    split and mixture assignment present ONLY on kept rows)."""
+    from datawarehouse_group10_spark.functions.curation import curate_corpus
+
+    base = "the quick brown fox jumps over a lazy dog and then it runs far away to the hills"
+    near = base + " again"
+    rows = [
+        (1, "srcA", base),                      # kept (lowest id of near pair)
+        (2, "srcA", near),                      # near_dup of 1
+        (3, "srcA", "short text"),              # quality: < 15 tokens
+        (4, "srcA", " ".join(["zz"] * 30)),     # quality: no stopwords + repetitive
+        (5, "srcB", "an entirely different story about the sea and the wind that blows over it all day"),  # kept
+        (6, "srcB", "an entirely different story about the sea and the wind that blows over it all day"),  # exact_dup of 5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curate_corpus(docs, rates={"srcA": 1.0}, default_rate=0.0).collect()
+    }
+    assert out[1]["fate"] == "kept" and out[5]["fate"] == "kept"
+    assert out[2]["fate"] == "near_dup"
+    assert out[3]["fate"] == "quality" and out[4]["fate"] == "quality"
+    assert out[6]["fate"] == "exact_dup"
+    # split/mixture only on kept rows; srcA rate 1.0 -> kept, srcB 0.0 -> out
+    assert out[1]["split"] in ("train", "val", "test") and out[1]["mix_kept"] == 1
+    assert out[5]["mix_kept"] == 0
+    assert out[2]["split"] is None and out[3]["mix_kept"] is None
