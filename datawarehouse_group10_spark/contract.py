@@ -1337,18 +1337,32 @@ def q_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed + IVF partition-pruned ANN top-10 in one
-    surface-tagged result (the same consolidation shape as
-    sim_cosine_suite; both underlying q_* bodies stay importable and the
-    full LSH/IVF semantics remain oracle-checked — see their
-    docstrings)."""
+    """LSH-bucketed + IVF partition-pruned ANN top-10, plus the batched
+    exact kNN JOIN (top-5 neighbors for each of three query vectors —
+    `knn<q>` surfaces), in one surface-tagged result (the same
+    consolidation shape as sim_cosine_suite; the underlying q_* /
+    function bodies stay importable and every branch's full semantics
+    remain oracle-checked). The kNN join's cell-pruned scale variant
+    (:func:`knn_join_ivf`) is pytest-pinned exactly equal to the brute
+    join when every cell is probed."""
+    from .functions.similarity import knn_join
+
     lsh = q_sim_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("surface"), "vec_id", "cos5"
     )
     ivf = q_sim_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("surface"), "vec_id", "cos5"
     )
-    return lsh.unionByName(ivf)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    knn = knn_join(qs, emb, k=5).select(
+        F.concat(F.lit("knn"), F.col("q_id").cast("string")).alias("surface"),
+        "vec_id",
+        F.round("cosine", 5).alias("cos5"),
+    )
+    return lsh.unionByName(ivf).unionByName(knn)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2877,12 +2891,25 @@ ORDER BY {_COS_Q} DESC, e.vec_id
 LIMIT 10
 """
 
-# LSH + IVF ANN top-10 ride one surface-tagged suite (sim_ann_suite);
-# each branch keeps its full semantic oracle.
+# LSH + IVF ANN top-10 and the batched exact kNN join ride one
+# surface-tagged suite (sim_ann_suite); each branch keeps its full
+# semantic oracle (the kNN branch: per-query rank window, ties on id).
+_KNN_COS = """list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv)))"""
 ORACLES["sim_ann_suite"] = f"""
 SELECT 'lsh' AS surface, t.* FROM ({_LSH_TOPK_SQL}) t
 UNION ALL
 SELECT 'ivf' AS surface, t.* FROM ({_IVF_TOPK_SQL}) t
+UNION ALL
+SELECT 'knn' || CAST(q.vec_id AS VARCHAR) AS surface, e.vec_id,
+       round({_KNN_COS}, 5) AS cos5
+FROM embeddings e CROSS JOIN
+     (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 3)) q
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_KNN_COS} DESC, e.vec_id) <= 5
 """
 
 # Incremental MinHash vs the persisted corpus index must equal the

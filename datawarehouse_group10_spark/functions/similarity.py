@@ -323,3 +323,120 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched EXACT kNN: for every query row, the top-k corpus
+    neighbors by cosine, tie-broken on corpus id. Returns
+    (q_id, vec_id, cosine, rank) with rank 1..k per query.
+
+    Plan shape: the query batch broadcasts (a batch is small by
+    definition — broadcast beats shuffling the corpus), one corpus pass
+    computes |Q| cosines per row in codegen, then a per-query rank
+    window keeps k. The window shuffles on q_id, so each reducer ranks
+    one query's full candidate row set — acceptable for ground-truth /
+    sampled evaluation, NOT the per-query full corpus at 100 TB: that is
+    :func:`knn_join_ivf`, which prunes candidates to each query's probe
+    cells first so the window input is tiny.
+    """
+    from pyspark.sql import Window
+
+    cos = (
+        _dot(F.col(query_vec_col), F.col(vec_col))
+        / (_norm(F.col(query_vec_col)) * _norm(F.col(vec_col)))
+    ).alias("cosine")
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)))
+        .select(query_id_col, id_col, cos)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF kNN — the 100 TB shape of :func:`knn_join`: corpus
+    rows are assigned to centroid cells once (:func:`ivf_assign` —
+    persist partitioned by ``_cell`` in production and this becomes a
+    partition-pruned scan), each query selects its ``n_probe`` nearest
+    cells JVM-side (a |Q| x k_centroids literal cross join — no driver
+    collect of either side), and the exact rank window runs over probe
+    candidates only: per-query window input shrinks by ~n_probe /
+    k_centroids.
+
+    Exactness property (pytest-pinned): with ``n_probe >= len(centroids)``
+    every cell is probed, so the result equals :func:`knn_join`
+    bit-for-bit; smaller ``n_probe`` trades recall for scan reduction.
+    """
+    from pyspark.sql import Window
+
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    # distance rank per query over the centroid literal; ties to low cid
+    qcells = (
+        queries.select(query_id_col, query_vec_col, F.explode(cents).alias("c"))
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.col("c.cid").alias("_cell"),
+            (
+                _dot(F.col("c.cv"), F.col("c.cv"))
+                - 2 * _dot(F.col(query_vec_col), F.col("c.cv"))
+            ).alias("_d"),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_d").asc(), F.col("_cell"))
+    probes = (
+        qcells.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id_col, query_vec_col, "_cell")
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col).select(
+        id_col, vec_col, "_cell"
+    )
+    cos = (
+        _dot(F.col(query_vec_col), F.col(vec_col))
+        / (_norm(F.col(query_vec_col)) * _norm(F.col(vec_col)))
+    ).alias("cosine")
+    cand = assigned.join(F.broadcast(probes), "_cell").select(
+        query_id_col, id_col, cos
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

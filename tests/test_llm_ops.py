@@ -610,3 +610,38 @@ def test_curate_corpus_assigns_every_fate(spark):
     assert out[1]["split"] in ("train", "val", "test") and out[1]["mix_kept"] == 1
     assert out[5]["mix_kept"] == 0
     assert out[2]["split"] is None and out[3]["mix_kept"] is None
+
+
+def test_knn_join_and_ivf_variant(spark):
+    """Batched kNN join: (a) ranks are exact per query with deterministic
+    id tie-breaks; (b) the cell-pruned IVF variant equals the brute join
+    EXACTLY when every cell is probed (the candidate set is then the
+    whole corpus), and stays a subset-ranking at smaller n_probe."""
+    import pyspark.sql.functions as SF
+
+    from datawarehouse_group10_spark.functions.similarity import (
+        deterministic_centroids,
+        knn_join,
+        knn_join_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(SF.col("vec_id").isin(1, 5, 9)).select(
+        SF.col("vec_id").alias("q_id"), SF.col("embedding").alias("q_vec")
+    )
+    brute = knn_join(qs, emb, k=5)
+    rows = brute.collect()
+    assert len(rows) == 15  # 3 queries x top-5
+    for q in (1, 5, 9):  # each query's own vector is its rank-1 neighbor
+        mine = [r for r in rows if r["q_id"] == q and r["rank"] == 1]
+        assert mine[0]["vec_id"] == q and abs(mine[0]["cosine"] - 1.0) < 1e-9
+
+    cents = deterministic_centroids(emb, k=8)
+    full = knn_join_ivf(qs, emb, cents, k=5, n_probe=8)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, rows))
+
+    pruned = knn_join_ivf(qs, emb, cents, k=5, n_probe=2)
+    got = {(r["q_id"], r["vec_id"]) for r in pruned.collect()}
+    want = {(r["q_id"], r["vec_id"]) for r in rows}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
