@@ -54,11 +54,17 @@ HEADLINE = [
 ]
 
 #: Timed and reported, but NOT part of the headline total: alternative
-#: code paths whose cost should stay visible without double-counting the
-#: operator in the sum. dedup_minhash_oneshot is the in-query-shingling
-#: variant of the (now materialized-path) dedup_minhash_lsh headline.
+#: code paths and new compositions whose cost should stay visible
+#: without double-counting an operator in the sum or breaking the
+#: headline series' round-over-round comparability.
+#: - dedup_minhash_oneshot: in-query-shingling variant of the (now
+#:   materialized-path) dedup_minhash_lsh headline entry.
+#: - corpus_curation_pipeline: the composed quality→dedup→near-dup→
+#:   split/mixture run (dominated by the oracle-exact uncapped pair
+#:   join; production caps postings).
 SECONDARY = [
     "dedup_minhash_oneshot",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -27,6 +27,18 @@ from .dedup import exact_dedup, ngram_jaccard_pairs
 from .sampling import deterministic_split, mixture_sample
 from .text import quality_features, repetition_features
 
+#: Cached frames of the most recent curate_corpus call; released on the
+#: next call (same discipline as plans.medallion.run_full_pipeline — a
+#: long-lived driver holds at most one run's cached lineage).
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def release_curation_caches() -> None:
+    """Unpersist the cached stage frames of the last
+    :func:`curate_corpus` call (automatic on the next invocation)."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
 
 def curate_corpus(
     df: DataFrame,
@@ -42,6 +54,7 @@ def curate_corpus(
     default_rate: float = 0.1,
     train_frac: float = 0.8,
     val_frac: float = 0.1,
+    cache: bool = True,
 ) -> DataFrame:
     """Run the four-stage curation pipeline; return one audit row per
     input document: (id, source, fate, split, mix_kept).
@@ -67,7 +80,17 @@ def curate_corpus(
     ``max_posting_len`` bounds the near-dup inverted index at corpus
     scale (drops ubiquitous shingles — boilerplate — from candidate
     generation); ``None`` keeps it exact for oracle comparison.
+
+    ``cache`` persists the stage-survivor frames before the fan-out
+    (each feeds 2-4 consumers: the pair join's two sides, the next
+    stage, and the fate audit) — the in-memory stand-in for what a
+    deployed curation run does by WRITING each stage to parquet.
+    Without it the quality scan + dedup lineage re-derives per
+    consumer. Caches from the previous invocation release on entry
+    (:func:`release_curation_caches`).
     """
+    if cache:
+        release_curation_caches()
     q = quality_features(text_col)
     r = repetition_features(text_col, n=shingle_k)
     flagged = df.select(
@@ -81,6 +104,10 @@ def curate_corpus(
         ).alias("_q_ok"),
     )
 
+    if cache:
+        flagged = flagged.persist()
+        _ACTIVE_CACHES.append(flagged)
+
     quality_pass = flagged.filter(F.col("_q_ok")).select(
         id_col, "source", text_col
     )
@@ -89,6 +116,9 @@ def curate_corpus(
         F.col("keep_id").alias(id_col)
     )
     exact_surv = quality_pass.join(keepers, id_col, "left_semi")
+    if cache:
+        exact_surv = exact_surv.persist()
+        _ACTIVE_CACHES.append(exact_surv)
 
     pairs = ngram_jaccard_pairs(
         exact_surv,
@@ -100,6 +130,9 @@ def curate_corpus(
     )
     near_dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     kept = exact_surv.join(near_dropped, id_col, "left_anti")
+    if cache:
+        kept = kept.persist()
+        _ACTIVE_CACHES.append(kept)
 
     split = deterministic_split(
         kept, train_frac=train_frac, val_frac=val_frac

@@ -655,6 +655,14 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_posting_len)
             .drop("_df")
         )
+    else:
+        # Exchange-reuse for the self-join: pin ONE hash partitioning on
+        # the join key so both aliases share a single computation of the
+        # scan→shingle→explode lineage (ReusedExchange). Without it each
+        # side re-derives and shuffles independently — measured 17.1s vs
+        # 8.2s at sf0.1. The capped branch gets this for free from its
+        # posting-count join's exchange.
+        postings = postings.repartition("sh")
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
