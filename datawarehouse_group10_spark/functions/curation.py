@@ -55,6 +55,7 @@ def curate_corpus(
     train_frac: float = 0.8,
     val_frac: float = 0.1,
     cache: bool = True,
+    pre_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Run the four-stage curation pipeline; return one audit row per
     input document: (id, source, fate, split, mix_kept).
@@ -80,6 +81,14 @@ def curate_corpus(
     ``max_posting_len`` bounds the near-dup inverted index at corpus
     scale (drops ubiquitous shingles — boilerplate — from candidate
     generation); ``None`` keeps it exact for oracle comparison.
+
+    ``pre_shingled`` forwards a corpus-wide shingled projection (columns
+    ``id_col``, ``shingles``; same ``shingle_k``) to the near-dup stage —
+    see :func:`ngram_jaccard_pairs`. The stage then scans columnar
+    shingles (semi-joined to the exact-dedup survivors) instead of
+    re-deriving tokenize→shingle→explode from the raw text; at corpus
+    scale this turns the pipeline's heaviest string pass into a reused
+    artifact shared with the standalone MinHash/Jaccard queries.
 
     ``cache`` persists the stage-survivor frames before the fan-out
     (each feeds 2-4 consumers: the pair join's two sides, the next
@@ -127,6 +136,7 @@ def curate_corpus(
         max_posting_len=max_posting_len,
         text_col=text_col,
         id_col=id_col,
+        pre_shingled=pre_shingled,
     )
     near_dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     kept = exact_surv.join(near_dropped, id_col, "left_anti")

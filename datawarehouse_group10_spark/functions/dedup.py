@@ -632,6 +632,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_posting_len: int | None = 1_000,
+    pre_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-word-shingle Jaccard over pairs that share at least one
     shingle (inverted-index join — never a cross join). Returns
@@ -643,8 +644,24 @@ def ngram_jaccard_pairs(
     discriminative signal, and the denominators still use the FULL shingle
     counts so jaccard stays a lower bound, slightly conservative).
     ``None`` disables the cap — exact but quadratic on hot shingles.
+
+    ``pre_shingled`` supplies an already-shingled projection (columns
+    ``id_col``, ``shingles`` — typically :func:`materialize_shingles`'s
+    parquet reader, built with the SAME ``k``) covering a superset of
+    ``df``'s rows; a left-semi join on ``id_col`` restricts it to ``df``,
+    and in-query shingling is skipped entirely. This is how a composed
+    pipeline (e.g. curation's near-dup stage over quality/exact-dedup
+    survivors) reuses one corpus-wide shingle materialization instead of
+    re-deriving tokenize→slice→explode per stage.
     """
-    shingled = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    if pre_shingled is not None:
+        shingled = pre_shingled.select(F.col(id_col), "shingles").join(
+            df.select(id_col), id_col, "left_semi"
+        )
+    else:
+        shingled = df.select(
+            F.col(id_col), word_shingles(text_col, k).alias("shingles")
+        )
     postings = shingled.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
