@@ -1241,7 +1241,14 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted pair is exact-verified, identical hash family on both sides)
     restricted to pairs with at least one new-batch side — i.e. the
     incremental run must equal the new-involving subset of a full-corpus
-    run, which is the property that makes the index safe to use."""
+    run, which is the property that makes the index safe to use.
+
+    ``max_bucket_size=None`` here (r7, ADVICE r6): a combined band bucket
+    over the cap would silently exclude new-batch rows from candidate
+    generation, and the oracle's subset-equality property only holds
+    uncapped — same reasoning as the curation query's uncapped join. The
+    capped default remains the production knob for hot corpora, where the
+    dropped buckets are exact-dup residue, not signal."""
     _utc(spark)
     from .functions.dedup import (
         build_minhash_index,
@@ -1255,7 +1262,9 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), path)
         _MINHASH_INDEX_CACHE[sf_dir] = path
     new_batch = docs.filter(F.col("doc_id") % 4 == 0)
-    return incremental_minhash_dup_pairs(new_batch, path, jaccard_threshold=0.5)
+    return incremental_minhash_dup_pairs(
+        new_batch, path, jaccard_threshold=0.5, max_bucket_size=None
+    )
 
 
 def q_skew_salted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,24 +45,42 @@ def _file_ts_class(f: str, col: str) -> str:
         # silently off by 1000x after the div-1000 rebuild. Fail loudly via
         # the footer min/max stats (no data read): epoch nanos for any
         # plausible event time (>= ~1971) exceed 3e16; micros/millis never do.
+        # The check covers EVERY row group and REFUSES when any group lacks
+        # min/max stats (ADVICE r6: stats-less or later-group-only-small
+        # files must not silently classify as nanos — the exact corruption
+        # this guard exists to prevent). Row-group-free (empty) files carry
+        # no data to corrupt and pass through.
         md = pq.ParquetFile(f).metadata
         idx = schema.names.index(col)
-        if md.num_row_groups > 0:
-            st = md.row_group(0).column(idx).statistics
-            if st is not None and st.has_min_max and 0 < st.max < 3 * 10**16:
+        overall_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
                 raise ValueError(
-                    f"{f}: bare INT64 column {col!r} has max footer stat "
-                    f"{st.max} — too small for epoch nanoseconds (micros or "
-                    "millis?). Refusing to guess the unit; annotate the "
-                    "column as a parquet TIMESTAMP."
+                    f"{f}: bare INT64 column {col!r} has no min/max footer "
+                    f"statistics in row group {rg} — cannot verify the "
+                    "values are epoch nanoseconds (vs micros/millis, which "
+                    "would read 1000x off). Refusing to guess the unit; "
+                    "annotate the column as a parquet TIMESTAMP."
                 )
+            overall_max = st.max if overall_max is None else max(overall_max, st.max)
+        if overall_max is not None and 0 < overall_max < 3 * 10**16:
+            raise ValueError(
+                f"{f}: bare INT64 column {col!r} has max footer stat "
+                f"{overall_max} — too small for epoch nanoseconds (micros "
+                "or millis?). Refusing to guess the unit; annotate the "
+                "column as a parquet TIMESTAMP."
+            )
         return "nanos-long"
     raise TypeError(f"{f}: column {col!r} is {t}, not a timestamp or int64")
 
 
-#: Memoized layouts keyed by (abspath, mtime) — the probe is a cheap footer
-#: read, but it used to run once per query per bench repeat (VERDICT r5 #4).
-_LAYOUT_CACHE: dict[tuple[str, float], str] = {}
+#: Memoized layouts keyed by (abspath, sampled files' (name, mtime)) — the
+#: probe is a cheap footer read, but it used to run once per query per bench
+#: repeat (VERDICT r5 #4). Keying on the sampled files themselves (not the
+#: directory mtime) means an in-place file rewrite invalidates the cache
+#: even when the directory inode is untouched (ADVICE r6).
+_LAYOUT_CACHE: dict[tuple, str] = {}
 
 
 def events_ts_layout(path: str, col: str = "ts") -> str:
@@ -80,14 +98,14 @@ def events_ts_layout(path: str, col: str = "ts") -> str:
     every events consumer goes through this probe instead of assuming one.
     For a directory, up to 32 files (16 from each end of the sorted
     listing) are probed and a MIX of layout classes raises — one schema
-    must cover every file a (streaming) scan will read. Results are
-    memoized per (path, mtime).
+    must cover every file a (streaming) scan will read. A seam confined
+    to the un-sampled MIDDLE of a >32-file listing is outside the probe's
+    reach (the raise message says so); end-sampling catches the
+    write-order seams that actually occur. Results are memoized per
+    (path, sampled files' (name, mtime)) so an in-place rewrite of a
+    probed file invalidates the cache.
     """
-    key = (os.path.abspath(path), os.path.getmtime(path))
-    cached = _LAYOUT_CACHE.get(key)
-    if cached is not None:
-        return cached
-
+    apath = os.path.abspath(path)
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not parts:
@@ -96,16 +114,23 @@ def events_ts_layout(path: str, col: str = "ts") -> str:
         # thousands of files; the two ends catch the write-order/layout
         # seams that actually occur (old files + newly appended ones).
         sample = parts if len(parts) <= 32 else parts[:16] + parts[-16:]
-        classes = {f: _file_ts_class(f, col) for f in sample}
-        if len(set(classes.values())) > 1:
-            raise ValueError(
-                f"{path}: mixed {col!r} layouts across files — "
-                f"{classes}; one reader schema cannot cover both. "
-                "Rewrite the stragglers to a single physical layout."
-            )
-        layout = next(iter(classes.values()))
     else:
-        layout = _file_ts_class(path, col)
+        sample = [apath]
+    key = (apath, tuple((f, os.path.getmtime(f)) for f in sample))
+    cached = _LAYOUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    classes = {f: _file_ts_class(f, col) for f in sample}
+    if len(set(classes.values())) > 1:
+        raise ValueError(
+            f"{path}: mixed {col!r} layouts across sampled files — "
+            f"{classes}; one reader schema cannot cover both. (Sample is "
+            "the 16 first + 16 last of the sorted listing; a seam confined "
+            "to the middle of a larger listing would not be caught here.) "
+            "Rewrite the stragglers to a single physical layout."
+        )
+    layout = next(iter(classes.values()))
     _LAYOUT_CACHE[key] = layout
     return layout
 

@@ -843,3 +843,38 @@ def test_layout_probe_guards(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="mixed"):
         events_ts_layout(str(mixed))
+
+    # ADVICE r6: a bare INT64 WITHOUT footer min/max stats must refuse
+    # rather than silently classify as nanos (the unverifiable shape).
+    no_stats = str(tmp_path / "no_stats.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([micros, micros + 1], pa.int64())}),
+        no_stats,
+        write_statistics=False,
+    )
+    with _pytest.raises(ValueError, match="no min/max"):
+        events_ts_layout(no_stats)
+
+    # ...and the magnitude check covers EVERY row group, not just the
+    # first — a multi-group micros file (max over ALL groups still too
+    # small) refuses like the single-group one.
+    late_bad = str(tmp_path / "late_bad.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([micros, micros + 1, micros + 2,
+                                  micros + 3], pa.int64())}),
+        late_bad,
+        row_group_size=2,
+    )
+    with _pytest.raises(ValueError, match="epoch nano"):
+        events_ts_layout(late_bad)
+
+    # In-place rewrite invalidation: same path + same dir mtime semantics
+    # no longer apply — the cache keys on the sampled file's own mtime,
+    # so rewriting the file re-probes and flips the classification.
+    flip = str(tmp_path / "flip.parquet")
+    pq.write_table(pa.table({"ts": pa.array([nanos], pa.int64())}), flip)
+    assert events_ts_layout(flip) == "nanos-long"
+    import os as _os
+    pq.write_table(pa.table({"ts": pa.array([1], pa.timestamp("us"))}), flip)
+    _os.utime(flip, (1, 2))  # distinct mtime even on coarse filesystems
+    assert events_ts_layout(flip) == "timestamp"
