@@ -1375,14 +1375,20 @@ def q_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed + IVF partition-pruned ANN top-10, plus the batched
-    exact kNN JOIN (top-5 neighbors for each of three query vectors —
-    `knn<q>` surfaces), in one surface-tagged result (the same
-    consolidation shape as sim_cosine_suite; the underlying q_* /
-    function bodies stay importable and every branch's full semantics
-    remain oracle-checked). The kNN join's cell-pruned scale variant
-    (:func:`knn_join_ivf`) is pytest-pinned exactly equal to the brute
-    join when every cell is probed."""
-    from .functions.similarity import knn_join
+    kNN JOIN through BOTH implementations (top-5 neighbors for each of
+    three query vectors): the exact broadcast join (`knn<q>` surfaces)
+    and the IVF cell-pruned scale variant (`knnivf<q>` surfaces,
+    :func:`knn_join_ivf`) run at ``n_probe = len(centroids)`` — full
+    probe, where the pruned join is deterministically EQUAL to the brute
+    join, so the same per-query rank-window SQL oracle checks the whole
+    assign→probe→rank path (r6 verdict ask #4; partial-probe recall
+    trade-off stays pytest-pinned). One surface-tagged result, same
+    consolidation shape as sim_cosine_suite."""
+    from .functions.similarity import (
+        deterministic_centroids,
+        knn_join,
+        knn_join_ivf,
+    )
 
     lsh = q_sim_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("surface"), "vec_id", "cos5"
@@ -1399,7 +1405,13 @@ def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("cosine", 5).alias("cos5"),
     )
-    return lsh.unionByName(ivf).unionByName(knn)
+    cents = deterministic_centroids(emb, k=16)
+    knn_ivf = knn_join_ivf(qs, emb, cents, k=5, n_probe=len(cents)).select(
+        F.concat(F.lit("knnivf"), F.col("q_id").cast("string")).alias("surface"),
+        "vec_id",
+        F.round("cosine", 5).alias("cos5"),
+    )
+    return lsh.unionByName(ivf).unionByName(knn).unionByName(knn_ivf)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2965,6 +2977,16 @@ UNION ALL
 SELECT 'ivf' AS surface, t.* FROM ({_IVF_TOPK_SQL}) t
 UNION ALL
 SELECT 'knn' || CAST(q.vec_id AS VARCHAR) AS surface, e.vec_id,
+       round({_KNN_COS}, 5) AS cos5
+FROM embeddings e CROSS JOIN
+     (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 3)) q
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_KNN_COS} DESC, e.vec_id) <= 5
+UNION ALL
+-- knn_join_ivf at full probe (n_probe = 16 = every cell) is
+-- deterministically equal to the brute join: same rank-window oracle.
+SELECT 'knnivf' || CAST(q.vec_id AS VARCHAR) AS surface, e.vec_id,
        round({_KNN_COS}, 5) AS cos5
 FROM embeddings e CROSS JOIN
      (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
