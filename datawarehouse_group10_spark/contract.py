@@ -107,6 +107,8 @@ def _cleanup_stream_work() -> None:
 
     for d in _STREAM_WORK_CACHE.values():
         _shutil.rmtree(d, ignore_errors=True)
+    for d in _STREAM_SUITE_CACHE.values():
+        _shutil.rmtree(d, ignore_errors=True)
     for p in _SHINGLE_DIR_CACHE.values():
         _shutil.rmtree(os.path.dirname(p), ignore_errors=True)
     for d in _MINHASH_INDEX_CACHE.values():
@@ -1037,6 +1039,25 @@ def q_w4_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w4_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 top-k pagination + the set operators, consolidated into one
+    surface-tagged row (r7: frees a registry slot for stream_suite while
+    keeping both driver-checked). ``top20``: TakeOrderedAndProject over
+    orders (k=o_orderkey, v=o_totalprice); ``setops``: intersect/except
+    customer sets (k=custkey, v NULL)."""
+    topk = q_w4_top_k(spark, sf_dir).select(
+        F.lit("top20").alias("surface"),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_totalprice").alias("v"),
+    )
+    setops = q_set_ops(spark, sf_dir).select(
+        F.lit("setops").alias("surface"),
+        F.col("custkey").cast("bigint").alias("k"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return topk.unionByName(setops)
+
+
 def q_w5_recency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
@@ -1849,6 +1870,116 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-sf_dir staged work dir for q_stream_suite (two-file CSV split of
+#: the lottery bronze + streaming sinks), cleaned at exit.
+_STREAM_SUITE_CACHE: dict[str, str] = {}
+
+
+def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two STATEFUL streaming operators under the driver oracle (r6
+    verdict ask #5 — both were pytest-only), one surface-tagged row:
+
+    - ``upsert``: streaming mart maintenance via ``foreachBatch``
+      (streaming/__init__.py:run_stream_mart_upsert). The lottery bronze
+      is staged as TWO date-disjoint CSV files and streamed one file per
+      micro-batch; each batch runs the medallion to its partial mart and
+      merges into the persisted serving mart (occurrences add,
+      last-appearance maxes, denominator adds, probability re-derived),
+      exactly-once over the file source via the checkpoint WAL. The
+      oracle is the ONE-SHOT batch mart (_LOTTERY_CTE) — streaming
+      incremental view maintenance must land bit-equal to the full load.
+    - ``interval``: the watermarked stream-stream interval join
+      (attributed_conversions): every purchase paired with the same
+      user's clicks in the preceding hour, append-mode through the
+      deployable parquet sink + checkpoint. Inner-join matches emit
+      without waiting on the watermark, so a finite backfill needs no
+      sentinel; the oracle is the plain batch range-join SQL.
+
+    Harmonized columns (suite shape): s1/i1/i2/i3/d1/s2 per surface —
+    upsert: (number_value, total_occurrences, total_draws,
+    days_since_last, probability, last_appeared_date); interval:
+    (user_id, purchase_id, click_id, purchase-click lag in MICROSECONDS
+    — exact integer arithmetic on both engines, no second-truncation
+    ambiguity — purchase_value, purchase_ts).
+    """
+    _utc(spark)
+    import glob as _glob
+    import shutil as _shutil
+
+    from .streaming import (
+        attributed_conversions,
+        read_crawl_csv_stream,
+        run_stream_mart_upsert,
+        run_stream_to_parquet,
+    )
+
+    work = _STREAM_SUITE_CACHE.get(sf_dir)
+    if work is None:
+        # Stage once per (process, sf_dir): the CSV split is a pure
+        # function of the immutable testdata. Streaming outputs and
+        # checkpoints are wiped per invocation below, so every run times
+        # the full streaming path, not a cached result.
+        work = tempfile.mkdtemp(prefix="stream_suite_")
+        src_dir = os.path.join(work, "csv_in")
+        os.makedirs(src_dir)
+        bronze = lottery_bronze(spark, sf_dir).select(
+            "prize",
+            "number_value",
+            "full_date",
+            F.date_format("load_timestamp", "yyyy-MM-dd HH:mm:ss").alias(
+                "created_at"
+            ),
+        )
+        day = F.substring("full_date", 1, 2).cast("int")
+        halves = (("b1", bronze.filter(day <= 15)), ("b2", bronze.filter(day > 15)))
+        for tag, part_df in halves:
+            stage = os.path.join(work, f"stage_{tag}")
+            write_crawl_csv(part_df.coalesce(1), stage)
+            src = _glob.glob(os.path.join(stage, "*.csv"))[0]
+            _shutil.copy(src, os.path.join(src_dir, f"{tag}.csv"))
+        _STREAM_SUITE_CACHE[sf_dir] = work
+    src_dir = os.path.join(work, "csv_in")
+    mart_dir = os.path.join(work, "mart")
+    ckpt = os.path.join(work, "ckpt")
+    attr_out = os.path.join(work, "attr_out")
+    attr_ckpt = os.path.join(work, "attr_ckpt")
+    for d in (mart_dir, ckpt, attr_out, attr_ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
+
+    run_stream_mart_upsert(
+        read_crawl_csv_stream(spark, src_dir, max_files_per_trigger=1),
+        mart_dir,
+        ckpt,
+        as_of=AS_OF,
+    )
+    upsert = spark.read.parquet(mart_dir).select(
+        F.lit("upsert").alias("surface"),
+        F.col("number_value").alias("s1"),
+        F.col("total_occurrences").cast("bigint").alias("i1"),
+        F.col("total_draws").cast("bigint").alias("i2"),
+        F.col("days_since_last").cast("bigint").alias("i3"),
+        F.col("probability").cast("double").alias("d1"),
+        F.date_format("last_appeared_date", "yyyy-MM-dd").alias("s2"),
+    )
+
+    stream = attributed_conversions(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    run_stream_to_parquet(stream, attr_out, attr_ckpt)
+    interval = spark.read.parquet(attr_out).select(
+        F.lit("interval").alias("surface"),
+        F.col("user_id").cast("string").alias("s1"),
+        F.col("purchase_id").cast("bigint").alias("i1"),
+        F.col("click_id").cast("bigint").alias("i2"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .cast("bigint")
+        .alias("i3"),
+        F.col("purchase_value").cast("double").alias("d1"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("s2"),
+    )
+    return upsert.unionByName(interval)
+
+
 # ---------------------------------------------------------------------------
 # Consolidated suites
 #
@@ -2180,9 +2311,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_scalar_suite": q_tpch_scalar_suite,
     "tpch_grouped_suite": q_tpch_grouped_suite,
-    # windows
+    # windows (+ set ops riding the w4 suite)
     "w_recency_suite": q_w_recency_suite,
-    "w4_top_k": q_w4_top_k,
+    "w4_set_suite": q_w4_set_suite,
     "w7_sessionize": q_w7_sessionize,
     # text analysis (language-id rides text_corpus_stats' `lang` rows)
     "text_features": q_text_features,
@@ -2204,14 +2335,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # skew discipline + SCD2
     "skew_salted_suite": q_skew_salted_suite,
     "scd2_suite": q_scd2_suite,
-    # curation composition (subsumes sample_ops' split/mixture) + set ops
-    # + serving
+    # curation composition (subsumes sample_ops' split/mixture) + serving
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
-    "set_ops": q_set_ops,
     "serving_mart_view": q_serving_mart_view,
-    # multimodal + streaming
+    # multimodal + streaming (stateless windowed agg; stateful suite:
+    # foreachBatch mart upsert + stream-stream interval join)
     "multimodal_decode": q_multimodal_decode,
     "stream_hourly_counts": q_stream_hourly_counts,
+    "stream_suite": q_stream_suite,
 }
 
 
@@ -2584,9 +2715,21 @@ FROM (
   FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
 )
 """,
-    "w4_top_k": """
-SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
-FROM orders ORDER BY o_totalprice DESC LIMIT 20
+    "w4_set_suite": """
+SELECT 'top20' AS surface, k, v FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders ORDER BY o_totalprice DESC LIMIT 20
+)
+UNION ALL
+SELECT 'setops' AS surface, CAST(o_custkey AS BIGINT) AS k,
+       CAST(NULL AS DOUBLE) AS v
+FROM (
+  (SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) <= 1997
+   INTERSECT
+   SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1998)
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
 """,
     "text_features": r"""
 WITH grams AS (
@@ -2829,15 +2972,6 @@ FROM (
   FROM events GROUP BY 1
 )
 """,
-    "set_ops": """
-SELECT o_custkey AS custkey FROM (
-  (SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) <= 1997
-   INTERSECT
-   SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1998)
-  EXCEPT ALL
-  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
-)
-""",
     "serving_mart_view": _LOTTERY_CTE + """
 SELECT number_value,
        total_occurrences,
@@ -2864,6 +2998,35 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2
 """,
 }
+
+# Stateful streaming suite: the foreachBatch mart upsert must equal the
+# one-shot batch mart (_LOTTERY_CTE, the same incremental-view-
+# maintenance property pipeline_incremental proves for the batch path),
+# and the stream-stream interval join must equal the plain batch
+# range join. The lag column is exact integer microseconds (epoch_us
+# difference) — no second-truncation ambiguity across engines.
+ORACLES["stream_suite"] = _LOTTERY_CTE + """
+SELECT 'upsert' AS surface,
+       number_value AS s1,
+       total_occurrences AS i1,
+       CAST(total_draws AS BIGINT) AS i2,
+       CAST(days_since_last AS BIGINT) AS i3,
+       probability AS d1,
+       strftime(last_appeared_date, '%Y-%m-%d') AS s2
+FROM mart
+UNION ALL
+SELECT 'interval' AS surface,
+       CAST(p.user_id AS VARCHAR) AS s1,
+       CAST(p.event_id AS BIGINT) AS i1,
+       CAST(c.event_id AS BIGINT) AS i2,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS i3,
+       CAST(p.value AS DOUBLE) AS d1,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS s2
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
 
 # The capped/uncapped suite renders from the shared core.
 ORACLES["dedup_ngram_jaccard"] = ORACLES["dedup_ngram_jaccard"].format(
