@@ -1764,10 +1764,44 @@ def q_serving_mart_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode through the Arrow-batched mapInPandas path, two
+    surfaces (r7 adds ``wav``):
+
+    - ``fake``: the deterministic pseudo-decode over binary payloads
+      (d1=width, d2=height, digest=md5 of the payload) — plumbing,
+      schema, batching checked end-to-end with zero codec deps.
+    - ``wav``: a REAL codec round trip — deterministic PCM WAV
+      containers synthesized per doc (stdlib ``wave``), decoded back
+      with :func:`decode_audio_features` (d1=n_samples, d2=sample_rate,
+      metric=mean amplitude). Sample counts/means have a SQL closed form
+      (pure integer function of doc_id), so the decoder's OUTPUT is
+      driver-oracle-checked, not just pinned. The payload md5 is
+      projected out (no SQL form for RIFF bytes); compressed codecs stay
+      the documented env-limited NotImplementedError."""
     _utc(spark)
+    from .multimodal import decode_audio_features, synthesize_wav_payload
+
     docs = _t(spark, sf_dir, "documents")
     binary_docs = attach_binary_payload(docs)
-    return decode_features(binary_docs)
+    fake = decode_features(binary_docs).select(
+        F.lit("fake").alias("surface"),
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("d1"),
+        F.col("height").cast("bigint").alias("d2"),
+        F.lit(None).cast("double").alias("metric"),
+        "digest",
+    )
+    wav = decode_audio_features(synthesize_wav_payload(docs)).select(
+        F.lit("wav").alias("surface"),
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("n_samples").cast("bigint").alias("d1"),
+        F.col("sample_rate").cast("bigint").alias("d2"),
+        F.col("mean_amp").alias("metric"),
+        F.lit(None).cast("string").alias("digest"),
+    )
+    return fake.unionByName(wav)
 
 
 def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2982,14 +3016,34 @@ SELECT number_value,
             ELSE 'long' END AS recency
 FROM mart
 """,
+    # fake surface: pseudo-decode of the UTF-8 payload. wav surface: the
+    # PCM synth→decode round trip — n_samples = doc_id%50+10, container
+    # is the 44-byte RIFF header + 2 bytes/sample, and the mean is the
+    # closed-form integer sum (exact bigint) divided as double.
     "multimodal_decode": """
-SELECT doc_id,
-       'application/fake' AS media_type,
+SELECT 'fake' AS surface,
+       doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 64 AS INT) AS width,
-       CAST((octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS d1,
+       CAST((octet_length(encode(text)) // 64) % 64 AS BIGINT) AS d2,
+       CAST(NULL AS DOUBLE) AS metric,
        md5(text) AS digest
 FROM documents
+UNION ALL
+SELECT 'wav' AS surface,
+       s.doc_id,
+       CAST(44 + 2 * MAX(s.ns) AS BIGINT) AS n_bytes,
+       CAST(MAX(s.ns) AS BIGINT) AS d1,
+       CAST(16000 AS BIGINT) AS d2,
+       CAST(SUM(s.samp) AS DOUBLE) / MAX(s.ns) AS metric,
+       CAST(NULL AS VARCHAR) AS digest
+FROM (
+  SELECT d.doc_id,
+         d.doc_id % 50 + 10 AS ns,
+         ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS samp
+  FROM documents d JOIN range(0, 60) t(i) ON t.i < d.doc_id % 50 + 10
+) s
+GROUP BY s.doc_id
 """,
     "stream_hourly_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

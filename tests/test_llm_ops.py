@@ -201,6 +201,38 @@ def test_multimodal_unknown_media_type_still_raises(spark):
         decode_features(df).collect()
 
 
+def test_wav_synth_decode_roundtrip(spark, docs):
+    """PCM WAV round trip through stdlib wave (r7, VERDICT r6 #7): the
+    synthesized container decodes back to exactly the closed-form sample
+    count, 16kHz mono params, 44-byte-header byte length, and the
+    exact-integer mean amplitude."""
+    from datawarehouse_group10_spark.multimodal import (
+        decode_audio_features,
+        synthesize_wav_payload,
+    )
+
+    wav = synthesize_wav_payload(docs)
+    feats = {r["doc_id"]: r for r in decode_audio_features(wav).collect()}
+    for doc_id, r in feats.items():
+        n = doc_id % 50 + 10
+        assert r["n_samples"] == n
+        assert (r["n_channels"], r["sample_rate"]) == (1, 16000)
+        assert r["n_bytes"] == 44 + 2 * n
+        expected_mean = sum(
+            ((doc_id * 31 + j * 7) % 65536) - 32768 for j in range(n)
+        ) / n
+        assert r["mean_amp"] == expected_mean
+    # compressed audio still refuses loudly
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"OggS...."), "audio/ogg")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    with pytest.raises(Exception, match="no codec|NotImplementedError"):
+        decode_audio_features(bad).collect()
+
+
 def test_ivf_topk_agrees_with_brute_force(spark, vecs):
     from datawarehouse_group10_spark.functions.similarity import (
         deterministic_centroids,
