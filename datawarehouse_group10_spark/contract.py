@@ -1980,12 +1980,24 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (mart_dir, ckpt, attr_out, attr_ckpt):
         _shutil.rmtree(d, ignore_errors=True)
 
-    run_stream_mart_upsert(
-        read_crawl_csv_stream(spark, src_dir, max_files_per_trigger=1),
-        mart_dir,
-        ckpt,
-        as_of=AS_OF,
-    )
+    # Same state-store sizing as q_stream_hourly_counts: instance count ==
+    # shuffle partitions at stream start; 32 stores are pure overhead for
+    # this state volume (a cluster sizes to executor-core count instead).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_mart_upsert(
+            read_crawl_csv_stream(spark, src_dir, max_files_per_trigger=1),
+            mart_dir,
+            ckpt,
+            as_of=AS_OF,
+        )
+        stream = attributed_conversions(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        run_stream_to_parquet(stream, attr_out, attr_ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     upsert = spark.read.parquet(mart_dir).select(
         F.lit("upsert").alias("surface"),
         F.col("number_value").alias("s1"),
@@ -1996,10 +2008,6 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_appeared_date", "yyyy-MM-dd").alias("s2"),
     )
 
-    stream = attributed_conversions(
-        spark, os.path.join(sf_dir, "events.parquet")
-    )
-    run_stream_to_parquet(stream, attr_out, attr_ckpt)
     interval = spark.read.parquet(attr_out).select(
         F.lit("interval").alias("surface"),
         F.col("user_id").cast("string").alias("s1"),
