@@ -1226,7 +1226,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recall per pair is 1 - (1 - j^4)^16, which at the corpus's
     observed pair similarities (all j >= 0.9, measured at sf0.01 and
     sf0.1) is 1 - ~4e-8 — deterministic equality at test scales.
-    xxhash64 itself stays un-oracled; its OUTPUT is what's checked."""
+    xxhash64 itself stays un-oracled; its OUTPUT is what's checked.
+
+    The equality additionally assumes no band bucket exceeds
+    ``max_bucket_size`` (10k default; measured max bucket is 3-4 docs on
+    this corpus) — an over-cap bucket would drop candidates the
+    exact oracle keeps. The incremental variant, whose subset-equality
+    property is harder to eyeball, runs uncapped for exactly this
+    reason (see q_dedup_minhash_incremental)."""
     _utc(spark)
     docs = _t(spark, sf_dir, "documents")
     pre = staged_shingles(spark, sf_dir)
