@@ -2222,13 +2222,21 @@ def q_statistics_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality features + Gopher-style repetition on ONE
     scan of documents — the per-doc feature pass a corpus pipeline
-    actually runs (computing them together is the production shape)."""
+    actually runs (computing them together is the production shape).
+    r7 adds corpus-relative NOVELTY (rare-shingle ratio,
+    functions/text.py::novelty_features): the across-corpus axis next to
+    repetition's within-doc axis, fed from the shared materialized
+    shingle parquet; exact integer/rational arithmetic so the oracle
+    equality is bit-level, no transcendental functions involved."""
     _utc(spark)
-    from .functions.text import repetition_features
+    from .functions.text import novelty_features, repetition_features
 
     docs = _t(spark, sf_dir, "documents")
     q = quality_features("text")
     r = repetition_features("text", n=3)
+    nov = novelty_features(
+        docs, k=3, rare_df=1, pre_shingled=staged_shingles(spark, sf_dir)
+    )
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -2240,6 +2248,14 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["n_grams"].alias("n_grams"),
         r["n_distinct_grams"].alias("n_distinct_grams"),
         F.round(r["dup_gram_ratio"], 6).alias("dup_ratio6"),
+    ).join(
+        nov.select(
+            "doc_id",
+            F.col("n_shingles").alias("n_sh3"),
+            F.col("n_rare").alias("n_rare3"),
+            "novelty_ratio",
+        ),
+        "doc_id",
     )
 
 
@@ -2788,6 +2804,14 @@ WITH grams AS (
                     FOR i IN range(1, len(t) - 1)]
               ELSE [array_to_string(t, ' ')] END AS g
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+),
+post AS (SELECT doc_id, unnest(list_distinct(g)) AS s FROM grams),
+dfreq AS (SELECT s, COUNT(*) AS dfc FROM post GROUP BY s),
+nov AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_sh3,
+         CAST(SUM(CASE WHEN f.dfc <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare3
+  FROM post p JOIN dfreq f USING (s) GROUP BY p.doc_id
 )
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -2809,8 +2833,11 @@ SELECT d.doc_id,
        CAST(len(g.g) AS BIGINT) AS n_grams,
        CAST(len(list_distinct(g.g)) AS BIGINT) AS n_distinct_grams,
        round(CAST(len(g.g) - len(list_distinct(g.g)) AS DOUBLE)
-             / greatest(len(g.g), 1), 6) AS dup_ratio6
-FROM documents d JOIN grams g USING (doc_id)
+             / greatest(len(g.g), 1), 6) AS dup_ratio6,
+       n.n_sh3,
+       n.n_rare3,
+       CAST(n.n_rare3 AS DOUBLE) / n.n_sh3 AS novelty_ratio
+FROM documents d JOIN grams g USING (doc_id) JOIN nov n USING (doc_id)
 """,
     # (whole-text md5 dedup, rolling fingerprints, and language-id now
     # ride dedup_exact_suite / text_corpus_stats so every surface stays

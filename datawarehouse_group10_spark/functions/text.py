@@ -191,6 +191,62 @@ def vocabulary(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def novelty_features(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    rare_df: int = 1,
+    pre_shingled=None,
+):
+    """Per-document corpus-relative novelty: of a doc's DISTINCT k-word
+    shingles, how many have corpus document frequency <= ``rare_df``
+    ("rare" — attested in no other document at the default). Returns
+    (id, n_shingles, n_rare, novelty_ratio).
+
+    The signal a curation pass reads two ways: ratio ~1 on a corpus of
+    any size means content unattested elsewhere (OCR noise / gibberish,
+    or genuinely novel text worth keeping for diversity — either way the
+    rows a reviewer wants surfaced); ratio ~0 means boilerplate shared
+    with many documents. Complements :func:`repetition_features`
+    (WITHIN-doc duplication) with the ACROSS-corpus axis.
+
+    Scale shape: one shuffle on the shingle string (the same uniform
+    inverted-index key as the Jaccard join) for document frequencies,
+    one join back, one per-doc aggregate. Exact integer counts and an
+    int/int double division end-to-end — engine-portable, no RNG, no
+    transcendental functions. ``pre_shingled`` reuses a materialized
+    shingle projection (superset ok, left-semi restricted; same ``k``)
+    exactly as :func:`..dedup.ngram_jaccard_pairs` does.
+    """
+    from .dedup import word_shingles
+
+    if pre_shingled is not None:
+        shingled = pre_shingled.select(F.col(id_col), "shingles").join(
+            df.select(id_col), id_col, "left_semi"
+        )
+    else:
+        shingled = df.select(
+            F.col(id_col), word_shingles(text_col, k).alias("shingles")
+        )
+    postings = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    # word_shingles emits per-doc DISTINCT shingles, so count(*) per
+    # shingle IS its document frequency — no countDistinct shuffle.
+    dfreq = postings.groupBy("sh").agg(F.count("*").cast("bigint").alias("_df"))
+    return (
+        postings.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("_df") <= rare_df).cast("bigint")).alias("n_rare"),
+        )
+        .withColumn(
+            "novelty_ratio",
+            F.col("n_rare").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
 def ngram_counts(df, text_col: str = "text", n: int = 2):
     """Word n-gram frequency over the corpus (training-data n-gram stats /
     contamination screens). Shingle arrays are built per row JVM-side and

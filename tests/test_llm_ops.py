@@ -201,6 +201,39 @@ def test_multimodal_unknown_media_type_still_raises(spark):
         decode_features(df).collect()
 
 
+def test_novelty_features_rare_vs_shared(spark):
+    """Corpus-relative novelty: a doc whose shingles appear nowhere else
+    scores 1.0, two identical docs score 0.0 (every shingle attested in
+    the twin), and a pre_shingled superset projection restricted by
+    semi-join gives identical results."""
+    from datawarehouse_group10_spark.functions.dedup import word_shingles
+    from datawarehouse_group10_spark.functions.text import novelty_features
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely unique content appearing in no other document here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in novelty_features(corpus).collect()}
+    assert got[1]["novelty_ratio"] == 0.0 and got[2]["novelty_ratio"] == 0.0
+    assert got[3]["novelty_ratio"] == 1.0
+    assert got[3]["n_rare"] == got[3]["n_shingles"]
+
+    pre = corpus.select(
+        F.col("doc_id"), word_shingles("text", 3).alias("shingles")
+    )
+    via_pre = {
+        r["doc_id"]: r
+        for r in novelty_features(corpus, pre_shingled=pre).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in via_pre.items()
+    }
+
+
 def test_wav_synth_decode_roundtrip(spark, docs):
     """PCM WAV round trip through stdlib wave (r7, VERDICT r6 #7): the
     synthesized container decodes back to exactly the closed-form sample
