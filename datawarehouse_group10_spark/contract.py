@@ -1784,9 +1784,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       (pure integer function of doc_id), so the decoder's OUTPUT is
       driver-oracle-checked, not just pinned. The payload md5 is
       projected out (no SQL form for RIFF bytes); compressed codecs stay
-      the documented env-limited NotImplementedError."""
+      the documented env-limited NotImplementedError.
+    - ``y4m``: the video twin — deterministic YUV4MPEG2 streams (a real
+      container: text header + FRAME markers + raw planes) parsed by a
+      hand-rolled zero-dependency decoder (d1=n_frames, d2=width,
+      metric=mean luma; closed form again). Image (Pillow) / audio
+      (wave) / video (Y4M) each now have one REAL parser through the
+      same Arrow batch path."""
     _utc(spark)
-    from .multimodal import decode_audio_features, synthesize_wav_payload
+    from .multimodal import (
+        decode_audio_features,
+        decode_video_features,
+        synthesize_wav_payload,
+        synthesize_y4m_payload,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     binary_docs = attach_binary_payload(docs)
@@ -1808,7 +1819,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_amp").alias("metric"),
         F.lit(None).cast("string").alias("digest"),
     )
-    return fake.unionByName(wav)
+    y4m = decode_video_features(synthesize_y4m_payload(docs)).select(
+        F.lit("y4m").alias("surface"),
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("n_frames").cast("bigint").alias("d1"),
+        F.col("width").cast("bigint").alias("d2"),
+        F.col("mean_luma").alias("metric"),
+        F.lit(None).cast("string").alias("digest"),
+    )
+    return fake.unionByName(wav).unionByName(y4m)
 
 
 def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,6 +3106,24 @@ FROM (
   FROM documents d JOIN range(0, 60) t(i) ON t.i < d.doc_id % 50 + 10
 ) s
 GROUP BY s.doc_id
+UNION ALL
+SELECT 'y4m' AS surface,
+       v.doc_id,
+       CAST(length('YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono') + 1
+            + MAX(v.nf) * 22 AS BIGINT) AS n_bytes,
+       CAST(MAX(v.nf) AS BIGINT) AS d1,
+       CAST(4 AS BIGINT) AS d2,
+       CAST(SUM(v.luma) AS DOUBLE) / (MAX(v.nf) * 16) AS metric,
+       CAST(NULL AS VARCHAR) AS digest
+FROM (
+  SELECT d.doc_id,
+         d.doc_id % 8 + 2 AS nf,
+         (d.doc_id * 7 + f.i * 13 + j.i) % 256 AS luma
+  FROM documents d
+  JOIN range(0, 10) f(i) ON f.i < d.doc_id % 8 + 2
+  CROSS JOIN range(0, 16) j(i)
+) v
+GROUP BY v.doc_id
 """,
     "stream_hourly_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

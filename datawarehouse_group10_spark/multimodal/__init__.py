@@ -13,14 +13,16 @@ Design (the part that matters at 100 TB):
 - Codecs are OPTIONAL dependencies: ``image/*`` dispatches to Pillow
   when importable (checked per executor inside the batch function, so a
   cluster only needs Pillow on executors); PCM WAV decodes with the
-  stdlib ``wave`` module + numpy (:func:`decode_audio_features` — no
-  optional dependency at all); remaining media types (compressed
-  audio/video — soundfile/av) raise ``NotImplementedError``.
-  ``application/fake`` produces a deterministic pseudo-decode so the
-  Spark-side plumbing (schema, batching, partitioning) is exercised
-  end-to-end with zero codec dependencies — that path, plus the WAV
-  synth→decode round trip (whose sample counts/means have a SQL closed
-  form), is what the driver's oracle checks.
+  stdlib ``wave`` module + numpy (:func:`decode_audio_features`) and
+  YUV4MPEG2 video with a hand-rolled header/FRAME parser
+  (:func:`decode_video_features`) — neither needs any optional
+  dependency; remaining media types (compressed audio/video —
+  soundfile/av) raise ``NotImplementedError``. ``application/fake``
+  produces a deterministic pseudo-decode so the Spark-side plumbing
+  (schema, batching, partitioning) is exercised end-to-end with zero
+  codec dependencies — that path, plus the WAV and Y4M synth→decode
+  round trips (whose sample/frame counts and means have SQL closed
+  forms), is what the driver's oracle checks.
 
 Batch-shape note: mapInPandas receives an iterator of pandas DataFrames
 (one per Arrow batch, bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``)
@@ -41,6 +43,8 @@ __all__ = [
     "decode_features",
     "synthesize_wav_payload",
     "decode_audio_features",
+    "synthesize_y4m_payload",
+    "decode_video_features",
     "resize_stub",
     "frame_sample_stub",
 ]
@@ -265,6 +269,139 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             ]
 
     return df.mapInPandas(_batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+#: Output schema of decode_video_features.
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, n_bytes BIGINT, width INT, "
+    "height INT, fps_num INT, n_frames BIGINT, mean_luma DOUBLE, "
+    "digest STRING"
+)
+
+#: Y4M synth geometry (kept tiny so the closed-form oracle join stays
+#: cheap): 4x4 mono frames, 2-9 frames per doc.
+_Y4M_W = 4
+_Y4M_H = 4
+_Y4M_HEADER = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\x0A"
+
+
+def synthesize_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic YUV4MPEG2 (Y4M) video payloads from the documents
+    table: doc i carries ``(doc_id % 8) + 2`` frames of 4x4 mono luma
+    where ``byte[f][j] = (doc_id*7 + f*13 + j) % 256`` — a pure integer
+    function of doc_id, so frame counts and mean luma have a SQL closed
+    form (the driver-oracle hook, same pattern as the WAV path). Y4M is
+    a REAL container (ffmpeg/mjpegtools): plain-text stream header then
+    ``FRAME\\n`` + raw planes per frame — the simplest format that makes
+    the video decode path exercise an actual parser rather than a stub."""
+    schema = "doc_id BIGINT, content BINARY, media_type STRING"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        npix = _Y4M_W * _Y4M_H
+
+        def _y4m(doc_id: int) -> bytes:
+            nf = int(doc_id) % 8 + 2
+            out = [_Y4M_HEADER]
+            j = _np.arange(npix, dtype=_np.int64)
+            for f in range(nf):
+                luma = ((int(doc_id) * 7 + f * 13 + j) % 256).astype(_np.uint8)
+                out.append(b"FRAME\x0A" + luma.tobytes())
+            return b"".join(out)
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "content": [_y4m(d) for d in pdf["doc_id"]],
+                    "media_type": "video/x-yuv4mpeg",
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _batches, schema=schema
+    )
+
+
+def decode_video_features(df: DataFrame) -> DataFrame:
+    """Decode Y4M video payloads with one Arrow-batched mapInPandas pass:
+    parse the stream header (W/H/F tags), iterate FRAME markers, and
+    compute the frame count and mean luma (exact-integer-sum / count —
+    bit-identical to ``CAST(SUM(b) AS DOUBLE) / n`` in SQL). Mono
+    (Cmono) colorspace only — 4:2:0 et al. refuse loudly, as do
+    non-Y4M media types: compressed video stays the documented
+    env-limited gap (PyAV not in this container)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(payload: bytes, media_type: str) -> dict:
+            if media_type != "video/x-yuv4mpeg":
+                raise NotImplementedError(
+                    f"decode_video_features: no codec for {media_type!r} "
+                    "(Y4M only; compressed video needs PyAV)"
+                )
+            nl = payload.index(b"\x0A")
+            header = payload[:nl].decode("ascii")
+            tags = header.split(" ")
+            if tags[0] != "YUV4MPEG2":
+                raise ValueError("not a YUV4MPEG2 stream")
+            params = {t[0]: t[1:] for t in tags[1:] if t}
+            w, h = int(params["W"]), int(params["H"])
+            fps_num = int(params.get("F", "25:1").split(":")[0])
+            cs = params.get("C", "420")
+            if cs != "mono":
+                raise NotImplementedError(
+                    f"decode_video_features: colorspace {cs!r} unsupported "
+                    "(mono only)"
+                )
+            npix = w * h
+            pos = nl + 1
+            n_frames = 0
+            total = 0
+            while pos < len(payload):
+                fnl = payload.index(b"\x0A", pos)
+                if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+                    raise ValueError("malformed Y4M: missing FRAME marker")
+                plane = _np.frombuffer(
+                    payload[fnl + 1 : fnl + 1 + npix], dtype=_np.uint8
+                )
+                if len(plane) != npix:
+                    raise ValueError("malformed Y4M: truncated frame")
+                total += int(plane.astype(_np.int64).sum())
+                n_frames += 1
+                pos = fnl + 1 + npix
+            mean = float(total / (n_frames * npix)) if n_frames else 0.0
+            return {
+                "n_bytes": len(payload),
+                "width": w,
+                "height": h,
+                "fps_num": fps_num,
+                "n_frames": n_frames,
+                "mean_luma": mean,
+                "digest": _hashlib.md5(payload).hexdigest(),
+            }
+
+        for pdf in it:
+            feats = [
+                _decode(payload, mt)
+                for payload, mt in zip(pdf["content"], pdf["media_type"])
+            ]
+            out = _pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[
+                [
+                    "doc_id", "media_type", "n_bytes", "width", "height",
+                    "fps_num", "n_frames", "mean_luma", "digest",
+                ]
+            ]
+
+    return df.mapInPandas(_batches, schema=VIDEO_FEATURE_SCHEMA)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -266,6 +266,48 @@ def test_wav_synth_decode_roundtrip(spark, docs):
         decode_audio_features(bad).collect()
 
 
+def test_y4m_synth_decode_roundtrip(spark, docs):
+    """Y4M video round trip through the hand-rolled parser: header tags,
+    closed-form frame count, exact byte length (36-byte header + 22/frame),
+    and the exact-integer mean luma; non-mono colorspaces and non-Y4M
+    media types refuse loudly."""
+    from datawarehouse_group10_spark.multimodal import (
+        decode_video_features,
+        synthesize_y4m_payload,
+    )
+
+    feats = {
+        r["doc_id"]: r
+        for r in decode_video_features(synthesize_y4m_payload(docs)).collect()
+    }
+    for doc_id, r in feats.items():
+        nf = doc_id % 8 + 2
+        assert r["n_frames"] == nf
+        assert (r["width"], r["height"], r["fps_num"]) == (4, 4, 25)
+        assert r["n_bytes"] == 36 + nf * 22
+        expected = sum(
+            (doc_id * 7 + f * 13 + j) % 256
+            for f in range(nf)
+            for j in range(16)
+        ) / (nf * 16)
+        assert r["mean_luma"] == expected
+    import pytest
+
+    c420 = spark.createDataFrame(
+        [(1, bytearray(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\x0A"),
+          "video/x-yuv4mpeg")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    with pytest.raises(Exception, match="colorspace|NotImplementedError"):
+        decode_video_features(c420).collect()
+    mp4 = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00 ftypmp42"), "video/mp4")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    with pytest.raises(Exception, match="no codec|NotImplementedError"):
+        decode_video_features(mp4).collect()
+
+
 def test_ivf_topk_agrees_with_brute_force(spark, vecs):
     from datawarehouse_group10_spark.functions.similarity import (
         deterministic_centroids,
