@@ -710,6 +710,156 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 + Q5 consolidated into one long-format (query, k, val)
+    row set (r7: frees a registry slot for tpch_subquery_suite while
+    both join shapes stay driver-checked; the q_* bodies remain the
+    bench headline entries). k carries the group identity: Q3's
+    orderkey|date|priority, Q5's nation name."""
+    q3 = q_tpch_q3_shipping_priority(spark, sf_dir).select(
+        F.lit("q3_shipping_priority").alias("query"),
+        F.concat_ws(
+            "|", F.col("l_orderkey").cast("string"), "o_orderdate",
+            "o_orderpriority",
+        ).alias("k"),
+        F.col("revenue").alias("val"),
+    )
+    q5 = q_tpch_q5_local_supplier(spark, sf_dir).select(
+        F.lit("q5_local_supplier").alias("query"),
+        F.col("n_name").alias("k"),
+        F.col("revenue").alias("val"),
+    )
+    return q3.unionByName(q5)
+
+
+def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2/Q11/Q16/Q22 SHAPES — the correlated/scalar-subquery
+    decision-support family, adapted to the testdata schema (lineitem is
+    the part↔supplier bridge; no partsupp/c_phone/s_comment columns).
+    One long-format (query, k, n, val) result:
+
+    - ``q2_min_cost_supplier``: for every small part (p_size < 10), the
+      suppliers offering its corpus-minimum price — the correlated
+      scalar MIN + equality join-back (Q2's inner subquery). No
+      arithmetic on the double price: MIN and = over identical stored
+      values are bit-portable.
+    - ``q11_valuable_parts``: per-part revenue exceeding 1/1500 of the
+      corpus total — the global-scalar-subquery HAVING, expressed
+      division-free (rev * 1500 > total) over exact decimal sums.
+    - ``q16_supplier_count``: distinct suppliers per (brand, size mod 5)
+      excluding a NOT-IN supplier set (s_acctbal < 0) — the
+      anti-join-under-aggregate shape.
+    - ``q22_lapsed_rich``: customers with NO order since 1998-06-01
+      (NOT EXISTS → left-anti) whose balance clears half the positive-
+      balance average (scalar subquery, division-free:
+      bal * 2 * cnt > sum), grouped by nationkey-derived code.
+
+    Plan shapes that matter at 100 TB: every scalar subquery is a 1-row
+    broadcast crossJoin (no driver collect), the NOT-IN sets broadcast
+    as left-anti builds, and the min join-back keys on the uniform
+    partkey."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    # q2: correlated min + join-back
+    small = part.filter(F.col("p_size") < 10).select("p_partkey")
+    offers = li.join(
+        F.broadcast(small), li["l_partkey"] == small["p_partkey"]
+    ).select("l_partkey", "l_suppkey", "l_extendedprice")
+    min_price = offers.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("_min")
+    )
+    q2 = (
+        offers.join(min_price, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("_min"))
+        .select("l_partkey", "l_suppkey", "_min")
+        .distinct()
+        .select(
+            F.lit("q2_min_cost_supplier").alias("query"),
+            F.concat_ws(
+                "|", F.col("l_partkey").cast("string"),
+                F.col("l_suppkey").cast("string"),
+            ).alias("k"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.col("_min").cast("double").alias("val"),
+        )
+    )
+
+    # q11: division-free global-revenue-share HAVING
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    rev = li.groupBy("l_partkey").agg(F.sum(disc_price).alias("_rev"))
+    total = rev.agg(F.sum("_rev").alias("_tot"))
+    q11 = (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("_rev") * 1500 > F.col("_tot"))
+        .select(
+            F.lit("q11_valuable_parts").alias("query"),
+            F.col("l_partkey").cast("string").alias("k"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.round("_rev", 2).cast("double").alias("val"),
+        )
+    )
+
+    # q16: distinct-count with a NOT-IN exclusion set
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    )
+    q16 = (
+        pairs.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            pairs["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", (F.col("p_size") % 5).alias("_bucket"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("_cnt"))
+        .select(
+            F.lit("q16_supplier_count").alias("query"),
+            F.concat_ws(
+                "|", "p_brand", F.col("_bucket").cast("string")
+            ).alias("k"),
+            F.col("_cnt").alias("n"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+
+    # q22: anti-join + scalar threshold, division-free
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("_s"), F.count("*").alias("_c")
+    )
+    recent = orders.filter(
+        F.to_date("o_orderdate") >= F.lit("1998-06-01")
+    ).select("o_custkey")
+    lapsed = cust.join(
+        recent, cust["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    q22 = (
+        lapsed.crossJoin(F.broadcast(pos))
+        .filter(bal * 2 * F.col("_c") > F.col("_s"))
+        .groupBy((F.col("c_nationkey") % 10).alias("_code"))
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.round(F.sum(bal), 2).cast("double").alias("_bal"),
+        )
+        .select(
+            F.lit("q22_lapsed_rich").alias("query"),
+            F.col("_code").cast("string").alias("k"),
+            F.col("_n").alias("n"),
+            F.col("_bal").alias("val"),
+        )
+    )
+    return q2.unionByName(q11).unionByName(q16).unionByName(q22)
+
+
 def q_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6/Q14/Q17/Q19-shaped scalar aggregates in one long-format
     (query, value) result — the single-value decision-support family:
@@ -2392,10 +2542,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_minmax_scalars": q_a5_minmax_scalars,
     "a_extended": q_a_extended,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
-    "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
-    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_join_suite": q_tpch_join_suite,
     "tpch_scalar_suite": q_tpch_scalar_suite,
     "tpch_grouped_suite": q_tpch_grouped_suite,
+    "tpch_subquery_suite": q_tpch_subquery_suite,
     # windows (+ set ops riding the w4 suite)
     "w_recency_suite": q_w_recency_suite,
     "w4_set_suite": q_w4_set_suite,
@@ -2643,28 +2793,33 @@ FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
-    "tpch_q3_shipping_priority": """
-SELECT l.l_orderkey,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       o.o_orderpriority,
+    "tpch_join_suite": """
+SELECT 'q3_shipping_priority' AS query,
+       CAST(q3.l_orderkey AS VARCHAR) || '|' || q3.o_orderdate || '|'
+         || q3.o_orderpriority AS k,
+       q3.revenue AS val
+FROM (
+  SELECT l.l_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority,
+         CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
+              AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-01'
+    AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+  ORDER BY revenue DESC, l.l_orderkey
+  LIMIT 10
+) q3
+UNION ALL
+SELECT 'q5_local_supplier' AS query, n.n_name AS k,
        CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
             * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
-            AS DOUBLE) AS revenue
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-01'
-  AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, l.l_orderkey
-LIMIT 10
-""",
-    "tpch_q5_local_supplier": """
-SELECT n.n_name,
-       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
-            AS DOUBLE) AS revenue
+            AS DOUBLE) AS val
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2676,6 +2831,65 @@ WHERE r.r_name = 'ASIA'
   AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
   AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
 GROUP BY n.n_name
+""",
+    "tpch_subquery_suite": """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10
+),
+minp AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS mn FROM offers GROUP BY 1
+),
+rev AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+           AS r
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(r) AS t FROM rev),
+good_pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+),
+pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS c
+  FROM customer WHERE c_acctbal > 0
+),
+lapsed AS (
+  SELECT cu.* FROM customer cu, pos
+  WHERE cu.c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01')
+    AND CAST(cu.c_acctbal AS DECIMAL(18,2)) * 2 * pos.c > pos.s
+)
+SELECT 'q2_min_cost_supplier' AS query,
+       CAST(t.l_partkey AS VARCHAR) || '|' || CAST(t.l_suppkey AS VARCHAR) AS k,
+       CAST(NULL AS BIGINT) AS n,
+       CAST(t.mn AS DOUBLE) AS val
+FROM (SELECT DISTINCT o.l_partkey, o.l_suppkey, m.mn
+      FROM offers o JOIN minp m
+        ON o.l_partkey = m.l_partkey AND o.l_extendedprice = m.mn) t
+UNION ALL
+SELECT 'q11_valuable_parts' AS query,
+       CAST(rev.l_partkey AS VARCHAR) AS k,
+       CAST(NULL AS BIGINT) AS n,
+       CAST(ROUND(rev.r, 2) AS DOUBLE) AS val
+FROM rev, tot WHERE rev.r * 1500 > tot.t
+UNION ALL
+SELECT 'q16_supplier_count' AS query,
+       p.p_brand || '|' || CAST(p.p_size % 5 AS VARCHAR) AS k,
+       CAST(COUNT(DISTINCT gp.l_suppkey) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS val
+FROM good_pairs gp JOIN part p ON gp.l_partkey = p.p_partkey
+GROUP BY p.p_brand, p.p_size % 5
+UNION ALL
+SELECT 'q22_lapsed_rich' AS query,
+       CAST(c_nationkey % 10 AS VARCHAR) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS val
+FROM lapsed GROUP BY c_nationkey % 10
 """,
     "tpch_scalar_suite": """
 WITH disc AS (

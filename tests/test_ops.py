@@ -328,9 +328,11 @@ def test_tpch_q3_plan_shape(spark):
     """The physical plan the 100 TB case needs: all three filters pushed
     into the parquet scans, the dimension side broadcast (no shuffle for
     it), and the top-10 as TakeOrderedAndProject, never a global Sort."""
-    from datawarehouse_group10_spark.contract import QUERIES
+    from datawarehouse_group10_spark.contract import (
+        q_tpch_q3_shipping_priority,
+    )
 
-    df = QUERIES["tpch_q3_shipping_priority"](spark, "/root/testdata/sf0.001")
+    df = q_tpch_q3_shipping_priority(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
