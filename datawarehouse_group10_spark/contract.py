@@ -1190,11 +1190,23 @@ def q_w4_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_w4_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3/W4 top-k pagination + the set operators, consolidated into one
-    surface-tagged row (r7: frees a registry slot for stream_suite while
-    keeping both driver-checked). ``top20``: TakeOrderedAndProject over
-    orders (k=o_orderkey, v=o_totalprice); ``setops``: intersect/except
-    customer sets (k=custkey, v NULL)."""
+    """W3/W4 top-k pagination + set operators + the ranking-window
+    family, consolidated into one surface-tagged row (r7: holds the
+    registry at 50 while everything stays driver-checked).
+
+    - ``top20``: TakeOrderedAndProject over orders (k=o_orderkey,
+      v=o_totalprice); ``setops``: intersect/except customer sets.
+    - ``prank`` / ``cume`` / ``ntile4``: percent_rank, cume_dist, and
+      ntile(4) over per-customer order-value windows (customers with
+      custkey % 50 == 0 — a fixed deterministic subset). PARTITIONED
+      windows by design: per-customer state is bounded, so the shapes
+      scale — an unpartitioned full-table ranking window would
+      serialize the corpus through one task (the dim_number guard's
+      failure mode) and is deliberately NOT registered. Values are
+      exact small-integer rationals (rank arithmetic) — engine-portable
+      with no rounding."""
+    from pyspark.sql import Window
+
     topk = q_w4_top_k(spark, sf_dir).select(
         F.lit("top20").alias("surface"),
         F.col("o_orderkey").cast("bigint").alias("k"),
@@ -1205,7 +1217,29 @@ def q_w4_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("custkey").cast("bigint").alias("k"),
         F.lit(None).cast("double").alias("v"),
     )
-    return topk.unionByName(setops)
+    orders = _t(spark, sf_dir, "orders")
+    sub = orders.filter(F.col("o_custkey") % 50 == 0).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = sub.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.percent_rank().over(w).alias("_pr"),
+        F.cume_dist().over(w).alias("_cd"),
+        F.ntile(4).over(w).cast("double").alias("_nt"),
+    )
+    wfuncs = (
+        ranked.select(F.lit("prank").alias("surface"), "k", F.col("_pr").alias("v"))
+        .unionByName(
+            ranked.select(F.lit("cume").alias("surface"), "k", F.col("_cd").alias("v"))
+        )
+        .unionByName(
+            ranked.select(F.lit("ntile4").alias("surface"), "k", F.col("_nt").alias("v"))
+        )
+    )
+    return topk.unionByName(setops).unionByName(wfuncs)
 
 
 def q_w5_recency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3015,6 +3049,15 @@ FROM (
 )
 """,
     "w4_set_suite": """
+WITH ranked AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         CAST(ntile(4) OVER w AS DOUBLE) AS nt
+  FROM orders WHERE o_custkey % 50 = 0
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
 SELECT 'top20' AS surface, k, v FROM (
   SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_totalprice AS DOUBLE) AS v
   FROM orders ORDER BY o_totalprice DESC LIMIT 20
@@ -3029,6 +3072,12 @@ FROM (
   EXCEPT ALL
   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
 )
+UNION ALL
+SELECT 'prank' AS surface, k, pr AS v FROM ranked
+UNION ALL
+SELECT 'cume' AS surface, k, cd AS v FROM ranked
+UNION ALL
+SELECT 'ntile4' AS surface, k, nt AS v FROM ranked
 """,
     "text_features": r"""
 WITH grams AS (
