@@ -753,6 +753,19 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (NOT EXISTS → left-anti) whose balance clears half the positive-
       balance average (scalar subquery, division-free:
       bal * 2 * cnt > sum), grouped by nationkey-derived code.
+    - ``q15_top_supplier``: suppliers whose quarterly revenue EQUALS the
+      maximum over the aggregated view (Q15's revenue-view scalar
+      subquery) — decimal-exact equality, ties kept.
+    - ``q21_sole_late_shipper``: Q21's double-correlated
+      EXISTS/NOT-EXISTS ("another supplier exists in the order; no
+      OTHER supplier shipped late"), run as the scalable GROUP-REWRITE:
+      one per-(order, supplier) aggregate, one per-order aggregate
+      (supplier count + late count), one join back — instead of two
+      correlated self-joins of the fact table. The ORACLE keeps the
+      literal EXISTS/NOT EXISTS SQL, so the driver checks the rewrite's
+      equivalence, which is exactly the transformation a 100 TB plan
+      wants. "Late" = shipped >90 days after the order date (the
+      testdata has no receipt/commit dates).
 
     Plan shapes that matter at 100 TB: every scalar subquery is a 1-row
     broadcast crossJoin (no driver collect), the NOT-IN sets broadcast
@@ -857,7 +870,62 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_bal").alias("val"),
         )
     )
-    return q2.unionByName(q11).unionByName(q16).unionByName(q22)
+
+    # q15: revenue-view max as a 1-row broadcast; decimal-exact equality
+    quarter = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-04-01"))
+    )
+    srev = quarter.groupBy("l_suppkey").agg(F.sum(disc_price).alias("_r"))
+    mx = srev.agg(F.max("_r").alias("_mx"))
+    q15 = (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_r") == F.col("_mx"))
+        .select(
+            F.lit("q15_top_supplier").alias("query"),
+            F.col("l_suppkey").cast("string").alias("k"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.round("_r", 2).cast("double").alias("val"),
+        )
+    )
+
+    # q21: group-rewrite of the double-correlated EXISTS/NOT EXISTS
+    lateness = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_os = lateness.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (
+                F.to_date("l_shipdate")
+                > F.date_add(F.to_date("o_orderdate"), 90)
+            ).cast("int")
+        ).alias("_late")
+    )
+    ostats = per_os.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.sum("_late").alias("_nl"),
+    )
+    q21 = (
+        per_os.filter(F.col("_late") == 1)
+        .join(ostats, "l_orderkey")
+        .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("_numwait"))
+        .select(
+            F.lit("q21_sole_late_shipper").alias("query"),
+            F.col("l_suppkey").cast("string").alias("k"),
+            F.col("_numwait").alias("n"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+    return (
+        q2.unionByName(q11)
+        .unionByName(q16)
+        .unionByName(q22)
+        .unionByName(q15)
+        .unionByName(q21)
+    )
 
 
 def q_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2924,6 +2992,60 @@ SELECT 'q22_lapsed_rich' AS query,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS val
 FROM lapsed GROUP BY c_nationkey % 10
+UNION ALL
+SELECT 'q15_top_supplier' AS query,
+       CAST(s.l_suppkey AS VARCHAR) AS k,
+       CAST(NULL AS BIGINT) AS n,
+       CAST(ROUND(s.r, 2) AS DOUBLE) AS val
+FROM (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+           AS r
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+  GROUP BY 1
+) s
+WHERE s.r = (
+  SELECT MAX(r) FROM (
+    SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+             AS r
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+    GROUP BY l_suppkey
+  )
+)
+UNION ALL
+-- literal double-correlated EXISTS / NOT EXISTS (Spark side runs the
+-- group-rewrite; the driver checks the equivalence)
+SELECT 'q21_sole_late_shipper' AS query,
+       CAST(w.l_suppkey AS VARCHAR) AS k,
+       CAST(w.numwait AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS val
+FROM (
+  WITH per_os AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN CAST(l_shipdate AS DATE)
+                         > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+  )
+  SELECT p.l_suppkey, COUNT(*) AS numwait
+  FROM per_os p
+  WHERE p.late = 1
+    AND EXISTS (SELECT 1 FROM per_os o2
+                WHERE o2.l_orderkey = p.l_orderkey
+                  AND o2.l_suppkey <> p.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM per_os o3
+                    WHERE o3.l_orderkey = p.l_orderkey
+                      AND o3.l_suppkey <> p.l_suppkey
+                      AND o3.late = 1)
+  GROUP BY p.l_suppkey
+) w
 """,
     "tpch_scalar_suite": """
 WITH disc AS (
