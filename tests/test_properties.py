@@ -235,3 +235,54 @@ def test_scd2_sequence_matches_reference_model(spark, batches):
         for r in dim.collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # order
+            st.integers(min_value=1, max_value=4),   # supplier
+            st.booleans(),                           # late
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_q21_group_rewrite_equals_literal_exists(spark, rows):
+    """The tpch_subquery_suite q21 GROUP-REWRITE (per-(order,supplier)
+    late flag + per-order supplier/late counts + join back) must equal
+    the literal double-correlated EXISTS/NOT-EXISTS semantics on
+    arbitrary (order, supplier, late) multisets — the equivalence the
+    driver oracle checks on the fixed corpus, here checked on adversarial
+    shapes (single-supplier orders, all-late orders, duplicates)."""
+    df = spark.createDataFrame(rows, "o bigint, s bigint, late boolean")
+
+    per_os = df.groupBy("o", "s").agg(
+        F.max(F.col("late").cast("int")).alias("_late")
+    )
+    ostats = per_os.groupBy("o").agg(
+        F.countDistinct("s").alias("_ns"), F.sum("_late").alias("_nl")
+    )
+    got = {
+        (r["o"], r["s"])
+        for r in per_os.filter(F.col("_late") == 1)
+        .join(ostats, "o")
+        .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
+        .collect()
+    }
+
+    # literal semantics, computed naively in Python
+    late = {}
+    for o, s, is_late in rows:
+        late[(o, s)] = late.get((o, s), False) or is_late
+    expected = {
+        (o, s)
+        for (o, s), l in late.items()
+        if l
+        and any(o2 == o and s2 != s for (o2, s2) in late)
+        and not any(
+            o2 == o and s2 != s and late[(o2, s2)] for (o2, s2) in late
+        )
+    }
+    assert got == expected
