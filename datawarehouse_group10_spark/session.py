@@ -58,6 +58,13 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Dimensions in this model are tiny; let them broadcast aggressively.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Runtime bloom-filter pushdown: when one join side is selective,
+        # inject a bloom filter of its keys into the other side's SCAN so
+        # non-matching rows drop before the shuffle. At 100 TB this is a
+        # major fact-table scan reduction for selective dim joins (the
+        # Q3/Q5 shape); explicit here because cluster images vary in
+        # their default.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # Timestamps in testdata are ntz-like; keep session in UTC so
         # date arithmetic is deterministic across engines.
         "spark.sql.session.timeZone": "UTC",
