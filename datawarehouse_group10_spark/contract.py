@@ -711,11 +711,31 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 + Q5 consolidated into one long-format (query, k, val)
-    row set (r7: frees a registry slot for tpch_subquery_suite while
-    both join shapes stay driver-checked; the q_* bodies remain the
-    bench headline entries). k carries the group identity: Q3's
-    orderkey|date|priority, Q5's nation name."""
+    """TPC-H Q3/Q5/Q7/Q8/Q9/Q10 — the multi-table join family — in one
+    long-format (query, k, val) row set (Q3+Q5 consolidated in r7 to
+    free a registry slot; Q7-Q10 added later in r7, completing all 22
+    TPC-H query SHAPES across the five tpch_* registry entries). k
+    carries the group identity per shape:
+
+    - ``q3_shipping_priority``: orderkey|date|priority (top-10).
+    - ``q5_local_supplier``: nation name.
+    - ``q7_volume_shipping``: supp_nation|cust_nation|ship_year for the
+      NATION_1↔NATION_2 pair, both directions — nation filters pushed
+      into the broadcast dim builds BEFORE the fact joins.
+    - ``q8_market_share``: order year; val is NATION_3's share of ASIA's
+      ECONOMY-part import volume. The ratio divides two decimal sums
+      that are each rounded to cents and cast to double FIRST — both
+      operands bit-identical across engines, so the IEEE-754 quotient
+      is too (the cross-engine rule of PERF.md r4 #4 extended to
+      division).
+    - ``q9_product_profit``: supp_nation|order_year; profit =
+      disc_price − 0.4·retail·qty as exact decimals (the testdata has
+      no partsupp, so 0.4·p_retailprice stands in for ps_supplycost —
+      same join/agg shape, deterministic).
+    - ``q10_returned_items``: custkey|name|nation, top-20 by returned
+      revenue for one quarter — TakeOrderedAndProject, never a global
+      sort.
+    """
     q3 = q_tpch_q3_shipping_priority(spark, sf_dir).select(
         F.lit("q3_shipping_priority").alias("query"),
         F.concat_ws(
@@ -729,7 +749,165 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("k"),
         F.col("revenue").alias("val"),
     )
-    return q3.unionByName(q5)
+
+    _utc(spark)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    region = _t(spark, sf_dir, "region")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+
+    # q7: nation-pair trade volume by ship year, both directions.
+    pair = ("NATION_1", "NATION_2")
+    sup_n = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).filter(F.col("n_name").isin(*pair)).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cus_n = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).filter(F.col("n_name").isin(*pair)).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    q7 = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1999-01-01"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cus_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("_yr"),
+        )
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("val"))
+        .select(
+            F.lit("q7_volume_shipping").alias("query"),
+            F.concat_ws(
+                "|", "supp_nation", "cust_nation", F.col("_yr").cast("string")
+            ).alias("k"),
+            "val",
+        )
+    )
+
+    # q8: NATION_3's share of ASIA's ECONOMY imports by order year.
+    asia_keys = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    asia_cust = customer.join(
+        F.broadcast(asia_keys),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    econ = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sup_all = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    q8 = (
+        li.join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.to_date("o_orderdate") < F.lit("1999-01-01"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_all), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("_yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", disc_price)
+                    .otherwise(zero6)
+                ),
+                2,
+            ).cast("double").alias("_num"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("_den"),
+        )
+        .select(
+            F.lit("q8_market_share").alias("query"),
+            F.col("_yr").cast("string").alias("k"),
+            (F.col("_num") / F.col("_den")).alias("val"),
+        )
+    )
+
+    # q9: profit by supplier nation and order year over 'red' parts.
+    red = part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    cost = (
+        (
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+        ).cast("decimal(18,4)")
+        * F.lit("0.4").cast("decimal(2,1)")
+    ).cast("decimal(18,6)")
+    q9 = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup_all), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "supp_nation", F.year(F.to_date("o_orderdate")).alias("_yr")
+        )
+        .agg(
+            F.round(F.sum((disc_price - cost).cast("decimal(18,6)")), 2)
+            .cast("double").alias("val")
+        )
+        .select(
+            F.lit("q9_product_profit").alias("query"),
+            F.concat_ws("|", "supp_nation", F.col("_yr").cast("string")).alias("k"),
+            "val",
+        )
+    )
+
+    # q10: top-20 customers by returned revenue in one quarter.
+    nat_b = nation.select(
+        F.col("n_nationkey").alias("_nk"), F.col("n_name")
+    )
+    q10 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.to_date("o_orderdate") >= F.lit("1997-07-01"))
+                & (F.to_date("o_orderdate") < F.lit("1997-10-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_b), F.col("c_nationkey") == F.col("_nk"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("val"))
+        .orderBy(F.col("val").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            F.lit("q10_returned_items").alias("query"),
+            F.concat_ws(
+                "|", F.col("c_custkey").cast("string"), "c_name", "n_name"
+            ).alias("k"),
+            "val",
+        )
+    )
+
+    return (
+        q3.unionByName(q5)
+        .unionByName(q7)
+        .unionByName(q8)
+        .unionByName(q9)
+        .unionByName(q10)
+    )
 
 
 def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,6 +944,11 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       equivalence, which is exactly the transformation a 100 TB plan
       wants. "Late" = shipped >90 days after the order date (the
       testdata has no receipt/commit dates).
+    - ``q20_half_volume_supplier``: Q20's nested-IN-with-correlated-
+      HAVING — suppliers who shipped more than half of a 'small'
+      part's 1997 volume (partsupp-free stand-in for availqty >
+      0.5·shipped), with the qualifying-part count. Decimal quantity
+      sums keep the *2-vs-total threshold exact.
 
     Plan shapes that matter at 100 TB: every scalar subquery is a 1-row
     broadcast crossJoin (no driver collect), the NOT-IN sets broadcast
@@ -919,12 +1102,47 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("val"),
         )
     )
+    # q20: nested-IN-with-correlated-HAVING shape — suppliers who shipped
+    # MORE THAN HALF of a 'small' part's 1997 volume (the partsupp-free
+    # stand-in for availqty > 0.5 * shipped). Decimal qty keeps the
+    # *2-vs-total comparison exact; the part filter broadcasts and both
+    # aggregates key on uniform (suppkey, partkey) / partkey.
+    small_named = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    sq = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(small_named), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("_q").alias("_tot"))
+    q20 = (
+        sq.join(pt, "l_partkey")
+        .filter(F.col("_q") * 2 > F.col("_tot"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("_np"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.lit("q20_half_volume_supplier").alias("query"),
+            F.concat_ws(
+                "|", F.col("l_suppkey").cast("string"), "s_name"
+            ).alias("k"),
+            F.col("_np").alias("n"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
     return (
         q2.unionByName(q11)
         .unionByName(q16)
         .unionByName(q22)
         .unionByName(q15)
         .unionByName(q21)
+        .unionByName(q20)
     )
 
 
@@ -2933,6 +3151,89 @@ WHERE r.r_name = 'ASIA'
   AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
   AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
 GROUP BY n.n_name
+UNION ALL
+SELECT 'q7_volume_shipping' AS query,
+       sn.n_name || '|' || cn.n_name || '|'
+         || CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS VARCHAR) AS k,
+       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS val
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE))
+UNION ALL
+SELECT 'q8_market_share' AS query,
+       CAST(t.yr AS VARCHAR) AS k,
+       t.num / t.den AS val
+FROM (
+  SELECT EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS yr,
+         CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+              THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS num,
+         CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
+              AS DOUBLE) AS den
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1999-01-01'
+  GROUP BY EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))
+) t
+UNION ALL
+SELECT 'q9_product_profit' AS query,
+       sn.n_name || '|'
+         || CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS VARCHAR) AS k,
+       CAST(ROUND(SUM(CAST(
+            CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))
+            - CAST(CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+                   * CAST('0.4' AS DECIMAL(2,1)) AS DECIMAL(18,6))
+            AS DECIMAL(18,6))), 2) AS DOUBLE) AS val
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY sn.n_name, EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))
+UNION ALL
+SELECT 'q10_returned_items' AS query,
+       CAST(t.c_custkey AS VARCHAR) || '|' || t.c_name || '|' || t.n_name AS k,
+       t.val
+FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
+              AS DOUBLE) AS val
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND CAST(o.o_orderdate AS DATE) >= DATE '1997-07-01'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1997-10-01'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+  ORDER BY val DESC, c.c_custkey
+  LIMIT 20
+) t
 """,
     "tpch_subquery_suite": """
 WITH offers AS (
@@ -3046,6 +3347,28 @@ FROM (
                       AND o3.late = 1)
   GROUP BY p.l_suppkey
 ) w
+UNION ALL
+SELECT 'q20_half_volume_supplier' AS query,
+       CAST(t.l_suppkey AS VARCHAR) || '|' || s.s_name AS k,
+       t.np AS n,
+       CAST(NULL AS DOUBLE) AS val
+FROM (
+  WITH sq AS (
+    SELECT l_suppkey, l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY 1, 2
+  ),
+  pt AS (SELECT l_partkey, SUM(q) AS tot FROM sq GROUP BY 1)
+  SELECT sq.l_suppkey, CAST(COUNT(*) AS BIGINT) AS np
+  FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+  WHERE sq.q * 2 > pt.tot
+  GROUP BY sq.l_suppkey
+) t
+JOIN supplier s ON t.l_suppkey = s.s_suppkey
 """,
     "tpch_scalar_suite": """
 WITH disc AS (
