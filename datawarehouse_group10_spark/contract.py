@@ -2606,7 +2606,10 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 + A8 + A9 + A10 (percentiles, ROLLUP, PIVOT, one-pass profiling)
-    + semi-structured JSON extraction, as one long-format result:
+    + semi-structured JSON extraction + the portable-HLL register set
+    (r7: every register's max-rho, the integer-scaled register sum, and
+    the raw estimator — the driver-checkable face of the sketch path;
+    see hll_portable_registers), as one long-format result:
     (section, k1, k2, metric, val, sval). Numeric metrics ride `val`
     (doubles — counts are exact below 2^53 and the percentile/sum values
     were already bit-identical across engines); string min/max from the
@@ -2688,13 +2691,71 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Portable HLL over the document texts: per-register max-rho rows plus
+    # the integer-scaled register sum and the raw estimator, all
+    # bit-stable cross-engine (operators/aggregates.py:
+    # hll_portable_registers — the driver-checkable face of the
+    # Datasketches hll_sketch_by production path). The estimator
+    # numerator constant alpha_m * m^2 * 2^33 is precomputed in Python
+    # and embedded as the SAME repr literal in the SQL oracle, so the
+    # only float op each engine performs is one IEEE division.
+    from .operators.aggregates import hll_portable_registers
+
+    regs = hll_portable_registers(
+        _t(spark, sf_dir, "documents"), "text", p=_HLL_P
+    )
+    hll_rows = regs.select(
+        F.lit("hll").alias("section"),
+        F.col("bucket").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit("max_rho").alias("metric"),
+        F.col("max_rho").cast("double").alias("val"),
+        nul_s.alias("sval"),
+    )
+    m_lit = F.lit(1 << _HLL_P).cast("bigint")
+    hll_sum = (
+        regs.agg(
+            F.count("*").cast("bigint").alias("_present"),
+            F.sum(F.expr("shiftleft(1L, 33 - max_rho)")).alias("_s_present"),
+        )
+        .select(
+            F.col("_present"),
+            (
+                F.col("_s_present")
+                + (m_lit - F.col("_present")) * F.lit(1 << 33).cast("bigint")
+            ).alias("_s"),
+        )
+        .selectExpr(
+            "stack(3, 'n_present', cast(_present as double),"
+            " 'sum_scaled', cast(_s as double),"
+            f" 'estimate_raw', {_HLL_NUM!r}d / cast(_s as double))"
+            " as (metric, val)"
+        )
+        .select(
+            F.lit("hll").alias("section"),
+            F.lit("").alias("k1"), F.lit("").alias("k2"),
+            "metric", "val", nul_s.alias("sval"),
+        )
+    )
     return (
         pct.unionByName(ro)
         .unionByName(pv)
         .unionByName(prof_num)
         .unionByName(prof_str)
         .unionByName(js)
+        .unionByName(hll_rows)
+        .unionByName(hll_sum)
     )
+
+
+#: Portable-HLL parameters shared by the Spark suite body and the DuckDB
+#: oracle text: 2^12 registers; numerator = alpha_m * m^2 * 2^33 for the
+#: integer-scaled raw estimator (no small-range correction — that needs
+#: ln(), which is libm-dependent and NOT cross-engine stable; the
+#: registered surface exposes the registers + raw estimator, production
+#: estimation is hll_sketch_by/hll_rollup).
+_HLL_P = 12
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 * 8589934592.0
 
 
 def q_statistics_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3692,8 +3753,15 @@ SELECT user_id, session_id,
        CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
 FROM sess GROUP BY user_id, session_id
 """,
-    "a_extended": """
-WITH prof AS (
+    "a_extended": f"""
+WITH hll_reg AS (
+  SELECT CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 4096 AS INTEGER) AS bucket,
+         MAX(CASE WHEN ('0x' || substr(md5(text), 9, 8))::BIGINT = 0 THEN 33
+                  ELSE 33 - length(bin(('0x' || substr(md5(text), 9, 8))::BIGINT))
+             END) AS mr
+  FROM documents GROUP BY 1
+),
+prof AS (
   SELECT 'c_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
          CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
          CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
@@ -3774,6 +3842,23 @@ FROM (
                  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE),
                  CAST(COUNT(*) - COUNT(props->>'$.k') AS DOUBLE)]) AS v
   FROM events GROUP BY 1
+)
+UNION ALL
+SELECT 'hll', CAST(bucket AS VARCHAR), '', 'max_rho',
+       CAST(mr AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM hll_reg
+UNION ALL
+SELECT 'hll', '', '', m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT unnest(['n_present', 'sum_scaled', 'estimate_raw']) AS m,
+         unnest([CAST(np AS DOUBLE), CAST(s AS DOUBLE),
+                 {_HLL_NUM!r} / CAST(s AS DOUBLE)]) AS v
+  FROM (
+    SELECT COUNT(*) AS np,
+           SUM(1::BIGINT << (33 - mr))
+             + (4096 - COUNT(*)) * (1::BIGINT << 33) AS s
+    FROM hll_reg
+  )
 )
 """,
     "serving_mart_view": _LOTTERY_CTE + """

@@ -222,6 +222,51 @@ def hll_sketch_by(
     )
 
 
+def hll_portable_registers(
+    df: DataFrame,
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Engine-portable HLL register set: (bucket, max_rho), one row per
+    NON-EMPTY register — the same make-the-sketch-bit-checkable move as
+    :func:`simhash_portable` (production stays
+    :func:`hll_sketch_by`'s Datasketches binaries; THIS variant exists
+    so the sketch path carries a full driver oracle).
+
+    Hash = md5 split into unsigned 32-bit halves (identical hex on every
+    engine): the HIGH half mod 2^p picks the register, rho = leading-
+    zero count of the LOW half + 1 (33 when the low half is 0 — a
+    32-bit-truncated HLL, which only loses precision at cardinalities
+    far beyond 2^32 where the production Datasketches path rules
+    anyway). bit-length via ``bin()`` string length, which renders
+    identically (no leading zeros, '0' for 0) in Spark and DuckDB.
+
+    Plan shape: one projection + ONE hash aggregate on the uniform
+    bucket key — register maxima combine map-side exactly like any
+    max(), which is the whole mergeability argument at 100 TB. The raw
+    estimator over these registers divides two exactly-representable
+    doubles (integer-scaled register sum <= 2^45), so even the estimate
+    is cross-engine bit-stable; see the a_extended suite. HLL's
+    small-range linear-counting correction needs ln() (libm-dependent,
+    NOT bit-stable) and is deliberately left to the consumer — pytest
+    asserts its accuracy against exact distinct counts.
+    """
+    m = 1 << p
+    hi = F.conv(F.substring(F.md5(F.col(value_col)), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5(F.col(value_col)), 9, 8), 16, 10).cast("bigint")
+    rho = F.when(lo == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(lo))
+    )
+    return (
+        df.select(
+            F.pmod(hi, F.lit(m)).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
 def hll_rollup(
     sketches: DataFrame,
     by: list[str] | None = None,

@@ -556,3 +556,41 @@ def test_hll_sketches_merge_and_estimate(spark):
     global_row = hll_rollup(per_src).collect()[0]
     assert abs(global_row["approx_distinct"] - exact_global) <= 0.05 * exact_global
     assert global_row["n_rows"] == docs.count()
+
+
+def test_hll_portable_registers_estimate_and_determinism(spark):
+    """The portable (md5-based, driver-oracle-checkable) HLL register set:
+    the raw estimator lands within the p=12 error envelope of the exact
+    distinct count, and the register set is IDENTICAL regardless of input
+    partitioning (register maxima are order/partition-independent — the
+    mergeability property the sketch family exists for)."""
+    from datawarehouse_group10_spark.operators.aggregates import (
+        hll_portable_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = docs.select("text").distinct().count()
+
+    regs = hll_portable_registers(docs, "text", p=12).collect()
+    present = {r["bucket"]: r["max_rho"] for r in regs}
+    m = 1 << 12
+    s = sum(1 << (33 - mr) for mr in present.values()) + (m - len(present)) * (
+        1 << 33
+    )
+    num = (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 * 8589934592.0
+    est_raw = num / float(s)
+    # With n << m the raw estimator sits in HLL's documented small-range
+    # regime; the consumer-side linear-counting correction (engine-local
+    # ln(), deliberately NOT in the cross-engine surface) must land within
+    # the envelope. est_raw itself is asserted > n as a sanity floor.
+    import math
+
+    empty = m - len(present)
+    est = (
+        m * math.log(m / empty) if (est_raw <= 2.5 * m and empty > 0) else est_raw
+    )
+    assert abs(est - exact) <= max(10, 0.05 * exact), (est, exact)
+    assert est_raw >= exact, (est_raw, exact)
+
+    regs2 = hll_portable_registers(docs.repartition(13), "text", p=12).collect()
+    assert {r["bucket"]: r["max_rho"] for r in regs2} == present
