@@ -2588,20 +2588,62 @@ def q_t_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 + W5 per (user, date): lag-based days_since_last plus its
-    recency classification on every row (NULL for each user's first date,
-    matching the lag)."""
+    """W2 + W5 per (user, date) — lag-based days_since_last plus its
+    recency classification — PLUS (r7) the ``gap_fill`` time-series
+    densification surface: hourly per-event-type counts and value sums
+    resampled onto the complete per-type hourly grid (missing hours as
+    n=0 / sum NULL / is_gap=1) with the sum forward-filled
+    (operators/temporal.py: gap_fill — sequence+explode grid, one join
+    back, one window pass; the resample/pad step a charting or
+    feature-window consumer otherwise hand-rolls). Long format
+    (section, k1, k2, metric, val, sval); value sums ride the usual
+    decimal-round-to-cents-then-double rule so the ffill carries
+    bit-identical doubles on both engines."""
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
     out = days_since_last(ev, key="user_id", date_col="d")
-    return out.select(
-        "user_id",
-        F.date_format("d", "yyyy-MM-dd").alias("d"),
-        F.col("days_since_last").cast("int").alias("days_since_last"),
+    rec = out.select(
+        F.lit("recency").alias("section"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.date_format("d", "yyyy-MM-dd").alias("k2"),
+        F.lit("days_since_last").alias("metric"),
+        F.col("days_since_last").cast("double").alias("val"),
         F.when(F.col("days_since_last").isNull(), F.lit(None).cast("string"))
         .otherwise(recency_bucket("days_since_last", recent=2, old=5))
-        .alias("recency"),
+        .alias("sval"),
     )
+
+    from .operators.temporal import gap_fill
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    filled = gap_fill(
+        hourly, "h", ["event_type"], step="1 hour",
+        zero_cols=("n",), ffill_cols=("sum_value",),
+    )
+    gf = filled.selectExpr(
+        "event_type",
+        "h",
+        "stack(4, 'n', cast(n as double), 'sum_value', sum_value,"
+        " 'sum_value_ffill', sum_value_ffill,"
+        " 'is_gap', cast(is_gap as double)) as (metric, val)",
+    ).select(
+        F.lit("gap_fill").alias("section"),
+        F.col("event_type").alias("k1"),
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("k2"),
+        "metric",
+        "val",
+        F.lit(None).cast("string").alias("sval"),
+    )
+    return rec.unionByName(gf)
 
 
 def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3541,17 +3583,55 @@ UNION ALL
 SELECT * FROM q18
 """,
     "w_recency_suite": """
-SELECT user_id, strftime(d, '%Y-%m-%d') AS d, days_since_last,
-       CASE WHEN days_since_last IS NULL THEN NULL
-            WHEN days_since_last <= 2 THEN 'recent'
-            WHEN days_since_last <= 5 THEN 'old'
-            ELSE 'long' END AS recency
-FROM (
+WITH rec AS (
   SELECT user_id, d,
          CAST(date_diff('day',
               LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS INT)
            AS days_since_last
   FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS sum_value
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT event_type, MIN(h) AS t0, MAX(h) AS t1
+        FROM hourly GROUP BY 1)
+),
+filled AS (
+  SELECT g.event_type, g.h,
+         COALESCE(o.n, 0) AS n,
+         o.sum_value,
+         last_value(o.sum_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sum_value_ffill,
+         CASE WHEN o.n IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM grid g
+  LEFT JOIN hourly o ON g.event_type = o.event_type AND g.h = o.h
+)
+SELECT 'recency' AS section, CAST(user_id AS VARCHAR) AS k1,
+       strftime(d, '%Y-%m-%d') AS k2, 'days_since_last' AS metric,
+       CAST(days_since_last AS DOUBLE) AS val,
+       CASE WHEN days_since_last IS NULL THEN NULL
+            WHEN days_since_last <= 2 THEN 'recent'
+            WHEN days_since_last <= 5 THEN 'old'
+            ELSE 'long' END AS sval
+FROM rec
+UNION ALL
+SELECT 'gap_fill', event_type, strftime(h, '%Y-%m-%d %H:00'), m, v,
+       CAST(NULL AS VARCHAR)
+FROM (
+  SELECT event_type, h,
+         unnest(['n', 'sum_value', 'sum_value_ffill', 'is_gap']) AS m,
+         unnest([CAST(n AS DOUBLE), sum_value, sum_value_ffill,
+                 CAST(is_gap AS DOUBLE)]) AS v
+  FROM filled
 )
 """,
     "w4_set_suite": """

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "gap_fill"]
 
 
 def asof_join(
@@ -141,6 +141,88 @@ def range_join(
     )
     joined = pts.join(ivl, on=cond, how=how)
     return joined.drop("_bkt")
+
+
+def gap_fill(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    step: str = "1 hour",
+    zero_cols: tuple[str, ...] = (),
+    ffill_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Time-series densification: given bucketed observations (one row
+    per ``keys`` + ``time_col``, e.g. :func:`time_bucket` output), emit
+    the COMPLETE per-key grid from each key's min to max bucket at
+    ``step`` intervals. Missing buckets appear with ``is_gap = 1``,
+    ``zero_cols`` coalesced to 0 (counts), every other observation
+    column NULL, and each ``ffill_cols`` entry gains a ``<col>_ffill``
+    companion carrying the last observed value forward
+    (``last ignorenulls`` — the resample/pad step every downstream
+    charting or feature-window consumer otherwise hand-rolls).
+
+    Scale shape: one aggregate on ``keys`` for the spans, a
+    ``sequence``+``explode`` grid build (row multiplication bounded by
+    span/step per key — pre-bucket with :func:`time_bucket` so the
+    grid, not raw events, is what multiplies), one equi-join back on
+    (keys, time), and one per-key window pass for the forward-fill.
+    All JVM-side; no driver loops. A key whose span/step exceeds
+    ~10M buckets raises rather than silently materializing a
+    pathological grid (a mis-specified step, not a real series).
+    """
+    if not keys:
+        raise ValueError(
+            "gap_fill: at least one key column is required — a keyless "
+            "grid would forward-fill through one global window partition"
+        )
+    step_interval = F.expr(f"interval {step}")
+    spans = df.groupBy(*keys).agg(
+        F.min(time_col).alias("_t0"), F.max(time_col).alias("_t1")
+    )
+    # Bucket-count guard: seconds(span) / seconds(step), computed without
+    # materializing the sequence. interval arithmetic: step seconds via
+    # an epoch difference on a constant timestamp.
+    step_secs = (
+        F.to_timestamp(F.lit("2000-01-01 00:00:00")) + step_interval
+    ).cast("long") - F.to_timestamp(F.lit("2000-01-01 00:00:00")).cast("long")
+    spans = spans.withColumn(
+        "_n",
+        (F.col("_t1").cast("long") - F.col("_t0").cast("long"))
+        / F.greatest(step_secs, F.lit(1)),
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.when(
+                F.col("_n") <= 10_000_000,
+                F.sequence(F.col("_t0"), F.col("_t1"), step_interval),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("gap_fill: grid of "),
+                        F.col("_n").cast("string"),
+                        F.lit(f" buckets for step '{step}' — refusing"),
+                    )
+                )
+            )
+        ).alias(time_col),
+    )
+    obs = df.withColumn("_obs", F.lit(1))
+    out = grid.join(obs, [*keys, time_col], "left")
+    for c in zero_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0).cast(df.schema[c].dataType))
+        )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in ffill_cols:
+        out = out.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(w))
+    return out.withColumn(
+        "is_gap", F.col("_obs").isNull().cast("int")
+    ).drop("_obs")
 
 
 def time_bucket(

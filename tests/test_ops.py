@@ -594,3 +594,39 @@ def test_hll_portable_registers_estimate_and_determinism(spark):
 
     regs2 = hll_portable_registers(docs.repartition(13), "text", p=12).collect()
     assert {r["bucket"]: r["max_rho"] for r in regs2} == present
+
+
+def test_gap_fill_densifies_zero_fills_and_forward_fills(spark):
+    """gap_fill emits the complete per-key grid: missing buckets carry
+    is_gap=1, zero_cols 0, other observation columns NULL, and the
+    ffill companion the last observed value; per-key spans stay
+    independent (no bleed across keys)."""
+    import datetime
+
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 3, 1.5),
+            ("a", "2024-01-01 03:00:00", 2, 2.5),
+            ("b", "2024-01-01 01:00:00", 1, 9.0),
+        ],
+        "k string, h string, n int, v double",
+    ).withColumn("h", F.to_timestamp("h"))
+    rows = {
+        (r["k"], r["h"]): r
+        for r in gap_fill(
+            df, "h", ["k"], step="1 hour", zero_cols=("n",), ffill_cols=("v",)
+        ).collect()
+    }
+    assert len(rows) == 5  # a: 4 hourly buckets, b: 1 — no cross-key bleed
+    gap = rows[("a", datetime.datetime(2024, 1, 1, 1))]
+    assert (gap["is_gap"], gap["n"], gap["v"], gap["v_ffill"]) == (1, 0, None, 1.5)
+    obs = rows[("a", datetime.datetime(2024, 1, 1, 3))]
+    assert (obs["is_gap"], obs["n"], obs["v_ffill"]) == (0, 2, 2.5)
+    assert rows[("b", datetime.datetime(2024, 1, 1, 1))]["v_ffill"] == 9.0
+
+    with _pytest.raises(ValueError, match="key column"):
+        gap_fill(df, "h", [], step="1 hour")
