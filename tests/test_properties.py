@@ -286,3 +286,101 @@ def test_q21_group_rewrite_equals_literal_exists(spark, rows):
         )
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # supplier
+            st.integers(min_value=1, max_value=6),    # part
+            st.integers(min_value=1, max_value=50),   # qty
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_q20_half_volume_rewrite_equals_literal_in(spark, rows):
+    """The tpch_subquery_suite q20 aggregate rewrite (per-(supplier,part)
+    qty sum, per-part total, keep supplier-parts with q*2 > total, count
+    per supplier) must equal the literal nested-IN-with-correlated-
+    HAVING semantics on arbitrary (supplier, part, qty) multisets —
+    including single-supplier parts (always >half) and exact 50/50
+    splits (never >half, strict inequality)."""
+    df = spark.createDataFrame(rows, "s bigint, p bigint, q bigint")
+    sq = df.groupBy("s", "p").agg(F.sum("q").alias("_q"))
+    pt = sq.groupBy("p").agg(F.sum("_q").alias("_tot"))
+    got = {
+        (r["s"], r["n"])
+        for r in sq.join(pt, "p")
+        .filter(F.col("_q") * 2 > F.col("_tot"))
+        .groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    per_sp: dict[tuple[int, int], int] = {}
+    for s, p, q in rows:
+        per_sp[(s, p)] = per_sp.get((s, p), 0) + q
+    per_p: dict[int, int] = {}
+    for (s, p), q in per_sp.items():
+        per_p[p] = per_p.get(p, 0) + q
+    counts: dict[int, int] = {}
+    for (s, p), q in per_sp.items():
+        if q * 2 > per_p[p]:
+            counts[s] = counts.get(s, 0) + 1
+    assert got == {(s, n) for s, n in counts.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),              # key
+            st.integers(min_value=0, max_value=30),   # hour offset
+            st.integers(min_value=-99, max_value=99), # value
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_gap_fill_grid_complete_and_ffill_matches_naive(spark, rows):
+    """gap_fill invariants on arbitrary sparse per-key series: the output
+    holds EXACTLY each key's min..max hourly grid (span+1 rows, is_gap
+    marking exactly the non-observed buckets) and the ffill column equals
+    a naive Python forward fill."""
+    from datawarehouse_group10_spark.operators.temporal import gap_fill
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(hours=h), float(v)) for k, h, v in rows],
+        "k string, h timestamp, v double",
+    )
+    out = gap_fill(df, "h", ["k"], step="1 hour", ffill_cols=("v",)).collect()
+
+    obs = {(k, h): float(v) for k, h, v in rows}
+    spans = {}
+    for k, h, _ in rows:
+        lo, hi = spans.get(k, (h, h))
+        spans[k] = (min(lo, h), max(hi, h))
+    expected_rows = sum(hi - lo + 1 for lo, hi in spans.values())
+    assert len(out) == expected_rows
+
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["h"])
+        lo, hi = spans[k]
+        assert [r["h"] for r in rs] == [
+            base + dt.timedelta(hours=h) for h in range(lo, hi + 1)
+        ]
+        carry = None
+        for r, h in zip(rs, range(lo, hi + 1)):
+            v = obs.get((k, h))
+            assert r["is_gap"] == (0 if (k, h) in obs else 1)
+            assert r["v"] == v
+            if v is not None:
+                carry = v
+            assert r["v_ffill"] == carry
