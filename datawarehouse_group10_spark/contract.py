@@ -2647,7 +2647,8 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 + A8 + A9 + A10 (percentiles, ROLLUP, PIVOT, one-pass profiling)
+    """A7 + A8 + A9 + A10 (percentiles, ROLLUP + CUBE with grouping_id,
+    PIVOT, one-pass profiling)
     + semi-structured JSON extraction + the portable-HLL register set
     (r7: every register's max-rho, the integer-scaled register sum, and
     the raw estimator — the driver-checkable face of the sketch path;
@@ -2676,6 +2677,27 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rollup").alias("section"),
         F.col("l_returnflag").alias("k1"), F.col("l_linestatus").alias("k2"),
         "metric", "val", nul_s.alias("sval"),
+    )
+    # CUBE completes the grouping-set family (ROLLUP above, PIVOT below):
+    # all four (flag, status) marginals in ONE aggregate pass, with the
+    # grouping_id bitmask distinguishing a real NULL group key from a
+    # subtotal marker — same bitmask semantics as DuckDB's GROUPING().
+    cu = (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.grouping_id().cast("double").alias("_gid"),
+        )
+        .selectExpr(
+            "coalesce(l_returnflag, 'ALL') as k1",
+            "coalesce(l_linestatus, 'ALL') as k2",
+            "stack(2, 'n', _n, 'gid', _gid) as (metric, val)",
+        )
+        .select(
+            F.lit("cube").alias("section"), "k1", "k2",
+            "metric", "val", nul_s.alias("sval"),
+        )
     )
     types = ["click", "view", "purchase", "signup", "error"]
     stack_pv = ", ".join(f"'{t}', cast({t} as double)" for t in types)
@@ -2781,6 +2803,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pct.unionByName(ro)
+        .unionByName(cu)
         .unionByName(pv)
         .unionByName(prof_num)
         .unionByName(prof_str)
@@ -2853,10 +2876,23 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary (token tf/df), distinct-bigram counts, and
-    language-id distribution in one long-format result tagged by `kind`."""
+    """Corpus vocabulary (token tf/df), distinct-bigram counts,
+    language-id distribution, and (r7) the count-min frequency sketch in
+    one long-format result tagged by `kind`:
+
+    - ``cms``: every non-zero cell of the 4x1024 portable-hash CMS
+      matrix over the lowercased token stream (functions/sketches.py —
+      exact integer counters, fully oracle-able);
+    - ``cms_est``: the sketch's point estimate for the top-10 exact
+      tokens (tf = estimate, df = exact count) — the CMS one-sided
+      guarantee estimate >= exact holds row by row, and at this
+      vocabulary-vs-width ratio they mostly coincide.
+    """
     _utc(spark)
-    vocab = q_text_vocabulary(spark, sf_dir).select(
+    from .functions.sketches import cms_point_estimates, count_min_sketch
+
+    vocab_df = q_text_vocabulary(spark, sf_dir)
+    vocab = vocab_df.select(
         F.lit("token").alias("kind"),
         F.col("token").alias("term"),
         "tf",
@@ -2874,7 +2910,44 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("tf"),
         F.lit(None).cast("bigint").alias("df"),
     )
-    return vocab.unionByName(grams).unionByName(lang)
+
+    from .functions.text import tokens as _tok
+
+    stream = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(_tok("text")).alias("t"))
+        .select(F.lower("t").alias("t"))
+    )
+    cms = count_min_sketch(stream, "t", depth=4, width=1024)
+    cms_rows = cms.select(
+        F.lit("cms").alias("kind"),
+        F.concat_ws(
+            "|", F.col("j").cast("string"), F.col("bucket").cast("string")
+        ).alias("term"),
+        F.col("cnt").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+    )
+    top10 = (
+        vocab_df.orderBy(F.col("tf").desc(), F.col("token")).limit(10)
+    )
+    est = cms_point_estimates(
+        cms, top10.select(F.col("token").alias("t")), "t", depth=4, width=1024
+    )
+    cms_est = (
+        top10.join(est, top10["token"] == est["t"])
+        .select(
+            F.lit("cms_est").alias("kind"),
+            F.col("token").alias("term"),
+            F.col("cms_estimate").alias("tf"),
+            F.col("tf").alias("df"),
+        )
+    )
+    return (
+        vocab.unionByName(grams)
+        .unionByName(lang)
+        .unionByName(cms_rows)
+        .unionByName(cms_est)
+    )
 
 
 def q_sample_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3772,6 +3845,34 @@ WHERE round(
                                     CAST(b.embedding AS DOUBLE[])))), 5) >= 0.3
 """,
     "text_corpus_stats": r"""
+WITH toks AS (
+  SELECT lower(t) AS t
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents)
+),
+cms AS (
+  SELECT j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8))::BIGINT
+           % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS j)
+  GROUP BY 1, 2
+),
+top10 AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1 ORDER BY tf DESC, t LIMIT 10
+),
+probes AS (
+  SELECT top10.t, top10.tf, jj.j,
+         ('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':' || top10.t), 1, 8))::BIGINT
+           % 1024 AS bucket
+  FROM top10, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+),
+est AS (
+  SELECT p.t, p.tf, CAST(MIN(c.c) AS BIGINT) AS est
+  FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY 1, 2
+)
 SELECT 'token' AS kind, lower(t) AS term,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
@@ -3807,6 +3908,14 @@ SELECT 'lang' AS kind,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(NULL AS BIGINT) AS df
 FROM documents GROUP BY 2
+UNION ALL
+SELECT 'cms' AS kind,
+       CAST(j AS VARCHAR) || '|' || CAST(bucket AS VARCHAR) AS term,
+       c AS tf, CAST(NULL AS BIGINT) AS df
+FROM cms
+UNION ALL
+SELECT 'cms_est' AS kind, t AS term, est AS tf, tf AS df
+FROM est
 """,
     "w7_sessionize": """
 WITH es AS (
@@ -3886,6 +3995,17 @@ FROM (
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)]) AS v
   FROM lineitem
   GROUP BY ROLLUP (l_returnflag, l_linestatus)
+)
+UNION ALL
+SELECT 'cube', coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'),
+       m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         unnest(['n', 'gid']) AS m,
+         unnest([CAST(COUNT(*) AS DOUBLE),
+                 CAST(GROUPING(l_returnflag, l_linestatus) AS DOUBLE)]) AS v
+  FROM lineitem
+  GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 UNION ALL
 SELECT 'pivot', d, '', m, v, CAST(NULL AS VARCHAR)

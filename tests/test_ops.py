@@ -596,6 +596,50 @@ def test_hll_portable_registers_estimate_and_determinism(spark):
     assert {r["bucket"]: r["max_rho"] for r in regs2} == present
 
 
+def test_count_min_sketch_merge_and_one_sided_error(spark):
+    """CMS invariants on the real corpus tokens: (a) elementwise-sum
+    merge of per-source sketches equals the whole-corpus sketch exactly
+    (the mergeability that lets per-partition sketches roll up without
+    raw data); (b) every point estimate >= the exact count (one-sided
+    error), and a never-seen item estimates exactly 0."""
+    from datawarehouse_group10_spark.functions.sketches import (
+        cms_point_estimates,
+        count_min_sketch,
+        merge_count_min,
+    )
+    from datawarehouse_group10_spark.functions.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    stream = docs.select(
+        "source", F.explode(tokens("text")).alias("t")
+    ).select("source", F.lower("t").alias("t"))
+
+    whole = count_min_sketch(stream, "t")
+    halves = [
+        count_min_sketch(stream.filter(F.col("source") == s), "t")
+        for s, in stream.select("source").distinct().collect()
+    ]
+    merged = merge_count_min(*halves)
+    as_map = lambda df: {(r["j"], r["bucket"]): r["cnt"] for r in df.collect()}
+    assert as_map(merged) == as_map(whole)
+
+    exact = {
+        r["t"]: r["n"]
+        for r in stream.groupBy("t").agg(F.count("*").alias("n")).collect()
+    }
+    some = list(exact)[:20]
+    probes = spark.createDataFrame(
+        [(t,) for t in some] + [("__never_seen_token__",)], "t string"
+    )
+    ests = {
+        r["t"]: r["cms_estimate"]
+        for r in cms_point_estimates(whole, probes, "t").collect()
+    }
+    for t in some:
+        assert ests[t] >= exact[t], t
+    assert ests["__never_seen_token__"] == 0
+
+
 def test_gap_fill_densifies_zero_fills_and_forward_fills(spark):
     """gap_fill emits the complete per-key grid: missing buckets carry
     is_gap=1, zero_cols 0, other observation columns NULL, and the
