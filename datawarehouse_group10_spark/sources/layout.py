@@ -1,0 +1,119 @@
+"""Multi-dimensional data layout: z-order clustered parquet writes.
+
+Hash bucketing (``operators/skew.py: write_bucketed_table``) co-locates
+JOINS; z-ordering co-locates SCANS: interleaving the bit-representations
+of several columns into one sort key places rows that are close in ANY
+of those dimensions into the same files, so parquet footer min/max
+statistics prune most files for a selective filter on EITHER column — a
+1-D sort only ever prunes its leading column. At 100 TB this is the
+difference between "query by customer OR by date touches everything"
+and "either predicate reads a small fraction of files". The same move
+Delta/Iceberg OPTIMIZE ZORDER performs, here as a plain-parquet
+composition: equi-depth bucket ids from approx quantiles, bit
+interleave, repartitionByRange on the z-key, sortWithinPartitions,
+write.
+
+Driver-side cost is bounded: one approxQuantile pass per z column
+(sketch-based, no sort) collecting ``2^bits - 1`` boundaries; everything
+else is column arithmetic + one range shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "write_zordered", "file_prune_fraction"]
+
+
+def _bucket_expr(col: str, boundaries: list[float]) -> Column:
+    """Equi-depth bucket id: how many boundaries the value is >= to —
+    an O(bits) fold over a literal array, pure codegen, no join."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(col).cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Append the interleaved z-order key column ``_z`` for ``cols``
+    (each reduced to a ``bits``-bit equi-depth bucket id via
+    approxQuantile boundaries). Returns (df_with_key, key_col_name).
+
+    Bit interleave: z = Σ_b Σ_i bit_b(bucket_i) << (b*len(cols)+i) —
+    column arithmetic only. NULLs bucket to 0 (sort first; their file
+    stats stay prunable for non-NULL predicates).
+    """
+    if not cols or bits < 1 or bits > 16:
+        raise ValueError("zorder_key: need >=1 column and 1 <= bits <= 16")
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    buckets = []
+    for c in cols:
+        bnds = df.stat.approxQuantile(c, probs, 0.001)
+        # collapse duplicate boundaries (heavy skew) — fewer effective
+        # buckets, same correctness
+        buckets.append(F.coalesce(_bucket_expr(c, bnds), F.lit(0)))
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, bk in enumerate(buckets):
+            bit = F.shiftright(bk, b).bitwiseAND(F.lit(1)).cast("bigint")
+            z = z + bit * F.lit(1 << (b * len(cols) + i)).cast("bigint")
+    return df.withColumn("_z", z), "_z"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the z-order
+    of ``cols``: range-partition on the z key (balanced output files —
+    range, not hash, so the z ordering is global across files), sort
+    within each file, drop the key, write."""
+    keyed, key = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_prune_fraction(path: str, col: str, lo: float, hi: float) -> float:
+    """Footer-only pruning measurement: the fraction of parquet files
+    under ``path`` whose [min, max] stats for ``col`` overlap [lo, hi] —
+    i.e. what a stats-aware scan must READ for that predicate (Spark
+    itself prunes at row-group granularity; file granularity is the
+    conservative proxy this returns). Driver-side metadata reads only."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    overlapping = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                fmin, fmax = float("-inf"), float("inf")
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is not None and not (fmax < lo or fmin > hi):
+            overlapping += 1
+    return overlapping / len(files)

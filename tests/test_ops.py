@@ -596,6 +596,49 @@ def test_hll_portable_registers_estimate_and_determinism(spark):
     assert {r["bucket"]: r["max_rho"] for r in regs2} == present
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustered writes: a 10%-range predicate on EITHER z column
+    overlaps at most half the files (footer min/max stats), while the
+    1-D-sorted baseline layout reads EVERY file for the non-leading
+    column — the multi-dimensional locality the layout exists for. Row
+    fidelity across the rewrite is exact."""
+    from datawarehouse_group10_spark.sources.layout import (
+        file_prune_fraction,
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    omin, omax = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    pmin, pmax = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    zdir, sdir = str(tmp_path / "zord"), str(tmp_path / "sort1d")
+    write_zordered(li, zdir, ["l_orderkey", "l_partkey"], n_files=16, bits=8)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    ow, pw = (omax - omin) * 0.1, (pmax - pmin) * 0.1
+    z_by_o = file_prune_fraction(zdir, "l_orderkey", omin + ow, omin + 2 * ow)
+    z_by_p = file_prune_fraction(zdir, "l_partkey", pmin + pw, pmin + 2 * pw)
+    s_by_o = file_prune_fraction(sdir, "l_orderkey", omin + ow, omin + 2 * ow)
+    s_by_p = file_prune_fraction(sdir, "l_partkey", pmin + pw, pmin + 2 * pw)
+    assert z_by_o <= 0.5 and z_by_p <= 0.5, (z_by_o, z_by_p)
+    assert s_by_o <= 0.25  # 1-D sort prunes its leading column best...
+    assert s_by_p == 1.0   # ...and not at all on the other dimension
+
+    assert spark.read.parquet(zdir).count() == li.count()
+    assert (
+        spark.read.parquet(zdir)
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .first()[0]
+        == li.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).first()[0]
+    )
+
+
 def test_count_min_sketch_merge_and_one_sided_error(spark):
     """CMS invariants on the real corpus tokens: (a) elementwise-sum
     merge of per-source sketches equals the whole-corpus sketch exactly
