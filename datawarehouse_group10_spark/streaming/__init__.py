@@ -40,6 +40,8 @@ __all__ = [
     "running_user_stats_stateful",
     "stream_interval_join",
     "attributed_conversions",
+    "apply_cms_batch",
+    "run_stream_count_min",
 ]
 
 #: Explicit schemas for the events stream (streams cannot infer schemas).
@@ -429,3 +431,108 @@ def attributed_conversions(
         "click_id",
         "click_ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming frequency-sketch maintenance (CMS IVM)
+
+
+def apply_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> bool:
+    """Merge one microbatch into the persisted CMS at ``sketch_dir``,
+    idempotently: returns False (no-op) when ``batch_id`` was already
+    applied. The persisted layout carries BOTH the counters and the
+    applied-batch ledger in ONE parquet directory version — counter rows
+    are ``(j >= 0, bucket, cnt)``, ledger rows are ``(j = -1,
+    bucket = batch_id, cnt = 1)`` — so a replayed batch (crash between
+    write and checkpoint commit) observes either the fully-merged state
+    (ledger present -> skip) or the fully-unmerged one (re-merge), never
+    a half-applied sketch. This is the explicit exactly-once upgrade
+    over WAL-only ``foreachBatch`` bodies whose read-modify-write is not
+    replay-idempotent.
+
+    Scale shape: the persisted sketch is bounded by depth*width (+ one
+    ledger row per microbatch), the batch CMS is one uniform-key
+    aggregate over the batch, and the merge unions two sketch-sized
+    frames — nothing here grows with stream history except the ledger
+    (ONE row per microbatch; replay only ever concerns the latest
+    uncommitted epoch, so an offline compactor may drop ledger rows
+    older than the checkpoint's committed batch at any time).
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..functions.sketches import count_min_sketch, merge_count_min
+
+    spark = batch_df.sparkSession
+    try:
+        persisted = spark.read.parquet(sketch_dir)
+        applied = {
+            r["bucket"]
+            for r in persisted.filter(F.col("j") == -1).select("bucket").collect()
+        }
+        counters = persisted.filter(F.col("j") >= 0)
+    except AnalysisException:
+        applied, counters = set(), None
+    if batch_id in applied:
+        return False
+    batch_cms = count_min_sketch(batch_df, item_col, depth=depth, width=width)
+    merged = (
+        batch_cms if counters is None else merge_count_min(counters, batch_cms)
+    )
+    ledger = batch_df.sparkSession.createDataFrame(
+        [(-1, int(batch_id), 1)], "j int, bucket int, cnt bigint"
+    )
+    out = merged.unionByName(ledger)
+    if applied:
+        out = out.unionByName(
+            ledger.sparkSession.createDataFrame(
+                [(-1, int(b), 1) for b in applied], "j int, bucket int, cnt bigint"
+            )
+        )
+    # Materialize BEFORE the overwrite: the lineage reads the directory
+    # being replaced.
+    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(sketch_dir)
+    return True
+
+
+def run_stream_count_min(
+    events_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1024,
+    timeout_sec: int = 300,
+) -> None:
+    """Maintain a count-min frequency sketch over a stream via
+    ``foreachBatch`` + :func:`apply_cms_batch` — streaming IVM of the
+    sketch: per-microbatch CMS build (bounded work), elementwise-sum
+    merge into sketch-sized persisted state, replay-idempotent through
+    the in-directory batch ledger. Read the counters back with
+    ``spark.read.parquet(sketch_dir).filter("j >= 0")`` and point-query
+    them with :func:`..functions.sketches.cms_point_estimates`."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_cms_batch(
+            batch_df, batch_id, sketch_dir, item_col, depth=depth, width=width
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()

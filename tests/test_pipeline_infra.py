@@ -878,3 +878,60 @@ def test_layout_probe_guards(spark, tmp_path):
     pq.write_table(pa.table({"ts": pa.array([1], pa.timestamp("us"))}), flip)
     _os.utime(flip, (1, 2))  # distinct mtime even on coarse filesystems
     assert events_ts_layout(flip) == "timestamp"
+
+
+def test_stream_count_min_matches_batch_and_replay_is_idempotent(spark, tmp_path):
+    """Streaming CMS maintenance: after the availableNow run, the
+    persisted counters equal the one-shot batch sketch exactly; a
+    restart on the same checkpoint is a no-op; and a REPLAYED batch id
+    (crash between write and checkpoint commit) is skipped by the
+    in-directory ledger instead of double-counting."""
+    from datawarehouse_group10_spark.functions.sketches import count_min_sketch
+    from datawarehouse_group10_spark.streaming import (
+        apply_cms_batch,
+        read_events_stream,
+        run_stream_count_min,
+    )
+
+    sketch_dir = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    src = "/root/testdata/sf0.001/events.parquet"
+
+    def go():
+        run_stream_count_min(
+            read_events_stream(spark, src).select("event_type"),
+            sketch_dir,
+            ckpt,
+            item_col="event_type",
+        )
+
+    def counters():
+        return {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(sketch_dir).filter("j >= 0").collect()
+        }
+
+    go()
+    batch = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(
+            spark.read.parquet(src).select("event_type"), "event_type"
+        ).collect()
+    }
+    assert counters() == batch
+
+    go()  # restart: no new files -> no new batches -> unchanged
+    assert counters() == batch
+
+    applied = {
+        r["bucket"]
+        for r in spark.read.parquet(sketch_dir).filter("j = -1").collect()
+    }
+    replay_df = spark.read.parquet(src).select("event_type")
+    assert apply_cms_batch(
+        replay_df, min(applied), sketch_dir, "event_type"
+    ) is False
+    assert counters() == batch  # the double-count the ledger prevents
+
+    assert apply_cms_batch(replay_df, 999, sketch_dir, "event_type") is True
+    assert counters() == {k: 2 * v for k, v in batch.items()}
