@@ -1868,7 +1868,34 @@ def q_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_current").cast("int").alias("is_current"),
         )
 
-    return fmt(dim, "dim").unionByName(fmt(asof, "asof"))
+    # CDC surface (r7): snapshot_diff between the original customer
+    # segments and the updated snapshot (plus a handful of synthetic
+    # inserted keys) — the upstream change feed an scd2_apply batch comes
+    # from. Rides the suite schema: segment carries change[:changed_cols],
+    # valid_from/valid_to carry the old/new attribute values.
+    from .operators.scd import snapshot_diff
+
+    old_snap = cust.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    inserts = cust.filter(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit("SEGNEW").alias("segment"),
+    )
+    new_snap = upd.select("c_custkey", "segment").unionByName(inserts)
+    diff = snapshot_diff(old_snap, new_snap, ["c_custkey"], ["segment"])
+    cdc = diff.select(
+        F.lit("cdc").alias("surface"),
+        "c_custkey",
+        F.when(
+            F.size("changed_cols") > 0,
+            F.concat(
+                F.col("change"), F.lit(":"), F.array_join("changed_cols", ","),
+            ),
+        ).otherwise(F.col("change")).alias("segment"),
+        F.coalesce("old_segment", F.lit("")).alias("valid_from"),
+        F.coalesce("new_segment", F.lit("")).alias("valid_to"),
+        F.lit(None).cast("int").alias("is_current"),
+    )
+    return fmt(dim, "dim").unionByName(fmt(asof, "asof")).unionByName(cdc)
 
 
 def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4344,6 +4371,28 @@ SELECT 'asof', c_custkey, segment,
        is_current
 FROM dim
 WHERE valid_from <= DATE '1995-06-01' AND valid_to > DATE '1995-06-01'
+UNION ALL
+SELECT 'cdc', k,
+       change || CASE WHEN ch <> '' THEN ':' || ch ELSE '' END,
+       COALESCE(old_seg, ''), COALESCE(new_seg, ''), CAST(NULL AS INT)
+FROM (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'insert'
+              WHEN n.k IS NULL THEN 'delete'
+              WHEN o.seg IS DISTINCT FROM n.seg THEN 'update' END AS change,
+         CASE WHEN o.seg IS DISTINCT FROM n.seg THEN 'segment'
+              ELSE '' END AS ch,
+         o.seg AS old_seg, n.seg AS new_seg
+  FROM (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer) o
+  FULL OUTER JOIN (
+    SELECT o_custkey AS k, 'SEG' || CAST(o_custkey % 3 AS VARCHAR) AS seg
+    FROM (SELECT DISTINCT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey + 1000000, 'SEGNEW' FROM customer
+    WHERE c_custkey % 500 = 0
+  ) n ON o.k = n.k
+)
+WHERE change IS NOT NULL
 """
 
 # Portable SimHash: md5 token hashes split into unsigned 32-bit halves,

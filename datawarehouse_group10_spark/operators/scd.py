@@ -120,3 +120,61 @@ def scd2_as_of(
     ``valid_from`` gives the scan min/max pruning."""
     d = F.lit(as_of).cast("date")
     return dim.filter((F.col(valid_from) <= d) & (F.col(valid_to) > d))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two snapshots of the same keyed table:
+    one row per CHANGED key — ``change`` in ('insert', 'delete',
+    'update'), ``changed_cols`` the array of compare columns whose values
+    differ (NULL-safe), plus ``old_<c>`` / ``new_<c>`` value pairs.
+    Unchanged keys are dropped. This is the upstream feed of
+    :func:`scd2_apply` (an 'update'/'insert' row becomes the SCD2 update
+    batch) and of any incremental downstream refresh.
+
+    Scale shape: ONE full-outer shuffle join on the key columns —
+    everything else is null-safe column compares in the projection. At
+    100 TB both sides are scans of columnar snapshots pruned to
+    key + compare columns; if the snapshots share a bucketed layout on
+    the keys (operators/skew.py: write_bucketed_table) the join is
+    shuffle-free.
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols
+    ]
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    changed_cols = F.array_compact(
+        F.array(*[
+            F.when(
+                ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")), F.lit(c)
+            )
+            for c in compare_cols
+        ])
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(F.size(changed_cols) > 0, F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .withColumn("changed_cols", changed_cols)
+        .select(
+            *key_cols,
+            "change",
+            "changed_cols",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

@@ -596,6 +596,32 @@ def test_hll_portable_registers_estimate_and_determinism(spark):
     assert {r["bucket"]: r["max_rho"] for r in regs2} == present
 
 
+def test_snapshot_diff_cdc_semantics(spark):
+    """snapshot_diff: unchanged keys are dropped (including NULL==NULL
+    tracked values — null-safe compare), inserts/deletes/updates are
+    classified, and changed_cols names exactly the differing columns."""
+    from datawarehouse_group10_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 10), (3, "c", 30), (4, None, 40)],
+        "k bigint, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "B", 10), (4, None, 41), (5, "e", 50)],
+        "k bigint, s string, v int",
+    )
+    got = {
+        r["k"]: (r["change"], tuple(r["changed_cols"]), r["old_s"], r["new_s"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert 1 not in got  # unchanged, NULL v on both sides
+    assert got[2] == ("update", ("s",), "b", "B")
+    assert got[3][0] == "delete"
+    assert got[4] == ("update", ("v",), None, None)
+    assert got[5][0] == "insert"
+    assert set(got) == {2, 3, 4, 5}
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     """Z-order clustered writes: a 10%-range predicate on EITHER z column
     overlaps at most half the files (footer min/max stats), while the
