@@ -2828,6 +2828,41 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric", "val", nul_s.alias("sval"),
         )
     )
+    # Data-quality expectations (operators/quality.py): row rules in one
+    # aggregate pass, uniqueness via distinct-count, referential
+    # integrity via left-anti — one report row set the pipeline gates on.
+    # big_ticket_cap is a deliberately failing business rule so the
+    # non-zero violation path is driver-checked, not just the zeros.
+    from .operators.quality import expect_reference, expect_rows, expect_unique
+
+    orders_q = _t(spark, sf_dir, "orders")
+    exp = (
+        expect_rows(
+            orders_q,
+            {
+                "totalprice_nonneg": F.col("o_totalprice") >= 0,
+                "status_known": F.col("o_orderstatus").isin("P", "O", "F"),
+                "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+                "big_ticket_cap": F.col("o_totalprice") <= 40000,
+            },
+        )
+        .unionByName(expect_unique(orders_q, ["o_orderkey"]))
+        .unionByName(
+            expect_reference(
+                orders_q, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey"
+            )
+        )
+    )
+    exp_rows = exp.selectExpr(
+        "rule",
+        "stack(3, 'n_rows', cast(n_rows as double),"
+        " 'n_violations', cast(n_violations as double),"
+        " 'passed', cast(passed as double)) as (metric, val)",
+    ).select(
+        F.lit("expectations").alias("section"),
+        F.col("rule").alias("k1"), F.lit("").alias("k2"),
+        "metric", "val", nul_s.alias("sval"),
+    )
     return (
         pct.unionByName(ro)
         .unionByName(cu)
@@ -2837,6 +2872,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(js)
         .unionByName(hll_rows)
         .unionByName(hll_sum)
+        .unionByName(exp_rows)
     )
 
 
@@ -4085,6 +4121,40 @@ FROM (
            SUM(1::BIGINT << (33 - mr))
              + (4096 - COUNT(*)) * (1::BIGINT << 33) AS s
     FROM hll_reg
+  )
+)
+UNION ALL
+SELECT 'expectations', rule, '', m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT rule, unnest(['n_rows', 'n_violations', 'passed']) AS m,
+         unnest([CAST(n AS DOUBLE), CAST(viol AS DOUBLE),
+                 CAST(CASE WHEN viol = 0 THEN 1 ELSE 0 END AS DOUBLE)]) AS v
+  FROM (
+    SELECT 'totalprice_nonneg' AS rule, COUNT(*) AS n,
+           SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) AS viol
+    FROM orders
+    UNION ALL
+    SELECT 'status_known', COUNT(*),
+           SUM(CASE WHEN o_orderstatus IN ('P', 'O', 'F') THEN 0 ELSE 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_format', COUNT(*),
+           SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+               THEN 0 ELSE 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'big_ticket_cap', COUNT(*),
+           SUM(CASE WHEN o_totalprice <= 40000 THEN 0 ELSE 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'ref_o_custkey_in_c_custkey', COUNT(*),
+           (SELECT COUNT(*) FROM orders o2
+            WHERE o2.o_custkey NOT IN (SELECT c_custkey FROM customer))
+    FROM orders
   )
 )
 """,

@@ -596,6 +596,37 @@ def test_hll_portable_registers_estimate_and_determinism(spark):
     assert {r["bucket"]: r["max_rho"] for r in regs2} == present
 
 
+def test_expectations_null_unique_and_referential_semantics(spark):
+    """Quality expectations: a NULL rule outcome counts as a violation
+    (an expectation that cannot be established is not met), uniqueness
+    counts duplicate keys, and NULL foreign keys are orphans."""
+    from datawarehouse_group10_spark.operators.quality import (
+        expect_reference,
+        expect_rows,
+        expect_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (2, -1)], "k bigint, v int"
+    )
+    rows = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in expect_rows(
+            df, {"v_pos": F.col("v") > 0, "k_small": F.col("k") < 10}
+        ).collect()
+    }
+    assert rows["v_pos"] == (3, 2, 0)  # NULL v and -1 both violate
+    assert rows["k_small"] == (3, 0, 1)
+
+    uq = expect_unique(df, ["k"]).first()
+    assert (uq["n_violations"], uq["passed"]) == (1, 0)
+
+    dim = spark.createDataFrame([(1,), (3,)], "dk bigint")
+    fk = spark.createDataFrame([(1,), (2,), (None,)], "k bigint")
+    ref = expect_reference(fk, "k", dim, "dk").first()
+    assert (ref["n_rows"], ref["n_violations"], ref["passed"]) == (3, 2, 0)
+
+
 def test_snapshot_diff_cdc_semantics(spark):
     """snapshot_diff: unchanged keys are dropped (including NULL==NULL
     tracked values — null-safe compare), inserts/deletes/updates are
