@@ -1525,7 +1525,33 @@ def q_w4_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked.select(F.lit("ntile4").alias("surface"), "k", F.col("_nt").alias("v"))
         )
     )
-    return topk.unionByName(setops).unionByName(wfuncs)
+    # Remaining ranking/offset family (r7): dense_rank over a COARSE key
+    # (price in 10k buckets — real ties, so dense vs row_number actually
+    # differs), lead(1) by orderkey order (NULL for each customer's last
+    # order — offset semantics), nth_value(2) from the running frame
+    # (NULL until the second row arrives). Same bounded per-customer
+    # partitions as above.
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.floor(F.col("o_totalprice") / 10000).desc()
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wn = wo.rowsBetween(Window.unboundedPreceding, 0)
+    extra = sub.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.dense_rank().over(wd).cast("double").alias("_dr"),
+        F.lead("o_totalprice", 1).over(wo).alias("_ld"),
+        F.nth_value("o_totalprice", 2).over(wn).alias("_nv"),
+    )
+    more = (
+        extra.select(F.lit("drank").alias("surface"), "k", F.col("_dr").alias("v"))
+        .unionByName(
+            extra.select(F.lit("lead1").alias("surface"), "k", F.col("_ld").alias("v"))
+        )
+        .unionByName(
+            extra.select(F.lit("nth2").alias("surface"), "k", F.col("_nv").alias("v"))
+        )
+    )
+    return topk.unionByName(setops).unionByName(wfuncs).unionByName(more)
 
 
 def q_w5_recency_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3800,6 +3826,29 @@ UNION ALL
 SELECT 'cume' AS surface, k, cd AS v FROM ranked
 UNION ALL
 SELECT 'ntile4' AS surface, k, nt AS v FROM ranked
+UNION ALL
+SELECT 'drank' AS surface, k, dr AS v FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(dense_rank() OVER (PARTITION BY o_custkey
+              ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT) DESC)
+              AS DOUBLE) AS dr
+  FROM orders WHERE o_custkey % 50 = 0
+)
+UNION ALL
+SELECT 'lead1' AS surface, k, ld AS v FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderkey) AS ld
+  FROM orders WHERE o_custkey % 50 = 0
+)
+UNION ALL
+SELECT 'nth2' AS surface, k, nv AS v FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv
+  FROM orders WHERE o_custkey % 50 = 0
+)
 """,
     "text_features": r"""
 WITH grams AS (
