@@ -2651,7 +2651,10 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-window consumer otherwise hand-rolls). Long format
     (section, k1, k2, metric, val, sval); value sums ride the usual
     decimal-round-to-cents-then-double rule so the ffill carries
-    bit-identical doubles on both engines."""
+    bit-identical doubles on both engines. The ``hopping`` section adds
+    the sliding-window API (F.window with a 15-min slide over 1-hour
+    windows; the oracle reconstructs membership by exploding the four
+    candidate window starts per event)."""
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
     out = days_since_last(ev, key="user_id", date_col="d")
@@ -2696,7 +2699,27 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
         F.lit(None).cast("string").alias("sval"),
     )
-    return rec.unionByName(gf)
+
+    # Hopping (sliding) windows: each event lands in 4 overlapping
+    # 1-hour/15-minute windows — the F.window(slide) API the tumbling
+    # streaming aggregate doesn't exercise. The oracle reconstructs the
+    # same assignment by exploding the 4 candidate window starts per
+    # event. Purchase-only keeps the section small.
+    hop = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").cast("double").alias("val"))
+        .select(
+            F.lit("hopping").alias("section"),
+            F.lit("purchase").alias("k1"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("k2"),
+            F.lit("n").alias("metric"),
+            "val",
+            F.lit(None).cast("string").alias("sval"),
+        )
+    )
+    return rec.unionByName(gf).unionByName(hop)
 
 
 def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3795,6 +3818,16 @@ FROM (
                  CAST(is_gap AS DOUBLE)]) AS v
   FROM filled
 )
+UNION ALL
+SELECT 'hopping', 'purchase', strftime(w_start, '%Y-%m-%d %H:%M'), 'n',
+       CAST(COUNT(*) AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM (
+  SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+           - off * INTERVAL 15 MINUTES AS w_start
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS off)
+  WHERE event_type = 'purchase'
+)
+GROUP BY w_start
 """,
     "w4_set_suite": """
 WITH ranked AS (
