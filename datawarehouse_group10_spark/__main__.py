@@ -6,6 +6,7 @@ equivalent:
     python -m datawarehouse_group10_spark job --csv-dir DIR --out DIR
     python -m datawarehouse_group10_spark query NAME [--sf-dir DIR]
     python -m datawarehouse_group10_spark list
+    python -m datawarehouse_group10_spark zorder --input P --out P --cols a,b
 
 ``job`` runs the orchestrated P1-P4 pipeline (ledger-gated, parquet
 layers); ``query`` runs any contract query and prints a sample;
@@ -35,6 +36,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list", help="list contract queries")
+
+    z = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table z-order clustered on columns",
+    )
+    z.add_argument("--input", required=True, help="input parquet path")
+    z.add_argument("--out", required=True, help="output parquet directory")
+    z.add_argument("--cols", required=True, help="comma-separated z columns")
+    z.add_argument("--files", type=int, default=16)
+    z.add_argument("--bits", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -73,6 +84,20 @@ def main(argv: list[str] | None = None) -> int:
             df = QUERIES[args.name](spark, args.sf_dir)
             df.show(args.limit, truncate=False)
             print(f"({df.count()} rows total)")
+            return 0
+
+        if args.cmd == "zorder":
+            from .sources.layout import write_zordered
+
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            df = spark.read.parquet(args.input)
+            write_zordered(
+                df, args.out, cols, n_files=args.files, bits=args.bits
+            )
+            print(
+                f"wrote {args.out}: {args.files} files z-ordered on "
+                f"{cols} ({spark.read.parquet(args.out).count()} rows)"
+            )
             return 0
         return 2
     finally:
