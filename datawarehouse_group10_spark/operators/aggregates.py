@@ -222,6 +222,49 @@ def hll_sketch_by(
     )
 
 
+def merge_partial_aggs(
+    parts: list[DataFrame],
+    keys: list[str],
+    spec: dict[str, str],
+) -> DataFrame:
+    """Generalized incremental-view-maintenance merge: combine per-slice
+    PARTIAL aggregate tables (same ``keys`` + one column per aggregate)
+    into the aggregate over the union of slices, without rescanning any
+    slice. ``spec`` maps column -> one of 'sum' | 'count' | 'min' |
+    'max'. The algebra:
+
+    - sum partials merge by SUM; **count partials also merge by SUM** —
+      re-COUNTing count columns is the classic IVM bug (it counts the
+      number of slices, not rows), so 'count' is accepted as
+      documentation but executes as SUM;
+    - min/max merge by min/max (idempotent, so overlapping slices only
+      corrupt sums/counts — slices must partition the input);
+    - avg is NOT directly mergeable: carry (sum, count) partials and
+      derive the ratio after the merge. Same for any ratio/variance —
+      merge the sufficient statistics, derive at the end (this is
+      exactly what plans/medallion.py::merge_mart does for the mart's
+      probability column).
+
+    Scale shape: a union of already-aggregated (small) tables + ONE
+    hash aggregate on the keys — state is output-sized, never
+    input-sized. This is the generalization behind per-day/per-source
+    partial rollups merging to corpus totals at 100 TB.
+    """
+    fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    bad = {c: m for c, m in spec.items() if m not in fns}
+    if bad:
+        raise ValueError(
+            f"merge_partial_aggs: unmergeable modes {bad}; carry "
+            "sufficient statistics (sum+count for avg) instead"
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy(*keys).agg(
+        *[fns[m](F.col(c)).alias(c) for c, m in spec.items()]
+    )
+
+
 def hll_portable_registers(
     df: DataFrame,
     value_col: str,

@@ -596,6 +596,62 @@ def test_hll_portable_registers_estimate_and_determinism(spark):
     assert {r["bucket"]: r["max_rho"] for r in regs2} == present
 
 
+def test_merge_partial_aggs_equals_whole_input_aggregate(spark):
+    """IVM merge algebra: per-year partial aggregates over lineitem merge
+    to exactly the whole-table aggregate — sums/counts add (COUNT
+    re-merged by SUM, the classic bug), min/max re-min/re-max, and avg
+    derived from merged (sum, count) partials matches the direct avg."""
+    from datawarehouse_group10_spark.operators.aggregates import (
+        merge_partial_aggs,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_returnflag",
+        F.year(F.to_date("l_shipdate")).alias("_y"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        "l_extendedprice",
+    )
+
+    def agg(df):
+        return df.groupBy("l_returnflag").agg(
+            F.sum("q").alias("sum_q"),
+            F.count("*").cast("bigint").alias("n"),
+            F.min("l_extendedprice").alias("min_p"),
+            F.max("l_extendedprice").alias("max_p"),
+        )
+
+    years = [r["_y"] for r in li.select("_y").distinct().collect()]
+    parts = [agg(li.filter(F.col("_y") == y)) for y in years]
+    merged = merge_partial_aggs(
+        parts,
+        ["l_returnflag"],
+        {"sum_q": "sum", "n": "count", "min_p": "min", "max_p": "max"},
+    )
+    whole = agg(li)
+    as_map = lambda df: {
+        r["l_returnflag"]: (r["sum_q"], r["n"], r["min_p"], r["max_p"])
+        for r in df.collect()
+    }
+    assert as_map(merged) == as_map(whole)
+
+    direct_avg = {
+        r["l_returnflag"]: r["a"]
+        for r in li.groupBy("l_returnflag").agg(F.avg("q").alias("a")).collect()
+    }
+    derived = {
+        r["l_returnflag"]: float(r["sum_q"]) / r["n"] for r in merged.collect()
+    }
+    for k, v in direct_avg.items():
+        # F.avg over decimal(18,2) yields decimal scale 6 — compare at
+        # that rounding granularity.
+        assert abs(derived[k] - float(v)) < 5e-7, k
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unmergeable"):
+        merge_partial_aggs(parts, ["l_returnflag"], {"sum_q": "avg"})
+
+
 def test_expectations_null_unique_and_referential_semantics(spark):
     """Quality expectations: a NULL rule outcome counts as a violation
     (an expectation that cannot be established is not met), uniqueness
