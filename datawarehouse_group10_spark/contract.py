@@ -1439,10 +1439,21 @@ def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-interval range join via bucketed equi-join: event values
-    against part-derived [lo, hi] intervals, counted per part."""
+    """Point-in-interval COUNT per part-derived [lo, hi] interval.
+
+    r7 scale fix: originally ran range_join (bucketed pair
+    materialization) + count, which is output-optimal when the PAIRS are
+    the result but quadratic-ish for a count over dense intervals — the
+    match volume grows with |points|x|overlapping intervals| (measured
+    >500s at sf1.0) while the result is one row per interval. Now runs
+    :func:`interval_point_counts` — the sweep/CDF formulation, seconds
+    at sf1.0 — with IDENTICAL output and oracle (inner semantics: only
+    intervals containing >=1 point). range_join itself stays the
+    pair-level operator, pytest-pinned (test_j7_range_join_boundaries)
+    and equality-checked against this sweep
+    (test_interval_point_counts_equals_pair_join)."""
     _utc(spark)
-    from .operators.temporal import range_join
+    from .operators.temporal import interval_point_counts
 
     points = _events(spark, sf_dir).select("event_id", "value")
     intervals = _t(spark, sf_dir, "part").select(
@@ -1450,9 +1461,8 @@ def q_j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") * 5.0).alias("lo"),
         (F.col("p_size") * 5.0 + F.col("p_size")).alias("hi"),
     )
-    joined = range_join(points, intervals, "value", "lo", "hi", bucket_width=16.0)
-    return joined.groupBy("p_partkey").agg(
-        F.count("*").cast("bigint").alias("n_points")
+    return interval_point_counts(
+        points, intervals, "value", "lo", "hi", "p_partkey", bucket_width=16.0
     )
 
 

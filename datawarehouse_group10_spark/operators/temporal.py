@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "gap_fill"]
+__all__ = ["asof_join", "range_join", "gap_fill", "interval_point_counts"]
 
 
 def asof_join(
@@ -141,6 +141,91 @@ def range_join(
     )
     joined = pts.join(ivl, on=cond, how=how)
     return joined.drop("_bkt")
+
+
+def interval_point_counts(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lower_col: str,
+    upper_col: str,
+    id_col: str,
+    bucket_width: float = 16.0,
+) -> DataFrame:
+    """Count points per [lower, upper] interval (inclusive) WITHOUT
+    materializing the point-interval pairs: n(interval) = F(hi) − F(lo⁻)
+    where F is the cumulative point count — the sweep/CDF formulation.
+
+    Why this exists: :func:`range_join` is OUTPUT-optimal — its cost is
+    the number of matching pairs, which is exactly right when the pairs
+    ARE the result. But a count-per-interval query over dense intervals
+    has pair cardinality ~|points|·|overlapping intervals| while its
+    RESULT is only |intervals| rows; measured at sf1.0 the pair plan ran
+    >500s where this sweep runs in seconds (PERF.md round-7 #11). At
+    100 TB the gap is fatal: match volume grows with the product of the
+    sides, the sweep with their sum.
+
+    Plan shape (fully partitioned — no global window): union points
+    (+1 weight) with interval endpoints (lo/hi markers), bucket by
+    value; per-bucket running sums use a PARTITIONED window, bucket
+    prefix totals are a tiny aggregate joined back broadcast; each
+    endpoint's cumulative count is prefix + within-bucket running sum.
+    Tie rule via an in-bucket sort tag: at equal value, 'lo' endpoints
+    sort before points (F(lo⁻) excludes points == lo, keeping lo
+    inclusive) and 'hi' endpoints after (hi inclusive). One row per
+    interval with at least one point (matching range_join+count's inner
+    semantics); subtract-join keyed on the interval id.
+    """
+    pts = points.select(
+        F.col(point_col).cast("double").alias("v"),
+        F.lit(1).alias("_w"),
+        F.lit(1).alias("_tag"),  # points between lo(0) and hi(2)
+        F.lit(None).cast(intervals.schema[id_col].dataType).alias("_id"),
+    )
+    lo = intervals.select(
+        F.col(lower_col).cast("double").alias("v"),
+        F.lit(0).alias("_w"),
+        F.lit(0).alias("_tag"),
+        F.col(id_col).alias("_id"),
+    )
+    hi = intervals.select(
+        F.col(upper_col).cast("double").alias("v"),
+        F.lit(0).alias("_w"),
+        F.lit(2).alias("_tag"),
+        F.col(id_col).alias("_id"),
+    )
+    u = pts.unionByName(lo).unionByName(hi).withColumn(
+        "_bkt", F.floor(F.col("v") / float(bucket_width)).cast("long")
+    )
+    wb = (
+        Window.partitionBy("_bkt")
+        .orderBy("v", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = u.withColumn("_run", F.sum("_w").over(wb))
+    bucket_totals = u.groupBy("_bkt").agg(F.sum("_w").alias("_bt"))
+    # prefix over buckets: the bucket-totals frame is tiny (one row per
+    # value bucket), so its running sum is a cheap window and the result
+    # broadcasts into the join back.
+    wprev = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = bucket_totals.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(wprev), F.lit(0)).alias("_prefix")
+    )
+    cum = run.join(F.broadcast(prefixes), "_bkt").withColumn(
+        "_cum", F.col("_run") + F.col("_prefix")
+    )
+    ends = cum.filter(F.col("_id").isNotNull())
+    counts = ends.groupBy("_id").agg(
+        (
+            F.max(F.when(F.col("_tag") == 2, F.col("_cum")))
+            - F.max(F.when(F.col("_tag") == 0, F.col("_cum")))
+        ).cast("bigint").alias("n_points")
+    )
+    return counts.filter(F.col("n_points") > 0).select(
+        F.col("_id").alias(id_col), "n_points"
+    )
 
 
 def gap_fill(

@@ -596,6 +596,45 @@ def test_hll_portable_registers_estimate_and_determinism(spark):
     assert {r["bucket"]: r["max_rho"] for r in regs2} == present
 
 
+def test_interval_point_counts_equals_pair_join(spark):
+    """The sweep/CDF interval counter returns EXACTLY range_join+count
+    (inner semantics: only intervals containing >=1 point), including
+    boundary inclusivity at lo and hi — without materializing pairs.
+    This is the scale fix behind q_j7_range_join (pair plan measured
+    >500s at sf1.0; the sweep runs in seconds)."""
+    from datawarehouse_group10_spark.operators.temporal import (
+        interval_point_counts,
+        range_join,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    points = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "value"
+    )
+    intervals = spark.read.parquet(f"{sf}/part.parquet").select(
+        "p_partkey",
+        (F.col("p_size") * 5.0).alias("lo"),
+        (F.col("p_size") * 5.0 + F.col("p_size")).alias("hi"),
+    )
+    pair = (
+        range_join(points, intervals, "value", "lo", "hi", bucket_width=16.0)
+        .groupBy("p_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_points"))
+    )
+    sweep = interval_point_counts(
+        points, intervals, "value", "lo", "hi", "p_partkey", bucket_width=16.0
+    )
+    as_map = lambda df: {r["p_partkey"]: r["n_points"] for r in df.collect()}
+    assert as_map(sweep) == as_map(pair)
+
+    # boundary inclusivity on a hand-built case: points exactly at lo
+    # and hi are counted
+    pts = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 10.5)], "id bigint, v double")
+    ivl = spark.createDataFrame([(7, 5.0, 10.0)], "k bigint, lo double, hi double")
+    got = interval_point_counts(pts, ivl, "v", "lo", "hi", "k", bucket_width=4.0).first()
+    assert (got["k"], got["n_points"]) == (7, 2)
+
+
 def test_merge_partial_aggs_equals_whole_input_aggregate(spark):
     """IVM merge algebra: per-year partial aggregates over lineitem merge
     to exactly the whole-table aggregate — sums/counts add (COUNT
