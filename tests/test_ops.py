@@ -525,6 +525,14 @@ def test_tpch_suites_and_paragraph_dedup_plan_shapes(spark):
     # section — count those.
     assert len(re.findall(r"\(\d+\) Exchange", para)) == 2, para
 
+    # j7's sweep plan (r7 scale fix): the count-per-interval query must
+    # contain NO SortMergeJoin — the pair-materializing range_join plan
+    # that measured >500s at sf1.0 would reappear as one. The only join
+    # is the broadcast of the tiny bucket-prefix frame.
+    j7 = plan_of("j7_range_join")
+    assert "SortMergeJoin" not in j7, j7
+    assert "BroadcastHashJoin" in j7, j7
+
 
 def test_hll_sketches_merge_and_estimate(spark):
     """Per-group HLL sketches estimate within the lg_k error envelope and
