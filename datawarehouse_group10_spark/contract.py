@@ -4243,9 +4243,13 @@ FROM (
            COUNT(*) - COUNT(DISTINCT o_orderkey)
     FROM orders
     UNION ALL
+    -- NULL FKs are orphans too (expect_reference's documented
+    -- semantics): NOT IN would yield NULL (uncounted) for a NULL
+    -- o_custkey, so use IS NULL OR NOT EXISTS (ADVICE r7).
     SELECT 'ref_o_custkey_in_c_custkey', COUNT(*),
            (SELECT COUNT(*) FROM orders o2
-            WHERE o2.o_custkey NOT IN (SELECT c_custkey FROM customer))
+            WHERE o2.o_custkey IS NULL OR NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey))
     FROM orders
   )
 )

@@ -29,7 +29,12 @@ __all__ = ["expect_rows", "expect_unique", "expect_reference"]
 def expect_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate boolean row expectations (true = row OK; NULL counts as a
     violation — an expectation that cannot be established is not met).
-    One aggregate over one scan regardless of rule count."""
+    One aggregate over one scan regardless of rule count.
+
+    Rule names are carried as literal Columns (array-of-structs +
+    explode over the single aggregate row), never interpolated into SQL
+    text — a name containing quotes or any other character is data, not
+    expression syntax (ADVICE r7)."""
     aggs = [
         F.sum(
             F.when(F.coalesce(v, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
@@ -37,16 +42,20 @@ def expect_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         for i, v in enumerate(rules.values())
     ]
     row = df.agg(F.count("*").cast("bigint").alias("_n"), *aggs)
-    pairs = ", ".join(
-        f"'{name}', _v_{i}" for i, name in enumerate(rules)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_v_{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(rules)
+        ]
     )
-    return row.selectExpr(
-        "_n", f"stack({len(rules)}, {pairs}) as (rule, n_violations)"
-    ).select(
-        "rule",
+    return row.select(F.col("_n"), F.explode(pairs).alias("_p")).select(
+        F.col("_p.rule").alias("rule"),
         F.col("_n").alias("n_rows"),
-        "n_violations",
-        (F.col("n_violations") == 0).cast("int").alias("passed"),
+        F.col("_p.n_violations").alias("n_violations"),
+        (F.col("_p.n_violations") == 0).cast("int").alias("passed"),
     )
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "stream_interval_join",
     "attributed_conversions",
     "apply_cms_batch",
+    "read_cms_state",
     "run_stream_count_min",
 ]
 
@@ -448,7 +449,7 @@ def apply_cms_batch(
     """Merge one microbatch into the persisted CMS at ``sketch_dir``,
     idempotently: returns False (no-op) when ``batch_id`` was already
     applied. The persisted layout carries BOTH the counters and the
-    applied-batch ledger in ONE parquet directory version — counter rows
+    applied-batch ledger in ONE parquet snapshot version — counter rows
     are ``(j >= 0, bucket, cnt)``, ledger rows are ``(j = -1,
     bucket = batch_id, cnt = 1)`` — so a replayed batch (crash between
     write and checkpoint commit) observes either the fully-merged state
@@ -456,6 +457,18 @@ def apply_cms_batch(
     a half-applied sketch. This is the explicit exactly-once upgrade
     over WAL-only ``foreachBatch`` bodies whose read-modify-write is not
     replay-idempotent.
+
+    Commit atomicity (r8, ADVICE r7): the snapshot is MVCC-versioned —
+    each merge writes a FRESH ``v_<n>`` subdirectory, then atomically
+    repoints the ``_COMMITTED`` file at it (``os.replace``, atomic on
+    POSIX). A crash mid-write leaves the pointer at the previous intact
+    version (state preserved, replay re-merges); a crash after the
+    pointer swap leaves the ledger visible (replay skips). The previous
+    in-place ``mode('overwrite')`` deleted the directory before writing
+    — a crash there lost counters AND ledger. Superseded versions are
+    pruned best-effort AFTER the swap. Read the committed state back
+    with :func:`read_cms_state` (a raw ``spark.read.parquet`` on the
+    root would see every version at once).
 
     Scale shape: the persisted sketch is bounded by depth*width (+ one
     ledger row per microbatch), the batch CMS is one uniform-key
@@ -465,20 +478,31 @@ def apply_cms_batch(
     uncommitted epoch, so an offline compactor may drop ledger rows
     older than the checkpoint's committed batch at any time).
     """
-    from pyspark.errors import AnalysisException
-
     from ..functions.sketches import count_min_sketch, merge_count_min
 
     spark = batch_df.sparkSession
-    try:
-        persisted = spark.read.parquet(sketch_dir)
+    version = _cms_committed_version(sketch_dir)
+    if version is None:
+        applied, counters = set(), None
+    else:
+        persisted = spark.read.parquet(os.path.join(sketch_dir, version))
         applied = {
             r["bucket"]
             for r in persisted.filter(F.col("j") == -1).select("bucket").collect()
         }
         counters = persisted.filter(F.col("j") >= 0)
-    except AnalysisException:
-        applied, counters = set(), None
+    # Next version = max existing + 1 (not committed + 1): a crash
+    # between snapshot write and pointer swap leaves an orphan v_ dir
+    # that must not collide with the retry's name.
+    try:
+        existing = [
+            int(d.split("_")[1])
+            for d in os.listdir(sketch_dir)
+            if d.startswith("v_")
+        ]
+    except FileNotFoundError:
+        existing = []
+    next_v = max(existing, default=0) + 1
     if batch_id in applied:
         return False
     batch_cms = count_min_sketch(batch_df, item_col, depth=depth, width=width)
@@ -495,10 +519,42 @@ def apply_cms_batch(
                 [(-1, int(b), 1) for b in applied], "j int, bucket int, cnt bigint"
             )
         )
-    # Materialize BEFORE the overwrite: the lineage reads the directory
-    # being replaced.
-    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(sketch_dir)
+    new_name = f"v_{next_v:06d}"
+    out.write.mode("errorifexists").parquet(os.path.join(sketch_dir, new_name))
+    # Atomic commit: pointer tempfile + rename. Only after this line is
+    # the new version the state; any crash above leaves the old pointer.
+    tmp = os.path.join(sketch_dir, "_COMMITTED.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(new_name)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(sketch_dir, "_COMMITTED"))
+    if version is not None:  # prune superseded snapshot, best-effort
+        import shutil
+
+        shutil.rmtree(os.path.join(sketch_dir, version), ignore_errors=True)
     return True
+
+
+def _cms_committed_version(sketch_dir: str) -> str | None:
+    """Name of the committed snapshot subdirectory, or None if no commit
+    has happened yet (fresh state)."""
+    try:
+        with open(
+            os.path.join(sketch_dir, "_COMMITTED"), encoding="utf-8"
+        ) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def read_cms_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Read the COMMITTED CMS snapshot (counters + ledger rows) at
+    ``sketch_dir``. Raises FileNotFoundError before the first commit."""
+    version = _cms_committed_version(sketch_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed CMS snapshot under {sketch_dir}")
+    return spark.read.parquet(os.path.join(sketch_dir, version))
 
 
 def run_stream_count_min(
@@ -514,9 +570,11 @@ def run_stream_count_min(
     ``foreachBatch`` + :func:`apply_cms_batch` — streaming IVM of the
     sketch: per-microbatch CMS build (bounded work), elementwise-sum
     merge into sketch-sized persisted state, replay-idempotent through
-    the in-directory batch ledger. Read the counters back with
-    ``spark.read.parquet(sketch_dir).filter("j >= 0")`` and point-query
-    them with :func:`..functions.sketches.cms_point_estimates`."""
+    the versioned batch ledger (atomic pointer-swap commits — see
+    :func:`apply_cms_batch`). Read the counters back with
+    ``read_cms_state(spark, sketch_dir).filter("j >= 0")`` and
+    point-query them with
+    :func:`..functions.sketches.cms_point_estimates`."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

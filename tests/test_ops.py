@@ -729,6 +729,47 @@ def test_expectations_null_unique_and_referential_semantics(spark):
     ref = expect_reference(fk, "k", dim, "dk").first()
     assert (ref["n_rows"], ref["n_violations"], ref["passed"]) == (3, 2, 0)
 
+    # Rule names are data, not SQL text (ADVICE r7): quotes and commas
+    # in a name must not break the plan or leak into other rules.
+    weird = "o'brien's rule, with) quotes"
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in expect_rows(df, {weird: F.col("v") > 0}).collect()
+    }
+    assert got == {weird: 2}
+
+
+def test_interval_point_counts_guards(spark):
+    """ADVICE r7: bucket_width <= 0 raises instead of silently returning
+    an empty frame (floor(v/0) -> NULL buckets), and a mis-sized width
+    that would occupy >10M prefix-window buckets fails loudly."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.operators.temporal import (
+        interval_point_counts,
+    )
+
+    pts = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+    ivl = spark.createDataFrame([(7, 0.0, 10.0)], "k bigint, lo double, hi double")
+    for bad in (0, -1.5):
+        with _pytest.raises(ValueError, match="bucket_width must be > 0"):
+            interval_point_counts(
+                pts, ivl, "v", "lo", "hi", "k", bucket_width=bad
+            )
+
+    # >10M OCCUPIED buckets: spread values so each lands in its own
+    # bucket at a pathologically small width — the plan must refuse.
+    wide = spark.range(11_000_000).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.0).alias("v")
+    )
+    ivl1 = spark.createDataFrame(
+        [(1, 0.0, 11_000_000.0)], "k bigint, lo double, hi double"
+    )
+    with _pytest.raises(Exception, match="occupied buckets"):
+        interval_point_counts(
+            wide, ivl1, "v", "lo", "hi", "k", bucket_width=1.0
+        ).collect()
+
 
 def test_snapshot_diff_cdc_semantics(spark):
     """snapshot_diff: unchanged keys are dropped (including NULL==NULL

@@ -889,6 +889,7 @@ def test_stream_count_min_matches_batch_and_replay_is_idempotent(spark, tmp_path
     from datawarehouse_group10_spark.functions.sketches import count_min_sketch
     from datawarehouse_group10_spark.streaming import (
         apply_cms_batch,
+        read_cms_state,
         read_events_stream,
         run_stream_count_min,
     )
@@ -908,7 +909,7 @@ def test_stream_count_min_matches_batch_and_replay_is_idempotent(spark, tmp_path
     def counters():
         return {
             (r["j"], r["bucket"]): r["cnt"]
-            for r in spark.read.parquet(sketch_dir).filter("j >= 0").collect()
+            for r in read_cms_state(spark, sketch_dir).filter("j >= 0").collect()
         }
 
     go()
@@ -925,7 +926,7 @@ def test_stream_count_min_matches_batch_and_replay_is_idempotent(spark, tmp_path
 
     applied = {
         r["bucket"]
-        for r in spark.read.parquet(sketch_dir).filter("j = -1").collect()
+        for r in read_cms_state(spark, sketch_dir).filter("j = -1").collect()
     }
     replay_df = spark.read.parquet(src).select("event_type")
     assert apply_cms_batch(
@@ -935,3 +936,53 @@ def test_stream_count_min_matches_batch_and_replay_is_idempotent(spark, tmp_path
 
     assert apply_cms_batch(replay_df, 999, sketch_dir, "event_type") is True
     assert counters() == {k: 2 * v for k, v in batch.items()}
+
+
+def test_cms_commit_is_atomic_across_crash_windows(spark, tmp_path):
+    """ADVICE r7 (medium): a crash during the snapshot write must not
+    lose state. Simulate the two crash windows of the MVCC commit:
+    (1) an orphan v_ directory WITHOUT a pointer swap (crash mid-commit)
+    leaves the committed state untouched and the replayed batch
+    re-merges under a non-colliding version name; (2) the pointer file
+    always names a fully-written snapshot, so readers never observe a
+    half-applied sketch."""
+    import os
+
+    from datawarehouse_group10_spark.streaming import (
+        apply_cms_batch,
+        read_cms_state,
+    )
+
+    sketch_dir = str(tmp_path / "cms")
+    df = spark.range(100).select(
+        (F.col("id") % 7).cast("string").alias("item")
+    )
+    assert apply_cms_batch(df, 0, sketch_dir, "item") is True
+    committed = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in read_cms_state(spark, sketch_dir).filter("j >= 0").collect()
+    }
+
+    # Crash window 1: a later merge wrote its snapshot dir but died
+    # before the pointer swap — fake it with an orphan v_ dir.
+    orphans_before = sorted(
+        d for d in os.listdir(sketch_dir) if d.startswith("v_")
+    )
+    os.makedirs(os.path.join(sketch_dir, "v_000099"))
+    still = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in read_cms_state(spark, sketch_dir).filter("j >= 0").collect()
+    }
+    assert still == committed  # committed state unaffected by the orphan
+
+    # The retry of that batch must re-merge (ledger has no batch 1) and
+    # must not collide with the orphan's name.
+    assert apply_cms_batch(df, 1, sketch_dir, "item") is True
+    after = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in read_cms_state(spark, sketch_dir).filter("j >= 0").collect()
+    }
+    assert after == {k: 2 * v for k, v in committed.items()}
+    with open(os.path.join(sketch_dir, "_COMMITTED")) as fh:
+        name = fh.read().strip()
+    assert name not in orphans_before and name != "v_000099"
