@@ -72,6 +72,48 @@ def test_minhash_materialized_shingles_identical(spark, docs, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_incremental_shingle_staging_appends_only_delta(spark, tmp_path):
+    """stage_shingles_incremental (r8): the second call stages ONLY docs
+    not already staged (delta cost ∝ delta size), the combined parquet
+    equals a from-scratch materialization, a no-delta call appends
+    nothing, and the append-only contract keeps a changed doc's ORIGINAL
+    shingles until compaction."""
+    from datawarehouse_group10_spark.functions.dedup import (
+        materialize_shingles,
+        stage_shingles_incremental,
+    )
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    path = str(tmp_path / "sh.parquet")
+
+    bulk = corpus.filter(F.col("doc_id") % 10 != 0)
+    stage_shingles_incremental(bulk, path)
+    n_bulk = spark.read.parquet(path).count()
+    assert n_bulk == bulk.count()
+
+    combined = stage_shingles_incremental(corpus, path)  # +delta
+    assert combined.count() == corpus.count()  # staged exactly once each
+    full = materialize_shingles(
+        corpus, str(tmp_path / "full.parquet")
+    )
+    as_set = lambda df: {
+        (r["doc_id"], tuple(sorted(r["shingles"]))) for r in df.collect()
+    }
+    assert as_set(combined) == as_set(full)
+
+    stage_shingles_incremental(corpus, path)  # no new docs -> no-op
+    assert spark.read.parquet(path).count() == corpus.count()
+
+    # Append-only contract: same id, changed text -> old shingles kept.
+    mutated = corpus.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz-mutated-suffix"))
+    )
+    stage_shingles_incremental(mutated, path)
+    assert as_set(spark.read.parquet(path)) == as_set(full)
+
+
 def test_ngram_jaccard_near_pair(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
