@@ -116,6 +116,8 @@ def _cleanup_stream_work() -> None:
         _shutil.rmtree(d, ignore_errors=True)
     for d in _CSV_WORK_DIRS.values():
         _shutil.rmtree(d, ignore_errors=True)
+    for d in _BUCKETED_DIR_CACHE.values():
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 atexit.register(_cleanup_stream_work)
@@ -911,6 +913,145 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-sf_dir cache of the bucketed fact-table layouts (table names);
+#: the backing parquet dirs are tracked for exit cleanup.
+_BUCKETED_FACTS_CACHE: dict[str, tuple[str, str, str]] = {}
+_BUCKETED_DIR_CACHE: dict[str, str] = {}
+
+#: Wall-clock seconds of the last cold bucketed-layout build, read by
+#: bench.py as a secondary (the one-time cost the bucketed variants
+#: amortize — same accounting as the shingle staging).
+BUCKETED_STAGE_TIMINGS: dict[str, float] = {}
+
+
+def bucketed_facts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stage hash-bucketed fact-table layouts ONCE per (process, sf_dir)
+    and return readers: (lineitem bucketed on l_orderkey, orders
+    bucketed on o_orderkey, lineitem bucketed on l_partkey) — 16 buckets
+    each, sorted within buckets on the bucket key.
+
+    This is THE canonical 100 TB shuffle-elimination technique
+    (operators/skew.py: write_bucketed_table), demonstrated r8 on the
+    suite's fact-fact joins (VERDICT r7 #2): two tables bucketed on the
+    same key with the same bucket count sort-merge-join with ZERO
+    Exchange on either side, and every aggregation whose grouping keys
+    CONTAIN the bucket key (e.g. groupBy(l_orderkey, l_suppkey) over
+    the l_orderkey layout) also runs exchange-free — hash partitioning
+    on a subset of the grouping keys already clusters the groups.
+    Tables live in the session catalog (spark.table preserves the
+    bucket spec; a raw parquet read would lose it); files live in a
+    tempdir cleaned at exit."""
+    names = _BUCKETED_FACTS_CACHE.get(sf_dir)
+    if names is None:
+        from .operators.skew import write_bucketed_table
+
+        root = tempfile.mkdtemp(prefix="bucketed_")
+        sfx = abs(hash(sf_dir)) % 10**8
+        names = (f"li_ok_{sfx}", f"ord_ok_{sfx}", f"li_pk_{sfx}")
+        t0 = time.time()
+        write_bucketed_table(
+            _t(spark, sf_dir, "lineitem"), names[0],
+            ["l_orderkey"], num_buckets=16, sort_keys=["l_orderkey"],
+            path=os.path.join(root, names[0]),
+        )
+        write_bucketed_table(
+            _t(spark, sf_dir, "orders"), names[1],
+            ["o_orderkey"], num_buckets=16, sort_keys=["o_orderkey"],
+            path=os.path.join(root, names[1]),
+        )
+        write_bucketed_table(
+            _t(spark, sf_dir, "lineitem"), names[2],
+            ["l_partkey"], num_buckets=16, sort_keys=["l_partkey"],
+            path=os.path.join(root, names[2]),
+        )
+        BUCKETED_STAGE_TIMINGS["stage"] = round(time.time() - t0, 3)
+        _BUCKETED_FACTS_CACHE[sf_dir] = names
+        _BUCKETED_DIR_CACHE[sf_dir] = root
+    return tuple(spark.table(n) for n in names)  # type: ignore[return-value]
+
+
+def _q21_sole_late_shipper(
+    li: DataFrame, orders: DataFrame, tag: str
+) -> DataFrame:
+    """Q21's double-correlated EXISTS/NOT-EXISTS as the scalable
+    GROUP-REWRITE (one per-(order, supplier) aggregate, one per-order
+    aggregate, one join back). Parameterized over the fact inputs so the
+    plain and bucketed layouts run the IDENTICAL logical plan — only the
+    physical Exchange placement differs (zero on the bucketed path)."""
+    lateness = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_os = lateness.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (
+                F.to_date("l_shipdate")
+                > F.date_add(F.to_date("o_orderdate"), 90)
+            ).cast("int")
+        ).alias("_late")
+    )
+    ostats = per_os.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.sum("_late").alias("_nl"),
+    )
+    return (
+        per_os.filter(F.col("_late") == 1)
+        .join(ostats, "l_orderkey")
+        .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("_numwait"))
+        .select(
+            F.lit(tag).alias("query"),
+            F.col("l_suppkey").cast("string").alias("k"),
+            F.col("_numwait").alias("n"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+
+
+def _q20_half_volume_supplier(
+    li: DataFrame, part: DataFrame, supp: DataFrame, tag: str
+) -> DataFrame:
+    """Q20's nested-IN-with-correlated-HAVING shape — suppliers who
+    shipped more than half of a 'small' part's 1997 volume. Decimal qty
+    keeps the *2-vs-total comparison exact. Parameterized like
+    :func:`_q21_sole_late_shipper`: over the l_partkey-bucketed layout
+    the (suppkey, partkey) aggregate, the partkey rollup, and the
+    sq⋈pt join all inherit the bucket clustering — zero Exchanges until
+    the final suppkey aggregate."""
+    small_named = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    sq = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(small_named), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("_q").alias("_tot"))
+    return (
+        sq.join(pt, "l_partkey")
+        .filter(F.col("_q") * 2 > F.col("_tot"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("_np"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.lit(tag).alias("query"),
+            F.concat_ws(
+                "|", F.col("l_suppkey").cast("string"), "s_name"
+            ).alias("k"),
+            F.col("_np").alias("n"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+
+
 def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2/Q11/Q16/Q22 SHAPES — the correlated/scalar-subquery
     decision-support family, adapted to the testdata schema (lineitem is
@@ -954,7 +1095,13 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shapes that matter at 100 TB: every scalar subquery is a 1-row
     broadcast crossJoin (no driver collect), the NOT-IN sets broadcast
     as left-anti builds, and the min join-back keys on the uniform
-    partkey."""
+    partkey.
+
+    ``q21_bucketed`` / ``q20_bucketed`` (r8, VERDICT r7 #2): the same
+    q21/q20 pipelines re-run over :func:`bucketed_facts` hash-bucketed
+    layouts — the fact-fact sort-merge joins and the bucket-key-prefixed
+    aggregates then plan with ZERO Exchange (driver-checked equal to the
+    plain-layout results; Exchange delta recorded by plan_audit)."""
     _utc(spark)
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
@@ -1073,70 +1220,17 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # q21: group-rewrite of the double-correlated EXISTS/NOT EXISTS
-    lateness = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
-        orders.select("o_orderkey", "o_orderdate"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    per_os = lateness.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(
-            (
-                F.to_date("l_shipdate")
-                > F.date_add(F.to_date("o_orderdate"), 90)
-            ).cast("int")
-        ).alias("_late")
-    )
-    ostats = per_os.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_ns"),
-        F.sum("_late").alias("_nl"),
-    )
-    q21 = (
-        per_os.filter(F.col("_late") == 1)
-        .join(ostats, "l_orderkey")
-        .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
-        .groupBy("l_suppkey")
-        .agg(F.count("*").cast("bigint").alias("_numwait"))
-        .select(
-            F.lit("q21_sole_late_shipper").alias("query"),
-            F.col("l_suppkey").cast("string").alias("k"),
-            F.col("_numwait").alias("n"),
-            F.lit(None).cast("double").alias("val"),
-        )
-    )
-    # q20: nested-IN-with-correlated-HAVING shape — suppliers who shipped
-    # MORE THAN HALF of a 'small' part's 1997 volume (the partsupp-free
-    # stand-in for availqty > 0.5 * shipped). Decimal qty keeps the
-    # *2-vs-total comparison exact; the part filter broadcasts and both
-    # aggregates key on uniform (suppkey, partkey) / partkey.
-    small_named = part.filter(F.col("p_name").like("small%")).select("p_partkey")
-    sq = (
-        li.filter(
-            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
-            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
-        )
-        .join(F.broadcast(small_named), li["l_partkey"] == F.col("p_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
-    )
-    pt = sq.groupBy("l_partkey").agg(F.sum("_q").alias("_tot"))
-    q20 = (
-        sq.join(pt, "l_partkey")
-        .filter(F.col("_q") * 2 > F.col("_tot"))
-        .groupBy("l_suppkey")
-        .agg(F.count("*").cast("bigint").alias("_np"))
-        .join(
-            F.broadcast(supp.select("s_suppkey", "s_name")),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .select(
-            F.lit("q20_half_volume_supplier").alias("query"),
-            F.concat_ws(
-                "|", F.col("l_suppkey").cast("string"), "s_name"
-            ).alias("k"),
-            F.col("_np").alias("n"),
-            F.lit(None).cast("double").alias("val"),
-        )
-    )
+    # q21/q20 (fact-fact family), each twice: once over the plain
+    # parquet layout, once over the pre-bucketed layout (r8, VERDICT r7
+    # #2) — IDENTICAL logical plans through the shared pipeline helpers,
+    # so the oracle checks that bucket-layout shuffle elimination
+    # changes nothing but the physical plan. plan_audit records the
+    # Exchange delta (PERF.md r8).
+    q21 = _q21_sole_late_shipper(li, orders, "q21_sole_late_shipper")
+    q20 = _q20_half_volume_supplier(li, part, supp, "q20_half_volume_supplier")
+    li_ok, ord_ok, li_pk = bucketed_facts(spark, sf_dir)
+    q21b = _q21_sole_late_shipper(li_ok, ord_ok, "q21_bucketed")
+    q20b = _q20_half_volume_supplier(li_pk, part, supp, "q20_bucketed")
     return (
         q2.unionByName(q11)
         .unionByName(q16)
@@ -1144,6 +1238,8 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q15)
         .unionByName(q21)
         .unionByName(q20)
+        .unionByName(q21b)
+        .unionByName(q20b)
     )
 
 
@@ -3670,6 +3766,58 @@ FROM (
 ) w
 UNION ALL
 SELECT 'q20_half_volume_supplier' AS query,
+       CAST(t.l_suppkey AS VARCHAR) || '|' || s.s_name AS k,
+       t.np AS n,
+       CAST(NULL AS DOUBLE) AS val
+FROM (
+  WITH sq AS (
+    SELECT l_suppkey, l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY 1, 2
+  ),
+  pt AS (SELECT l_partkey, SUM(q) AS tot FROM sq GROUP BY 1)
+  SELECT sq.l_suppkey, CAST(COUNT(*) AS BIGINT) AS np
+  FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+  WHERE sq.q * 2 > pt.tot
+  GROUP BY sq.l_suppkey
+) t
+JOIN supplier s ON t.l_suppkey = s.s_suppkey
+UNION ALL
+-- bucketed-layout variants (r8): the Spark side reads hash-bucketed
+-- fact tables (zero-Exchange sort-merge joins + exchange-free
+-- aggregates); results must equal the plain layout exactly, so the
+-- oracle is the SAME SQL under the bucketed tag.
+SELECT 'q21_bucketed' AS query,
+       CAST(w.l_suppkey AS VARCHAR) AS k,
+       CAST(w.numwait AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS val
+FROM (
+  WITH per_os AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN CAST(l_shipdate AS DATE)
+                         > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+  )
+  SELECT p.l_suppkey, COUNT(*) AS numwait
+  FROM per_os p
+  WHERE p.late = 1
+    AND EXISTS (SELECT 1 FROM per_os o2
+                WHERE o2.l_orderkey = p.l_orderkey
+                  AND o2.l_suppkey <> p.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM per_os o3
+                    WHERE o3.l_orderkey = p.l_orderkey
+                      AND o3.l_suppkey <> p.l_suppkey
+                      AND o3.late = 1)
+  GROUP BY p.l_suppkey
+) w
+UNION ALL
+SELECT 'q20_bucketed' AS query,
        CAST(t.l_suppkey AS VARCHAR) || '|' || s.s_name AS k,
        t.np AS n,
        CAST(NULL AS DOUBLE) AS val

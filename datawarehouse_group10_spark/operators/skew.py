@@ -119,14 +119,19 @@ def write_bucketed_table(
     num_buckets: int = 32,
     sort_keys: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a hash-bucketed (optionally sorted) parquet table. Two
     tables bucketed on the same keys with the same bucket count equi-join
     with no Exchange on either side; sorted buckets additionally skip the
-    sort of a sort-merge join."""
+    sort of a sort-merge join. ``path`` makes it an EXTERNAL table at
+    that location (the session's static warehouse dir may not be
+    writable — e.g. a read-only deploy cwd)."""
     w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_keys)
     if sort_keys:
         w = w.sortBy(*sort_keys)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -182,6 +182,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_bucketed_suite_variants_single_shuffle(spark):
+    """The q21/q20 bucketed-layout variants (r8) must plan exactly ONE
+    shuffle Exchange each — the final suppkey aggregate. Every fact-fact
+    join and bucket-key-prefixed aggregate rides the bucket clustering.
+    A second Exchange appearing means the layout stopped being used."""
+    import re
+
+    from datawarehouse_group10_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    li_ok, ord_ok, li_pk = contract.bucketed_facts(spark, sf)
+    part = contract._t(spark, sf, "part")
+    supp = contract._t(spark, sf, "supplier")
+
+    def shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # shuffle Exchanges only — BroadcastExchange is expected & fine
+        return len(re.findall(r"Exchange hashpartitioning", plan))
+
+    q21b = contract._q21_sole_late_shipper(li_ok, ord_ok, "t21")
+    q20b = contract._q20_half_volume_supplier(li_pk, part, supp, "t20")
+    assert shuffles(q21b) == 1
+    assert shuffles(q20b) == 1
+    # and the results equal the plain-layout pipelines
+    li = contract._t(spark, sf, "lineitem")
+    orders = contract._t(spark, sf, "orders")
+    plain21 = contract._q21_sole_late_shipper(li, orders, "t21")
+    plain20 = contract._q20_half_volume_supplier(li, part, supp, "t20")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(q21b) == key(plain21)
+    assert key(q20b) == key(plain20)
+
+
 def test_w7_sessionize(spark):
     import datetime as dt
 
