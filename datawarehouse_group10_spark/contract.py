@@ -118,6 +118,8 @@ def _cleanup_stream_work() -> None:
         _shutil.rmtree(d, ignore_errors=True)
     for d in _BUCKETED_DIR_CACHE.values():
         _shutil.rmtree(d, ignore_errors=True)
+    for d in _ZORDER_DIR_CACHE.values():
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 atexit.register(_cleanup_stream_work)
@@ -3041,6 +3043,18 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rule").alias("k1"), F.lit("").alias("k2"),
         "metric", "val", nul_s.alias("sval"),
     )
+    # Z-order layout round trip (r8): read the clustered copy back and
+    # emit row-level content — any row lost/duplicated/corrupted by the
+    # quantile-bucket/interleave/range-shuffle/sort write breaks the
+    # hash against the original table's oracle rows.
+    zo = spark.read.parquet(zordered_orders(spark, sf_dir)).select(
+        F.lit("zorder").alias("section"),
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.col("o_orderstatus").alias("k2"),
+        F.lit("totalprice").alias("metric"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        nul_s.alias("sval"),
+    )
     return (
         pct.unionByName(ro)
         .unionByName(cu)
@@ -3051,7 +3065,38 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hll_rows)
         .unionByName(hll_sum)
         .unionByName(exp_rows)
+        .unionByName(zo)
     )
+
+
+#: Per-sf_dir cache of the z-ordered orders copy (cleaned at exit).
+_ZORDER_DIR_CACHE: dict[str, str] = {}
+
+
+def zordered_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write a z-order-clustered copy of ``orders`` on
+    (o_custkey, o_totalprice) ONCE per (process, sf_dir) and return its
+    path (sources/layout.py: write_zordered — approx-quantile bucket
+    ids, bit interleave, one range shuffle, 16 sorted files). The
+    a_extended 'zorder' section reads it back row-level against the
+    original table's oracle, putting the layout path inside a green
+    CORRECTNESS row (r8, VERDICT r7 #4); the pruning-fraction
+    measurement stays a PERF.md number (file-count layout detail, not
+    SQL-checkable)."""
+    from .sources.layout import write_zordered
+
+    path = _ZORDER_DIR_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "orders_z")
+        write_zordered(
+            _t(spark, sf_dir, "orders"),
+            path,
+            ["o_custkey", "o_totalprice"],
+            n_files=16,
+            bits=8,
+        )
+        _ZORDER_DIR_CACHE[sf_dir] = path
+    return path
 
 
 #: Portable-HLL parameters shared by the Spark suite body and the DuckDB
@@ -4424,6 +4469,16 @@ FROM (
     FROM orders
   )
 )
+UNION ALL
+-- z-order layout round trip (r8): the Spark side reads the clustered
+-- parquet copy back; content must equal the original table row-level.
+SELECT 'zorder' AS section,
+       CAST(o_orderkey AS VARCHAR) AS k1,
+       o_orderstatus AS k2,
+       'totalprice' AS metric,
+       CAST(o_totalprice AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM orders
 """,
     "serving_mart_view": _LOTTERY_CTE + """
 SELECT number_value,
