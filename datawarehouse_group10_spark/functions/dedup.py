@@ -16,6 +16,8 @@ Scale design notes (the whole point of these implementations):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,9 +159,17 @@ def materialize_shingles(
     scan columnar shingles instead of re-deriving tokenize→slice→join
     per consumer. At 100 TB this is the difference between one corpus-wide
     string-processing pass and three. Feed the result to
-    :func:`minhash_lsh_dup_pairs` via ``pre_shingled``."""
+    :func:`minhash_lsh_dup_pairs` via ``pre_shingled``.
+
+    Alongside the shingles a ``text_md5`` content digest is staged (a
+    few bytes per doc) — it is what lets
+    :func:`stage_shingles_incremental` detect mutated docs loudly and
+    :func:`compact_staged_shingles` reuse unchanged docs' shingles
+    without re-tokenizing them."""
     df.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
     ).write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -170,6 +180,7 @@ def stage_shingles_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    check_mutations: bool = True,
 ) -> DataFrame:
     """Incrementally maintain the staged shingle parquet at ``path``:
     shingle ONLY the docs whose ``id_col`` is not already staged and
@@ -178,22 +189,26 @@ def stage_shingles_incremental(
     restaging, becomes pay-per-delta).
 
     First call (no parquet at ``path``) is a full
-    :func:`materialize_shingles`. Subsequent calls read the staged ID
-    column only (columnar projection — no shingle arrays are scanned),
-    left-anti join the corpus against it, and run the expensive
-    tokenize→slice→distinct pass over the DELTA alone: cost is
-    O(new docs), not O(corpus). The combined file is bit-identical input
-    to every consumer (minhash LSH, curation, novelty), so the
-    registered oracle checks of those surfaces verify delta staging ==
-    full restaging by construction.
+    :func:`materialize_shingles`. Subsequent calls read the staged
+    (id, text_md5) columns only (columnar projection — no shingle
+    arrays are scanned), left-anti join the corpus against the ids, and
+    run the expensive tokenize→slice→distinct pass over the DELTA
+    alone: cost is O(new docs), not O(corpus). The combined file is
+    bit-identical input to every consumer (minhash LSH, curation,
+    novelty), so the registered oracle checks of those surfaces verify
+    delta staging == full restaging by construction.
 
-    Contract: APPEND-ONLY corpora keyed by a stable ``id_col`` — a doc
-    whose text CHANGES under the same id keeps its old shingles (parquet
-    appends cannot replace rows; route updates through a compaction
-    rewrite, i.e. a fresh :func:`materialize_shingles`). Docs deleted
-    from the corpus linger in the staging until compaction and would
-    re-enter results through consumers that scan ``pre_shingled``
-    directly; same compaction answer.
+    Contract: APPEND-ONLY corpora keyed by a stable ``id_col``. A doc
+    whose text CHANGED under the same id cannot be patched by an append
+    — with ``check_mutations`` (default) the staged ``text_md5`` digest
+    detects that and RAISES, pointing at
+    :func:`compact_staged_shingles` (which rewrites stale rows while
+    reusing every unchanged doc's shingles). Docs deleted from the
+    corpus linger in the staging until compaction and would re-enter
+    results through consumers that scan ``pre_shingled`` directly; same
+    compaction answer. ``check_mutations=False`` skips the digest
+    join (one columnar scan) for corpora the caller guarantees
+    immutable.
 
     Returns a reader over the combined staged parquet.
     """
@@ -201,15 +216,87 @@ def stage_shingles_incremental(
 
     spark = df.sparkSession
     try:
-        staged_ids = spark.read.parquet(path).select(id_col)
+        staged = spark.read.parquet(path).select(id_col, "text_md5")
     except AnalysisException:  # first call: nothing staged yet
         return materialize_shingles(
             df, path, text_col=text_col, id_col=id_col, shingle_k=shingle_k
         )
-    delta = df.join(staged_ids, id_col, "left_anti")
+    if check_mutations:
+        mutated = (
+            df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_cur"))
+            .join(staged, id_col)
+            .filter(F.col("_cur") != F.col("text_md5"))
+            .limit(1)
+            .count()
+        )
+        if mutated:
+            raise ValueError(
+                "stage_shingles_incremental: corpus contains docs whose "
+                "text changed under an already-staged id; appends cannot "
+                "replace rows — run compact_staged_shingles first"
+            )
+    delta = df.join(staged.select(id_col), id_col, "left_anti")
     delta.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
     ).write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def compact_staged_shingles(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Rewrite the staged shingle parquet to exactly match the CURRENT
+    corpus ``df`` — the maintenance pass behind
+    :func:`stage_shingles_incremental`'s append-only contract:
+
+    - deleted docs' rows are dropped,
+    - changed docs (staged ``text_md5`` != current digest) are
+      re-shingled,
+    - unchanged docs' shingle rows are KEPT AS-IS (a semi-join on
+      (id, digest) — no re-tokenization, so compaction cost is
+      O(changed + deleted) shingling plus one columnar copy of the
+      survivors, not a full corpus re-shingle).
+
+    The rewrite goes to a fresh sibling directory which then replaces
+    ``path`` (write → swap — readers holding the old reader finish
+    against deleted-but-open files on POSIX; this is an OFFLINE
+    maintenance op, not a concurrent-commit protocol like the streaming
+    CMS versioning). Returns a reader over the compacted parquet."""
+    import shutil
+
+    spark = df.sparkSession
+    cur = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_cur"))
+    staged = spark.read.parquet(path)
+    keep = staged.join(
+        cur,
+        (staged[id_col] == cur[id_col])
+        & (staged["text_md5"] == cur["_cur"]),
+        "left_semi",
+    )
+    staged_keys = staged.select(
+        F.col(id_col).alias("_sid"), F.col("text_md5").alias("_old")
+    )
+    fresh_docs = df.join(
+        staged_keys,
+        (df[id_col] == F.col("_sid"))
+        & (F.md5(df[text_col]) == F.col("_old")),
+        "left_anti",
+    )
+    fresh = fresh_docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    keep.unionByName(fresh).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
     return spark.read.parquet(path)
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "attributed_conversions",
     "apply_cms_batch",
     "read_cms_state",
+    "compact_cms_ledger",
     "run_stream_count_min",
 ]
 
@@ -519,21 +520,31 @@ def apply_cms_batch(
                 [(-1, int(b), 1) for b in applied], "j int, bucket int, cnt bigint"
             )
         )
+    _commit_cms_snapshot(out, sketch_dir, next_v, supersedes=version)
+    return True
+
+
+def _commit_cms_snapshot(
+    out: DataFrame, sketch_dir: str, next_v: int, supersedes: str | None
+) -> str:
+    """Write ``out`` as snapshot ``v_<next_v>`` and atomically repoint
+    ``_COMMITTED`` at it (pointer tempfile + ``os.replace``). Only after
+    the replace is the new version the state; any crash before leaves
+    the previous pointer intact. The superseded snapshot is pruned
+    best-effort AFTER the swap. Returns the committed version name."""
     new_name = f"v_{next_v:06d}"
     out.write.mode("errorifexists").parquet(os.path.join(sketch_dir, new_name))
-    # Atomic commit: pointer tempfile + rename. Only after this line is
-    # the new version the state; any crash above leaves the old pointer.
     tmp = os.path.join(sketch_dir, "_COMMITTED.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(new_name)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(sketch_dir, "_COMMITTED"))
-    if version is not None:  # prune superseded snapshot, best-effort
+    if supersedes is not None:
         import shutil
 
-        shutil.rmtree(os.path.join(sketch_dir, version), ignore_errors=True)
-    return True
+        shutil.rmtree(os.path.join(sketch_dir, supersedes), ignore_errors=True)
+    return new_name
 
 
 def _cms_committed_version(sketch_dir: str) -> str | None:
@@ -555,6 +566,45 @@ def read_cms_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
     if version is None:
         raise FileNotFoundError(f"no committed CMS snapshot under {sketch_dir}")
     return spark.read.parquet(os.path.join(sketch_dir, version))
+
+
+def compact_cms_ledger(
+    spark: SparkSession, sketch_dir: str, committed_through: int
+) -> int:
+    """Drop ledger rows for batch ids <= ``committed_through`` (the
+    checkpoint's committed batch) from the persisted CMS state — the
+    offline compactor the ledger design anticipates: replay after a
+    crash only ever concerns batches AFTER the checkpoint commit, so
+    older ledger rows are dead weight (one row per microbatch, the only
+    state component that grows with stream history). Counters are
+    untouched; the rewrite commits through the same MVCC pointer swap
+    as a merge, so a crash mid-compaction loses nothing. Returns the
+    number of ledger rows dropped.
+
+    Safety rule: call with a ``committed_through`` obtained FROM the
+    streaming checkpoint (its latest committed batch id), never a
+    guess — dropping a ledger row for a batch the checkpoint has not
+    committed re-opens the double-count window it exists to close."""
+    version = _cms_committed_version(sketch_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed CMS snapshot under {sketch_dir}")
+    state = spark.read.parquet(os.path.join(sketch_dir, version))
+    dead = (F.col("j") == -1) & (F.col("bucket") <= int(committed_through))
+    n_dead = state.filter(dead).count()
+    if n_dead == 0:
+        return 0
+    existing = [
+        int(d.split("_")[1])
+        for d in os.listdir(sketch_dir)
+        if d.startswith("v_")
+    ]
+    _commit_cms_snapshot(
+        state.filter(~dead),
+        sketch_dir,
+        max(existing, default=0) + 1,
+        supersedes=version,
+    )
+    return n_dead
 
 
 def run_stream_count_min(

@@ -76,9 +76,15 @@ def test_incremental_shingle_staging_appends_only_delta(spark, tmp_path):
     """stage_shingles_incremental (r8): the second call stages ONLY docs
     not already staged (delta cost ∝ delta size), the combined parquet
     equals a from-scratch materialization, a no-delta call appends
-    nothing, and the append-only contract keeps a changed doc's ORIGINAL
-    shingles until compaction."""
+    nothing, and a doc whose text changed under a staged id raises
+    loudly (the digest check) instead of silently keeping stale
+    shingles. compact_staged_shingles then realigns the staging with
+    the current corpus — dropping deleted docs, re-shingling changed
+    ones, keeping unchanged rows."""
+    import pytest as _pytest
+
     from datawarehouse_group10_spark.functions.dedup import (
+        compact_staged_shingles,
         materialize_shingles,
         stage_shingles_incremental,
     )
@@ -106,12 +112,26 @@ def test_incremental_shingle_staging_appends_only_delta(spark, tmp_path):
     stage_shingles_incremental(corpus, path)  # no new docs -> no-op
     assert spark.read.parquet(path).count() == corpus.count()
 
-    # Append-only contract: same id, changed text -> old shingles kept.
+    # Mutation guard: same id, changed text -> loud refusal.
     mutated = corpus.withColumn(
-        "text", F.concat(F.col("text"), F.lit(" zz-mutated-suffix"))
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" zz-mutated-suffix")),
+        ).otherwise(F.col("text")),
     )
-    stage_shingles_incremental(mutated, path)
-    assert as_set(spark.read.parquet(path)) == as_set(full)
+    with _pytest.raises(ValueError, match="compact_staged_shingles"):
+        stage_shingles_incremental(mutated, path)
+
+    # Compaction: corpus drops some docs and mutates others; the staged
+    # parquet must equal a from-scratch materialization of that corpus.
+    current = mutated.filter(F.col("doc_id") % 5 != 0)
+    compacted = compact_staged_shingles(current, path)
+    fresh = materialize_shingles(current, str(tmp_path / "cur.parquet"))
+    assert as_set(compacted) == as_set(fresh)
+    # and incremental staging works again on the compacted artifact
+    stage_shingles_incremental(current, path)
+    assert spark.read.parquet(path).count() == current.count()
 
 
 def test_ngram_jaccard_near_pair(spark, docs):

@@ -986,3 +986,47 @@ def test_cms_commit_is_atomic_across_crash_windows(spark, tmp_path):
     with open(os.path.join(sketch_dir, "_COMMITTED")) as fh:
         name = fh.read().strip()
     assert name not in orphans_before and name != "v_000099"
+
+
+def test_cms_ledger_compaction_drops_committed_only(spark, tmp_path):
+    """compact_cms_ledger: ledger rows at or below the checkpoint's
+    committed batch id are dropped, counters and newer ledger rows are
+    untouched, the replay guard still works for uncompacted batches, and
+    a no-op compaction writes nothing."""
+    from datawarehouse_group10_spark.streaming import (
+        apply_cms_batch,
+        compact_cms_ledger,
+        read_cms_state,
+    )
+
+    sketch_dir = str(tmp_path / "cms")
+    df = spark.range(50).select((F.col("id") % 5).cast("string").alias("item"))
+    for b in (0, 1, 2):
+        assert apply_cms_batch(df, b, sketch_dir, "item") is True
+
+    def ledger():
+        return {
+            r["bucket"]
+            for r in read_cms_state(spark, sketch_dir).filter("j = -1").collect()
+        }
+
+    def counters():
+        return {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in read_cms_state(spark, sketch_dir).filter("j >= 0").collect()
+        }
+
+    before = counters()
+    assert ledger() == {0, 1, 2}
+    assert compact_cms_ledger(spark, sketch_dir, committed_through=1) == 2
+    assert ledger() == {2}
+    assert counters() == before  # counters untouched
+
+    # batch 2 (still in ledger) replays as a no-op; batch 0 (compacted,
+    # i.e. checkpoint-committed and thus never replayed by contract)
+    # would re-merge — which is exactly why committed_through must come
+    # from the checkpoint.
+    assert apply_cms_batch(df, 2, sketch_dir, "item") is False
+    assert counters() == before
+
+    assert compact_cms_ledger(spark, sketch_dir, committed_through=1) == 0
