@@ -906,12 +906,50 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # rtf (r8): runtime bloom-filter join pruning — NATION_4's supplier
+    # revenue with the fact side prefiltered by a portable bloom filter
+    # built from the dim side (functions/sketches.py: bloom_bits /
+    # bloom_might_contain — the by-hand equivalent of Spark's
+    # spark.sql.optimizer.runtime.bloomFilter injection). The bitmap is
+    # sized at ~16 bits/key off the dim count (two control-plane jobs
+    # over the tiny dim side), rides the probe scan as a literal (pure
+    # codegen: k md5s + k shifts per row, zero joins), and drops ~24/25
+    # of the fact rows BEFORE they reach the join; the broadcast join
+    # after removes the bounded false-positive residue, so the oracle —
+    # the PLAIN join SQL — proves the no-false-negative contract
+    # end-to-end.
+    from .functions.sketches import bloom_bits, bloom_might_contain
+
+    nat4 = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .filter(F.col("n_name") == "NATION_4")
+        .select("s_suppkey")
+    )
+    n_keys = nat4.count()
+    m_bits = max(8192, 64 * ((16 * n_keys + 63) // 64))
+    bits = bloom_bits(nat4, "s_suppkey", m_bits=m_bits, k=5)
+    rtf = (
+        li.where(bloom_might_contain("l_suppkey", bits, k=5))
+        .join(F.broadcast(nat4), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("val"))
+        .select(
+            F.lit("rtf_bloom_revenue").alias("query"),
+            F.col("s_suppkey").cast("string").alias("k"),
+            "val",
+        )
+    )
+
     return (
         q3.unionByName(q5)
         .unionByName(q7)
         .unionByName(q8)
         .unionByName(q9)
         .unionByName(q10)
+        .unionByName(rtf)
     )
 
 
@@ -3043,6 +3081,30 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rule").alias("k1"), F.lit("").alias("k2"),
         "metric", "val", nul_s.alias("sval"),
     )
+    # Histogram quantiles (r8, operators/aggregates.py:
+    # histogram_quantiles): the one-pass binned-quantile sketch — ONE
+    # hash aggregate on the bucket id + a tiny occupied-bucket prefix
+    # window — next to q_a7's exact percentiles above; integer rank
+    # thresholds and integer bucket edges keep the section bit-stable
+    # cross-engine (the production approximation is approx_percentiles,
+    # this is the oracle-checkable face of the quantile-sketch family).
+    from .operators.aggregates import histogram_quantiles
+
+    hq = (
+        histogram_quantiles(orders_q, "o_totalprice", 1000.0)
+        .selectExpr(
+            "q_milli",
+            "stack(4, 'bucket', cast(bucket as double),"
+            " 'upper_edge', upper_edge, 'cum', cast(cum as double),"
+            " 'n_total', cast(n_total as double)) as (metric, val)",
+        )
+        .select(
+            F.lit("histq").alias("section"),
+            F.col("q_milli").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric", "val", nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -3065,6 +3127,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hll_rows)
         .unionByName(hll_sum)
         .unionByName(exp_rows)
+        .unionByName(hq)
         .unionByName(zo)
     )
 
@@ -3228,11 +3291,47 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf").alias("df"),
         )
     )
+    # heavy (r8): frequent-bigram heavy hitters — exact counts over the
+    # RAW bigram stream (duplicates kept, unlike the per-doc-distinct
+    # `bigram` kind above) with an integer 1/1000 support threshold
+    # (functions/sketches.py: heavy_hitters — cnt*den >= n*num, no float
+    # multiply), each hitter paired with its count-min estimate from a
+    # second 4x1024 sketch over the SAME stream (df = estimate). The CMS
+    # one-sided guarantee est >= exact is therefore driver-checked row
+    # by row; at 100 TB the sketch is how the candidate set stays
+    # bounded when the exact vocabulary no longer fits a shuffle.
+    from .functions.sketches import heavy_hitters
+
+    grams_stream = (
+        _t(spark, sf_dir, "documents")
+        .select(_tok("text").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))"
+                )
+            ).alias("bg")
+        )
+    )
+    hh = heavy_hitters(grams_stream, "bg", num=1, den=1000)
+    cms_bg = count_min_sketch(grams_stream, "bg", depth=4, width=1024)
+    est_bg = cms_point_estimates(
+        cms_bg, hh.select(F.col("bg").alias("t")), "t", depth=4, width=1024
+    )
+    heavy = hh.join(est_bg, hh["bg"] == est_bg["t"]).select(
+        F.lit("heavy").alias("kind"),
+        F.col("bg").alias("term"),
+        F.col("cnt").alias("tf"),
+        F.col("cms_estimate").alias("df"),
+    )
     return (
         vocab.unionByName(grams)
         .unionByName(lang)
         .unionByName(cms_rows)
         .unionByName(cms_est)
+        .unionByName(heavy)
     )
 
 
@@ -3696,6 +3795,17 @@ FROM (
   ORDER BY val DESC, c.c_custkey
   LIMIT 20
 ) t
+UNION ALL
+SELECT 'rtf_bloom_revenue' AS query,
+       CAST(s.s_suppkey AS VARCHAR) AS k,
+       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS val
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_4'
+GROUP BY s.s_suppkey
 """,
     "tpch_subquery_suite": """
 WITH offers AS (
@@ -4287,6 +4397,39 @@ FROM cms
 UNION ALL
 SELECT 'cms_est' AS kind, t AS term, est AS tf, tf AS df
 FROM est
+UNION ALL
+-- heavy (r8): frequent-bigram heavy hitters over the RAW bigram stream
+-- (integer threshold cnt*1000 >= n), df = the bigram-CMS estimate.
+SELECT 'heavy' AS kind, term, tf, df
+FROM (
+  WITH g AS (
+    SELECT unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS bg
+    FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents)
+    WHERE len(t) >= 2
+  ),
+  hh AS (
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS c
+    FROM g GROUP BY bg
+    HAVING COUNT(*) * 1000 >= (SELECT COUNT(*) FROM g)
+  ),
+  cbg AS (
+    SELECT j,
+           ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || bg), 1, 8))::BIGINT
+             % 1024 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM g, (SELECT unnest([0, 1, 2, 3]) AS j)
+    GROUP BY 1, 2
+  ),
+  pr AS (
+    SELECT hh.bg, hh.c AS tf, jj.j,
+           ('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':' || hh.bg), 1, 8))::BIGINT
+             % 1024 AS bucket
+    FROM hh, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+  )
+  SELECT p.bg AS term, p.tf, CAST(MIN(c.c) AS BIGINT) AS df
+  FROM pr p JOIN cbg c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY p.bg, p.tf
+)
 """,
     "w7_sessionize": """
 WITH es AS (
@@ -4467,6 +4610,39 @@ FROM (
             WHERE o2.o_custkey IS NULL OR NOT EXISTS
               (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey))
     FROM orders
+  )
+)
+UNION ALL
+-- histogram quantiles (r8): one-pass binned p50/p90/p99 on
+-- o_totalprice, exact integer rank threshold (cum*1000 >= n*q) and
+-- integer-valued bucket edges — bit-stable cross-engine.
+SELECT 'histq', CAST(q AS VARCHAR), '', m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT q, unnest(['bucket', 'upper_edge', 'cum', 'n_total']) AS m,
+         unnest([CAST(bucket AS DOUBLE), CAST((bucket + 1) * 1000.0 AS DOUBLE),
+                 CAST(cum AS DOUBLE), CAST(n AS DOUBLE)]) AS v
+  FROM (
+    SELECT p.q, p.bucket, c.cum, c.n
+    FROM (
+      SELECT q, MIN(b) FILTER (WHERE cum * 1000 >= n * q) AS bucket
+      FROM (
+        SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n
+        FROM (
+          SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        )
+      ), (SELECT unnest([500, 900, 990]) AS q)
+      GROUP BY q
+    ) p
+    JOIN (
+      SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n
+      FROM (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+      )
+    ) c ON c.b = p.bucket
   )
 )
 UNION ALL

@@ -79,6 +79,114 @@ def merge_count_min(*sketches: DataFrame) -> DataFrame:
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    num: int = 1,
+    den: int = 1000,
+) -> DataFrame:
+    """Frequent items: every item whose count is >= (num/den) of the
+    stream length, with the threshold compared in EXACT integer
+    arithmetic (``cnt * den >= n * num`` — no float multiply, so an item
+    sitting exactly on the boundary classifies identically on every
+    engine).
+
+    Plan shape: ONE hash aggregate on the item key (map-side combine
+    bounds the shuffle at the distinct-item count per partition) plus a
+    1-row total that BROADCASTS into the filter — the same two-job shape
+    at any scale. At 100 TB the aggregate output is the vocabulary, not
+    the stream; when even the vocabulary is too large to shuffle, the
+    CMS path (:func:`count_min_sketch` + :func:`cms_point_estimates`)
+    bounds memory at depth*width and over-approximates the candidate
+    set (one-sided error: a true heavy hitter's estimate can never fall
+    below threshold), which is how the registered surface pairs each
+    exact hitter with its sketch estimate.
+
+    Returns (item, cnt, n_total).
+    """
+    counts = df.groupBy(F.col(item_col)).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    total = df.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(den) >= F.col("n_total") * F.lit(num))
+        .select(F.col(item_col), "cnt", "n_total")
+    )
+
+
+def _bloom_pos_sql(j: int, col_sql: str, m_bits: int) -> str:
+    """SQL text for hash j's bit position: first md5 half of 'j:key' as
+    an unsigned 32-bit int, mod m — the same portable hash family as
+    :func:`_bucket`, emitted as SQL so probe conditions compose into one
+    codegen'd boolean (pyspark's shiftright only takes a LITERAL shift
+    amount, so the probe is built with SQL's variable-shift `>>`)."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat('{j}:', "
+        f"CAST({col_sql} AS STRING))), 1, 8), 16, 10) AS BIGINT), {m_bits})"
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m_bits: int = 8192, k: int = 5
+) -> list[int]:
+    """Build an m-bit bloom filter over ``df[key_col]`` and return it as
+    ``m/64`` longs — the repo's runtime-filter primitive (the same
+    design as Spark's own `spark.sql.optimizer.runtime.bloomFilter`:
+    aggregate the build side into a fixed-size bitmap, ship the bitmap
+    to the probe side's tasks, prefilter before the join).
+
+    Plan shape: each build row explodes to k bit positions; ONE hash
+    aggregate ORs them into at most ``m/64`` word rows (map-side
+    combine applies — the shuffle moves <= m/64 rows per partition no
+    matter the build-side size); the collect is control-plane bounded
+    at m/64 longs (8 KiB per 2^16 bits). No false negatives by
+    construction; false-positive rate ~ (1 - e^(-k*n/m))^k, so size m
+    ~ 16 bits/key for <1% FPR (the caller knows its dim-side count).
+    """
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos = [
+        F.expr(_bloom_pos_sql(j, key_col, m_bits)).alias(f"_p{j}")
+        for j in range(k)
+    ]
+    cells = df.select(F.explode(F.array(*pos)).alias("pos"))
+    words = cells.groupBy(
+        F.expr("CAST(pos DIV 64 AS INT)").alias("word")
+    ).agg(F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias("bits"))
+    out = [0] * (m_bits // 64)
+    for r in words.collect():
+        out[r["word"]] = r["bits"]
+    return out
+
+
+def bloom_might_contain(
+    key_col: str, bits: list[int], k: int = 5
+):
+    """Probe-side predicate: True iff all k of the key's bit positions
+    are set in ``bits`` (from :func:`bloom_bits` with the same m and k).
+
+    The bitmap rides the plan as a LITERAL array (the local-mode
+    equivalent of a broadcast variable — every task evaluates
+    element_at against the same in-memory words), so the filter is pure
+    whole-stage codegen: k md5s + k shifts per row, zero joins, zero
+    shuffles, applied BEFORE the probe rows ever reach an Exchange.
+    That ordering is the point at 100 TB: rows that cannot match never
+    get shuffled, and the exact join after the filter removes the
+    bounded false-positive residue.
+    """
+    m_bits = 64 * len(bits)
+    arr = "array(" + ",".join(f"{w}L" for w in bits) + ")"
+    conds = []
+    for j in range(k):
+        p = _bloom_pos_sql(j, key_col, m_bits)
+        conds.append(
+            f"(shiftright(element_at({arr}, CAST(({p}) DIV 64 AS INT) + 1),"
+            f" CAST(({p}) % 64 AS INT)) & 1) = 1"
+        )
+    return F.expr(" AND ".join(conds))
+
+
 def cms_point_estimates(
     cms: DataFrame,
     items: DataFrame,

@@ -332,3 +332,104 @@ def hll_rollup(
             "n_rows",
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    qs_milli: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """One-pass histogram quantile estimation: bucket values into
+    fixed-width bins, prefix-sum the bin counts, and report each
+    requested quantile as the UPPER EDGE of the first bucket whose
+    cumulative count reaches ceil(q*N) — the classic scan-friendly
+    alternative to a full sort when "which bin" precision is enough.
+
+    Quantile fractions arrive in THOUSANDTHS (``qs_milli=(500, 900,
+    990)`` for p50/p90/p99), so the rank threshold ``cum * 1000 >= n *
+    q_milli`` is exact integer arithmetic; with ``bucket_width`` chosen
+    so edges are exact in binary or compared as the product
+    ``(bucket+1) * bucket_width`` in BOTH engines, the whole surface is
+    bit-stable cross-engine — unlike a t-digest there is no
+    data-order-dependent centroid state, which is what makes this the
+    oracle-checkable face of the quantile-sketch family (the
+    production approximation stays :func:`approx_percentiles`).
+
+    Plan shape: ONE hash aggregate on the (uniform) bucket id, a
+    running-sum window over the occupied buckets (tiny by construction
+    — one row per occupied bucket, guarded loud past 10M like
+    interval_point_counts), and one conditional aggregate selecting
+    each quantile's bucket. The stream is scanned ONCE and only bucket
+    rows ever shuffle — at 100 TB this is a map-side-combined
+    aggregate producing a few thousand rows, vs a full-data sort for
+    exact percentiles.
+
+    Returns (q_milli, bucket, upper_edge, cum, n_total), one row per
+    requested quantile.
+    """
+    from pyspark.sql import Window
+
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    hist = (
+        df.select(
+            F.floor(F.col(value_col) / F.lit(bucket_width))
+            .cast("bigint")
+            .alias("_bkt")
+        )
+        .groupBy("_bkt")
+        .agg(F.count("*").cast("bigint").alias("_cnt"))
+    )
+    nb = hist.agg(
+        F.count("*").alias("_nb"), F.sum("_cnt").cast("bigint").alias("_n")
+    )
+    wcum = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.crossJoin(F.broadcast(nb))
+        .withColumn("_cum0", F.sum("_cnt").over(wcum))
+        .select(
+            "_bkt",
+            "_n",
+            F.when(F.col("_nb") <= 10_000_000, F.col("_cum0"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("histogram_quantiles: "),
+                        F.col("_nb").cast("string"),
+                        F.lit(
+                            f" occupied buckets at bucket_width="
+                            f"{bucket_width} — refusing (resize bucket_width)"
+                        ),
+                    )
+                )
+            )
+            .alias("_cum"),
+        )
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cum") * F.lit(1000) >= F.col("_n") * F.lit(q),
+                F.col("_bkt"),
+            )
+        ).alias(f"_b{q}")
+        for q in qs_milli
+    ]
+    row = cum.groupBy("_n").agg(*picks)
+    stacked = ", ".join(f"{q}, _b{q}" for q in qs_milli)
+    return row.selectExpr(
+        "_n",
+        f"stack({len(qs_milli)}, {stacked}) as (q_milli, bucket)",
+    ).join(
+        cum.select("_bkt", F.col("_cum").alias("cum")),
+        F.col("bucket") == F.col("_bkt"),
+    ).select(
+        F.col("q_milli").cast("int").alias("q_milli"),
+        "bucket",
+        ((F.col("bucket") + F.lit(1)) * F.lit(bucket_width))
+        .cast("double")
+        .alias("upper_edge"),
+        "cum",
+        F.col("_n").alias("n_total"),
+    )

@@ -951,3 +951,72 @@ def test_gap_fill_densifies_zero_fills_and_forward_fills(spark):
 
     with _pytest.raises(ValueError, match="key column"):
         gap_fill(df, "h", [], step="1 hour")
+
+
+def test_heavy_hitters_integer_threshold_boundary(spark):
+    """heavy_hitters keeps exactly the items with cnt*den >= n*num —
+    including one sitting EXACTLY on the rational boundary, the case a
+    float threshold multiply could misclassify on either engine."""
+    from datawarehouse_group10_spark.functions.sketches import heavy_hitters
+
+    # n = 20 rows; threshold 2/20 = 1/10: 'on' has exactly 2 (boundary
+    # keep), 'under' has 1 (drop), 'big' has 17 (keep).
+    rows = [("big",)] * 17 + [("on",)] * 2 + [("under",)]
+    df = spark.createDataFrame(rows, "item string")
+    got = {
+        r["item"]: (r["cnt"], r["n_total"])
+        for r in heavy_hitters(df, "item", num=1, den=10).collect()
+    }
+    assert got == {"big": (17, 20), "on": (2, 20)}
+
+
+def test_histogram_quantiles_matches_naive_rank(spark):
+    """Each reported bucket is the first whose cumulative count reaches
+    ceil(q*N), and upper_edge = (bucket+1)*width; bucket_width <= 0 is
+    refused loudly."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100, width 10
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["q_milli"]: (r["bucket"], r["upper_edge"], r["cum"], r["n_total"])
+        for r in histogram_quantiles(df, "v", 10.0).collect()
+    }
+    # bucket b holds [10b, 10b+10): v=50 -> bucket 5; cum(bucket 4)=49
+    # (1..49), so p50 (rank 50) lands in bucket 5, cum 59 (1..59).
+    assert got[500] == (5, 60.0, 59, 100)
+    assert got[900] == (9, 100.0, 99, 100)   # rank 90 -> bucket 9 (90..99)
+    assert got[990] == (9, 100.0, 99, 100)   # rank 99 -> same bucket
+    with _pytest.raises(ValueError, match="bucket_width"):
+        histogram_quantiles(df, "v", 0.0)
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
+    """Every build key passes the probe (no false negatives — the
+    correctness contract the oracle equality rests on); at 16 bits/key
+    the false-positive rate over a disjoint probe set stays far under
+    5%; and the probe plan is pure filter — zero joins, zero
+    Exchanges."""
+    from datawarehouse_group10_spark.functions.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    bits = bloom_bits(build, "k", m_bits=64 * ((16 * 200 + 63) // 64), k=5)
+    assert build.where(bloom_might_contain("k", bits, k=5)).count() == 200
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(10_000, 14_000)], "k bigint"
+    )
+    fp = probe.where(bloom_might_contain("k", bits, k=5)).count()
+    assert fp / 4000 < 0.05, fp
+
+    plan = probe.where(
+        bloom_might_contain("k", bits, k=5)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
