@@ -2523,30 +2523,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake.unionByName(wav).unionByName(y4m)
 
 
-def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked hourly counts through the DEPLOYABLE streaming path:
-    append-mode parquet sink + checkpoint (executor-side writes, bounded
-    state) rather than a driver-resident memory sink in complete mode.
-
-    Append mode only emits a window once the watermark passes it, and a
-    finite backfill's watermark stops at max(ts) - delay — so a sentinel
-    event 4h past the corpus end is added to the stream directory, playing
-    the role the next day's data plays in production: it pushes the
-    watermark past every real window. The sentinel's own (filtered-out)
-    window is the only state left unflushed.
-    """
-    _utc(spark)
+def _staged_events_work(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events parquet + a watermark-advancing sentinel row into
+    a per-(process, sf_dir) work dir and return it (input lives under
+    `in/`). Shared by every append-mode events stream surface
+    (q_stream_hourly_counts, the stream_suite session windows): the
+    input symlink + sentinel are a pure function of the immutable
+    testdata, so staging once is sound; each caller wipes its own
+    out/ckpt dirs so every run measures the full streaming path. atexit
+    removes the whole cache — no tempdir leak across the bench's
+    repeated runs."""
     import datetime as _dt
     import glob as _glob
     import shutil as _shutil
 
-    from .streaming import EVENTS_SCHEMA_NANOS, run_stream_to_parquet
+    from .streaming import EVENTS_SCHEMA_NANOS
 
-    # One staged work dir per sf_dir for the process lifetime (input
-    # symlink + sentinel are a pure function of the immutable testdata);
-    # out/ckpt are wiped per invocation so every run measures the full
-    # streaming path. atexit removes the whole cache — no tempdir leak
-    # across the bench's repeated runs.
     events_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     layout = events_ts_layout(events_path)
     work = _STREAM_WORK_CACHE.get(sf_dir)
@@ -2598,6 +2590,28 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = _glob.glob(os.path.join(tmp_sent, "part-*.parquet"))[0]
         _shutil.copy(part, os.path.join(src_dir, "zz_sentinel.parquet"))
         _STREAM_WORK_CACHE[sf_dir] = work
+    return work
+
+
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly counts through the DEPLOYABLE streaming path:
+    append-mode parquet sink + checkpoint (executor-side writes, bounded
+    state) rather than a driver-resident memory sink in complete mode.
+
+    Append mode only emits a window once the watermark passes it, and a
+    finite backfill's watermark stops at max(ts) - delay — so a sentinel
+    event 4h past the corpus end is added to the stream directory
+    (:func:`_staged_events_work`), playing the role the next day's data
+    plays in production: it pushes the watermark past every real window.
+    The sentinel's own (filtered-out) window is the only state left
+    unflushed.
+    """
+    _utc(spark)
+    import shutil as _shutil
+
+    from .streaming import run_stream_to_parquet
+
+    work = _staged_events_work(spark, sf_dir)
     src_dir = os.path.join(work, "in")
     out_dir = os.path.join(work, "out")
     ckpt_dir = os.path.join(work, "ckpt")
@@ -2648,12 +2662,25 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       without waiting on the watermark, so a finite backfill needs no
       sentinel; the oracle is the plain batch range-join SQL.
 
+    - ``session`` (r8): streaming gap-sessionization via
+      ``F.session_window`` (streaming/__init__.py:
+      events_session_windows) — dynamic data-dependent windows, the
+      stateful merging aggregation a tumbling window can't express.
+      Input is the sentinel-staged events dir (the same
+      watermark-advancing staging q_stream_hourly_counts uses) so every
+      real session closes and emits under append mode; the oracle is
+      the batch lag+cumsum sessionization SQL (the same rule
+      w7_sessionize checks) — stream must equal batch
+      session-for-session.
+
     Harmonized columns (suite shape): s1/i1/i2/i3/d1/s2 per surface —
     upsert: (number_value, total_occurrences, total_draws,
     days_since_last, probability, last_appeared_date); interval:
     (user_id, purchase_id, click_id, purchase-click lag in MICROSECONDS
     — exact integer arithmetic on both engines, no second-truncation
-    ambiguity — purchase_value, purchase_ts).
+    ambiguity — purchase_value, purchase_ts); session: (user_id,
+    n_events, session_start/end as EPOCH MICROSECONDS with end =
+    last_ts + gap).
     """
     _utc(spark)
     import glob as _glob
@@ -2661,6 +2688,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import (
         attributed_conversions,
+        events_session_windows,
         read_crawl_csv_stream,
         run_stream_mart_upsert,
         run_stream_to_parquet,
@@ -2696,7 +2724,9 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(work, "ckpt")
     attr_out = os.path.join(work, "attr_out")
     attr_ckpt = os.path.join(work, "attr_ckpt")
-    for d in (mart_dir, ckpt, attr_out, attr_ckpt):
+    sess_out = os.path.join(work, "sess_out")
+    sess_ckpt = os.path.join(work, "sess_ckpt")
+    for d in (mart_dir, ckpt, attr_out, attr_ckpt, sess_out, sess_ckpt):
         _shutil.rmtree(d, ignore_errors=True)
 
     # Same state-store sizing as q_stream_hourly_counts: instance count ==
@@ -2715,6 +2745,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, os.path.join(sf_dir, "events.parquet")
         )
         run_stream_to_parquet(stream, attr_out, attr_ckpt)
+        sess_stream = events_session_windows(
+            spark, os.path.join(_staged_events_work(spark, sf_dir), "in")
+        )
+        run_stream_to_parquet(sess_stream, sess_out, sess_ckpt)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     upsert = spark.read.parquet(mart_dir).select(
@@ -2738,7 +2772,21 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_value").cast("double").alias("d1"),
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("s2"),
     )
-    return upsert.unionByName(interval)
+
+    session = (
+        spark.read.parquet(sess_out)
+        .filter(F.col("user_id") != -1)  # the watermark sentinel's row
+        .select(
+            F.lit("session").alias("surface"),
+            F.col("user_id").cast("string").alias("s1"),
+            F.col("n_events").cast("bigint").alias("i1"),
+            F.unix_micros("session_start").alias("i2"),
+            F.unix_micros("session_end").alias("i3"),
+            F.lit(None).cast("double").alias("d1"),
+            F.lit(None).cast("string").alias("s2"),
+        )
+    )
+    return upsert.unionByName(interval).unionByName(session)
 
 
 # ---------------------------------------------------------------------------
@@ -4748,6 +4796,32 @@ FROM events p JOIN events c
   ON p.user_id = c.user_id
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+UNION ALL
+-- session (r8): batch lag+cumsum sessionization — the streaming
+-- session_window result must match session-for-session. Boundary rule:
+-- gap > 1800s starts a new session (an exactly-1800s pair merges, the
+-- session_window semantics pinned by pytest); end = last event + gap.
+SELECT 'session' AS surface,
+       CAST(user_id AS VARCHAR) AS s1,
+       CAST(COUNT(*) AS BIGINT) AS i1,
+       CAST(MIN(eus) AS BIGINT) AS i2,
+       CAST(MAX(eus) + 1800000000 AS BIGINT) AS i3,
+       CAST(NULL AS DOUBLE) AS d1,
+       CAST(NULL AS VARCHAR) AS s2
+FROM (
+  SELECT user_id, eus,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY eus
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM (
+    SELECT user_id, eus,
+           CASE WHEN LAG(eus) OVER w IS NULL
+                     OR eus - LAG(eus) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM (SELECT user_id, epoch_us(ts) AS eus FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY eus)
+  )
+)
+GROUP BY user_id, sid
 """
 
 # The capped/uncapped suite renders from the shared core.

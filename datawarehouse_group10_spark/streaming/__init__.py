@@ -154,6 +154,43 @@ def events_hourly_counts(
     )
 
 
+def events_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation as a STREAMING stateful operator:
+    ``F.session_window`` merges a user's events whose inter-arrival gap
+    is <= ``gap`` (boundary semantics pinned by pytest: an exactly-gap
+    pair MERGES — identical to the batch ``operators/windows.py::
+    sessionize`` lag+cumsum rule `diff > gap starts a new session`), and
+    the watermark both bounds the state store (open sessions per user
+    within the horizon) and closes sessions for append-mode emission
+    once it passes ``session_end = last_ts + gap``.
+
+    This is the streaming twin of the w7_sessionize batch surface — the
+    clickstream operator that CAN'T be a tumbling window because session
+    boundaries depend on the data, which is exactly what
+    session_window's merging state machine handles without a custom
+    applyInPandasWithState. Returns the streaming DataFrame
+    (user_id, session_start, session_end, n_events); run it with
+    :func:`run_stream_to_parquet`.
+    """
+    ev = read_events_stream(spark, events_path)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_table(
     stream_df: DataFrame,
     query_name: str,

@@ -1030,3 +1030,45 @@ def test_cms_ledger_compaction_drops_committed_only(spark, tmp_path):
     assert counters() == before
 
     assert compact_cms_ledger(spark, sketch_dir, committed_through=1) == 0
+
+
+def test_session_window_boundary_matches_batch_sessionize(spark):
+    """The session_window merge rule equals the batch lag+cumsum rule at
+    the edge: a pair exactly gap seconds apart MERGES (new session only
+    when diff > gap) — the boundary the stream_suite 'session' oracle
+    encodes. Checked with session_window in batch mode against
+    operators/windows.py::sessionize on a frame containing an
+    exactly-1800s pair and an 1801s pair."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly 1800s — same session
+            (1, "2024-01-01 01:00:01"),  # 1801s — new session
+            (2, "2024-01-01 05:00:00"),
+        ],
+        "user_id int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    sw = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("sw.start").alias("s"), "n")
+    )
+    sw_sessions = {
+        (r["user_id"], str(r["s"]), r["n"]) for r in sw.collect()
+    }
+    batch = (
+        sessionize(df, key="user_id", ts_col="ts", gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.count("*").alias("n"))
+        .select("user_id", "s", "n")
+    )
+    batch_sessions = {
+        (r["user_id"], str(r["s"]), r["n"]) for r in batch.collect()
+    }
+    assert sw_sessions == batch_sessions
+    assert (1, "2024-01-01 00:00:00", 2) in sw_sessions  # the merged pair
