@@ -1491,7 +1491,42 @@ def q_tpch_grouped_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    return q4.unionByName(q12).unionByName(q13).unionByName(q18)
+    # gsets (r8): explicit GROUPING SETS — the general member of the
+    # grouping family (a_extended carries ROLLUP and CUBE): the
+    # (flag,status), (flag), and grand-total marginals in ONE aggregate
+    # pass, with the grouping_id bitmask distinguishing a subtotal
+    # marker from a real NULL key — Spark expands the sets into a
+    # single Expand + hash aggregate, the same plan DuckDB's GROUPING
+    # SETS lowers to.
+    gsets = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.grouping_id().alias("_gid"),
+        )
+        .select(
+            F.lit("gsets_counts").alias("query"),
+            F.concat_ws(
+                "|",
+                F.coalesce("l_returnflag", F.lit("ALL")),
+                F.coalesce("l_linestatus", F.lit("ALL")),
+                F.col("_gid").cast("string"),
+            ).alias("k"),
+            "n",
+            null_val.alias("val"),
+        )
+    )
+
+    return (
+        q4.unionByName(q12)
+        .unionByName(q13)
+        .unionByName(q18)
+        .unionByName(gsets)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4150,6 +4185,14 @@ UNION ALL
 SELECT * FROM q13
 UNION ALL
 SELECT * FROM q18
+UNION ALL
+SELECT 'gsets_counts' AS query,
+       coalesce(l_returnflag, 'ALL') || '|' || coalesce(l_linestatus, 'ALL')
+         || '|' || CAST(GROUPING(l_returnflag, l_linestatus) AS VARCHAR) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS val
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
     "w_recency_suite": """
 WITH rec AS (
