@@ -1852,16 +1852,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       cap∘exact equivalence proof for the default knob
       (functions/dedup.py:max_posting_len), where before only uncapped
       runs carried CORRECTNESS rows (r6 verdict ask #2).
+    - ``fuzzy`` (r8): character-level edit-distance verification on the
+      candidate pairs — the entity-resolution scorer that catches what
+      set-based Jaccard can't (transpositions, small in-token edits).
+      Candidates first (the 100 TB shape: levenshtein is O(len²) per
+      pair, so it runs on the blocked pair set, never all-pairs); the
+      broadcast pair list joins the corpus twice to attach texts, and
+      the score 1 − lev/greatest(len_a, len_b, 1) divides exact
+      integers — cross-engine stable (corpus is all-ASCII; Spark counts
+      codepoints, DuckDB bytes — a non-ASCII corpus would need a
+      codepoint-normalized comparison on the DuckDB side).
     """
     _utc(spark)
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.5, max_posting_len=None
-    ).select(F.lit("exact").alias("surface"), "id_a", "id_b", "jaccard")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_posting_len=None)
+    exact = pairs.select(
+        F.lit("exact").alias("surface"), "id_a", "id_b", "jaccard"
+    )
     capped = ngram_jaccard_pairs(
         docs, k=3, threshold=0.5, max_posting_len=1000
     ).select(F.lit("cap1000").alias("surface"), "id_a", "id_b", "jaccard")
-    return exact.unionByName(capped)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    fuzzy = (
+        F.broadcast(pairs.select("id_a", "id_b"))
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            F.lit("fuzzy").alias("surface"),
+            "id_a",
+            "id_b",
+            (
+                F.lit(1.0)
+                - F.levenshtein("_ta", "_tb")
+                / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+    return exact.unionByName(capped).unionByName(fuzzy)
 
 
 #: Per-sf_dir cache of the materialized shingle-projection parquet dir
@@ -4396,7 +4424,18 @@ FROM ranked GROUP BY doc_id
     "dedup_ngram_jaccard": (
         "SELECT 'exact' AS surface, t.* FROM ({base}) t\n"
         "UNION ALL\n"
-        "SELECT 'cap1000' AS surface, t.* FROM ({base}) t"
+        "SELECT 'cap1000' AS surface, t.* FROM ({base}) t\n"
+        "UNION ALL\n"
+        "-- fuzzy (r8): edit-distance verification on the candidate\n"
+        "-- pairs; exact integer levenshtein and lengths, one IEEE\n"
+        "-- division (corpus is all-ASCII, so byte == codepoint).\n"
+        "SELECT 'fuzzy' AS surface, t.id_a, t.id_b,\n"
+        "       1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)\n"
+        "             / greatest(length(da.text), length(db.text), 1)\n"
+        "         AS jaccard\n"
+        "FROM ({base}) t\n"
+        "JOIN documents da ON da.doc_id = t.id_a\n"
+        "JOIN documents db ON db.doc_id = t.id_b"
     ),
     # (per-row cosine scores + exact top-10 now ride sim_cosine_suite)
     "ann_label_blocked_pairs": """
