@@ -384,3 +384,69 @@ def test_gap_fill_grid_complete_and_ffill_matches_naive(spark, rows):
             if v is not None:
                 carry = v
             assert r["v_ffill"] == carry
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([0.5, 1.0, 37.0, 1000.0]),
+)
+@settings(**_SETTINGS)
+def test_histogram_quantiles_agree_with_python_rank_model(spark, values, width):
+    """For every requested quantile, the reported bucket is the first
+    (ordered) bucket whose cumulative count reaches ceil(q*N) under the
+    exact floor(v/width) binning — checked against a pure-Python model
+    over arbitrary float batches and widths."""
+    import math
+
+    from datawarehouse_group10_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = {
+        r["q_milli"]: (r["bucket"], r["cum"], r["n_total"])
+        for r in histogram_quantiles(df, "v", width).collect()
+    }
+    buckets = sorted(math.floor(v / width) for v in values)
+    n = len(buckets)
+    from collections import Counter
+
+    cnt = Counter(buckets)
+    for q in (500, 900, 990):
+        cum = 0
+        for b in sorted(cnt):
+            cum += cnt[b]
+            if cum * 1000 >= n * q:
+                assert got[q] == (b, cum, n), (q, got[q], (b, cum, n))
+                break
+
+
+@given(
+    build=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=80, unique=True),
+    probe=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=80, unique=True),
+)
+@settings(**_SETTINGS)
+def test_bloom_probe_never_drops_a_build_key(spark, build, probe):
+    """No false negatives for ANY build set (the property the
+    rtf_bloom_revenue oracle equality rests on), and the probe accepts a
+    superset of build ∩ probe."""
+    from datawarehouse_group10_spark.functions.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    bdf = spark.createDataFrame([(k,) for k in build], "k bigint")
+    m = max(1024, 64 * ((16 * len(build) + 63) // 64))
+    bits = bloom_bits(bdf, "k", m_bits=m, k=5)
+    assert bdf.where(bloom_might_contain("k", bits, k=5)).count() == len(build)
+    pdf = spark.createDataFrame([(k,) for k in probe], "k bigint")
+    passed = {
+        r["k"] for r in pdf.where(bloom_might_contain("k", bits, k=5)).collect()
+    }
+    assert set(build) & set(probe) <= passed
