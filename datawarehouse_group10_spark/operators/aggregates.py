@@ -370,17 +370,7 @@ def histogram_quantiles(
     """
     from pyspark.sql import Window
 
-    if bucket_width <= 0:
-        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
-    hist = (
-        df.select(
-            F.floor(F.col(value_col) / F.lit(bucket_width))
-            .cast("bigint")
-            .alias("_bkt")
-        )
-        .groupBy("_bkt")
-        .agg(F.count("*").cast("bigint").alias("_cnt"))
-    )
+    hist = value_histogram(df, value_col, bucket_width)
     nb = hist.agg(
         F.count("*").alias("_nb"), F.sum("_cnt").cast("bigint").alias("_n")
     )
@@ -433,3 +423,37 @@ def histogram_quantiles(
         "cum",
         F.col("_n").alias("n_total"),
     )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, bucket_width: float
+) -> DataFrame:
+    """The fixed-width bin histogram (_bkt, _cnt) behind
+    :func:`histogram_quantiles` — exposed separately because it is the
+    MERGEABLE partial: per-partition / per-day histograms are summed by
+    :func:`merge_value_histograms` into the corpus histogram without
+    touching raw data, the same partial-aggregate algebra as
+    merge_partial_aggs (sums), merge_count_min (counters), and
+    hll_rollup (registers). At 100 TB the quantile question is answered
+    by maintaining per-increment histograms and merging, never
+    re-scanning history."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    return (
+        df.select(
+            F.floor(F.col(value_col) / F.lit(bucket_width))
+            .cast("bigint")
+            .alias("_bkt")
+        )
+        .groupBy("_bkt")
+        .agg(F.count("*").cast("bigint").alias("_cnt"))
+    )
+
+
+def merge_value_histograms(*hists: DataFrame) -> DataFrame:
+    """Elementwise-sum merge of histograms built with the SAME
+    bucket_width: union + one aggregate on the bucket id."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("_bkt").agg(F.sum("_cnt").cast("bigint").alias("_cnt"))

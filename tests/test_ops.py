@@ -1020,3 +1020,29 @@ def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
         bloom_might_contain("k", bits, k=5)
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_value_histogram_split_merge_equals_whole(spark):
+    """Histograms are mergeable partials: summing per-split histograms
+    equals the whole-input histogram bucket-for-bucket — the algebra
+    that answers quantile questions over increments without
+    re-scanning history."""
+    from datawarehouse_group10_spark.operators.aggregates import (
+        merge_value_histograms,
+        value_histogram,
+    )
+
+    vals = [float(v % 97) * 3.7 for v in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    a = df.filter(F.col("v") < 150)
+    b = df.filter(F.col("v") >= 150)
+    merged = {
+        (r["_bkt"], r["_cnt"])
+        for r in merge_value_histograms(
+            value_histogram(a, "v", 10.0), value_histogram(b, "v", 10.0)
+        ).collect()
+    }
+    whole = {
+        (r["_bkt"], r["_cnt"]) for r in value_histogram(df, "v", 10.0).collect()
+    }
+    assert merged == whole
