@@ -1862,8 +1862,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       integers — cross-engine stable (corpus is all-ASCII; Spark counts
       codepoints, DuckDB bytes — a non-ASCII corpus would need a
       codepoint-normalized comparison on the DuckDB side).
+    - ``setcos`` (r8): set-cosine (Ochiai) pairs over the SAME shared
+      inverted-index pair counts (functions/dedup.py:
+      shingle_pair_counts / ngram_set_cosine_pairs) — the
+      containment-tolerant member of the set-overlap family, with the
+      keep decision in exact integer arithmetic (den²·n_inter² >=
+      num²·n_a·n_b) and the reported score rounded after one IEEE
+      sqrt + division.
     """
     _utc(spark)
+    from .functions.dedup import ngram_set_cosine_pairs
+
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_posting_len=None)
     exact = pairs.select(
@@ -1889,7 +1898,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return exact.unionByName(capped).unionByName(fuzzy)
+    setcos = ngram_set_cosine_pairs(
+        docs, k=3, threshold_num=1, threshold_den=2, max_posting_len=None
+    ).select(
+        F.lit("setcos").alias("surface"),
+        "id_a",
+        "id_b",
+        F.col("cos6").alias("jaccard"),
+    )
+    return (
+        exact.unionByName(capped).unionByName(fuzzy).unionByName(setcos)
+    )
 
 
 #: Per-sf_dir cache of the materialized shingle-projection parquet dir
@@ -3607,6 +3626,13 @@ FROM inter
 WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
 """
 
+#: The same inverted-index core, surfaced as raw pair counts — every
+#: set-overlap metric derives from (n_a, n_b, n_inter) by expression
+#: (mirrors functions/dedup.py::shingle_pair_counts).
+_NGRAM_PAIR_COUNTS_SQL = _NGRAM_JACCARD_SQL[: _NGRAM_JACCARD_SQL.rindex("SELECT id_a")] + """
+SELECT id_a, id_b, n_a, n_b, n_inter FROM inter
+"""
+
 ORACLES: dict[str, str] = {
     "pipeline_silver": _LOTTERY_CTE + """
 SELECT number_value, strftime(full_date, '%Y-%m-%d') AS full_date,
@@ -4435,7 +4461,16 @@ FROM ranked GROUP BY doc_id
         "         AS jaccard\n"
         "FROM ({base}) t\n"
         "JOIN documents da ON da.doc_id = t.id_a\n"
-        "JOIN documents db ON db.doc_id = t.id_b"
+        "JOIN documents db ON db.doc_id = t.id_b\n"
+        "UNION ALL\n"
+        "-- setcos (r8): set-cosine/Ochiai over the same pair counts;\n"
+        "-- the keep decision is exact integer (4*n_inter^2 >= n_a*n_b\n"
+        "-- for t=1/2), the score one IEEE sqrt + division + round(6).\n"
+        "SELECT 'setcos' AS surface, id_a, id_b,\n"
+        "       round(CAST(n_inter AS DOUBLE)\n"
+        "             / sqrt(CAST(n_a AS DOUBLE) * n_b), 6) AS jaccard\n"
+        "FROM ({counts}) c\n"
+        "WHERE 4 * n_inter * n_inter >= n_a * n_b"
     ),
     # (per-row cosine scores + exact top-10 now ride sim_cosine_suite)
     "ann_label_blocked_pairs": """
@@ -4908,7 +4943,7 @@ GROUP BY user_id, sid
 
 # The capped/uncapped suite renders from the shared core.
 ORACLES["dedup_ngram_jaccard"] = ORACLES["dedup_ngram_jaccard"].format(
-    base=_NGRAM_JACCARD_SQL
+    base=_NGRAM_JACCARD_SQL, counts=_NGRAM_PAIR_COUNTS_SQL
 )
 
 # The LSH pipeline's verified OUTPUT is the exact-Jaccard pair set (see

@@ -790,6 +790,34 @@ def ngram_jaccard_pairs(
     survivors) reuses one corpus-wide shingle materialization instead of
     re-deriving tokenize→slice→explode per stage.
     """
+    inter = shingle_pair_counts(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        max_posting_len=max_posting_len,
+        pre_shingled=pre_shingled,
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def shingle_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_posting_len: int | None = 1_000,
+    pre_shingled: DataFrame | None = None,
+) -> DataFrame:
+    """The shared inverted-index pair-count core: (id_a, id_b, n_a, n_b,
+    n_inter) for every doc pair sharing >= 1 k-word shingle, id_a < id_b
+    — every set-overlap metric (Jaccard, set-cosine/Ochiai, overlap
+    coefficient, Dice) is a pure expression over these three integers,
+    so the expensive plan (explode → posting join → one pair aggregate)
+    is built once and the metric choice costs nothing."""
     if pre_shingled is not None:
         shingled = pre_shingled.select(F.col(id_col), "shingles").join(
             df.select(id_col), id_col, "left_semi"
@@ -817,7 +845,7 @@ def ngram_jaccard_pairs(
         # posting-count join's exchange.
         postings = postings.repartition("sh")
     a, b = postings.alias("a"), postings.alias("b")
-    inter = (
+    return (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -827,9 +855,55 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
-    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+
+
+def ngram_set_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_posting_len: int | None = 1_000,
+    pre_shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Set-cosine (Ochiai) near-dup pairs over k-word shingles:
+    cos = n_inter / sqrt(n_a * n_b) — the cosine similarity of the
+    BINARY shingle-incidence vectors, computed relationally from the
+    shared inverted-index pair counts (:func:`shingle_pair_counts`)
+    without ever materializing a vector. Complements Jaccard: cosine
+    normalizes by the geometric mean of the set sizes, so a small doc
+    contained in a big one scores higher than under Jaccard's
+    union-denominator — the containment-tolerant member of the family.
+
+    The threshold is a RATIONAL num/den compared in exact integers
+    (cos >= t  <=>  den²·n_inter² >= num²·n_a·n_b for non-negative
+    counts) — no float boundary, bit-identical keep/drop decisions on
+    every engine; the reported score then spends one IEEE sqrt + one
+    division + round(6), both correctly rounded, so the VALUE matches
+    cross-engine too. Same 100 TB shape as Jaccard: inverted-index
+    join, posting cap, one pair aggregate.
+    """
+    inter = shingle_pair_counts(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        max_posting_len=max_posting_len,
+        pre_shingled=pre_shingled,
+    )
+    keep = (
+        F.col("n_inter") * F.col("n_inter") * F.lit(threshold_den * threshold_den)
+        >= F.col("n_a") * F.col("n_b") * F.lit(threshold_num * threshold_num)
+    )
+    return inter.filter(keep).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("cos6"),
     )
 
 
