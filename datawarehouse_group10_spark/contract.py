@@ -2758,6 +2758,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       without waiting on the watermark, so a finite backfill needs no
       sentinel; the oracle is the plain batch range-join SQL.
 
+    - ``outer`` (r8): the LEFT-OUTER stream-stream interval join — the
+      retargeting audience: purchases with NO click in the preceding
+      hour. Distinct stateful behavior from ``interval``: these
+      null-padded rows can only emit at STATE EVICTION, when the
+      watermark proves no matching click can still arrive, so the
+      stream reads the sentinel-staged events dir (the sentinel row is
+      event_type-filtered out of both sides but advances the
+      watermark). Oracle = batch NOT EXISTS over the same interval.
     - ``session`` (r8): streaming gap-sessionization via
       ``F.session_window`` (streaming/__init__.py:
       events_session_windows) — dynamic data-dependent windows, the
@@ -2822,7 +2830,12 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     attr_ckpt = os.path.join(work, "attr_ckpt")
     sess_out = os.path.join(work, "sess_out")
     sess_ckpt = os.path.join(work, "sess_ckpt")
-    for d in (mart_dir, ckpt, attr_out, attr_ckpt, sess_out, sess_ckpt):
+    outer_out = os.path.join(work, "outer_out")
+    outer_ckpt = os.path.join(work, "outer_ckpt")
+    for d in (
+        mart_dir, ckpt, attr_out, attr_ckpt,
+        sess_out, sess_ckpt, outer_out, outer_ckpt,
+    ):
         _shutil.rmtree(d, ignore_errors=True)
 
     # Same state-store sizing as q_stream_hourly_counts: instance count ==
@@ -2841,10 +2854,13 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, os.path.join(sf_dir, "events.parquet")
         )
         run_stream_to_parquet(stream, attr_out, attr_ckpt)
-        sess_stream = events_session_windows(
-            spark, os.path.join(_staged_events_work(spark, sf_dir), "in")
-        )
+        staged_in = os.path.join(_staged_events_work(spark, sf_dir), "in")
+        sess_stream = events_session_windows(spark, staged_in)
         run_stream_to_parquet(sess_stream, sess_out, sess_ckpt)
+        outer_stream = attributed_conversions(
+            spark, staged_in, how="left_outer", sentinel_type="_sentinel"
+        )
+        run_stream_to_parquet(outer_stream, outer_out, outer_ckpt)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     upsert = spark.read.parquet(mart_dir).select(
@@ -2882,7 +2898,27 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("s2"),
         )
     )
-    return upsert.unionByName(interval).unionByName(session)
+
+    # The outer join's NEW rows are the null-click ones (matches already
+    # hash-checked by the `interval` surface) — surface exactly those.
+    outer = (
+        spark.read.parquet(outer_out)
+        .filter(F.col("click_id").isNull() & (F.col("user_id") != -1))
+        .select(
+            F.lit("outer").alias("surface"),
+            F.col("user_id").cast("string").alias("s1"),
+            F.col("purchase_id").cast("bigint").alias("i1"),
+            F.lit(None).cast("bigint").alias("i2"),
+            F.lit(None).cast("bigint").alias("i3"),
+            F.col("purchase_value").cast("double").alias("d1"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("s2"),
+        )
+    )
+    return (
+        upsert.unionByName(interval)
+        .unionByName(session)
+        .unionByName(outer)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4927,6 +4963,21 @@ FROM events p JOIN events c
   ON p.user_id = c.user_id
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+UNION ALL
+-- outer (r8): purchases with NO click in the preceding hour — the
+-- rows the left-outer stream-stream join emits at watermark eviction.
+SELECT 'outer' AS surface,
+       CAST(p.user_id AS VARCHAR) AS s1,
+       CAST(p.event_id AS BIGINT) AS i1,
+       CAST(NULL AS BIGINT) AS i2,
+       CAST(NULL AS BIGINT) AS i3,
+       CAST(p.value AS DOUBLE) AS d1,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS s2
+FROM events p
+WHERE p.event_type = 'purchase' AND NOT EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
 UNION ALL
 -- session (r8): batch lag+cumsum sessionization — the streaming
 -- session_window result must match session-for-session. Boundary rule:

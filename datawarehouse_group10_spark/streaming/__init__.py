@@ -391,7 +391,8 @@ def stream_interval_join(
     right_ts: str,
     lower: str,
     upper: str,
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join (append mode, bounded state).
 
@@ -410,14 +411,33 @@ def stream_interval_join(
 
     ``lower``/``upper`` are interval strings like ``"1 hour"``; pass
     ``"0 seconds"`` for a one-sided window.
+
+    ``how`` extends the same bounded-state machinery to OUTER variants
+    ("left_outer"/"right_outer"/"full_outer"): matches still emit as
+    they arrive, but an UNMATCHED outer-side row emits (nulls on the
+    other side) only when the WATERMARK proves no future match can
+    arrive — i.e. at state eviction, which is why outer stream-stream
+    joins require both the watermark and the interval bounds. A finite
+    backfill therefore needs its watermark pushed past the data (the
+    sentinel staging) for the null-padded rows to flush.
+
+    ``watermark=None`` means the inputs arrive ALREADY watermarked —
+    required when a side is a filtered view of a wider stream and the
+    filtered-out rows (e.g. a watermark sentinel, other event types)
+    must still advance the clock: the `withWatermark` must sit UPSTREAM
+    of that filter, because Spark computes the watermark only from rows
+    reaching the EventTimeWatermark operator.
     """
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    if watermark is not None:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    l = left.alias("l")
+    r = right.alias("r")
     cond = F.expr(
         f"l.{on} = r.{on} AND r.{right_ts} >= l.{left_ts} - interval {lower}"
         f" AND r.{right_ts} <= l.{left_ts} + interval {upper}"
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def attributed_conversions(
@@ -425,6 +445,8 @@ def attributed_conversions(
     events_path: str,
     attr_window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
+    sentinel_type: str | None = None,
 ) -> DataFrame:
     """Click→purchase attribution as a stream-stream join: every purchase
     pairs with the SAME user's clicks in the preceding ``attr_window``.
@@ -435,11 +457,27 @@ def attributed_conversions(
     stream — on a deployment they'd be two topics). Output: one row per
     (purchase, attributed click) pair, append-mode emittable as soon as
     the watermark passes the purchase timestamp.
+
+    ``how="left_outer"`` keeps UNCONVERTED purchases too (null click
+    columns — the retargeting audience); those rows flush at watermark
+    eviction, so feed the sentinel-staged events dir on finite
+    backfills AND pass its ``sentinel_type`` so the clock-advancing row
+    stays IN BAND on both sides. Merely placing `withWatermark` above
+    the type filter is not enough: Catalyst pushes deterministic
+    filters below the EventTimeWatermark operator, so a filtered-out
+    sentinel never reaches the watermark node (measured: final
+    watermark = last PURCHASE − delay, leaving the last ~2h of
+    unmatched purchases stuck in state). The sentinel row passes both
+    side filters, matches only itself (its own user), and the caller
+    drops its output rows — the same emit-then-filter discipline the
+    windowed-aggregation surfaces use.
     """
 
     def _typed(event_type: str) -> DataFrame:
         ev = read_events_stream(spark, events_path)
-        return ev.filter(F.col("event_type") == event_type)
+        ev = ev.withWatermark("ts", watermark)
+        types = [event_type] + ([sentinel_type] if sentinel_type else [])
+        return ev.filter(F.col("event_type").isin(types))
 
     clicks = _typed("click").select(
         F.col("user_id"),
@@ -460,7 +498,8 @@ def attributed_conversions(
         right_ts="click_ts",
         lower=attr_window,
         upper="0 seconds",
-        watermark=watermark,
+        watermark=None,  # watermarked upstream of the type filters
+        how=how,
     )
     return joined.select(
         F.col("l.user_id").alias("user_id"),

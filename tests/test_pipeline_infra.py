@@ -1072,3 +1072,69 @@ def test_session_window_boundary_matches_batch_sessionize(spark):
     }
     assert sw_sessions == batch_sessions
     assert (1, "2024-01-01 00:00:00", 2) in sw_sessions  # the merged pair
+
+
+def test_stream_outer_interval_join_flushes_unmatched_at_eviction(spark):
+    """Left-outer stream-stream interval join: unmatched purchases emit
+    null-padded ONLY once the watermark proves no click can arrive —
+    which on a finite backfill requires the clock-advancing sentinel to
+    stay IN BAND (Catalyst pushes the type filter below the watermark
+    node, so an out-of-band sentinel never advances the clock and the
+    final watermark-horizon of purchases stays stuck in state). The
+    result must equal the batch NOT-EXISTS set over the whole stream,
+    including its last two hours."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import datawarehouse_group10_spark.contract as C
+    from datawarehouse_group10_spark.streaming import (
+        attributed_conversions,
+        run_stream_to_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    staged = os.path.join(C._staged_events_work(spark, sf), "in")
+    stream = attributed_conversions(
+        spark, staged, how="left_outer", sentinel_type="_sentinel"
+    )
+    got = (
+        run_stream_to_table(stream, "attr_outer_test", output_mode="append")
+        .filter("click_id IS NULL AND user_id <> -1")
+        .select("user_id", "purchase_id")
+    )
+
+    from datawarehouse_group10_spark.sources import read_events
+
+    ev = read_events(spark, f"{sf}/events.parquet")
+    batch = spark.sql(
+        """
+        SELECT p.user_id, p.event_id AS purchase_id
+        FROM {ev} p
+        WHERE p.event_type = 'purchase' AND NOT EXISTS (
+          SELECT 1 FROM {ev} c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.ts >= p.ts - interval 1 hour AND c.ts <= p.ts)
+        """,
+        ev=ev,
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+    # the tail is present: some unmatched purchase within 2h of stream end
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    tail = {
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            SELECT p.user_id, p.event_id FROM {{ev}} p
+            WHERE p.event_type = 'purchase'
+              AND p.ts > timestamp'{max_ts}' - interval 2 hours
+              AND NOT EXISTS (
+              SELECT 1 FROM {{ev}} c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts >= p.ts - interval 1 hour AND c.ts <= p.ts)
+            """,
+            ev=ev,
+        ).collect()
+    }
+    assert tail and tail <= a
