@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect_rows", "expect_unique", "expect_reference"]
+__all__ = ["expect_rows", "expect_unique", "expect_reference", "observe_rows"]
 
 def expect_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate boolean row expectations (true = row OK; NULL counts as a
@@ -103,3 +103,35 @@ def expect_reference(
         "n_violations",
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
+
+
+def observe_rows(
+    df: DataFrame, name: str, rules: dict[str, Column]
+) -> tuple[DataFrame, "object"]:
+    """Attach the row expectations to a plan as OBSERVED METRICS
+    (``DataFrame.observe`` + ``pyspark.sql.Observation``): the audit
+    numbers are computed DURING whatever action the caller was going to
+    run anyway — a write, a count, a collect — with zero extra passes
+    over the data, where :func:`expect_rows` spends its own aggregate
+    job. This is the in-flight instrumentation half of the quality
+    family; expect_rows stays the standalone gate.
+
+    Returns ``(observed_df, observation)``. After the FIRST action on
+    ``observed_df`` completes, ``observation.get`` yields
+    ``{"n_rows": …, "<rule>": <violations>, …}`` (same NULL-counts-as-
+    violation semantics as expect_rows). The metrics ride the task
+    results back to the driver — on a 1000-executor cluster this is an
+    accumulator merge, not a second 100 TB scan.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
+        F.sum(
+            F.when(F.coalesce(v, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+        )
+        .cast("bigint")
+        .alias(rule)
+        for rule, v in rules.items()
+    ]
+    return df.observe(obs, *metrics), obs

@@ -1046,3 +1046,33 @@ def test_value_histogram_split_merge_equals_whole(spark):
         (r["_bkt"], r["_cnt"]) for r in value_histogram(df, "v", 10.0).collect()
     }
     assert merged == whole
+
+
+def test_observe_rows_matches_expect_rows_without_extra_pass(spark):
+    """observe_rows rides the caller's own action (here: a write-side
+    count) and reports the same n_rows/violation numbers expect_rows
+    computes with its standalone aggregate."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.operators.quality import (
+        expect_rows,
+        observe_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 9.5)], "id int, v double"
+    )
+    rules = {
+        "v_nonneg": F.col("v") >= 0,      # -1.0 and NULL violate -> 2
+        "id_small": F.col("id") <= 3,     # id=4 violates -> 1
+    }
+    observed, obs = observe_rows(df, "audit", rules)
+    assert observed.count() == 4          # the action the caller runs anyway
+    got = obs.get
+    assert got == {"n_rows": 4, "v_nonneg": 2, "id_small": 1}
+
+    exp = {
+        r["rule"]: r["n_violations"]
+        for r in expect_rows(df, rules).collect()
+    }
+    assert exp == {"v_nonneg": 2, "id_small": 1}
