@@ -84,6 +84,7 @@ def heavy_hitters(
     item_col: str,
     num: int = 1,
     den: int = 1000,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Frequent items: every item whose count is >= (num/den) of the
     stream length, with the threshold compared in EXACT integer
@@ -102,8 +103,29 @@ def heavy_hitters(
     below threshold), which is how the registered surface pairs each
     exact hitter with its sketch estimate.
 
-    Returns (item, cnt, n_total).
+    ``by`` scopes the support threshold per group (frequent items PER
+    source/day/language — the partitioned form a curation pipeline
+    runs): both aggregates carry the group keys and the per-group
+    totals join back on them. The totals side has one row per group —
+    broadcastable for the source/day/language groupings this is for;
+    at extreme group cardinality Spark's size estimate overrides the
+    hint and plans a shuffle join on the same keys the counts already
+    carry.
+
+    Returns (*by, item, cnt, n_total).
     """
+    if by:
+        counts = df.groupBy(*by, F.col(item_col)).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        total = df.groupBy(*by).agg(
+            F.count("*").cast("bigint").alias("n_total")
+        )
+        return (
+            counts.join(F.broadcast(total), list(by))
+            .where(F.col("cnt") * F.lit(den) >= F.col("n_total") * F.lit(num))
+            .select(*by, F.col(item_col), "cnt", "n_total")
+        )
     counts = df.groupBy(F.col(item_col)).agg(
         F.count("*").cast("bigint").alias("cnt")
     )

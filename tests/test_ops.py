@@ -1076,3 +1076,37 @@ def test_observe_rows_matches_expect_rows_without_extra_pass(spark):
         for r in expect_rows(df, rules).collect()
     }
     assert exp == {"v_nonneg": 2, "id_small": 1}
+
+
+def test_heavy_hitters_per_group_and_empty_bloom(spark):
+    """by= scopes the support threshold per group (an item heavy in one
+    source is not dragged down by another source's volume); an
+    empty-build bloom filter rejects every probe (vacuous
+    no-false-negatives)."""
+    from datawarehouse_group10_spark.functions.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+        heavy_hitters,
+    )
+
+    rows = (
+        [("s1", "a")] * 8 + [("s1", "b")] * 2            # s1: n=10
+        + [("s2", "a")] * 1 + [("s2", "c")] * 9          # s2: n=10
+    )
+    df = spark.createDataFrame(rows, "src string, item string")
+    got = {
+        (r["src"], r["item"]): (r["cnt"], r["n_total"])
+        for r in heavy_hitters(df, "item", num=1, den=5, by=["src"]).collect()
+    }
+    # threshold 1/5 of the GROUP: s1 keeps a(8) and b(2); s2 keeps only c.
+    assert got == {
+        ("s1", "a"): (8, 10),
+        ("s1", "b"): (2, 10),
+        ("s2", "c"): (9, 10),
+    }
+
+    empty = spark.createDataFrame([], "k bigint")
+    bits = bloom_bits(empty, "k", m_bits=1024, k=5)
+    assert all(w == 0 for w in bits)
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
+    assert probe.where(bloom_might_contain("k", bits, k=5)).count() == 0
