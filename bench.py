@@ -85,12 +85,18 @@ HEADLINE = [
 #:   min-of-repeats numbers are explicit about excluding it. NOTE: the
 #:   dedup_minhash_lsh headline series has a SEAM at round 6 (one-shot
 #:   implementation before, staged-shingle after — PERF.md round 6/7).
-#: - stream_suite: the stateful streaming pair (foreachBatch mart upsert
-#:   + stream-stream interval join) registered in r7.
+#: - stream_suite: the stateful streaming suite (foreachBatch mart
+#:   upsert + inner/left-outer stream-stream interval joins + session
+#:   windows — r7, extended r8).
+#: - dedup_ngram_jaccard: the four-surface set-similarity suite
+#:   (exact/cap1000/fuzzy/setcos) over the staged shingle artifact
+#:   (r8 — 7.44s in-query → 3.01s staged at sf0.1); tracked so the
+#:   staged-path speedup stays visible round-over-round.
 SECONDARY = [
     "dedup_minhash_oneshot",
     "corpus_curation_pipeline",
     "stream_suite",
+    "dedup_ngram_jaccard",
 ]
 
 
