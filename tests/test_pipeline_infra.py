@@ -1138,3 +1138,48 @@ def test_stream_outer_interval_join_flushes_unmatched_at_eviction(spark):
         ).collect()
     }
     assert tail and tail <= a
+
+
+def test_stream_full_outer_interval_join_matches_batch(spark):
+    """full_outer emits matched pairs plus BOTH unmatched sides
+    (purchases with no click in the window AND clicks attributed to no
+    purchase) — equal to the batch full-outer interval join."""
+    import datawarehouse_group10_spark.contract as C
+    from datawarehouse_group10_spark.streaming import (
+        attributed_conversions,
+        run_stream_to_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    staged = os.path.join(C._staged_events_work(spark, sf), "in")
+    stream = attributed_conversions(
+        spark, staged, how="full_outer", sentinel_type="_sentinel"
+    )
+    got = (
+        run_stream_to_table(stream, "attr_fo_test", output_mode="append")
+        .filter("(user_id IS NULL OR user_id <> -1)")
+        .select("purchase_id", "click_id")
+    )
+
+    from datawarehouse_group10_spark.sources import read_events
+
+    ev = read_events(spark, f"{sf}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS cu", "event_id AS click_id", "ts AS click_ts"
+    )
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id AS purchase_id", "ts AS purchase_ts"
+    )
+    batch = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = cu AND click_ts >= purchase_ts - interval 1 hour"
+            " AND click_ts <= purchase_ts"
+        ),
+        "full_outer",
+    ).select("purchase_id", "click_id")
+    key = lambda t: (t[0] is None, t[0] or 0, t[1] is None, t[1] or 0)
+    a = sorted(((r["purchase_id"], r["click_id"]) for r in got.collect()), key=key)
+    b = sorted(((r["purchase_id"], r["click_id"]) for r in batch.collect()), key=key)
+    assert a == b
+    assert any(p is None for p, _ in a) and any(c is None for _, c in a)
