@@ -814,3 +814,26 @@ def test_knn_join_and_ivf_variant(spark):
     want = {(r["q_id"], r["vec_id"]) for r in rows}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, recall
+
+
+def test_stratified_take_exact_quota_and_determinism(spark):
+    """stratified_take keeps exactly k rows per stratum (all rows when
+    the stratum is smaller), the same set on re-run, and a DIFFERENT
+    uniform subset under a different seed."""
+    from datawarehouse_group10_spark.functions.sampling import stratified_take
+
+    rows = [(i, f"s{i % 3}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    take = stratified_take(df, ["source"], k=10)
+    got = [(r["source"], r["doc_id"]) for r in take.collect()]
+    from collections import Counter
+
+    per = Counter(s for s, _ in got)
+    assert per == {"s0": 10, "s1": 10, "s2": 10, "tiny": 1}
+    again = [(r["source"], r["doc_id"]) for r in stratified_take(df, ["source"], k=10).collect()]
+    assert sorted(got) == sorted(again)
+    other = {
+        (r["source"], r["doc_id"])
+        for r in stratified_take(df, ["source"], k=10, seed="other").collect()
+    }
+    assert other != set(got)
