@@ -3506,12 +3506,33 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("tf"),
         F.col("cms_estimate").alias("df"),
     )
+    # tfidf2 (r8): term weighting with a PORTABLE idf — floor(log2(N/df))
+    # in pure integer arithmetic (length(bin(N DIV df)) - 1, the same
+    # bit-length idiom the portable-HLL rho uses), so the classic
+    # tf·idf ranking signal is bit-identical cross-engine where ln()
+    # would be libm-dependent. tf rides the weighted score, df the idf.
+    ndocs = _t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("_nd")
+    )
+    ilog2 = F.expr("length(bin(CAST(_nd DIV df AS BIGINT))) - 1").cast(
+        "bigint"
+    )
+    tfidf = (
+        vocab_df.crossJoin(F.broadcast(ndocs))
+        .select(
+            F.lit("tfidf2").alias("kind"),
+            F.col("token").alias("term"),
+            (F.col("tf") * ilog2).cast("bigint").alias("tf"),
+            ilog2.alias("df"),
+        )
+    )
     return (
         vocab.unionByName(grams)
         .unionByName(lang)
         .unionByName(cms_rows)
         .unionByName(cms_est)
         .unionByName(heavy)
+        .unionByName(tfidf)
     )
 
 
@@ -4645,6 +4666,21 @@ FROM (
   FROM pr p JOIN cbg c ON c.j = p.j AND c.bucket = p.bucket
   GROUP BY p.bg, p.tf
 )
+UNION ALL
+-- tfidf2 (r8): integer-log2 idf — floor(log2(N/df)) via bit length,
+-- the portable stand-in for ln-based idf.
+SELECT 'tfidf2' AS kind, term,
+       CAST(tf * (length(bin(nd // df)) - 1) AS BIGINT) AS tf,
+       CAST(length(bin(nd // df)) - 1 AS BIGINT) AS df
+FROM (
+  SELECT lower(t) AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  )
+  GROUP BY 1
+), (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
 """,
     "w7_sessionize": """
 WITH es AS (
