@@ -450,3 +450,47 @@ def test_bloom_probe_never_drops_a_build_key(spark, build, probe):
         r["k"] for r in pdf.where(bloom_might_contain("k", bits, k=5)).collect()
     }
     assert set(build) & set(probe) <= passed
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_set_cosine_pairs_agree_with_python_model(spark, docs):
+    """ngram_set_cosine_pairs (threshold 1/2, uncapped) equals the naive
+    per-pair Ochiai over distinct 3-word shingles — membership decided
+    by the exact integer rule 4·n_inter² >= n_a·n_b, scores to 6dp."""
+    from datawarehouse_group10_spark.functions.dedup import (
+        ngram_set_cosine_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos6"]
+        for r in ngram_set_cosine_pairs(
+            df, k=3, threshold_num=1, threshold_den=2, max_posting_len=None
+        ).collect()
+    }
+
+    def sh(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sh(docs[a]), sh(docs[b])
+            inter = len(sa & sb)
+            if inter and 4 * inter * inter >= len(sa) * len(sb):
+                want[(a, b)] = round(inter / (len(sa) * len(sb)) ** 0.5, 6)
+    assert got == want
