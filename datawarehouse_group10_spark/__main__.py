@@ -7,6 +7,7 @@ equivalent:
     python -m datawarehouse_group10_spark query NAME [--sf-dir DIR]
     python -m datawarehouse_group10_spark list
     python -m datawarehouse_group10_spark zorder --input P --out P --cols a,b
+    python -m datawarehouse_group10_spark curate --input DOCS.parquet --out DIR
 
 ``job`` runs the orchestrated P1-P4 pipeline (ledger-gated, parquet
 layers); ``query`` runs any contract query and prints a sample;
@@ -36,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list", help="list contract queries")
+
+    c = sub.add_parser(
+        "curate",
+        help="run the corpus-curation pipeline over a documents parquet",
+    )
+    c.add_argument("--input", required=True, help="documents parquet (doc_id, source, text)")
+    c.add_argument("--out", required=True, help="output dir (audit/ + kept/)")
+    c.add_argument("--default-rate", type=float, default=1.0,
+                   help="mixture keep-rate for sources without an explicit rate")
 
     z = sub.add_parser(
         "zorder",
@@ -84,6 +94,28 @@ def main(argv: list[str] | None = None) -> int:
             df = QUERIES[args.name](spark, args.sf_dir)
             df.show(args.limit, truncate=False)
             print(f"({df.count()} rows total)")
+            return 0
+
+        if args.cmd == "curate":
+            from .functions.curation import curate_corpus
+
+            docs = spark.read.parquet(args.input)
+            audit = curate_corpus(
+                docs, rates={}, default_rate=args.default_rate
+            )
+            audit.write.mode("overwrite").parquet(f"{args.out}/audit")
+            kept_ids = spark.read.parquet(f"{args.out}/audit").filter(
+                "fate = 'kept' AND mix_kept = 1"
+            ).select("doc_id")
+            docs.join(kept_ids, "doc_id", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/kept")
+            n_in = docs.count()
+            n_kept = spark.read.parquet(f"{args.out}/kept").count()
+            print(
+                f"curated {args.input}: {n_in} docs in, {n_kept} kept "
+                f"-> {args.out}/kept (audit at {args.out}/audit)"
+            )
             return 0
 
         if args.cmd == "zorder":
