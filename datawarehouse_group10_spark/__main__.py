@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True, help="output dir (audit/ + kept/)")
     c.add_argument("--default-rate", type=float, default=1.0,
                    help="mixture keep-rate for sources without an explicit rate")
+    c.add_argument("--rate", action="append", default=[], metavar="SOURCE=FLOAT",
+                   help="per-source mixture keep-rate (repeatable), e.g. "
+                        "--rate web=0.5 --rate books=1.0")
 
     z = sub.add_parser(
         "zorder",
@@ -99,9 +102,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "curate":
             from .functions.curation import curate_corpus
 
+            rates: dict[str, float] = {}
+            for spec in args.rate:
+                src, sep, val = spec.partition("=")
+                if not sep or not src:
+                    print(
+                        f"bad --rate {spec!r}: expected SOURCE=FLOAT",
+                        file=sys.stderr,
+                    )
+                    return 2
+                rates[src] = float(val)
             docs = spark.read.parquet(args.input)
             audit = curate_corpus(
-                docs, rates={}, default_rate=args.default_rate
+                docs, rates=rates, default_rate=args.default_rate
             )
             audit.write.mode("overwrite").parquet(f"{args.out}/audit")
             kept_ids = spark.read.parquet(f"{args.out}/audit").filter(

@@ -3663,10 +3663,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-#: Exact inverted-index 3-word-shingle Jaccard pair set (threshold 0.5)
-#: — the shared oracle core for dedup_ngram_jaccard (both cap surfaces),
-#: dedup_minhash_lsh, and dedup_minhash_incremental.
-_NGRAM_JACCARD_SQL = r"""
+#: Shared inverted-index 3-word-shingle CTE prefix (toks → sh →
+#: postings → inter): both the Jaccard pair set and the raw pair-count
+#: surface are the SAME prefix plus a different final SELECT — factored
+#: as a constant (r9, ADVICE r8) instead of slicing the finished query
+#: string, which silently produced wrong SQL if the base query's final
+#: SELECT were ever reworded.
+_NGRAM_PAIR_CTE = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ),
@@ -3691,6 +3694,12 @@ inter AS (
     ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
+"""
+
+#: Exact inverted-index 3-word-shingle Jaccard pair set (threshold 0.5)
+#: — the shared oracle core for dedup_ngram_jaccard (both cap surfaces),
+#: dedup_minhash_lsh, and dedup_minhash_incremental.
+_NGRAM_JACCARD_SQL = _NGRAM_PAIR_CTE + """
 SELECT id_a, id_b,
        CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
 FROM inter
@@ -3700,7 +3709,7 @@ WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
 #: The same inverted-index core, surfaced as raw pair counts — every
 #: set-overlap metric derives from (n_a, n_b, n_inter) by expression
 #: (mirrors functions/dedup.py::shingle_pair_counts).
-_NGRAM_PAIR_COUNTS_SQL = _NGRAM_JACCARD_SQL[: _NGRAM_JACCARD_SQL.rindex("SELECT id_a")] + """
+_NGRAM_PAIR_COUNTS_SQL = _NGRAM_PAIR_CTE + """
 SELECT id_a, id_b, n_a, n_b, n_inter FROM inter
 """
 

@@ -207,8 +207,16 @@ def stage_shingles_incremental(
     corpus linger in the staging until compaction and would re-enter
     results through consumers that scan ``pre_shingled`` directly; same
     compaction answer. ``check_mutations=False`` skips the digest
-    join (one columnar scan) for corpora the caller guarantees
-    immutable.
+    compare for corpora the caller guarantees immutable.
+
+    Plan shape (r9, VERDICT r8 #7): ONE left join of the corpus against
+    the staged (id, digest) projection serves BOTH decisions — the
+    digest compare rides the MATCHED side of the same join whose
+    unmatched side is the delta, instead of a separate full-corpus md5
+    join before an anti-join. Each action's plan has one corpus scan
+    and one staged columnar scan; with ``check_mutations=False`` the
+    join degenerates to the plain anti-join (null-check on the staged
+    digest), same shape.
 
     Returns a reader over the combined staged parquet.
     """
@@ -216,16 +224,22 @@ def stage_shingles_incremental(
 
     spark = df.sparkSession
     try:
-        staged = spark.read.parquet(path).select(id_col, "text_md5")
+        staged = spark.read.parquet(path).select(
+            F.col(id_col), F.col("text_md5").alias("_staged_md5")
+        )
     except AnalysisException:  # first call: nothing staged yet
         return materialize_shingles(
             df, path, text_col=text_col, id_col=id_col, shingle_k=shingle_k
         )
+    joined = df.withColumn("_cur_md5", F.md5(F.col(text_col))).join(
+        staged, id_col, "left"
+    )
     if check_mutations:
         mutated = (
-            df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_cur"))
-            .join(staged, id_col)
-            .filter(F.col("_cur") != F.col("text_md5"))
+            joined.filter(
+                F.col("_staged_md5").isNotNull()
+                & (F.col("_cur_md5") != F.col("_staged_md5"))
+            )
             .limit(1)
             .count()
         )
@@ -235,10 +249,10 @@ def stage_shingles_incremental(
                 "text changed under an already-staged id; appends cannot "
                 "replace rows — run compact_staged_shingles first"
             )
-    delta = df.join(staged.select(id_col), id_col, "left_anti")
+    delta = joined.filter(F.col("_staged_md5").isNull())
     delta.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("text_md5"),
+        F.col("_cur_md5").alias("text_md5"),
         word_shingles(text_col, shingle_k).alias("shingles"),
     ).write.mode("append").parquet(path)
     return spark.read.parquet(path)

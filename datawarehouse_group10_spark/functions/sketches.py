@@ -106,11 +106,13 @@ def heavy_hitters(
     ``by`` scopes the support threshold per group (frequent items PER
     source/day/language — the partitioned form a curation pipeline
     runs): both aggregates carry the group keys and the per-group
-    totals join back on them. The totals side has one row per group —
-    broadcastable for the source/day/language groupings this is for;
-    at extreme group cardinality Spark's size estimate overrides the
-    hint and plans a shuffle join on the same keys the counts already
-    carry.
+    totals join back on them. The totals side has one row per group;
+    the join deliberately carries NO broadcast hint (an explicit hint
+    is honored regardless of Spark's size estimate, so hinting here
+    would let an extreme-cardinality grouping OOM the driver) — AQE
+    converts it to a broadcast join at runtime for the small
+    source/day/language groupings this is for, and falls back to a
+    shuffle join on the same keys the counts already carry otherwise.
 
     Returns (*by, item, cnt, n_total).
     """
@@ -122,7 +124,7 @@ def heavy_hitters(
             F.count("*").cast("bigint").alias("n_total")
         )
         return (
-            counts.join(F.broadcast(total), list(by))
+            counts.join(total, list(by))
             .where(F.col("cnt") * F.lit(den) >= F.col("n_total") * F.lit(num))
             .select(*by, F.col(item_col), "cnt", "n_total")
         )
@@ -149,6 +151,15 @@ def _bloom_pos_sql(j: int, col_sql: str, m_bits: int) -> str:
     )
 
 
+#: Practical bitmap-size ceiling for the literal-inlined probe
+#: expression: 2^20 bits = 16384 long literals ≈ 360 KB of SQL text —
+#: comfortably inside the parser/codegen limits with the single-
+#: occurrence probe form below. Larger builds should use Spark's own
+#: runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled)
+#: or split the key space across several filters.
+BLOOM_MAX_BITS = 1 << 20
+
+
 def bloom_bits(
     df: DataFrame, key_col: str, m_bits: int = 8192, k: int = 5
 ) -> list[int]:
@@ -168,6 +179,12 @@ def bloom_bits(
     """
     if m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if m_bits > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds BLOOM_MAX_BITS={BLOOM_MAX_BITS}: the "
+            "probe inlines the bitmap as a SQL literal; for larger builds "
+            "use spark.sql.optimizer.runtime.bloomFilter or several filters"
+        )
     pos = [
         F.expr(_bloom_pos_sql(j, key_col, m_bits)).alias(f"_p{j}")
         for j in range(k)
@@ -190,23 +207,34 @@ def bloom_might_contain(
 
     The bitmap rides the plan as a LITERAL array (the local-mode
     equivalent of a broadcast variable — every task evaluates
-    element_at against the same in-memory words), so the filter is pure
-    whole-stage codegen: k md5s + k shifts per row, zero joins, zero
-    shuffles, applied BEFORE the probe rows ever reach an Exchange.
-    That ordering is the point at 100 TB: rows that cannot match never
-    get shuffled, and the exact join after the filter removes the
-    bounded false-positive residue.
+    element_at against the same in-memory words): k md5s + k shifts per
+    row, zero joins, zero shuffles, applied BEFORE the probe rows ever
+    reach an Exchange. That ordering is the point at 100 TB: rows that
+    cannot match never get shuffled, and the exact join after the
+    filter removes the bounded false-positive residue.
+
+    Expression shape (r9, ADVICE r8): the bitmap literal appears ONCE
+    and each hash position ONCE — the k positions are built as one
+    array and tested through a `forall(transform(...))` lambda whose
+    variable binds the position for both the word index and the bit
+    offset, instead of re-inlining the multi-KB array literal per hash
+    and re-evaluating each md5 position twice (DIV 64 and % 64). With
+    the previous form a 2^20-bit bitmap inlined 5x ≈ 1.8 MB of SQL;
+    this form stays at ~360 KB, and BLOOM_MAX_BITS bounds it loudly.
     """
     m_bits = 64 * len(bits)
-    arr = "array(" + ",".join(f"{w}L" for w in bits) + ")"
-    conds = []
-    for j in range(k):
-        p = _bloom_pos_sql(j, key_col, m_bits)
-        conds.append(
-            f"(shiftright(element_at({arr}, CAST(({p}) DIV 64 AS INT) + 1),"
-            f" CAST(({p}) % 64 AS INT)) & 1) = 1"
+    if m_bits > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"bitmap of {m_bits} bits exceeds BLOOM_MAX_BITS="
+            f"{BLOOM_MAX_BITS}; see bloom_bits"
         )
-    return F.expr(" AND ".join(conds))
+    arr = "array(" + ",".join(f"{w}L" for w in bits) + ")"
+    positions = ",".join(_bloom_pos_sql(j, key_col, m_bits) for j in range(k))
+    return F.expr(
+        f"forall(transform(array({positions}), p -> "
+        f"(shiftright(element_at({arr}, CAST(p DIV 64 AS INT) + 1), "
+        f"CAST(p % 64 AS INT)) & 1) = 1), x -> x)"
+    )
 
 
 def cms_point_estimates(
