@@ -116,10 +116,8 @@ def _cleanup_stream_work() -> None:
         _shutil.rmtree(d, ignore_errors=True)
     for d in _CSV_WORK_DIRS.values():
         _shutil.rmtree(d, ignore_errors=True)
-    for d in _BUCKETED_DIR_CACHE.values():
-        _shutil.rmtree(d, ignore_errors=True)
-    for d in _ZORDER_DIR_CACHE.values():
-        _shutil.rmtree(d, ignore_errors=True)
+    # Bucketed / z-ordered / partitioned layouts deliberately survive the
+    # process: they live in the persistent GRAFT_WAREHOUSE (r9).
 
 
 atexit.register(_cleanup_stream_work)
@@ -953,24 +951,88 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Per-sf_dir cache of the bucketed fact-table layouts (table names);
-#: the backing parquet dirs are tracked for exit cleanup.
-_BUCKETED_FACTS_CACHE: dict[str, tuple[str, str, str]] = {}
-_BUCKETED_DIR_CACHE: dict[str, str] = {}
+#: Persistent layout warehouse (r9, VERDICT r8 #3): staged physical
+#: layouts (bucketed facts, z-ordered copies, date-partitioned copies)
+#: live in a STABLE directory keyed by an md5 tag of the source dir,
+#: with a parquet _SUCCESS-marker existence check — a real deployment
+#: stages a layout once and amortizes it over every later run, so the
+#: one-time write (the 6.1s bucketed restage PERF.md r8 flagged as
+#: re-paid per process) is paid exactly once per corpus. Override the
+#: root with $SPARK_GRAFT_WAREHOUSE; delete a layout dir to force a
+#: cold restage. A dir WITHOUT its _SUCCESS marker (crashed write) is
+#: wiped and rebuilt — the marker is the commit point.
+GRAFT_WAREHOUSE = os.environ.get(
+    "SPARK_GRAFT_WAREHOUSE",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".graft_warehouse",
+    ),
+)
 
-#: Wall-clock seconds of the last cold bucketed-layout build, read by
-#: bench.py as a secondary (the one-time cost the bucketed variants
-#: amortize — same accounting as the shingle staging).
+
+def _sf_tag(sf_dir: str) -> str:
+    """Stable per-corpus tag (process-independent — NOT hash(), which is
+    seed-randomized per interpreter) used in layout paths and catalog
+    table names."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+
+
+def _layout_ready(path: str) -> bool:
+    """True iff ``path`` holds a COMPLETE staged layout; wipes any
+    half-written residue (no _SUCCESS marker) so the caller rebuilds."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return True
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    return False
+
+
+def _register_external_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    keys: list[str],
+    num_buckets: int,
+) -> None:
+    """Attach a previously staged bucketed parquet dir to THIS session's
+    (in-memory) catalog: the files persist across processes but the
+    catalog does not, so a warm start re-declares the same table over
+    the same location with the same bucket spec. The schema is read from
+    the parquet footers (one driver-side footer read, no data scan)."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    key_sql = ", ".join(f"`{k}`" for k in keys)
+    spark.sql(
+        f"CREATE TABLE `{name}` ({cols}) USING parquet "
+        f"CLUSTERED BY ({key_sql}) SORTED BY ({key_sql}) "
+        f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
+#: Per-sf_dir cache of the bucketed fact-table layouts (table names).
+_BUCKETED_FACTS_CACHE: dict[str, tuple[str, str, str]] = {}
+
+#: Wall-clock seconds of the last bucketed-layout attach: "stage" is the
+#: cold write (0.0 when every table was found staged), "attach" the
+#: warm catalog registration — read by bench.py as secondaries, so the
+#: warm-vs-cold split VERDICT r8 #3 asked for is measured every run.
 BUCKETED_STAGE_TIMINGS: dict[str, float] = {}
 
 
 def bucketed_facts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Stage hash-bucketed fact-table layouts ONCE per (process, sf_dir)
-    and return readers: (lineitem bucketed on l_orderkey, orders
-    bucketed on o_orderkey, lineitem bucketed on l_partkey) — 16 buckets
-    each, sorted within buckets on the bucket key.
+    """Stage hash-bucketed fact-table layouts ONCE PER CORPUS (not per
+    process — r9, VERDICT r8 #3) and return readers: (lineitem bucketed
+    on l_orderkey, orders bucketed on o_orderkey, lineitem bucketed on
+    l_partkey) — 16 buckets each, sorted within buckets on the bucket
+    key.
 
     This is THE canonical 100 TB shuffle-elimination technique
     (operators/skew.py: write_bucketed_table), demonstrated r8 on the
@@ -980,35 +1042,44 @@ def bucketed_facts(
     CONTAIN the bucket key (e.g. groupBy(l_orderkey, l_suppkey) over
     the l_orderkey layout) also runs exchange-free — hash partitioning
     on a subset of the grouping keys already clusters the groups.
-    Tables live in the session catalog (spark.table preserves the
-    bucket spec; a raw parquet read would lose it); files live in a
-    tempdir cleaned at exit."""
+
+    Files live in the persistent ``GRAFT_WAREHOUSE``; a warm process
+    finds the _SUCCESS-marked dirs and only re-attaches them to its
+    in-memory catalog (CREATE TABLE ... LOCATION with the same bucket
+    spec — spark.table preserves bucketing; a raw parquet read would
+    lose it). The pytest Exchange-count pins guard the attach path: a
+    spec mismatch would reintroduce Exchanges and fail loudly."""
     names = _BUCKETED_FACTS_CACHE.get(sf_dir)
     if names is None:
         from .operators.skew import write_bucketed_table
 
-        root = tempfile.mkdtemp(prefix="bucketed_")
-        sfx = abs(hash(sf_dir)) % 10**8
-        names = (f"li_ok_{sfx}", f"ord_ok_{sfx}", f"li_pk_{sfx}")
-        t0 = time.time()
-        write_bucketed_table(
-            _t(spark, sf_dir, "lineitem"), names[0],
-            ["l_orderkey"], num_buckets=16, sort_keys=["l_orderkey"],
-            path=os.path.join(root, names[0]),
+        tag = _sf_tag(sf_dir)
+        root = os.path.join(GRAFT_WAREHOUSE, f"bucketed_{tag}")
+        names = (f"li_ok_{tag}", f"ord_ok_{tag}", f"li_pk_{tag}")
+        specs = (
+            (names[0], "lineitem", "l_orderkey"),
+            (names[1], "orders", "o_orderkey"),
+            (names[2], "lineitem", "l_partkey"),
         )
-        write_bucketed_table(
-            _t(spark, sf_dir, "orders"), names[1],
-            ["o_orderkey"], num_buckets=16, sort_keys=["o_orderkey"],
-            path=os.path.join(root, names[1]),
-        )
-        write_bucketed_table(
-            _t(spark, sf_dir, "lineitem"), names[2],
-            ["l_partkey"], num_buckets=16, sort_keys=["l_partkey"],
-            path=os.path.join(root, names[2]),
-        )
-        BUCKETED_STAGE_TIMINGS["stage"] = round(time.time() - t0, 3)
+        cold = warm = 0.0
+        for name, src, key in specs:
+            if spark.catalog.tableExists(name):
+                continue
+            path = os.path.join(root, name)
+            if _layout_ready(path):
+                t0 = time.time()
+                _register_external_bucketed(spark, name, path, [key], 16)
+                warm += time.time() - t0
+            else:
+                t0 = time.time()
+                write_bucketed_table(
+                    _t(spark, sf_dir, src), name,
+                    [key], num_buckets=16, sort_keys=[key], path=path,
+                )
+                cold += time.time() - t0
+        BUCKETED_STAGE_TIMINGS["stage"] = round(cold, 3)
+        BUCKETED_STAGE_TIMINGS["attach"] = round(warm, 3)
         _BUCKETED_FACTS_CACHE[sf_dir] = names
-        _BUCKETED_DIR_CACHE[sf_dir] = root
     return tuple(spark.table(n) for n in names)  # type: ignore[return-value]
 
 
@@ -3312,14 +3383,16 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Per-sf_dir cache of the z-ordered orders copy (cleaned at exit).
+#: Per-sf_dir cache of the z-ordered orders copy (persistent warehouse
+#: path — staged once per corpus, found via _SUCCESS on warm starts).
 _ZORDER_DIR_CACHE: dict[str, str] = {}
 
 
 def zordered_orders(spark: SparkSession, sf_dir: str) -> str:
     """Write a z-order-clustered copy of ``orders`` on
-    (o_custkey, o_totalprice) ONCE per (process, sf_dir) and return its
-    path (sources/layout.py: write_zordered — approx-quantile bucket
+    (o_custkey, o_totalprice) ONCE PER CORPUS (persistent
+    ``GRAFT_WAREHOUSE`` + _SUCCESS check — r9, VERDICT r8 #3) and return
+    its path (sources/layout.py: write_zordered — approx-quantile bucket
     ids, bit interleave, one range shuffle, 16 sorted files). The
     a_extended 'zorder' section reads it back row-level against the
     original table's oracle, putting the layout path inside a green
@@ -3330,14 +3403,17 @@ def zordered_orders(spark: SparkSession, sf_dir: str) -> str:
 
     path = _ZORDER_DIR_CACHE.get(sf_dir)
     if path is None:
-        path = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "orders_z")
-        write_zordered(
-            _t(spark, sf_dir, "orders"),
-            path,
-            ["o_custkey", "o_totalprice"],
-            n_files=16,
-            bits=8,
+        path = os.path.join(
+            GRAFT_WAREHOUSE, f"zorder_{_sf_tag(sf_dir)}", "orders_z"
         )
+        if not _layout_ready(path):
+            write_zordered(
+                _t(spark, sf_dir, "orders"),
+                path,
+                ["o_custkey", "o_totalprice"],
+                n_files=16,
+                bits=8,
+            )
         _ZORDER_DIR_CACHE[sf_dir] = path
     return path
 
