@@ -52,6 +52,14 @@ def audit(name: str, df) -> dict[str, int]:
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "python_evals": len(re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
         "pushed_filter_scans": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        # Partitioned-layout evidence (r9): scans carrying a non-empty
+        # PartitionFilters list (directory-level pruning at plan time)
+        # and dynamicpruningexpression occurrences (runtime DPP through
+        # a join).
+        "partition_filter_scans": len(
+            re.findall(r"PartitionFilters: \[[^\]]", plan)
+        ),
+        "dynamic_pruning": len(re.findall(r"dynamicpruning", plan)),
     }
 
 
@@ -89,6 +97,8 @@ def main() -> None:
                 f"{name}: bhj={stats['broadcast_joins']} "
                 f"smj={stats['sortmerge_joins']} ex={stats['exchanges']} "
                 f"pushed={stats['pushed_filter_scans']} "
+                f"pf={stats['partition_filter_scans']} "
+                f"dpp={stats['dynamic_pruning']} "
                 f"py={stats['python_evals']}{flag}"
             )
     print(

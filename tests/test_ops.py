@@ -182,6 +182,80 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_partitioned_layout_prunes_statically_and_dynamically(spark):
+    """The month-partitioned orders layout (r9) must prove BOTH pruning
+    forms in the physical plan: a literal month predicate lands in the
+    scan's PartitionFilters, and the calendar-dim join injects a
+    dynamicpruningexpression (DPP) — with the runtime filesSize metric
+    confirming only the matching month directories were read (the plan
+    text alone can't distinguish DPP planned from DPP fallen back)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    po = spark.read.parquet(contract.partitioned_orders(spark, sf))
+
+    static = po.filter(F.col("o_month") >= "2001-01").groupBy("o_month").count()
+    plan = static._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "o_month" in m.group(0) and "2001-01" in m.group(0)
+
+    dim = contract.calendar_months(spark).filter(
+        (F.col("cal_year") == 1997) & (F.col("cal_quarter") <= 2)
+    )
+    dpp = (
+        po.join(dim, po["o_month"] == F.col("cal_month"))
+        .groupBy("o_month")
+        .count()
+    )
+    plan = dpp._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+
+    # Runtime confirmation: bytes actually read. AQE wraps the executed
+    # plan and hides leaf metrics, so measure with it off.
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def scanned_bytes(df):
+            df.collect()
+            leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if "parquet" in leaf.nodeName().lower():
+                    it = leaf.metrics().iterator()
+                    while it.hasNext():
+                        kv = it.next()
+                        if kv._1() == "filesSize":
+                            return kv._2().value()
+            raise AssertionError("no parquet scan leaf with filesSize")
+
+        po2 = spark.read.parquet(contract.partitioned_orders(spark, sf))
+        full = scanned_bytes(po2.groupBy("o_month").count())
+        pruned = scanned_bytes(
+            po2.join(dim, po2["o_month"] == F.col("cal_month"))
+            .groupBy("o_month")
+            .count()
+        )
+        # 6 of ~80 month dirs qualify; leave slack for per-file overhead
+        # at tiny sf (footer/dictionary bytes dominate page data).
+        assert pruned < 0.25 * full, (pruned, full)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+    # and the partitioned copy preserves content exactly
+    orders = contract._t(spark, sf, "orders")
+    assert po.count() == orders.count()
+    assert (
+        po.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+        == orders.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        ).collect()
+    )
+
+
 def test_bucketed_suite_variants_single_shuffle(spark):
     """The q21/q20 bucketed-layout variants (r8) must plan exactly ONE
     shuffle Exchange each — the final suppkey aggregate. Every fact-fact
