@@ -2208,18 +2208,57 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, and the oracle's subset-equality property only holds
     uncapped — same reasoning as the curation query's uncapped join. The
     capped default remains the production knob for hot corpora, where the
-    dropped buckets are exact-dup residue, not signal."""
+    dropped buckets are exact-dup residue, not signal.
+
+    r9 (VERDICT r8 #2): the corpus index is now built through the FULL
+    staged-shingle LIFECYCLE, putting
+    :func:`functions.dedup.compact_staged_shingles` under this driver
+    oracle. The staging is first populated from a PERTURBED corpus —
+    doc 1's text swapped for doc 0's (a mutation compaction must
+    re-shingle back to truth) plus a ghost doc id 10,000,000 carrying
+    doc 0's text (a deletion compaction must drop) — then compacted
+    against the true corpus partition, and the index is built FROM the
+    compacted artifact (``pre_shingled``). Both perturbations have
+    TEETH: either surviving compaction manufactures a jaccard-1.0 pair
+    with new-batch doc 0 ((0,1) for the mutation; (0,10000000) for the
+    ghost) that the true-text oracle cannot contain, so a compaction
+    regression is a driver hash mismatch, not just a pytest failure."""
     _utc(spark)
     from .functions.dedup import (
         build_minhash_index,
+        compact_staged_shingles,
         incremental_minhash_dup_pairs,
+        stage_shingles_incremental,
     )
 
     docs = _t(spark, sf_dir, "documents")
     path = _MINHASH_INDEX_CACHE.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="mh_index_")
-        build_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), path)
+        slim = docs.select("doc_id", "text")
+        corpus = slim.filter(F.col("doc_id") % 4 != 0)
+        d0 = slim.filter(F.col("doc_id") == 0).select(
+            F.col("text").alias("_t0")
+        )
+        perturbed = (
+            corpus.crossJoin(F.broadcast(d0))
+            .withColumn(
+                "text",
+                F.when(F.col("doc_id") == 1, F.col("_t0")).otherwise(
+                    F.col("text")
+                ),
+            )
+            .drop("_t0")
+            .unionByName(
+                slim.filter(F.col("doc_id") == 0).select(
+                    F.lit(10_000_000).cast("bigint").alias("doc_id"), "text"
+                )
+            )
+        )
+        sh_path = os.path.join(path, "staged_shingles")
+        stage_shingles_incremental(perturbed, sh_path)
+        compacted = compact_staged_shingles(corpus, sh_path)
+        build_minhash_index(corpus, path, pre_shingled=compacted)
         _MINHASH_INDEX_CACHE[sf_dir] = path
     new_batch = docs.filter(F.col("doc_id") % 4 == 0)
     return incremental_minhash_dup_pairs(

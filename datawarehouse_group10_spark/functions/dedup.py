@@ -478,6 +478,7 @@ def build_minhash_index(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    pre_shingled: DataFrame | None = None,
 ) -> None:
     """Persist the corpus near-dup index: ``{path}/shingles`` (id,
     shingles) and ``{path}/bands`` (id, band_idx, band_hash), both
@@ -490,10 +491,19 @@ def build_minhash_index(
     small multiple of the text column and both files are plain parquet
     (partition/bucket them by band_hash / id downstream if the store
     supports it).
+
+    ``pre_shingled`` (r9) feeds the index from an already-staged shingle
+    artifact — typically the output of :func:`stage_shingles_incremental`
+    / :func:`compact_staged_shingles` — so the tokenize→slice→distinct
+    pass is not re-run over text the staging lifecycle already paid for;
+    the index's shingles file is then ONE columnar copy of the artifact.
     """
-    shingled = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
-    )
+    if pre_shingled is not None:
+        shingled = pre_shingled.select(F.col(id_col), "shingles")
+    else:
+        shingled = df.select(
+            F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+        )
     shingled.write.mode("overwrite").parquet(f"{path}/shingles")
     spark = df.sparkSession
     shingled_r = spark.read.parquet(f"{path}/shingles")
