@@ -2987,6 +2987,17 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       w7_sessionize checks) — stream must equal batch
       session-for-session.
 
+    - ``ingest`` (r9, VERDICT r8 #4): STREAMING CORPUS INGEST end to
+      end — the new-batch documents (doc_id % 4 == 0) arrive as one
+      parquet file per micro-batch; each batch is near-dup-mined
+      against the persisted corpus index via ``foreachBatch``
+      (streaming/__init__.py:run_stream_corpus_ingest), its verified
+      pairs appended to the sink, and the batch itself appended to the
+      index so later batches dedup against it. The union over batches
+      must hash-equal the one-shot batch incremental run — the oracle
+      is the SAME exact-Jaccard SQL as dedup_minhash_incremental,
+      mapped onto the suite columns.
+
     Harmonized columns (suite shape): s1/i1/i2/i3/d1/s2 per surface —
     upsert: (number_value, total_occurrences, total_draws,
     days_since_last, probability, last_appeared_date); interval:
@@ -2994,16 +3005,18 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     — exact integer arithmetic on both engines, no second-truncation
     ambiguity — purchase_value, purchase_ts); session: (user_id,
     n_events, session_start/end as EPOCH MICROSECONDS with end =
-    last_ts + gap).
+    last_ts + gap); ingest: (id_a, id_b as i1/i2, jaccard as d1).
     """
     _utc(spark)
     import glob as _glob
     import shutil as _shutil
 
+    from .functions.dedup import build_minhash_index
     from .streaming import (
         attributed_conversions,
         events_session_windows,
         read_crawl_csv_stream,
+        run_stream_corpus_ingest,
         run_stream_mart_upsert,
         run_stream_to_parquet,
     )
@@ -3032,6 +3045,31 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_crawl_csv(part_df.coalesce(1), stage)
             src = _glob.glob(os.path.join(stage, "*.csv"))[0]
             _shutil.copy(src, os.path.join(src_dir, f"{tag}.csv"))
+        # Corpus-ingest staging: the new-batch docs split into one
+        # parquet FILE per micro-batch, and the PRISTINE corpus index
+        # (doc_id % 4 != 0, fed from the shared staged-shingle artifact
+        # — no re-tokenization). The stream MUTATES its index copy, so
+        # the base is staged once and copied per invocation below.
+        docs_in = os.path.join(work, "docs_in")
+        os.makedirs(docs_in)
+        slim = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        new_docs = slim.filter(F.col("doc_id") % 4 == 0)
+        doc_halves = (
+            ("d1", new_docs.filter(F.col("doc_id") % 8 == 0)),
+            ("d2", new_docs.filter(F.col("doc_id") % 8 != 0)),
+        )
+        for tag, half in doc_halves:
+            stage = os.path.join(work, f"stage_{tag}")
+            half.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            _shutil.copy(part, os.path.join(docs_in, f"{tag}.parquet"))
+        build_minhash_index(
+            slim.filter(F.col("doc_id") % 4 != 0),
+            os.path.join(work, "mh_index_base"),
+            pre_shingled=staged_shingles(spark, sf_dir).filter(
+                F.col("doc_id") % 4 != 0
+            ),
+        )
         _STREAM_SUITE_CACHE[sf_dir] = work
     src_dir = os.path.join(work, "csv_in")
     mart_dir = os.path.join(work, "mart")
@@ -3042,11 +3080,16 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess_ckpt = os.path.join(work, "sess_ckpt")
     outer_out = os.path.join(work, "outer_out")
     outer_ckpt = os.path.join(work, "outer_ckpt")
+    ing_idx = os.path.join(work, "mh_index_run")
+    ing_out = os.path.join(work, "ingest_out")
+    ing_ckpt = os.path.join(work, "ingest_ckpt")
     for d in (
         mart_dir, ckpt, attr_out, attr_ckpt,
         sess_out, sess_ckpt, outer_out, outer_ckpt,
+        ing_idx, ing_out, ing_ckpt,
     ):
         _shutil.rmtree(d, ignore_errors=True)
+    _shutil.copytree(os.path.join(work, "mh_index_base"), ing_idx)
 
     # Same state-store sizing as q_stream_hourly_counts: instance count ==
     # shuffle partitions at stream start; 32 stores are pure overhead for
@@ -3071,6 +3114,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, staged_in, how="left_outer", sentinel_type="_sentinel"
         )
         run_stream_to_parquet(outer_stream, outer_out, outer_ckpt)
+        doc_stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "docs_in"))
+        )
+        run_stream_corpus_ingest(
+            doc_stream, ing_idx, ing_out, ing_ckpt, jaccard_threshold=0.5
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     upsert = spark.read.parquet(mart_dir).select(
@@ -3124,10 +3175,20 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("s2"),
         )
     )
+    ingest = spark.read.parquet(ing_out).select(
+        F.lit("ingest").alias("surface"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("id_a").cast("bigint").alias("i1"),
+        F.col("id_b").cast("bigint").alias("i2"),
+        F.lit(None).cast("bigint").alias("i3"),
+        F.col("jaccard").cast("double").alias("d1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
     return (
         upsert.unionByName(interval)
         .unionByName(session)
         .unionByName(outer)
+        .unionByName(ingest)
     )
 
 
@@ -3883,9 +3944,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: surface are the SAME prefix plus a different final SELECT — factored
 #: as a constant (r9, ADVICE r8) instead of slicing the finished query
 #: string, which silently produced wrong SQL if the base query's final
-#: SELECT were ever reworded.
-_NGRAM_PAIR_CTE = r"""
-WITH toks AS (
+#: SELECT were ever reworded. The BODY variant (no leading WITH) lets
+#: the same CTEs append to another query's WITH list (stream_suite's
+#: ingest section rides _LOTTERY_CTE).
+_NGRAM_PAIR_CTE_BODY = r"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ),
 sh AS (
@@ -3910,6 +3972,8 @@ inter AS (
   GROUP BY 1, 2, 3, 4
 )
 """
+
+_NGRAM_PAIR_CTE = "\nWITH " + _NGRAM_PAIR_CTE_BODY
 
 #: Exact inverted-index 3-word-shingle Jaccard pair set (threshold 0.5)
 #: — the shared oracle core for dedup_ngram_jaccard (both cap surfaces),
@@ -5218,7 +5282,10 @@ FROM events GROUP BY 1, 2
 # and the stream-stream interval join must equal the plain batch
 # range join. The lag column is exact integer microseconds (epoch_us
 # difference) — no second-truncation ambiguity across engines.
-ORACLES["stream_suite"] = _LOTTERY_CTE + """
+# The ingest section (r9) appends the shared n-gram pair CTEs to the
+# lottery WITH-list: streaming corpus ingest must equal the one-shot
+# incremental near-dup run (dedup_minhash_incremental's oracle subset).
+ORACLES["stream_suite"] = _LOTTERY_CTE + ",\n" + _NGRAM_PAIR_CTE_BODY + """
 SELECT 'upsert' AS surface,
        number_value AS s1,
        total_occurrences AS i1,
@@ -5280,6 +5347,21 @@ FROM (
   )
 )
 GROUP BY user_id, sid
+UNION ALL
+-- ingest (r9): streaming corpus ingest — the per-microbatch union of
+-- (new x index) + (new x new-so-far) verified near-dup pairs must
+-- equal the one-shot incremental run: exact-Jaccard pairs with at
+-- least one new-batch (doc_id % 4 = 0) side.
+SELECT 'ingest' AS surface,
+       CAST(NULL AS VARCHAR) AS s1,
+       CAST(id_a AS BIGINT) AS i1,
+       CAST(id_b AS BIGINT) AS i2,
+       CAST(NULL AS BIGINT) AS i3,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS d1,
+       CAST(NULL AS VARCHAR) AS s2
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+  AND (id_a % 4 = 0 OR id_b % 4 = 0)
 """
 
 # The capped/uncapped suite renders from the shared core.

@@ -512,6 +512,44 @@ def build_minhash_index(
     ).parquet(f"{path}/bands")
 
 
+def append_to_minhash_index(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """APPEND a processed batch to a persisted MinHash index — the
+    ingest-side half of the streaming corpus pipeline (r9): after a
+    microbatch has been near-dup-checked against the index
+    (:func:`incremental_minhash_dup_pairs`), its shingles and band keys
+    join the index so every LATER batch dedups against it too.
+
+    Cost is O(batch): the batch is shingled once and appended to
+    ``{path}/shingles``; its band keys (same hash family as
+    :func:`build_minhash_index` — both sides of a future match use
+    bit-identical keys) are derived from the same shingled projection
+    and appended to ``{path}/bands``. The shingle expression recomputes
+    for the band pass (two lineage evaluations of one microbatch) —
+    materializing first measured slower at microbatch sizes, same trade
+    as minhash_lsh_dup_pairs' persist_shingles=False default.
+
+    Idempotence on replay is the CALLER's job: drive this from a
+    checkpointed foreachBatch (the WAL skips committed batches on
+    restart); a crash BETWEEN the pairs write and this append re-runs
+    the whole batch, so production sinks should dedupe pairs on (id_a,
+    id_b) and gate the index append on a per-batch marker."""
+    shingled = new_df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
+    )
+    shingled.write.mode("append").parquet(f"{path}/shingles")
+    _band_keys(shingled, id_col, num_perm, bands).write.mode(
+        "append"
+    ).parquet(f"{path}/bands")
+
+
 def incremental_minhash_dup_pairs(
     new_df: DataFrame,
     index_path: str,

@@ -309,6 +309,74 @@ def run_stream_mart_upsert(
             q.stop()
 
 
+def run_stream_corpus_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    pairs_out_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.5,
+    timeout_sec: int = 600,
+) -> None:
+    """Streaming corpus ingest via ``foreachBatch`` (r9, VERDICT r8 #4 —
+    wiring the two halves round 8 built): each microbatch of new
+    documents (id, text)
+
+    1. mines near-dup pairs against the persisted MinHash index —
+       new×index AND new×new within the batch
+       (functions/dedup.py::incremental_minhash_dup_pairs, uncapped so
+       the subset-equality property below holds exactly),
+    2. appends the exact-Jaccard-verified pairs to the parquet sink,
+    3. APPENDS the batch itself to the index
+       (functions/dedup.py::append_to_minhash_index), so later batches
+       dedup against everything that arrived before them.
+
+    Because every pair's LATER side determines the single microbatch
+    that emits it, the union of emitted pairs over all microbatches
+    equals the one-shot incremental run over the whole new corpus —
+    stream == batch, the property the stream_suite ``ingest`` section
+    checks against the SAME SQL oracle as dedup_minhash_incremental.
+
+    Exactly-once: the checkpoint WAL skips committed batches on restart.
+    A crash BETWEEN the pairs write and the index append re-runs the
+    batch; production sinks dedupe pairs on (id_a, id_b) and gate the
+    index append on a per-batch marker (see append_to_minhash_index's
+    docstring) — this harness runs clean directories per invocation.
+
+    Scale shape: per-batch cost is O(batch) shingling + one banded
+    bucket join against the index — the index side is two columnar
+    scans, never re-signed; state lives in parquet, not the state
+    store, so stream lifetime is unbounded.
+    """
+    from ..functions.dedup import (
+        append_to_minhash_index,
+        incremental_minhash_dup_pairs,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_minhash_dup_pairs(
+            batch_df,
+            index_path,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket_size=None,
+        )
+        pairs.write.mode("append").parquet(pairs_out_dir)
+        append_to_minhash_index(batch_df, index_path)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def stream_dedup_events(
     spark: SparkSession,
     events_path: str,

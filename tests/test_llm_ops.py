@@ -53,6 +53,68 @@ def test_exact_dedup_groups(spark, docs):
     assert out[3] == 1
 
 
+def test_stream_corpus_ingest_equals_one_shot_incremental(spark, tmp_path):
+    """run_stream_corpus_ingest (r9): new docs arriving one FILE per
+    micro-batch must emit, across all batches, exactly the pairs a
+    one-shot incremental run over the whole new corpus emits — each
+    batch dedups against corpus + every earlier batch (the index
+    append), so cross-batch pairs are not lost and nothing double-emits.
+    The checkpoint offsets prove the stream really ran one batch per
+    file (3), not one big batch."""
+    import glob
+    import os
+
+    from datawarehouse_group10_spark.functions.dedup import (
+        build_minhash_index,
+        incremental_minhash_dup_pairs,
+    )
+    from datawarehouse_group10_spark.streaming import run_stream_corpus_ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    base = str(tmp_path / "idx_base")
+    build_minhash_index(corpus, base)
+    one_shot = sorted(
+        map(
+            tuple,
+            incremental_minhash_dup_pairs(
+                new, base, jaccard_threshold=0.5, max_bucket_size=None
+            ).collect(),
+        )
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i in range(3):
+        stage = str(tmp_path / f"stage_{i}")
+        new.filter(F.col("doc_id") % 12 == i * 4).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.rename(part, str(src / f"f{i}.parquet"))
+
+    idx = str(tmp_path / "idx_run")
+    import shutil
+
+    shutil.copytree(base, idx)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_corpus_ingest(stream, idx, out, ckpt, jaccard_threshold=0.5)
+
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert streamed == one_shot and len(streamed) > 0
+    # one committed batch per input file
+    assert len(glob.glob(os.path.join(ckpt, "offsets", "*"))) == 3
+
+
 def test_minhash_lsh_finds_exact_pair_only(spark, docs):
     pairs = minhash_lsh_dup_pairs(docs, jaccard_threshold=0.9).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
