@@ -4822,10 +4822,21 @@ FROM ranked GROUP BY doc_id
     # The posting cap (cap1000 surface) provably does not bind on this
     # corpus (max posting length ~25 << 1000), so BOTH surfaces must
     # equal the same exact pair set — the cap∘exact equivalence proof.
-    "dedup_ngram_jaccard": (
-        "SELECT 'exact' AS surface, t.* FROM ({base}) t\n"
+    # All four surfaces share ONE inverted-index pass (r9, VERDICT r8
+    # #6): the pair CTEs appear once and `inter`/`jac` are referenced by
+    # each branch, instead of inlining the whole pipeline per surface
+    # (which re-ran the postings self-join four times — 83s of the
+    # sf1.0 sweep was that recompute, not the surfaces).
+    "dedup_ngram_jaccard": _NGRAM_PAIR_CTE + (
+        ",\njac AS (\n"
+        "  SELECT id_a, id_b,\n"
+        "         CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard\n"
+        "  FROM inter\n"
+        "  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5\n"
+        ")\n"
+        "SELECT 'exact' AS surface, t.* FROM jac t\n"
         "UNION ALL\n"
-        "SELECT 'cap1000' AS surface, t.* FROM ({base}) t\n"
+        "SELECT 'cap1000' AS surface, t.* FROM jac t\n"
         "UNION ALL\n"
         "-- fuzzy (r8): edit-distance verification on the candidate\n"
         "-- pairs; exact integer levenshtein and lengths, one IEEE\n"
@@ -4834,7 +4845,7 @@ FROM ranked GROUP BY doc_id
         "       1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)\n"
         "             / greatest(length(da.text), length(db.text), 1)\n"
         "         AS jaccard\n"
-        "FROM ({base}) t\n"
+        "FROM jac t\n"
         "JOIN documents da ON da.doc_id = t.id_a\n"
         "JOIN documents db ON db.doc_id = t.id_b\n"
         "UNION ALL\n"
@@ -4844,26 +4855,28 @@ FROM ranked GROUP BY doc_id
         "SELECT 'setcos' AS surface, id_a, id_b,\n"
         "       round(CAST(n_inter AS DOUBLE)\n"
         "             / sqrt(CAST(n_a AS DOUBLE) * n_b), 6) AS jaccard\n"
-        "FROM ({counts}) c\n"
+        "FROM inter\n"
         "WHERE 4 * n_inter * n_inter >= n_a * n_b"
     ),
     # (per-row cosine scores + exact top-10 now ride sim_cosine_suite)
+    # r9 (VERDICT r8 #6): per-vector norms are materialized ONCE and the
+    # pair score evaluated once (CTE), instead of 3 dot products x 2
+    # evaluations per pair — 848s of the sf1.0 sweep was that recompute.
+    # Arithmetic is unchanged (sqrt(dot(a,a)) is the same double whether
+    # computed inline or staged), so the round(5) equality is untouched.
     "ann_label_blocked_pairs": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(
-         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])))), 5) AS cos5
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(
-         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])))), 5) >= 0.3
+WITH nv AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) AS cos5
+  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos5 FROM scored WHERE cos5 >= 0.3
 """,
     "text_corpus_stats": r"""
 WITH toks AS (
@@ -5365,9 +5378,6 @@ WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
 """
 
 # The capped/uncapped suite renders from the shared core.
-ORACLES["dedup_ngram_jaccard"] = ORACLES["dedup_ngram_jaccard"].format(
-    base=_NGRAM_JACCARD_SQL, counts=_NGRAM_PAIR_COUNTS_SQL
-)
 
 # The LSH pipeline's verified OUTPUT is the exact-Jaccard pair set (see
 # q_dedup_minhash_lsh for the recall argument): same oracle as the exact

@@ -22,6 +22,15 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+#: Quadratic-BY-CONTRACT surfaces: their outputs (and thus their
+#: oracles) enumerate a pair set that grows ~K^2 with the gen_scale.py
+#: copy count, so at sweep tiers above sf0.3 the wall time is literal
+#: pair enumeration on BOTH engines, not a Spark scale signal (PERF.md
+#: r8 #16: 848s + 206s of the sf1.0 sweep). With --cap-quadratic DIR
+#: these run against DIR instead of the sweep dir, marked CAP in the
+#: output so the coverage claim stays explicit.
+QUADRATIC = {"ann_label_blocked_pairs", "j7_range_join"}
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -58,46 +67,61 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    cap_dir = None
+    if "--cap-quadratic" in args:
+        i = args.index("--cap-quadratic")
+        cap_dir = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from datawarehouse_group10_spark.contract import ORACLES, QUERIES
     from datawarehouse_group10_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    def make_con(d: str):
+        c = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = make_con(sf_dir)
+    cap_con = make_con(cap_dir) if cap_dir else None
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        capped = cap_dir is not None and name in QUADRATIC
+        run_dir, run_con = (cap_dir, cap_con) if capped else (sf_dir, con)
+        tag = " (CAP)" if capped else ""
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, run_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if name not in ORACLES:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}{tag}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            odf = con.execute(ORACLES[name]).df()
+            odf = run_con.execute(ORACLES[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            print(f"FAIL  {name}{tag}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
         else:
-            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}{tag}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
     spark.stop()
