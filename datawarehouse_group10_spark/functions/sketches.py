@@ -152,12 +152,15 @@ def _bloom_pos_sql(j: int, col_sql: str, m_bits: int) -> str:
 
 
 #: Practical bitmap-size ceiling for the literal-inlined probe
-#: expression: 2^20 bits = 16384 long literals ≈ 360 KB of SQL text —
-#: comfortably inside the parser/codegen limits with the single-
-#: occurrence probe form below. Larger builds should use Spark's own
-#: runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled)
-#: or split the key space across several filters.
-BLOOM_MAX_BITS = 1 << 20
+#: expression (ADVICE r8): the probe inlines the bitmap array once PER
+#: HASH (k=5 by default) and each md5 position twice, so SQL text is
+#: ~k * 22 bytes/long — at 2^18 bits (4096 longs) that is ~450 KB,
+#: comfortably inside parser/codegen limits; unchecked growth at the
+#: documented ~16 bits/key sizing would cross constant-pool limits on
+#: big build sides. Larger builds should use Spark's own runtime bloom
+#: filter (spark.sql.optimizer.runtime.bloomFilter.enabled) or split
+#: the key space across several filters.
+BLOOM_MAX_BITS = 1 << 18
 
 
 def bloom_bits(
@@ -213,14 +216,17 @@ def bloom_might_contain(
     cannot match never get shuffled, and the exact join after the
     filter removes the bounded false-positive residue.
 
-    Expression shape (r9, ADVICE r8): the bitmap literal appears ONCE
-    and each hash position ONCE — the k positions are built as one
-    array and tested through a `forall(transform(...))` lambda whose
-    variable binds the position for both the word index and the bit
-    offset, instead of re-inlining the multi-KB array literal per hash
-    and re-evaluating each md5 position twice (DIV 64 and % 64). With
-    the previous form a 2^20-bit bitmap inlined 5x ≈ 1.8 MB of SQL;
-    this form stays at ~360 KB, and BLOOM_MAX_BITS bounds it loudly.
+    Expression shape (r9, ADVICE r8): the probe stays the plain AND of
+    k bit tests — each md5 position TEXTUALLY appears twice (DIV 64 and
+    % 64) and the bitmap literal k times, but whole-stage codegen's
+    common-subexpression elimination evaluates each position once at
+    runtime and the array literal is one shared reference. The
+    "cleaner" single-binding rewrite via `forall(transform(...))` was
+    measured 2.3x SLOWER (PERF.md r9): higher-order functions are
+    CodegenFallback, so the whole filter drops to interpreted eval —
+    worse than the textual duplication it saved. The real risk of the
+    inlined form is SQL-text size on big bitmaps, which BLOOM_MAX_BITS
+    now bounds loudly (sized for the k-fold inlining).
     """
     m_bits = 64 * len(bits)
     if m_bits > BLOOM_MAX_BITS:
@@ -229,12 +235,14 @@ def bloom_might_contain(
             f"{BLOOM_MAX_BITS}; see bloom_bits"
         )
     arr = "array(" + ",".join(f"{w}L" for w in bits) + ")"
-    positions = ",".join(_bloom_pos_sql(j, key_col, m_bits) for j in range(k))
-    return F.expr(
-        f"forall(transform(array({positions}), p -> "
-        f"(shiftright(element_at({arr}, CAST(p DIV 64 AS INT) + 1), "
-        f"CAST(p % 64 AS INT)) & 1) = 1), x -> x)"
-    )
+    conds = []
+    for j in range(k):
+        p = _bloom_pos_sql(j, key_col, m_bits)
+        conds.append(
+            f"(shiftright(element_at({arr}, CAST(({p}) DIV 64 AS INT) + 1),"
+            f" CAST(({p}) % 64 AS INT)) & 1) = 1"
+        )
+    return F.expr(" AND ".join(conds))
 
 
 def cms_point_estimates(
