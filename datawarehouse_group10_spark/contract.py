@@ -1113,6 +1113,65 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: The two months whose first load backfilled_orders deliberately
+#: corrupts and then repairs via dynamic partition overwrite.
+_BACKFILL_MONTHS = ("1997-03", "1997-04")
+
+
+def backfilled_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a month-partitioned orders copy through a CORRUPT-then-
+    BACKFILL lifecycle (r9) and return its path — the idempotent-rerun
+    primitive every 100 TB warehouse operates on, driver-checked:
+
+    1. BAD FIRST LOAD: the full table is written partitioned by
+       o_month, but the two ``_BACKFILL_MONTHS`` land corrupted —
+       every o_totalprice doubled and every 10th order dropped (a
+       double-apply + partial-failure batch, the two classic bad-load
+       shapes).
+    2. BACKFILL: the TRUE rows for exactly those two months are
+       re-written via :func:`sources.layout.overwrite_partitions`
+       (dynamic partition overwrite). Only the two corrupt directories
+       are replaced; the other ~78 month partitions are never rewritten.
+
+    The ``a_extended`` 'backfill' section then aggregates the WHOLE
+    table per month against the plain-table SQL oracle. TEETH: the
+    corruption surviving (doubled sums / missing rows), STATIC
+    overwrite semantics (all sibling months truncated), or an
+    append-instead-of-overwrite backfill (doubled counts) each break
+    the driver hash.
+
+    Crash discipline: the root ``_SUCCESS`` from the bad first load is
+    removed before the backfill runs and re-created by its job commit,
+    so a process dying between the two writes leaves no ready-marker
+    and the next cold start rebuilds (the corrupt load itself is a
+    demonstration fixture — production backfills repair REAL bad
+    batches and need no such staging)."""
+    from .sources.layout import overwrite_partitions
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"backfill_{_sf_tag(sf_dir)}", "orders_by_month"
+    )
+    if not _layout_ready(path):
+        po = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        bad = F.col("o_month").isin(*_BACKFILL_MONTHS)
+        corrupt = po.withColumn(
+            "o_totalprice",
+            F.when(bad, F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")
+            ),
+        ).filter(~(bad & (F.col("o_orderkey") % 10 == 0)))
+        (
+            corrupt.repartition("o_month")
+            .write.partitionBy("o_month")
+            .parquet(path)
+        )
+        os.remove(os.path.join(path, "_SUCCESS"))
+        overwrite_partitions(po.filter(bad), path, "o_month")
+    return path
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -3556,6 +3615,33 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric", "val", nul_s.alias("sval"),
         )
     )
+    # Partition-backfill round trip (r9): the corrupt-then-backfilled
+    # month-partitioned copy aggregated per month against the PLAIN
+    # table's oracle — surviving corruption, clobbered sibling
+    # partitions, or a double-applied backfill each break the hash
+    # (see backfilled_orders).
+    bf = (
+        spark.read.parquet(backfilled_orders(spark, sf_dir))
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("backfill").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -3579,6 +3665,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hll_sum)
         .unionByName(exp_rows)
         .unionByName(hq)
+        .unionByName(bf)
         .unionByName(zo)
     )
 
@@ -5213,6 +5300,25 @@ FROM (
     ) c ON c.b = p.bucket
   )
 )
+UNION ALL
+-- partition-backfill round trip (r9): the Spark side aggregates the
+-- corrupt-then-backfilled month-partitioned copy; per-month counts and
+-- decimal sums must equal the PLAIN table's (backfilled_orders).
+SELECT 'backfill' AS section,
+       strftime(o_orderdate, '%Y-%m') AS k1,
+       '' AS k2,
+       'n' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM orders GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'backfill' AS section,
+       strftime(o_orderdate, '%Y-%m') AS k1,
+       '' AS k2,
+       'sum_price' AS metric,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM orders GROUP BY 1, 2, 3, 4
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered
 -- parquet copy back; content must equal the original table row-level.

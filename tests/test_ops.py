@@ -1184,3 +1184,86 @@ def test_heavy_hitters_per_group_and_empty_bloom(spark):
     assert all(w == 0 for w in bits)
     probe = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
     assert probe.where(bloom_might_contain("k", bits, k=5)).count() == 0
+
+
+def test_overwrite_partitions_rewrites_only_touched(spark, tmp_path):
+    """overwrite_partitions (r9) must replace exactly the partitions
+    present in the batch: untouched sibling directories keep their
+    original part files byte-for-byte (same filenames — a rewrite
+    would generate new UUID part names), the touched partition's
+    content is replaced (not appended), and the whole-table read-back
+    equals the intended final state."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.sources.layout import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"m{i % 3}", float(i)) for i in range(30)], "id bigint, m string, v double"
+    )
+    base.repartition("m").write.partitionBy("m").parquet(path)
+    before = {
+        m: sorted(glob.glob(os.path.join(path, f"m={m}", "*.parquet")))
+        for m in ("m0", "m1", "m2")
+    }
+
+    # backfill partition m1 with corrected rows (v + 1000, one row dropped)
+    fix = (
+        base.filter((F.col("m") == "m1") & (F.col("id") != 1))
+        .withColumn("v", F.col("v") + 1000)
+    )
+    overwrite_partitions(fix, path, "m")
+
+    after = {
+        m: sorted(glob.glob(os.path.join(path, f"m={m}", "*.parquet")))
+        for m in ("m0", "m1", "m2")
+    }
+    assert after["m0"] == before["m0"] and after["m2"] == before["m2"]
+    assert after["m1"] and after["m1"] != before["m1"]
+
+    got = spark.read.parquet(path)
+    assert got.count() == 29  # 30 - 1 dropped, NOT 30 + 9 appended
+    m1v = sorted(
+        r.v for r in got.filter(F.col("m") == "m1").select("v").collect()
+    )
+    assert all(v >= 1000 for v in m1v)
+    # sibling content untouched
+    assert got.filter(F.col("m") == "m0").count() == 10
+
+
+def test_backfilled_orders_repairs_corruption(spark, tmp_path):
+    """The staged corrupt-then-backfill lifecycle must end bit-equal to
+    the plain table, and the CORRUPTION ITSELF must be visible before
+    the backfill (the a_extended oracle's teeth): a corrupt load
+    without the repair has fewer rows and a different decimal sum for
+    the two backfill months."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    orders = contract._t(spark, sf, "orders")
+    dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+
+    po = spark.read.parquet(contract.backfilled_orders(spark, sf))
+    assert po.count() == orders.count()
+    assert po.agg(dec).collect() == orders.agg(dec).collect()
+
+    # teeth: rebuild just the corrupt FIRST LOAD (no backfill) and show
+    # it differs on the repaired months
+    bad = F.date_format("o_orderdate", "yyyy-MM").isin(
+        *contract._BACKFILL_MONTHS
+    )
+    corrupt = orders.withColumn(
+        "o_totalprice",
+        F.when(bad, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).filter(~(bad & (F.col("o_orderkey") % 10 == 0)))
+    assert corrupt.count() < orders.count()
+    assert corrupt.agg(dec).collect() != orders.agg(dec).collect()
