@@ -2586,9 +2586,23 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs with label blocking (exact within block —
-    oracle-checkable, unlike the hash-bucketed variant)."""
+    """Embedding near-dup pair suite, surface-tagged (r9):
+
+    - ``blocked``: exact cosine within label blocks (ground truth by
+      contract — output and oracle are both pair enumerations, which is
+      why this surface lives in check_oracle.py's QUADRATIC cap set).
+    - ``lsh``: banded sign-LSH near-dup (:func:`banded_near_dup_pairs`)
+      with 16 DATA-DERIVED hyperplanes (embeddings vec_id 2..17) split
+      into 4 bands of 4 bits, exact cosine >= 0.4 on candidates only —
+      the embedding-space analogue of MinHash LSH banding, and the scale
+      path for corpus-wide embedding dedup. Because the planes are
+      literal corpus vectors, the oracle recomputes the band codes, the
+      candidate union, and the verification scores — the approximate
+      path's SEMANTICS are driver-checked, not a recall proxy.
+    """
     _utc(spark)
+    from .functions.similarity import banded_near_dup_pairs
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     a = emb.alias("a")
     b = emb.alias("b")
@@ -2602,14 +2616,23 @@ def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
     )
-    return (
+    blocked = (
         pairs.select(
+            F.lit("blocked").alias("surface"),
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(cos, 5).alias("cos5"),
         )
         .filter(F.col("cos5") >= 0.3)
     )
+    planes = _lsh_data_planes(spark, sf_dir, n=16)
+    lsh = banded_near_dup_pairs(emb, planes, bands=4, threshold=0.4).select(
+        F.lit("lsh").alias("surface"),
+        "id_a",
+        "id_b",
+        F.round("cosine", 5).alias("cos5"),
+    )
+    return blocked.unionByName(lsh)
 
 
 # ---------------------------------------------------------------------------
@@ -4951,6 +4974,14 @@ FROM ranked GROUP BY doc_id
     # evaluations per pair — 848s of the sf1.0 sweep was that recompute.
     # Arithmetic is unchanged (sqrt(dot(a,a)) is the same double whether
     # computed inline or staged), so the round(5) equality is untouched.
+    # r9: surface-tagged pair suite — 'blocked' (exact within label
+    # blocks) + 'lsh' (banded sign-LSH with 16 data-derived planes,
+    # 4 bands x 4 bits, exact cosine >= 0.4 on candidates only). The
+    # oracle recomputes the band codes from the SAME literal corpus
+    # vectors (identical left-to-right double fold), the candidate
+    # union across bands, and the verification scores. Filters mirror
+    # the Spark side exactly: blocked on the ROUNDED score, lsh on the
+    # UNROUNDED cosine.
     "ann_label_blocked_pairs": """
 WITH nv AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
@@ -4962,8 +4993,30 @@ scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) AS cos5
   FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+planes AS MATERIALIZED (
+  SELECT CAST(vec_id - 2 AS INT) AS p, e AS pv FROM nv
+  WHERE vec_id BETWEEN 2 AND 17
+),
+codes AS MATERIALIZED (
+  SELECT n.vec_id, CAST(pl.p // 4 AS INT) AS band,
+         CAST(SUM(CASE WHEN list_dot_product(n.e, pl.pv) > 0
+                       THEN (CAST(1 AS BIGINT) << (pl.p % 4))
+                       ELSE 0 END) AS BIGINT) AS code
+  FROM nv n CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM codes a JOIN codes b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos5 FROM scored WHERE cos5 >= 0.3
+SELECT 'blocked' AS surface, id_a, id_b, cos5 FROM scored WHERE cos5 >= 0.3
+UNION ALL
+SELECT 'lsh' AS surface, c.id_a, c.id_b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) AS cos5
+FROM cand c JOIN nv a ON a.vec_id = c.id_a JOIN nv b ON b.vec_id = c.id_b
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
 """,
     "text_corpus_stats": r"""
 WITH toks AS (

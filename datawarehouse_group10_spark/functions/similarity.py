@@ -191,6 +191,81 @@ def pairwise_near_dup(
     )
 
 
+def banded_near_dup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via BANDED sign-LSH with
+    EXPLICIT hyperplanes (e.g. a fixed sample of corpus vectors) — the
+    oracle-checkable sibling of :func:`pairwise_near_dup` and the exact
+    structural analogue of MinHash LSH banding for Jaccard:
+
+    - ``len(planes)`` sign bits are split into ``bands`` bands of
+      ``r = len(planes)//bands`` bits; each row gets one code per band.
+    - Candidate pairs collide on ANY band (union of per-band equal-code
+      self-joins, de-duplicated) — banding trades precision for recall
+      exactly as in MinHash LSH: P(candidate) = 1-(1-p^r)^bands with
+      p = 1 - angle/pi the per-plane sign-agreement probability.
+    - Exact cosine is computed on CANDIDATES ONLY; pairs at or above
+      ``threshold`` are kept. A true duplicate (cosine 1.0) agrees with
+      every plane, collides in EVERY band, and is therefore found with
+      probability 1 regardless of banding.
+
+    Scale shape: one explode (bands x rows), one shuffle on (band, code),
+    one distinct on the candidate pair, codegen cosine on candidates —
+    never an all-pairs product. Because the planes are literal data, any
+    SQL engine reproduces the codes bit-for-bit (same left-to-right
+    double fold as ``list_dot_product``), making the FULL approximate
+    path driver-oracle-checkable, not a recall proxy.
+    """
+    if bands < 1 or len(planes) % bands != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must be a positive multiple of bands={bands}"
+        )
+    r = len(planes) // bands
+    band_code = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                data_plane_codes(vec_col, planes[b * r : (b + 1) * r]).alias("code"),
+            )
+            for b in range(bands)
+        ]
+    )
+    codes = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_code).alias("bc")
+    ).select(id_col, vec_col, "bc.band", "bc.code")
+    a, b = codes.alias("a"), codes.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.code") == F.col("b.code"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.first(F.col(f"a.{vec_col}")).alias("va"),
+            F.first(F.col(f"b.{vec_col}")).alias("vb"),
+        )
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN (inverted-file index over deterministic centroids)
 

@@ -281,6 +281,35 @@ def test_pairwise_near_dup_buckets(spark, vecs):
     assert (1, 2) in exact
 
 
+def test_banded_near_dup_pairs(spark, vecs):
+    from datawarehouse_group10_spark.functions.similarity import banded_near_dup_pairs
+
+    # Planes = two corpus vectors per band (2 bands x 2 bits). An exact
+    # duplicate agrees with EVERY plane, so it collides in every band and
+    # is found with probability 1 regardless of banding.
+    dup = vecs.union(
+        spark.createDataFrame(
+            [(6, [1.0, 0.0, 0.0], 0)], "vec_id bigint, embedding array<float>, label int"
+        )
+    )
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 1.0, 0.0]]
+    out = banded_near_dup_pairs(dup, planes, bands=2, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert (1, 6) in pairs and pairs[(1, 6)] == pytest.approx(1.0)
+    # Cross-band candidate union is DEDUPLICATED: the (1,6) pair collides
+    # in both bands but appears once.
+    assert out.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
+    # Threshold gates candidates: (1,2) collides (cos ~0.994 > .99 keeps it,
+    # at .999 it must drop) — exact verification on candidates only.
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in banded_near_dup_pairs(dup, planes, bands=2, threshold=0.999).collect()
+    }
+    assert (1, 2) not in strict and (1, 6) in strict
+    with pytest.raises(ValueError):
+        banded_near_dup_pairs(dup, planes, bands=3)
+
+
 def test_multimodal_decode_and_frames(spark, docs):
     binary = attach_binary_payload(docs, text_col="text", id_col="doc_id")
     feats = {r["doc_id"]: r for r in decode_features(binary).collect()}
