@@ -1172,6 +1172,53 @@ def backfilled_orders(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: Stats of the one-time small-files compaction (cold stage only):
+#: {"partitions_compacted", "files_before", "files_after", "seconds"} —
+#: read by tests and recorded in PERF.md.
+COMPACT_STATS: dict[str, float] = {}
+
+
+def compacted_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a month-partitioned orders copy through a FRAGMENT-then-
+    OPTIMIZE lifecycle (r9) and return its path — the small-files
+    maintenance op a 100 TB warehouse runs continuously, driver-checked:
+
+    1. FRAGMENTED LOAD: the table is written partitioned by o_month
+       WITHOUT the repartition-by-partition-column discipline
+       (``repartition(8)`` round-robin first), so every month directory
+       lands ~8 shard files — exactly the shape per-batch streaming
+       ingest and incremental backfills leave behind.
+    2. OPTIMIZE: :func:`sources.layout.compact_partitions` plans from
+       parquet-footer metadata only, reads JUST the fragmented
+       partitions, and rewrites each to ~target-size files (here: one
+       per month) via dynamic partition overwrite + maxRecordsPerFile.
+
+    The ``a_extended`` 'compact' section then aggregates the WHOLE
+    compacted table per month against the plain-table SQL oracle —
+    a compaction that loses, duplicates, or corrupts rows breaks the
+    driver hash. File-count semantics (8ish -> 1 per month, no-op
+    re-run) are pytest-pinned; the one-time stats land in
+    ``COMPACT_STATS``. Crash discipline as in :func:`backfilled_orders`:
+    the fragmented load's root ``_SUCCESS`` is dropped before compaction
+    and re-created by its job commit."""
+    from .sources.layout import compact_partitions
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"compact_{_sf_tag(sf_dir)}", "orders_by_month"
+    )
+    if not _layout_ready(path):
+        po = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        po.repartition(8).write.partitionBy("o_month").parquet(path)
+        os.remove(os.path.join(path, "_SUCCESS"))
+        t0 = time.time()
+        stats = compact_partitions(spark, path, "o_month")
+        COMPACT_STATS.update(stats)
+        COMPACT_STATS["seconds"] = round(time.time() - t0, 3)
+    return path
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -3665,6 +3712,33 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Small-files compaction round trip (r9): the fragment-then-OPTIMIZE
+    # month-partitioned copy aggregated per month against the PLAIN
+    # table's oracle — a compaction that loses, duplicates, or corrupts
+    # rows breaks the hash (see compacted_orders; file-count semantics
+    # pytest-pinned).
+    co = (
+        spark.read.parquet(compacted_orders(spark, sf_dir))
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("compact").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -3689,6 +3763,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(exp_rows)
         .unionByName(hq)
         .unionByName(bf)
+        .unionByName(co)
         .unionByName(zo)
     )
 
@@ -5366,6 +5441,25 @@ SELECT 'backfill' AS section,
 FROM orders GROUP BY 1, 2, 3, 4
 UNION ALL
 SELECT 'backfill' AS section,
+       strftime(o_orderdate, '%Y-%m') AS k1,
+       '' AS k2,
+       'sum_price' AS metric,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM orders GROUP BY 1, 2, 3, 4
+UNION ALL
+-- small-files compaction round trip (r9): the Spark side aggregates
+-- the fragment-then-OPTIMIZE month-partitioned copy; per-month counts
+-- and decimal sums must equal the PLAIN table's (compacted_orders).
+SELECT 'compact' AS section,
+       strftime(o_orderdate, '%Y-%m') AS k1,
+       '' AS k2,
+       'n' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM orders GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'compact' AS section,
        strftime(o_orderdate, '%Y-%m') AS k1,
        '' AS k2,
        'sum_price' AS metric,

@@ -29,6 +29,8 @@ __all__ = [
     "write_zordered",
     "file_prune_fraction",
     "overwrite_partitions",
+    "partition_file_stats",
+    "compact_partitions",
 ]
 
 
@@ -130,6 +132,110 @@ def overwrite_partitions(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def partition_file_stats(
+    path: str, partition_col: str
+) -> dict[str, tuple[int, int, int]]:
+    """Per-hive-partition ``{value: (n_files, total_bytes, total_rows)}``
+    for ``path`` — driver-side dirent + parquet-footer reads only, never
+    a data scan. This is the listing a table format keeps in its
+    manifest; on plain parquet it is O(files) metadata I/O."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple[int, int, int]] = {}
+    for d in sorted(glob.glob(os.path.join(path, f"{partition_col}=*"))):
+        if not os.path.isdir(d):
+            continue
+        val = os.path.basename(d).split("=", 1)[1]
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        out[val] = (len(files), n_bytes, n_rows)
+    return out
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    target_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """OPTIMIZE for a hive-partitioned parquet table: rewrite every
+    partition holding MORE files than ``ceil(bytes / target_bytes)``
+    into ~``target_bytes`` files, leaving right-sized partitions
+    byte-untouched — the small-files maintenance op a 100 TB warehouse
+    runs continuously (streaming ingest and per-batch backfills both
+    fragment; a scan of a 1000-file partition pays 1000 opens, footer
+    reads, and scheduler rounds for data one file could hold).
+
+    Mechanics (ONE Spark job over the fragmented partitions only):
+
+    - Plan from metadata: :func:`partition_file_stats` (dirents +
+      parquet footers, no data scan) picks the fragmented partitions
+      and derives a global rows-per-file cap from their observed
+      bytes/row, so output files land at ~``target_bytes``.
+    - Read ONLY those partition dirs (``basePath`` keeps the partition
+      column), ``repartition(partition_col)`` — one shuffle, one task
+      per partition — and write back via dynamic partition overwrite
+      (per-writer option, same fencing as :func:`overwrite_partitions`)
+      with ``maxRecordsPerFile`` as the file-size governor: a partition
+      with ``rows`` rows lands in exactly ``ceil(rows / cap)`` files.
+    - Untouched partitions are never listed into the job at all;
+      re-running is a no-op (0 partitions exceed their target count).
+
+    For a partition far larger than ``target_bytes`` the single task
+    streams rows across ``ceil(rows/cap)`` sequential files; if that
+    task itself becomes the bottleneck, add a salt column to the
+    repartition — file counts then bound from above instead of exactly.
+
+    Returns ``{"partitions_compacted", "files_before", "files_after"}``
+    (file counts over the whole table).
+    """
+    import os
+
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    stats = partition_file_stats(path, partition_col)
+    if not stats:
+        raise FileNotFoundError(
+            f"no {partition_col}=* partitions under {path}"
+        )
+    files_before = sum(s[0] for s in stats.values())
+    frag = {
+        v: s
+        for v, s in stats.items()
+        if s[0] > max(1, -(-s[1] // target_bytes))
+    }
+    if not frag:
+        return {
+            "partitions_compacted": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    tot_bytes = sum(s[1] for s in frag.values())
+    tot_rows = sum(s[2] for s in frag.values())
+    bytes_per_row = max(1, tot_bytes // max(1, tot_rows))
+    rows_per_file = max(1, target_bytes // bytes_per_row)
+    dirs = [os.path.join(path, f"{partition_col}={v}") for v in sorted(frag)]
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    after = partition_file_stats(path, partition_col)
+    return {
+        "partitions_compacted": len(frag),
+        "files_before": files_before,
+        "files_after": sum(s[0] for s in after.values()),
+    }
 
 
 def file_prune_fraction(path: str, col: str, lo: float, hi: float) -> float:
