@@ -109,10 +109,125 @@ def test_stream_corpus_ingest_equals_one_shot_incremental(spark, tmp_path):
     )
     run_stream_corpus_ingest(stream, idx, out, ckpt, jaccard_threshold=0.5)
 
-    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    streamed = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out).select("id_a", "id_b", "jaccard").collect(),
+        )
+    )
     assert streamed == one_shot and len(streamed) > 0
     # one committed batch per input file
     assert len(glob.glob(os.path.join(ckpt, "offsets", "*"))) == 3
+
+
+def test_stream_corpus_ingest_crash_replay(spark, tmp_path, monkeypatch):
+    """Crash idempotence (r10, VERDICT r9 #1): kill the ingest in BOTH
+    crash windows — (a) between the pairs write and the index append,
+    and (b) after the index append but before the commit marker — then
+    restart on the same checkpoint. The replayed batch must roll back /
+    skip so the final pairs equal the one-shot incremental run and the
+    index holds every doc exactly once."""
+    import glob
+    import os
+    import shutil
+
+    from datawarehouse_group10_spark.functions import dedup as dd
+    from datawarehouse_group10_spark.streaming import run_stream_corpus_ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    base = str(tmp_path / "idx_base")
+    dd.build_minhash_index(corpus, base)
+    one_shot = sorted(
+        map(
+            tuple,
+            dd.incremental_minhash_dup_pairs(
+                new, base, jaccard_threshold=0.5, max_bucket_size=None
+            ).collect(),
+        )
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i in range(2):
+        stage = str(tmp_path / f"stage_{i}")
+        new.filter(F.col("doc_id") % 8 == i * 4).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.rename(part, str(src / f"f{i}.parquet"))
+
+    real_append = dd.append_to_minhash_index
+
+    def _run(idx, out, ckpt):
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_stream_corpus_ingest(stream, idx, out, ckpt, jaccard_threshold=0.5)
+
+    def _check(idx, out):
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out)
+                .select("id_a", "id_b", "jaccard")
+                .collect(),
+            )
+        )
+        assert got == one_shot and len(got) > 0
+        sh = spark.read.parquet(os.path.join(idx, "shingles"))
+        assert sh.count() == sh.select("doc_id").distinct().count()
+
+    # Window (a): crash BEFORE the index append (pairs already written).
+    def _crash_before(batch, path, **kw):
+        raise RuntimeError("injected crash before index append")
+
+    idx_a, out_a, ckpt_a = (
+        str(tmp_path / d) for d in ("idx_a", "out_a", "ckpt_a")
+    )
+    shutil.copytree(base, idx_a)
+    monkeypatch.setattr(dd, "append_to_minhash_index", _crash_before)
+    try:
+        _run(idx_a, out_a, ckpt_a)
+        raise AssertionError("injected crash did not propagate")
+    except Exception as e:  # StreamingQueryException wrapping the crash
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(dd, "append_to_minhash_index", real_append)
+    _run(idx_a, out_a, ckpt_a)
+    _check(idx_a, out_a)
+
+    # Window (b): crash AFTER the index append, BEFORE the commit marker
+    # — the worst window: replay must roll the uncommitted files back.
+    calls = {"n": 0}
+
+    def _crash_after(batch, path, **kw):
+        real_append(batch, path, **kw)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash after index append")
+
+    idx_b, out_b, ckpt_b = (
+        str(tmp_path / d) for d in ("idx_b", "out_b", "ckpt_b")
+    )
+    shutil.copytree(base, idx_b)
+    monkeypatch.setattr(dd, "append_to_minhash_index", _crash_after)
+    try:
+        _run(idx_b, out_b, ckpt_b)
+        raise AssertionError("injected crash did not propagate")
+    except Exception as e:
+        assert "injected crash" in str(e)
+    # pending marker (not committed) must exist for the crashed batch
+    pend = glob.glob(os.path.join(idx_b, "_ingest_commits", "*.pending"))
+    assert len(pend) == 1
+    monkeypatch.setattr(dd, "append_to_minhash_index", real_append)
+    _run(idx_b, out_b, ckpt_b)
+    _check(idx_b, out_b)
 
 
 def test_minhash_lsh_finds_exact_pair_only(spark, docs):
