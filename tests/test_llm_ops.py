@@ -425,6 +425,36 @@ def test_banded_near_dup_pairs(spark, vecs):
         banded_near_dup_pairs(dup, planes, bands=3)
 
 
+def test_banded_near_dup_bucket_cap(spark):
+    """max_bucket_size (r10, VERDICT r9 #2): a degenerate corpus — every
+    vector identical — collapses ALL rows into one (band, code) bucket
+    per band; the cap must drop those buckets (no N^2 self-join), while
+    max_bucket_size=None keeps the exhaustive N*(N-1)/2 semantics."""
+    from datawarehouse_group10_spark.functions.similarity import (
+        banded_near_dup_pairs,
+    )
+
+    n = 20
+    degen = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 1.0, 0.0]]
+    capped = banded_near_dup_pairs(
+        degen, planes, bands=2, threshold=0.9, max_bucket_size=n - 1
+    )
+    assert capped.count() == 0  # guard fired: the one hot bucket dropped
+    uncapped = banded_near_dup_pairs(
+        degen, planes, bands=2, threshold=0.9, max_bucket_size=None
+    )
+    assert uncapped.count() == n * (n - 1) // 2
+    # A cap ABOVE the bucket population changes nothing.
+    roomy = banded_near_dup_pairs(
+        degen, planes, bands=2, threshold=0.9, max_bucket_size=n
+    )
+    assert roomy.count() == n * (n - 1) // 2
+
+
 def test_multimodal_decode_and_frames(spark, docs):
     binary = attach_binary_payload(docs, text_col="text", id_col="doc_id")
     feats = {r["doc_id"]: r for r in decode_features(binary).collect()}
