@@ -1216,6 +1216,16 @@ def compacted_orders(spark: SparkSession, sf_dir: str) -> str:
         stats = compact_partitions(spark, path, "o_month")
         COMPACT_STATS.update(stats)
         COMPACT_STATS["seconds"] = round(time.time() - t0, 3)
+        # compact_partitions' early return (nothing fragmented — possible
+        # at tiny sf where repartition(8) leaves <=1 file per month)
+        # performs no Spark write, so the job-commit _SUCCESS never
+        # reappears and _layout_ready would wipe-and-rebuild the staging
+        # on EVERY call while COMPACT_STATS reported a misleading
+        # 0-compaction run each time (ADVICE r9). The table is complete
+        # either way — re-create the marker explicitly.
+        marker = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
     return path
 
 

@@ -163,29 +163,45 @@ def compact_partitions(
     path: str,
     partition_col: str,
     target_bytes: int = 128 << 20,
+    slack: int = 1,
 ) -> dict[str, int]:
     """OPTIMIZE for a hive-partitioned parquet table: rewrite every
-    partition holding MORE files than ``ceil(bytes / target_bytes)``
-    into ~``target_bytes`` files, leaving right-sized partitions
-    byte-untouched — the small-files maintenance op a 100 TB warehouse
-    runs continuously (streaming ingest and per-batch backfills both
-    fragment; a scan of a 1000-file partition pays 1000 opens, footer
-    reads, and scheduler rounds for data one file could hold).
+    over-fragmented partition into ~``target_bytes`` files, leaving
+    right-sized partitions byte-untouched — the small-files maintenance
+    op a 100 TB warehouse runs continuously (streaming ingest and
+    per-batch backfills both fragment; a scan of a 1000-file partition
+    pays 1000 opens, footer reads, and scheduler rounds for data one
+    file could hold).
 
     Mechanics (ONE Spark job over the fragmented partitions only):
 
     - Plan from metadata: :func:`partition_file_stats` (dirents +
-      parquet footers, no data scan) picks the fragmented partitions
-      and derives a global rows-per-file cap from their observed
-      bytes/row, so output files land at ~``target_bytes``.
-    - Read ONLY those partition dirs (``basePath`` keeps the partition
-      column), ``repartition(partition_col)`` — one shuffle, one task
-      per partition — and write back via dynamic partition overwrite
-      (per-writer option, same fencing as :func:`overwrite_partitions`)
-      with ``maxRecordsPerFile`` as the file-size governor: a partition
-      with ``rows`` rows lands in exactly ``ceil(rows / cap)`` files.
-    - Untouched partitions are never listed into the job at all;
-      re-running is a no-op (0 partitions exceed their target count).
+      parquet footers, no data scan) derives ONE whole-table bytes/row
+      and from it the ``maxRecordsPerFile`` cap that lands output files
+      at ~``target_bytes``.
+    - SELECTION is self-consistent with the writer (r10, ADVICE r9):
+      partition ``p`` is fragmented iff its file count exceeds
+      ``ceil(rows_p / cap) + slack`` — the EXACT count this function's
+      own rewrite would produce, plus ``slack`` files of tolerance. The
+      earlier bytes-based rule (``files > ceil(bytes_p/target)``)
+      re-selected any partition whose rows compress worse than the
+      table average — the global cap legitimately gives it more files
+      than its bytes alone predict — and rewrote it on every call.
+      Judging against the writer's own arithmetic makes re-running a
+      no-op BY CONSTRUCTION; ``slack`` (default 1) additionally absorbs
+      the small bytes/row drift a rewrite itself causes (row-group
+      re-packing changes compression, which shifts the recomputed cap
+      by a rounding step). The trade: a partition within ``slack``
+      files of ideal is left alone — bounded waste, no rewrite loops.
+    - Read ONLY the fragmented partition dirs (``basePath`` keeps the
+      partition column), ``repartition(partition_col)`` — one shuffle,
+      one task per partition — and write back via dynamic partition
+      overwrite (per-writer option, same fencing as
+      :func:`overwrite_partitions`) with ``maxRecordsPerFile``: a
+      partition with ``rows`` rows lands in exactly ``ceil(rows/cap)``
+      files. A heterogeneous partition whose rows compress worse than
+      average lands in files larger than ``target_bytes`` (the cap is
+      row-count-based) — oversized files, never a rewrite loop.
 
     For a partition far larger than ``target_bytes`` the single task
     streams rows across ``ceil(rows/cap)`` sequential files; if that
@@ -205,10 +221,14 @@ def compact_partitions(
             f"no {partition_col}=* partitions under {path}"
         )
     files_before = sum(s[0] for s in stats.values())
+    tot_bytes = sum(s[1] for s in stats.values())
+    tot_rows = sum(s[2] for s in stats.values())
+    bytes_per_row = max(1, tot_bytes // max(1, tot_rows))
+    rows_per_file = max(1, target_bytes // bytes_per_row)
     frag = {
         v: s
         for v, s in stats.items()
-        if s[0] > max(1, -(-s[1] // target_bytes))
+        if s[0] > max(1, -(-s[2] // rows_per_file)) + slack
     }
     if not frag:
         return {
@@ -216,10 +236,6 @@ def compact_partitions(
             "files_before": files_before,
             "files_after": files_before,
         }
-    tot_bytes = sum(s[1] for s in frag.values())
-    tot_rows = sum(s[2] for s in frag.values())
-    bytes_per_row = max(1, tot_bytes // max(1, tot_rows))
-    rows_per_file = max(1, target_bytes // bytes_per_row)
     dirs = [os.path.join(path, f"{partition_col}={v}") for v in sorted(frag)]
     df = spark.read.option("basePath", path).parquet(*dirs)
     (

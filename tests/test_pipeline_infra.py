@@ -1183,3 +1183,128 @@ def test_stream_full_outer_interval_join_matches_batch(spark):
     b = sorted(((r["purchase_id"], r["click_id"]) for r in batch.collect()), key=key)
     assert a == b
     assert any(p is None for p, _ in a) and any(c is None for _, c in a)
+
+
+def test_compact_partitions_file_counts_and_idempotence(spark, tmp_path):
+    """OPTIMIZE semantics pinned (ADVICE r9): a fragmented
+    hive-partitioned table compacts to the writer's own predicted file
+    count, rows survive byte-for-byte, and an immediate second call is
+    a structural no-op (partitions_compacted == 0, counts unchanged) —
+    including for HETEROGENEOUS partitions whose bytes/row sit far from
+    the table average (the case the old bytes-based selection rewrote
+    on every call)."""
+    import hashlib
+
+    from datawarehouse_group10_spark.sources.layout import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "tbl")
+    # partition a: poorly-compressible rows (unique md5 hex); partition
+    # b: constant payload (compresses ~to nothing). Global bytes/row is
+    # a bad predictor for BOTH — exactly the heterogeneity trap.
+    rows = []
+    for i in range(2000):
+        rows.append(("a", hashlib.md5(str(i).encode()).hexdigest() * 4))
+        rows.append(("b", "x" * 128))
+    df = spark.createDataFrame(rows, "p string, payload string")
+    df.repartition(8).write.partitionBy("p").parquet(path)
+
+    before = partition_file_stats(path, "p")
+    assert all(s[0] >= 4 for s in before.values()), "fixture not fragmented"
+
+    res1 = compact_partitions(spark, path, "p")
+    assert res1["partitions_compacted"] == 2
+    after = partition_file_stats(path, "p")
+    # default 128 MiB target >> data: each partition lands in ONE file
+    assert [s[0] for s in after.values()] == [1, 1]
+    assert res1["files_after"] == 2
+
+    got = spark.read.parquet(path)
+    assert got.count() == 4000
+    assert got.filter("p = 'a'").count() == 2000
+
+    # no-op re-run, by construction of the self-consistent selection
+    res2 = compact_partitions(spark, path, "p")
+    assert res2["partitions_compacted"] == 0
+    assert res2["files_before"] == res2["files_after"] == 2
+
+
+def test_compact_partitions_multifile_target_stable(spark, tmp_path):
+    """With a target small enough that one partition legitimately needs
+    SEVERAL files, the rewrite lands ceil(rows/cap) files and the next
+    call still selects nothing — the no-op guarantee must hold even
+    when bytes/row drifts across the rewrite (slack absorbs it)."""
+    import hashlib
+
+    from datawarehouse_group10_spark.sources.layout import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "tbl")
+    rows = [
+        (str(i % 2), hashlib.md5(str(i).encode()).hexdigest() * 8)
+        for i in range(4000)
+    ]
+    spark.createDataFrame(rows, "p string, payload string").repartition(
+        16
+    ).write.partitionBy("p").parquet(path)
+    assert all(
+        s[0] >= 8 for s in partition_file_stats(path, "p").values()
+    )
+
+    target = 64 << 10  # 64 KiB -> a handful of files per partition
+    res1 = compact_partitions(spark, path, "p", target_bytes=target)
+    assert res1["partitions_compacted"] == 2
+    after = partition_file_stats(path, "p")
+    assert all(1 < s[0] < 8 for s in after.values()), after
+
+    res2 = compact_partitions(spark, path, "p", target_bytes=target)
+    assert res2["partitions_compacted"] == 0
+    assert res2["files_after"] == res1["files_after"]
+
+
+def test_compacted_orders_early_return_recreates_success(
+    spark, tmp_path, monkeypatch
+):
+    """compacted_orders' staging must come out READY (_SUCCESS present)
+    even when compact_partitions early-returns without a Spark write
+    (possible at tiny sf where the fragmented load leaves <=1 file per
+    month) — otherwise every call wipes and rebuilds (ADVICE r9). Also
+    pins warm-call idempotence: a second call leaves the files
+    byte-identical (no rebuild)."""
+    import glob
+
+    import datawarehouse_group10_spark.contract as C
+
+    monkeypatch.setattr(C, "GRAFT_WAREHOUSE", str(tmp_path))
+
+    import datawarehouse_group10_spark.sources.layout as L
+
+    # Force the early-return path regardless of scale: report nothing
+    # fragmented, perform no write (so no job-commit _SUCCESS either).
+    # compacted_orders imports compact_partitions from sources.layout at
+    # call time, so the layout module is the one place to patch.
+
+    monkeypatch.setattr(
+        L,
+        "compact_partitions",
+        lambda *a, **k: {
+            "partitions_compacted": 0,
+            "files_before": 7,
+            "files_after": 7,
+        },
+    )
+    sf = "/root/testdata/sf0.001"
+    path = C.compacted_orders(spark, sf)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    listing = sorted(glob.glob(os.path.join(path, "*", "*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in listing]
+    assert C.compacted_orders(spark, sf) == path
+    assert [
+        os.path.getmtime(f)
+        for f in sorted(glob.glob(os.path.join(path, "*", "*.parquet")))
+    ] == mtimes, "warm call rebuilt the staging"
