@@ -1267,3 +1267,103 @@ def test_backfilled_orders_repairs_corruption(spark, tmp_path):
     ).filter(~(bad & (F.col("o_orderkey") % 10 == 0)))
     assert corrupt.count() < orders.count()
     assert corrupt.agg(dec).collect() != orders.agg(dec).collect()
+
+
+def test_composed_partition_bucket_layout(spark):
+    """The composed month-partition × orderkey-bucket lineitem layout
+    (r10, VERDICT r9 #6) must show BOTH physical-design wins in ONE
+    plan: the month predicate lands in the scan's PartitionFilters
+    (directory pruning at planning time) AND the join to the
+    bucket-aligned orders table plans with ZERO pre-join shuffle — the
+    single Exchange hashpartitioning is the final priority aggregate.
+    Results must equal the plain-layout computation exactly."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    pbli = spark.table(contract.part_bucketed_lineitem(spark, sf))
+    _, ord_ok, _ = contract.bucketed_facts(spark, sf)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            pbli.filter(
+                (F.col("l_month") >= "1997-01") & (F.col("l_month") < "1997-07")
+            )
+            .join(ord_ok, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("o_orderstatus") == "F")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        assert m and "l_month" in m.group(0) and "1997-01" in m.group(0), plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+        assert "SortMergeJoin" in plan  # the bucket-aligned join form
+
+        # content parity with the plain layout
+        li = contract._t(spark, sf, "lineitem")
+        orders = contract._t(spark, sf, "orders")
+        plain = (
+            li.withColumn(
+                "l_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            .filter(
+                (F.col("l_month") >= "1997-01") & (F.col("l_month") < "1997-07")
+            )
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("o_orderstatus") == "F")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(q) == key(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_composed_layout_warm_reattach_keeps_specs(spark):
+    """A warm process re-attaches the staged composed layout via CREATE
+    TABLE + MSCK REPAIR (no data scan). The re-attached table must keep
+    BOTH specs: partition pruning still plans (PartitionFilters) and the
+    bucket join still runs exchange-free on the bucketed side — losing
+    either silently would only show up as a perf cliff at scale."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    name = contract.part_bucketed_lineitem(spark, sf)  # ensure staged
+    spark.sql(f"DROP TABLE `{name}`")  # catalog only; LOCATION files stay
+    assert not spark.catalog.tableExists(name)
+
+    name2 = contract.part_bucketed_lineitem(spark, sf)
+    assert name2 == name
+    pbli = spark.table(name2)
+    _, ord_ok, _ = contract.bucketed_facts(spark, sf)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            pbli.filter(F.col("l_month") == "1997-03")
+            .join(ord_ok, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        assert m and "1997-03" in m.group(0), plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # and the composed copy preserves content exactly
+    li = contract._t(spark, sf, "lineitem")
+    assert pbli.count() == li.count()
