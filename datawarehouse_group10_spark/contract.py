@@ -2544,7 +2544,33 @@ def q_skew_salted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw").cast("double").alias("s"),
         )
     )
-    return tp.unionByName(sj)
+    # aqe_skew_join (r10, VERDICT r9 #4): the SAME hot-key join with NO
+    # manual salt — the merge hint pins the sort-merge form (what a
+    # fact-fact join plans at 100 TB, where neither side broadcasts) and
+    # Spark's own AQE OptimizeSkewedJoin is what splits the hot reducer
+    # at runtime (session defaults: adaptive + skewJoin on; production
+    # skew crosses the default 256 MB threshold on its own — the pytest
+    # demonstrates the split firing with thresholds tuned to local data
+    # sizes, asserting skew=true in the final adaptive plan). Salting
+    # remains necessary where AQE can't re-plan: AGGREGATION skew
+    # (two_phase_agg above — AQE never splits a hot groupBy key) and
+    # replicated-build chains (salted_join above).
+    aj = (
+        ev.select("k")
+        .join(dim.hint("merge"), "k")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .select(
+            F.lit("aqe_skew_join").alias("surface"),
+            "k",
+            "n",
+            F.col("sw").cast("double").alias("s"),
+        )
+    )
+    return tp.unionByName(sj).unionByName(aj)
 
 
 def q_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5912,6 +5938,10 @@ SELECT 'two_phase_agg' AS surface, k, CAST(COUNT(*) AS BIGINT) AS n,
 FROM ev GROUP BY k
 UNION ALL
 SELECT 'salted_join' AS surface, e.k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d.w) AS DOUBLE) AS s
+FROM ev e JOIN dim d USING (k) GROUP BY e.k
+UNION ALL
+SELECT 'aqe_skew_join' AS surface, e.k, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(d.w) AS DOUBLE) AS s
 FROM ev e JOIN dim d USING (k) GROUP BY e.k
 """

@@ -1367,3 +1367,68 @@ def test_composed_layout_warm_reattach_keeps_specs(spark):
     # and the composed copy preserves content exactly
     li = contract._t(spark, sf, "lineitem")
     assert pbli.count() == li.count()
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Spark's own OptimizeSkewedJoin (r10, VERDICT r9 #4) must be shown
+    FIRING, not just enabled: a hot key holding ~half the probe side
+    sort-merge-joins a uniform dim with the skew thresholds scaled to
+    local data sizes, and the final adaptive plan marks the join
+    skew=true with more shuffle-read partitions than the static plan
+    had. Session defaults keep adaptive+skewJoin on; at production
+    sizes the default 256 MB threshold is crossed without tuning.
+
+    Two deliberately-pinned subtleties (both verified by flipping them
+    and watching skew=true disappear):
+    - the pad must be INCOMPRESSIBLE (sha2, not a repeated literal) —
+      skew detection runs on post-compression shuffle bytes, and an
+      all-'x' pad lz4-compresses below any threshold;
+    - forceOptimizeSkewedJoin must be on HERE because the join feeds a
+      same-key groupBy: splitting the skewed partition breaks the
+      join's hash-partitioning, so honoring the split costs one extra
+      Exchange before the aggregate, and AQE refuses that trade by
+      default. This is precisely the boundary where manual salting
+      (two_phase_agg next door) stays necessary at 100 TB — AQE never
+      splits a hot AGGREGATION key at all, and it only splits a hot
+      JOIN key for free when no same-key stage follows."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    # ~half the rows on key 0, the rest uniform over 1..999; a fat
+    # incompressible payload makes the hot partition's bytes count.
+    probe = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            probe.join(dim.hint("merge"), "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("w").alias("sw"))
+        )
+        rows = {r["k"]: (r["n"], r["sw"]) for r in q.collect()}
+        # correctness: AQE splitting may only re-route, never change rows
+        assert rows[0] == (n // 2, 0)
+        # k=999 <- odd ids ending in 999: n/1000 rows, each w = 999 % 97
+        assert rows[999] == (n // 1000, (999 % 97) * (n // 1000))
+        # the FINAL adaptive plan (post-execution) shows the split
+        final = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
