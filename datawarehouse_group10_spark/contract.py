@@ -1120,24 +1120,32 @@ def _register_external_part_bucketed(
     partition_col: str,
     keys: list[str],
     num_buckets: int,
+    partition_type: str = "string",
 ) -> None:
     """Warm-attach a previously staged partitioned AND bucketed parquet
     dir to this session's in-memory catalog: declare the same partition
     + bucket spec over the same location, then recover the partition
     list from the directory names (MSCK) — metadata-only, no data scan.
     A raw parquet read would keep the partition pruning but LOSE the
-    bucket spec; only a catalog table carries both."""
+    bucket spec; only a catalog table carries both.
+
+    The partition column's type is passed EXPLICITLY by the caller
+    (ADVICE r10): deriving it from Spark's directory-name inference is
+    safe for 'yyyy-MM' strings but would declare e.g. ``int`` for
+    numeric-looking partition values, diverging from the string type
+    the cold ``saveAsTable`` wrote — warm sessions must attach the
+    schema the writer declared, not the one the directory names
+    suggest."""
     schema = spark.read.option("basePath", path).parquet(path).schema
     data_cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in schema.fields
         if f.name != partition_col
     )
-    pcol = next(f for f in schema.fields if f.name == partition_col)
     key_sql = ", ".join(f"`{k}`" for k in keys)
     spark.sql(
         f"CREATE TABLE `{name}` ({data_cols}, "
-        f"`{pcol.name}` {pcol.dataType.simpleString()}) USING parquet "
+        f"`{partition_col}` {partition_type}) USING parquet "
         f"PARTITIONED BY (`{partition_col}`) "
         f"CLUSTERED BY ({key_sql}) SORTED BY ({key_sql}) "
         f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
@@ -2819,7 +2827,13 @@ def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos5") >= 0.3)
     )
     planes = _lsh_data_planes(spark, sf_dir, n=16)
-    lsh = banded_near_dup_pairs(emb, planes, bands=4, threshold=0.4).select(
+    # max_bucket_size=None: this surface is oracle-checked and the SQL
+    # oracle enumerates candidates with NO cap — a capped Spark side would
+    # silently drop pairs the oracle keeps at larger sf (ADVICE r10;
+    # mirrors the MinHash precedent at the dedup_minhash call site).
+    lsh = banded_near_dup_pairs(
+        emb, planes, bands=4, threshold=0.4, max_bucket_size=None
+    ).select(
         F.lit("lsh").alias("surface"),
         "id_a",
         "id_b",

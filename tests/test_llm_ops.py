@@ -230,6 +230,148 @@ def test_stream_corpus_ingest_crash_replay(spark, tmp_path, monkeypatch):
     _check(idx_b, out_b)
 
 
+def test_stream_corpus_ingest_rollback_survives_stale_temporary_dir(
+    spark, tmp_path
+):
+    """ADVICE r10: a hard crash DURING the index append (inside the
+    Spark write itself, not at a function boundary) leaves a Hadoop
+    committer ``_temporary/`` staging DIRECTORY in the index dir plus a
+    ``.pending`` marker. The replay's rollback loop must rmtree the
+    directory and remove orphan files — an ``os.remove`` on the
+    directory would raise IsADirectoryError on every restart and wedge
+    the stream permanently. Fabricates that exact post-crash state."""
+    import glob
+    import json
+    import os
+
+    from datawarehouse_group10_spark.functions import dedup as dd
+    from datawarehouse_group10_spark.streaming import run_stream_corpus_ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    idx = str(tmp_path / "idx")
+    dd.build_minhash_index(corpus, idx)
+    one_shot = sorted(
+        map(
+            tuple,
+            dd.incremental_minhash_dup_pairs(
+                new, idx, jaccard_threshold=0.5, max_bucket_size=None
+            ).collect(),
+        )
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    stage = str(tmp_path / "stage")
+    new.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.rename(part, str(src / "f0.parquet"))
+
+    # Fabricate the crashed-mid-write state for the batch that is about
+    # to replay (fresh checkpoint => batch 0): snapshot of the REAL
+    # index files in .pending, plus a dead write's _temporary staging
+    # dir and an orphan uncommitted part file in shingles/.
+    commits = os.path.join(idx, "_ingest_commits")
+    os.makedirs(commits, exist_ok=True)
+    snapshot = []
+    for sub in ("shingles", "bands"):
+        d = os.path.join(idx, sub)
+        snapshot.extend(
+            f"{sub}/{f}"
+            for f in os.listdir(d)
+            if os.path.isfile(os.path.join(d, f))
+        )
+    with open(os.path.join(commits, "batch_0.pending"), "w") as fh:
+        json.dump(sorted(snapshot), fh)
+    tempdir = os.path.join(idx, "shingles", "_temporary", "0", "task_000")
+    os.makedirs(tempdir)
+    open(os.path.join(tempdir, "part-crashed.parquet"), "w").close()
+    orphan = os.path.join(idx, "shingles", "part-orphan-uncommitted.parquet")
+    open(orphan, "w").close()
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_corpus_ingest(stream, idx, out, ckpt, jaccard_threshold=0.5)
+
+    assert not os.path.exists(os.path.join(idx, "shingles", "_temporary"))
+    assert not os.path.exists(orphan)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out).select("id_a", "id_b", "jaccard").collect(),
+        )
+    )
+    assert got == one_shot and len(got) > 0
+    sh = spark.read.parquet(os.path.join(idx, "shingles"))
+    assert sh.count() == sh.select("doc_id").distinct().count()
+
+
+def test_stream_corpus_ingest_pairs_not_single_file(spark, tmp_path):
+    """VERDICT r10 #4: a hot microbatch's pair output must NOT funnel
+    through one task/file — with ``max_records_per_file`` forced tiny,
+    a batch emitting many pairs writes >1 parquet file in its
+    ingest_batch partition, while the emitted pairs stay identical to
+    the one-shot incremental run."""
+    import glob
+    import os
+
+    from datawarehouse_group10_spark.functions import dedup as dd
+    from datawarehouse_group10_spark.streaming import run_stream_corpus_ingest
+
+    text = "the exact same duplicated document text body " * 3
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(1, 7)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame([(100, text)], "doc_id bigint, text string")
+
+    idx = str(tmp_path / "idx")
+    dd.build_minhash_index(corpus, idx)
+    one_shot = sorted(
+        map(
+            tuple,
+            dd.incremental_minhash_dup_pairs(
+                new, idx, jaccard_threshold=0.5, max_bucket_size=None
+            ).collect(),
+        )
+    )
+    assert len(one_shot) >= 3  # the 6 corpus dups all pair with doc 100
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    stage = str(tmp_path / "stage")
+    new.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.rename(part, str(src / "f0.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_corpus_ingest(
+        stream, idx, out, ckpt, jaccard_threshold=0.5, max_records_per_file=2
+    )
+
+    files = glob.glob(os.path.join(out, "ingest_batch=0", "part-*.parquet"))
+    assert len(files) > 1
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out).select("id_a", "id_b", "jaccard").collect(),
+        )
+    )
+    assert got == one_shot
+
+
 def test_minhash_lsh_finds_exact_pair_only(spark, docs):
     pairs = minhash_lsh_dup_pairs(docs, jaccard_threshold=0.9).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
