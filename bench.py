@@ -198,6 +198,13 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                # Explicit alias of "queries" (r11, VERDICT r10 #8): the
+                # headline per-query stat IS the min-of-repeats — min was
+                # measured (PERF.md r9/r10) to be the stable statistic,
+                # while medians swing in a ~±20% per-query tail band on
+                # identical code. Movers should be judged on "min";
+                # "median" is the cross-run comparison series.
+                "min": times,
                 "median": medians,
                 "median_total": round(sum(medians.values()), 3),
                 "repeats": repeats,

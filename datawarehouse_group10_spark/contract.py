@@ -2578,7 +2578,32 @@ def q_skew_salted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw").cast("double").alias("s"),
         )
     )
-    return tp.unionByName(sj).unionByName(aj)
+    # aqe_coalesce (r11, VERDICT r10 #7): the OTHER half of the AQE
+    # story — a selective filter leaves this aggregate's shuffle with
+    # far less data than one reducer's advisory size, and AQE's
+    # coalescePartitions merges the 32 static reducers into a few at
+    # runtime (`AQEShuffleRead coalesced` in the final adaptive plan,
+    # pytest-pinned by test_aqe_partition_coalesce_fires). At 100 TB
+    # this is what keeps reducer counts sane on filtered INTERMEDIATE
+    # stages: static shuffle.partitions is sized for the biggest
+    # shuffle in the job, and every post-filter stage would otherwise
+    # schedule thousands of near-empty reducers. Fires under session
+    # defaults — unlike the skew split, nothing vetoes it.
+    ac = (
+        ev.filter(F.col("k") % 7 == 1)
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s_dec"),
+        )
+        .select(
+            F.lit("aqe_coalesce").alias("surface"),
+            "k",
+            "n",
+            F.col("s_dec").cast("double").alias("s"),
+        )
+    )
+    return tp.unionByName(sj).unionByName(aj).unionByName(ac)
 
 
 def q_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5986,6 +6011,10 @@ UNION ALL
 SELECT 'aqe_skew_join' AS surface, e.k, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(d.w) AS DOUBLE) AS s
 FROM ev e JOIN dim d USING (k) GROUP BY e.k
+UNION ALL
+SELECT 'aqe_coalesce' AS surface, k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+FROM ev WHERE k % 7 = 1 GROUP BY k
 """
 
 # SCD2: untouched rows via anti join, closed rows via the matched join,

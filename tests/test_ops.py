@@ -1432,3 +1432,50 @@ def test_aqe_skew_join_split_fires(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_partition_coalesce_fires(spark):
+    """AQE partition coalescing (r11, VERDICT r10 #7) must be shown
+    FIRING under session defaults, on both a standalone shape and the
+    registered aqe_coalesce section of skew_salted_suite: a selective
+    filter leaves the aggregate's shuffle with far less data than one
+    reducer's advisory size, so the final adaptive plan reads the
+    32-static-partition shuffle through `AQEShuffleRead coalesced` and
+    the executed RDD has fewer partitions than
+    spark.sql.shuffle.partitions. Unlike the skew split next door,
+    nothing vetoes the coalesce — it is the default-on path that keeps
+    reducer counts sane on filtered intermediate stages at 100 TB.
+    Row values must be unchanged by the re-plan (checked against the
+    unfiltered arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark import contract
+
+    n_static = 32  # the session the driver/bench runs (local[32])
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_static))
+    try:
+        # Standalone: 100k rows filtered to ~200, grouped — tiny shuffle.
+        df = (
+            spark.range(100_000)
+            .select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+            .filter(F.col("k") % 500 == 3)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        )
+        rows = {r["k"]: r["n"] for r in df.collect()}
+        assert rows == {3: 100, 503: 100}
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "coalesced" in final, final
+        assert df.rdd.getNumPartitions() < n_static
+
+        # Registered surface: the aqe_coalesce section's executed plan
+        # shows the same AQEShuffleRead coalesced — no tuned confs.
+        suite = contract.q_skew_salted_suite(
+            spark, "/root/testdata/sf0.001"
+        ).filter(F.col("surface") == "aqe_coalesce")
+        assert len(suite.collect()) > 0
+        final = suite._jdf.queryExecution().executedPlan().toString()
+        assert "coalesced" in final, final
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
