@@ -1310,6 +1310,51 @@ def compacted_orders(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: Stats of the one-time snapshot compaction (cold stage only), same
+#: shape as COMPACT_STATS plus old/new version — read by tests.
+SNAPSHOT_STATS: dict[str, float] = {}
+
+
+def snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a SNAPSHOT-POINTER-versioned month-partitioned orders copy
+    through a fragment-then-OPTIMIZE lifecycle (r11, VERDICT r10 #6) and
+    return the committed snapshot READ path — the concurrent-reader-safe
+    twin of :func:`compacted_orders`:
+
+    1. FRAGMENTED LOAD: ``snapshot_write(shards=8)`` lands v1 with ~8
+       shard files per month dir and commits the ``_COMMITTED`` pointer.
+    2. OPTIMIZE: :func:`sources.layout.snapshot_compact` stages v2 —
+       hardlinks for every right-sized partition (zero data copy),
+       maxRecordsPerFile-bounded rewrite for the fragmented ones — then
+       swaps the pointer. v1's files are never modified or deleted, so
+       a reader that resolved v1 before (or during) the optimize scans
+       consistent data throughout; space reclaim is the EXPLICIT
+       ``snapshot_gc`` with a retention window, not an implicit race.
+
+    The ``a_extended`` 'snapshot' section aggregates the committed
+    snapshot per month against the plain-table SQL oracle — a pointer
+    naming a wrong/partial version, lost/duplicated rows in the staged
+    v2, or hardlinked partitions drifting from their v1 content all
+    break the driver hash. Pointer-swap atomicity, reader isolation,
+    no-op re-runs, and GC retention are pytest-pinned
+    (tests/test_pipeline_infra.py)."""
+    from .sources.layout import snapshot_compact, snapshot_read_path, snapshot_write
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_by_month"
+    )
+    if not os.path.exists(os.path.join(path, "_COMMITTED")):
+        po = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        snapshot_write(po, path, "o_month", shards=8)
+        t0 = time.time()
+        stats = snapshot_compact(spark, path, "o_month")
+        SNAPSHOT_STATS.update(stats)
+        SNAPSHOT_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read_path(path)
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -3941,6 +3986,34 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Snapshot-pointer layout round trip (r11, VERDICT r10 #6): the
+    # fragment-then-OPTIMIZE lifecycle again, but maintenance stages a
+    # NEW version dir and swaps a _COMMITTED pointer instead of
+    # rewriting in place — the concurrent-reader-safe shape (see
+    # snapshot_orders). Same per-month aggregate against the plain
+    # table's oracle.
+    sn = (
+        spark.read.parquet(snapshot_orders(spark, sf_dir))
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("snapshot").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -3966,6 +4039,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hq)
         .unionByName(bf)
         .unionByName(co)
+        .unionByName(sn)
         .unionByName(zo)
     )
 
@@ -5673,6 +5747,25 @@ SELECT 'compact' AS section,
 FROM orders GROUP BY 1, 2, 3, 4
 UNION ALL
 SELECT 'compact' AS section,
+       strftime(o_orderdate, '%Y-%m') AS k1,
+       '' AS k2,
+       'sum_price' AS metric,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM orders GROUP BY 1, 2, 3, 4
+UNION ALL
+-- snapshot-pointer layout round trip (r11): same lifecycle as compact
+-- but maintenance stages a new version dir + pointer swap; the
+-- committed snapshot must equal the plain table (snapshot_orders).
+SELECT 'snapshot' AS section,
+       strftime(o_orderdate, '%Y-%m') AS k1,
+       '' AS k2,
+       'n' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM orders GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'snapshot' AS section,
        strftime(o_orderdate, '%Y-%m') AS k1,
        '' AS k2,
        'sum_price' AS metric,

@@ -1382,3 +1382,149 @@ def test_cli_backfill_and_optimize_subcommands(spark, tmp_path, monkeypatch):
          "--partition-col", "nope"]
     )
     assert rc == 2
+
+
+def test_snapshot_layout_pointer_swap_and_reader_isolation(spark, tmp_path):
+    """Snapshot-pointer maintenance (r11, VERDICT r10 #6): optimize
+    stages a NEW version and swaps _COMMITTED, so a reader that
+    resolved the old snapshot keeps scanning byte-identical files
+    during and after the rewrite; untouched partitions are hardlinked
+    (zero data copy), fragmented ones land at the writer's predicted
+    file count, and a re-run is a structural no-op with the pointer
+    untouched."""
+    import glob
+    import hashlib
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        partition_file_stats,
+        snapshot_compact,
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    # both partitions fragmented by the 8-shard write; heterogeneous
+    # payloads (incompressible vs constant) as in the compact tests
+    rows = []
+    for i in range(2000):
+        rows.append(("a", hashlib.md5(str(i).encode()).hexdigest() * 4))
+    for i in range(2000):
+        rows.append(("b", "x" * 128))
+    df = spark.createDataFrame(rows, "p string, payload string")
+    snap1 = snapshot_write(df, path, "p", shards=8)
+    assert snapshot_read_path(path) == snap1
+    before = partition_file_stats(snap1, "p")
+    assert all(s[0] >= 4 for s in before.values())
+
+    # a reader resolves v1 and records its exact file listing + sizes
+    v1_files = {
+        f: os.path.getsize(f)
+        for f in glob.glob(os.path.join(snap1, "p=*", "*.parquet"))
+    }
+    v1_rows = spark.read.parquet(snap1).count()
+
+    res = snapshot_compact(spark, path, "p")
+    assert (res["old_version"], res["new_version"]) == (1, 2)
+    snap2 = snapshot_read_path(path)
+    assert snap2.endswith("v2") and snap2 != snap1
+
+    # reader isolation: every v1 file still exists with its exact size
+    for f, size in v1_files.items():
+        assert os.path.getsize(f) == size
+    assert spark.read.parquet(snap1).count() == v1_rows
+
+    # new snapshot: right-sized and content-equal
+    after = partition_file_stats(snap2, "p")
+    assert [s[0] for s in after.values()] == [1, 1]
+    got = spark.read.parquet(snap2)
+    assert got.count() == 4000 and got.filter("p = 'a'").count() == 2000
+
+    # no-op re-run: pointer untouched, no new version dir
+    res2 = snapshot_compact(spark, path, "p")
+    assert res2["partitions_compacted"] == 0
+    assert (res2["old_version"], res2["new_version"]) == (2, 2)
+    assert snapshot_read_path(path) == snap2
+
+
+def test_snapshot_compact_hardlinks_untouched_partitions(spark, tmp_path):
+    """The untouched partition's files in the new snapshot are HARDLINKS
+    of the old snapshot's (st_nlink >= 2, same inode) — O(files)
+    metadata, zero bytes copied — while the fragmented partition is
+    genuinely rewritten."""
+    import glob
+    import hashlib
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_read_path,
+        snapshot_write,
+        _snapshot_commit,
+    )
+
+    path = str(tmp_path / "tbl")
+    # v1 staged by hand: partition a fragmented (8 shards), partition c
+    # right-sized (one file) — so compact touches a, links c.
+    frag = spark.createDataFrame(
+        [("a", hashlib.md5(str(i).encode()).hexdigest()) for i in range(1000)],
+        "p string, payload string",
+    )
+    ok = spark.createDataFrame(
+        [("c", hashlib.md5(str(-i).encode()).hexdigest()) for i in range(1, 1001)],
+        "p string, payload string",
+    )
+    snap1 = os.path.join(path, "v1")
+    frag.repartition(8).write.partitionBy("p").parquet(snap1)
+    ok.coalesce(1).write.mode("append").partitionBy("p").parquet(snap1)
+    _snapshot_commit(path, 1)
+
+    res = snapshot_compact(spark, path, "p")
+    assert res["partitions_compacted"] == 1
+    snap2 = snapshot_read_path(path)
+
+    linked = glob.glob(os.path.join(snap2, "p=c", "*.parquet"))
+    assert linked and all(os.stat(f).st_nlink >= 2 for f in linked)
+    v1_inodes = {
+        os.stat(f).st_ino
+        for f in glob.glob(os.path.join(snap1, "p=c", "*.parquet"))
+    }
+    assert {os.stat(f).st_ino for f in linked} == v1_inodes
+    rewritten = glob.glob(os.path.join(snap2, "p=a", "*.parquet"))
+    assert rewritten and all(os.stat(f).st_nlink == 1 for f in rewritten)
+
+
+def test_snapshot_orphan_staging_invisible_and_gc_retention(spark, tmp_path):
+    """A crash before the pointer swap leaves an orphan v<N> readers
+    never resolve; the next writer allocates past it. snapshot_gc
+    deletes only versions older than the retention window, never the
+    committed one, never orphans newer than the pointer."""
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_gc,
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", str(i)) for i in range(500)], "p string, payload string"
+    )
+    snapshot_write(df, path, "p", shards=6)
+    # crashed maintenance: a staged-but-uncommitted v2
+    os.makedirs(os.path.join(path, "v2", "p=a"))
+    assert snapshot_read_path(path).endswith("v1")  # orphan invisible
+
+    res = snapshot_compact(spark, path, "p")  # allocates v3, commits
+    assert res["new_version"] == 3
+    assert snapshot_read_path(path).endswith("v3")
+
+    # GC with keep=1: committed v3 stays; v1 AND the dead v2 staging
+    # (both older than the pointer) are reclaimable garbage.
+    doomed = snapshot_gc(path, keep=1)
+    assert doomed == [1, 2]
+    assert not os.path.exists(os.path.join(path, "v1"))
+    assert not os.path.exists(os.path.join(path, "v2"))
+    assert spark.read.parquet(snapshot_read_path(path)).count() == 500
