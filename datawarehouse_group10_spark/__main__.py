@@ -11,6 +11,9 @@ equivalent:
     python -m datawarehouse_group10_spark backfill --input BATCH.parquet \\
         --table DIR --partition-col c
     python -m datawarehouse_group10_spark optimize --table DIR --partition-col c
+    python -m datawarehouse_group10_spark snapshot-optimize --table DIR \\
+        --partition-col c
+    python -m datawarehouse_group10_spark snapshot-gc --table DIR [--keep N]
 
 ``job`` runs the orchestrated P1-P4 pipeline (ledger-gated, parquet
 layers); ``query`` runs any contract query and prints a sample;
@@ -74,6 +77,27 @@ def main(argv: list[str] | None = None) -> int:
     o.add_argument("--partition-col", required=True)
     o.add_argument("--target-mb", type=int, default=128,
                    help="target output file size in MiB (default 128)")
+
+    so = sub.add_parser(
+        "snapshot-optimize",
+        help="compact a snapshot-pointer-versioned table: stage the next "
+        "v<N> (hardlinked untouched partitions) and swap _COMMITTED — "
+        "concurrent readers keep scanning their resolved snapshot",
+    )
+    so.add_argument("--table", required=True,
+                    help="snapshot table root (holds _COMMITTED + v<N>/)")
+    so.add_argument("--partition-col", required=True)
+    so.add_argument("--target-mb", type=int, default=128,
+                    help="target output file size in MiB (default 128)")
+
+    sg = sub.add_parser(
+        "snapshot-gc",
+        help="reclaim snapshot versions outside the retention window "
+        "(never the committed one)",
+    )
+    sg.add_argument("--table", required=True)
+    sg.add_argument("--keep", type=int, default=1,
+                    help="committed-or-older versions to retain (default 1)")
 
     z = sub.add_parser(
         "zorder",
@@ -199,6 +223,35 @@ def main(argv: list[str] | None = None) -> int:
                 f"optimized {args.table}: "
                 f"{stats['partitions_compacted']} partition(s) compacted, "
                 f"{stats['files_before']} -> {stats['files_after']} files"
+            )
+            return 0
+
+        if args.cmd == "snapshot-optimize":
+            from .sources.layout import snapshot_compact, snapshot_read_path
+
+            stats = snapshot_compact(
+                spark,
+                args.table,
+                args.partition_col,
+                target_bytes=args.target_mb << 20,
+            )
+            print(
+                f"snapshot-optimized {args.table}: "
+                f"v{stats['old_version']} -> v{stats['new_version']}, "
+                f"{stats['partitions_compacted']} partition(s) compacted, "
+                f"{stats['files_before']} -> {stats['files_after']} files "
+                f"(readers resolve {snapshot_read_path(args.table)})"
+            )
+            return 0
+
+        if args.cmd == "snapshot-gc":
+            from .sources.layout import snapshot_gc
+
+            doomed = snapshot_gc(args.table, keep=args.keep)
+            print(
+                f"snapshot-gc {args.table}: removed "
+                f"{', '.join(f'v{v}' for v in doomed) or 'nothing'} "
+                f"(keep={args.keep})"
             )
             return 0
 

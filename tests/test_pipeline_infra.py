@@ -1528,3 +1528,53 @@ def test_snapshot_orphan_staging_invisible_and_gc_retention(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "v1"))
     assert not os.path.exists(os.path.join(path, "v2"))
     assert spark.read.parquet(snapshot_read_path(path)).count() == 500
+
+
+def test_cli_snapshot_subcommands(spark, tmp_path, monkeypatch, capsys):
+    """snapshot-optimize and snapshot-gc through the argparse front
+    door: the CLI compacts a fragmented snapshot table into a new
+    committed version and gc reclaims versions outside the retention
+    window, never the committed one."""
+    import os
+
+    import datawarehouse_group10_spark.session as S
+    from datawarehouse_group10_spark.__main__ import main
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, name):
+            return getattr(self._s, name)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(S, "get_spark", lambda **k: _NoStop(spark))
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b") for i in range(200)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, table, "p", shards=8)
+    assert snapshot_read_path(table).endswith("v1")
+
+    rc = main(
+        ["snapshot-optimize", "--table", table, "--partition-col", "p"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "v1 -> v2" in out
+    assert snapshot_read_path(table).endswith("v2")
+    assert spark.read.parquet(snapshot_read_path(table)).count() == 400
+
+    rc = main(["snapshot-gc", "--table", table, "--keep", "1"])
+    assert rc == 0
+    assert "removed v1" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(table, "v1"))
+    assert spark.read.parquet(snapshot_read_path(table)).count() == 400
