@@ -13,6 +13,8 @@ equivalent:
     python -m datawarehouse_group10_spark optimize --table DIR --partition-col c
     python -m datawarehouse_group10_spark snapshot-optimize --table DIR \\
         --partition-col c
+    python -m datawarehouse_group10_spark snapshot-backfill --input B.parquet \\
+        --table DIR --partition-col c
     python -m datawarehouse_group10_spark snapshot-gc --table DIR [--keep N]
 
 ``job`` runs the orchestrated P1-P4 pipeline (ledger-gated, parquet
@@ -89,6 +91,17 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--partition-col", required=True)
     so.add_argument("--target-mb", type=int, default=128,
                     help="target output file size in MiB (default 128)")
+
+    sb = sub.add_parser(
+        "snapshot-backfill",
+        help="rewrite ONLY the batch's partitions as a new committed "
+        "snapshot version (reader-safe twin of backfill)",
+    )
+    sb.add_argument("--input", required=True,
+                    help="batch parquet holding the TRUE rows to re-load")
+    sb.add_argument("--table", required=True,
+                    help="snapshot table root (holds _COMMITTED + v<N>/)")
+    sb.add_argument("--partition-col", required=True)
 
     sg = sub.add_parser(
         "snapshot-gc",
@@ -240,6 +253,26 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{stats['old_version']} -> v{stats['new_version']}, "
                 f"{stats['partitions_compacted']} partition(s) compacted, "
                 f"{stats['files_before']} -> {stats['files_after']} files "
+                f"(readers resolve {snapshot_read_path(args.table)})"
+            )
+            return 0
+
+        if args.cmd == "snapshot-backfill":
+            from .sources.layout import snapshot_backfill, snapshot_read_path
+
+            batch = spark.read.parquet(args.input)
+            if args.partition_col not in batch.columns:
+                print(
+                    f"batch {args.input} has no column "
+                    f"{args.partition_col!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            stats = snapshot_backfill(batch, args.table, args.partition_col)
+            print(
+                f"snapshot-backfilled {args.table}: "
+                f"v{stats['old_version']} -> v{stats['new_version']}, "
+                f"{stats['partitions_backfilled']} partition(s) replaced "
                 f"(readers resolve {snapshot_read_path(args.table)})"
             )
             return 0

@@ -1,4 +1,5 @@
-"""Multi-dimensional data layout: z-order clustered parquet writes.
+"""Physical data layout: z-order clustering, partition maintenance
+(backfill / compaction), and the snapshot-pointer versioned table.
 
 Hash bucketing (``operators/skew.py: write_bucketed_table``) co-locates
 JOINS; z-ordering co-locates SCANS: interleaving the bit-representations
@@ -34,6 +35,7 @@ __all__ = [
     "snapshot_write",
     "snapshot_read_path",
     "snapshot_compact",
+    "snapshot_backfill",
     "snapshot_gc",
 ]
 
@@ -444,6 +446,59 @@ def snapshot_compact(
         "partitions_compacted": len(frag),
         "files_before": files_before,
         "files_after": sum(s[0] for s in after.values()),
+        "old_version": committed,
+        "new_version": version,
+    }
+
+
+def snapshot_backfill(
+    df: DataFrame, path: str, partition_col: str
+) -> dict[str, int]:
+    """Partition backfill under the snapshot-pointer layout — the
+    reader-safe twin of :func:`overwrite_partitions`: stage ``v<N+1>``
+    with the batch's partitions rewritten from ``df`` (one file per
+    partition) and every OTHER partition hardlinked from the committed
+    snapshot, then swap the pointer. Replay-idempotent the same way
+    dynamic partition overwrite is (re-running a batch replaces exactly
+    its own partitions — now as a new version instead of an in-place
+    directory swap), with no commit window a concurrent reader can
+    observe. Returns {"partitions_backfilled", "old_version",
+    "new_version"}."""
+    import os
+
+    committed = _snapshot_committed(path)
+    if committed is None:
+        raise FileNotFoundError(f"no _COMMITTED pointer under {path}")
+    cur = os.path.join(path, f"v{committed}")
+    touched = {
+        str(r[0]) for r in df.select(partition_col).distinct().collect()
+    }
+    if not touched:
+        return {
+            "partitions_backfilled": 0,
+            "old_version": committed,
+            "new_version": committed,
+        }
+    version = _snapshot_versions(path)[-1] + 1
+    snap = os.path.join(path, f"v{version}")
+    for val in partition_file_stats(cur, partition_col):
+        if val in touched:
+            continue
+        src = os.path.join(cur, f"{partition_col}={val}")
+        dst = os.path.join(snap, f"{partition_col}={val}")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if os.path.isfile(os.path.join(src, f)):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+    (
+        df.repartition(partition_col)
+        .write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(snap)
+    )
+    _snapshot_commit(path, version)
+    return {
+        "partitions_backfilled": len(touched),
         "old_version": committed,
         "new_version": version,
     }

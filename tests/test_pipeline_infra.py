@@ -1578,3 +1578,69 @@ def test_cli_snapshot_subcommands(spark, tmp_path, monkeypatch, capsys):
     assert "removed v1" in capsys.readouterr().out
     assert not os.path.exists(os.path.join(table, "v1"))
     assert spark.read.parquet(snapshot_read_path(table)).count() == 400
+
+
+def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
+    """snapshot_backfill: the reader-safe backfill replaces exactly the
+    batch's partitions as a NEW committed version — corruption repaired,
+    siblings hardlinked (zero data copy, same inodes), old snapshot
+    byte-intact for in-flight readers, and a replay of the same batch
+    is idempotent (a third version with identical content)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    true_rows = [(m, i, float(100 + i)) for m in ("a", "b", "c") for i in range(50)]
+    df = spark.createDataFrame(true_rows, "p string, k int, v double")
+    # bad first load: partition b doubled values, every 5th row missing
+    bad = df.withColumn(
+        "v", F.when(F.col("p") == "b", F.col("v") * 2).otherwise(F.col("v"))
+    ).filter(~((F.col("p") == "b") & (F.col("k") % 5 == 0)))
+    snapshot_write(bad, path, "p")
+    snap1 = snapshot_read_path(path)
+    v1_files = {
+        f: os.path.getsize(f)
+        for f in glob.glob(os.path.join(snap1, "p=*", "*.parquet"))
+    }
+
+    res = snapshot_backfill(df.filter("p = 'b'"), path, "p")
+    assert res["partitions_backfilled"] == 1
+    assert (res["old_version"], res["new_version"]) == (1, 2)
+    snap2 = snapshot_read_path(path)
+    got = spark.read.parquet(snap2)
+    assert got.count() == 150
+    assert (
+        got.filter("p = 'b'").agg(F.sum("v")).first()[0]
+        == df.filter("p = 'b'").agg(F.sum("v")).first()[0]
+    )
+    # siblings hardlinked, not copied
+    for part in ("a", "c"):
+        v1_inodes = {
+            os.stat(f).st_ino
+            for f in glob.glob(os.path.join(snap1, f"p={part}", "*.parquet"))
+        }
+        v2_inodes = {
+            os.stat(f).st_ino
+            for f in glob.glob(os.path.join(snap2, f"p={part}", "*.parquet"))
+        }
+        assert v1_inodes == v2_inodes
+    # old snapshot byte-intact
+    for f, size in v1_files.items():
+        assert os.path.getsize(f) == size
+
+    # replay idempotence: same batch again -> v3 with identical content
+    res2 = snapshot_backfill(df.filter("p = 'b'"), path, "p")
+    assert res2["new_version"] == 3
+    again = spark.read.parquet(snapshot_read_path(path))
+    assert again.count() == 150
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
