@@ -2912,6 +2912,37 @@ def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked.unionByName(lsh)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP (r11): per-vector keep decisions
+    over the whole embeddings corpus — the embedding-space twin of
+    ``dedup_clusters`` and the operator a training-data pipeline actually
+    runs (pairs are an intermediate; what ships is the kept set).
+
+    Candidates come from banded sign-LSH over the same 16 data-derived
+    hyperplanes as the ``lsh`` surface of ``ann_label_blocked_pairs``
+    (cosine >= 0.4 verified on candidates only), components from
+    pointer-doubled min-label propagation, and every corpus row appears
+    in the output (singletons are their own canonical). The oracle
+    recomputes the band codes, the candidate union, the verification
+    scores, AND the components (recursive transitive-closure CTE — the
+    ``dedup_clusters`` precedent), so the full approximate path is
+    driver-checked end to end.
+
+    max_bucket_size=None on the oracle-checked surface (the ADVICE r10 /
+    MinHash precedent): the SQL oracle enumerates candidates uncapped.
+    The library entry point (``semantic_dedup``) keeps the 10k cap
+    default for production corpora.
+    """
+    _utc(spark)
+    from .functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = _lsh_data_planes(spark, sf_dir, n=16)
+    return semantic_dedup(
+        emb, planes, bands=4, threshold=0.4, max_bucket_size=None
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal + streaming
 
@@ -4386,6 +4417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_suite": q_sim_cosine_suite,
     "sim_ann_suite": q_sim_ann_suite,
     "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
+    "dedup_semantic": q_dedup_semantic,
     # skew discipline + SCD2
     "skew_salted_suite": q_skew_salted_suite,
     "scd2_suite": q_scd2_suite,
@@ -6421,4 +6453,58 @@ reach AS (
 SELECT CAST(src AS BIGINT) AS doc_id,
        CAST(LEAST(src, MIN(dst)) AS BIGINT) AS canonical_id
 FROM reach GROUP BY src
+"""
+
+#: dedup_semantic: the ann_label_blocked_pairs lsh-surface candidate
+#: pipeline (same 16 data-derived planes, 4 bands, cosine >= 0.4 on
+#: candidates) feeding the dedup_clusters transitive-closure component
+#: resolution, left-joined back onto the full corpus for keep decisions.
+ORACLES["dedup_semantic"] = """
+WITH RECURSIVE nv AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+planes AS MATERIALIZED (
+  SELECT CAST(vec_id - 2 AS INT) AS p, e AS pv FROM nv
+  WHERE vec_id BETWEEN 2 AND 17
+),
+codes AS MATERIALIZED (
+  SELECT n.vec_id, CAST(pl.p // 4 AS INT) AS band,
+         CAST(SUM(CASE WHEN list_dot_product(n.e, pl.pv) > 0
+                       THEN (CAST(1 AS BIGINT) << (pl.p % 4))
+                       ELSE 0 END) AS BIGINT) AS code
+  FROM nv n CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM codes a JOIN codes b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN nv a ON a.vec_id = c.id_a JOIN nv b ON b.vec_id = c.id_b
+  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+canon AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS canonical_id
+  FROM reach GROUP BY src
+)
+SELECT n.vec_id,
+       CAST(COALESCE(c.canonical_id, n.vec_id) AS BIGINT) AS canonical_id,
+       (COALESCE(c.canonical_id, n.vec_id) = n.vec_id) AS kept
+FROM nv n LEFT JOIN canon c ON c.vec_id = n.vec_id
+ORDER BY n.vec_id
 """

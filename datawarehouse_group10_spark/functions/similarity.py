@@ -289,6 +289,62 @@ def banded_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP over a corpus: per-row KEEP
+    decisions, not just pairs. Composes the two scale-proven pieces —
+    :func:`banded_near_dup_pairs` for candidate generation (banded
+    sign-LSH, exact cosine verified on candidates only) and
+    ``resolve_duplicate_clusters`` (dedup.py) for connected components
+    via pointer-doubled min-label propagation — then left-joins the
+    component labels back onto the full corpus so singletons (the
+    overwhelming majority) appear with themselves as canonical.
+
+    Returns (id_col, canonical_id, kept): ``canonical_id`` is the
+    smallest id in the row's near-dup component (itself when the row has
+    no near-dup), ``kept`` is true exactly for the canonical
+    representative — filter on it to materialize the deduplicated
+    corpus.
+
+    Scale shape: the pair stage is one (band, code) shuffle + a
+    candidates-only cosine (never all-pairs; ``max_bucket_size`` fences
+    degenerate buckets), components converge in O(log diameter) rounds
+    over id-keyed uniform joins, and the final left join is id-keyed on
+    the corpus' primary key. Nothing here is quadratic in corpus size —
+    this is the embedding-space twin of the MinHash dedup path
+    (dedup.py: minhash_lsh_dup_pairs -> resolve_duplicate_clusters).
+    """
+    from .dedup import resolve_duplicate_clusters
+
+    pairs = banded_near_dup_pairs(
+        df,
+        planes,
+        bands=bands,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = resolve_duplicate_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    canonical = F.coalesce("canonical_id", F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            canonical.alias("canonical_id"),
+            (canonical == F.col(id_col)).alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN (inverted-file index over deterministic centroids)
 

@@ -29,7 +29,7 @@ TABLES = (
 #: r8 #16: 848s + 206s of the sf1.0 sweep). With --cap-quadratic DIR
 #: these run against DIR instead of the sweep dir, marked CAP in the
 #: output so the coverage claim stays explicit.
-QUADRATIC = {"ann_label_blocked_pairs", "j7_range_join"}
+QUADRATIC = {"ann_label_blocked_pairs", "j7_range_join", "dedup_semantic"}
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -597,6 +597,39 @@ def test_banded_near_dup_bucket_cap(spark):
     assert roomy.count() == n * (n - 1) // 2
 
 
+def test_semantic_dedup_keep_decisions(spark):
+    """semantic_dedup (r11): pairs -> components -> per-row KEEP
+    decisions over the FULL corpus. Two exact-dup clusters ({1,6,7} and
+    {3,4}) plus orthogonal singletons; the smallest id in each component
+    is kept, every other member points at it, and singletons appear as
+    their own canonical."""
+    from datawarehouse_group10_spark.functions.similarity import semantic_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, [0.0, 0.0, 2.0]),
+            (5, [-1.0, 1.0, 0.0]),
+            (6, [2.0, 0.0, 0.0]),
+            (7, [1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 1.0, 0.0]]
+    out = {
+        r["vec_id"]: (r["canonical_id"], r["kept"])
+        for r in semantic_dedup(corpus, planes, bands=2, threshold=0.999).collect()
+    }
+    assert len(out) == 7  # every corpus row present, singletons included
+    assert out[1] == (1, True) and out[6] == (1, False) and out[7] == (1, False)
+    assert out[3] == (3, True) and out[4] == (3, False)
+    assert out[2] == (2, True) and out[5] == (5, True)
+    # Filtering on kept materializes the deduplicated corpus.
+    assert sorted(k for k, (_, kept) in out.items() if kept) == [1, 2, 3, 5]
+
+
 def test_multimodal_decode_and_frames(spark, docs):
     binary = attach_binary_payload(docs, text_col="text", id_col="doc_id")
     feats = {r["doc_id"]: r for r in decode_features(binary).collect()}
