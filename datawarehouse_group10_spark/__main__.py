@@ -15,6 +15,7 @@ equivalent:
         --partition-col c
     python -m datawarehouse_group10_spark snapshot-backfill --input B.parquet \\
         --table DIR --partition-col c
+    python -m datawarehouse_group10_spark snapshot-history --table DIR
     python -m datawarehouse_group10_spark snapshot-gc --table DIR [--keep N]
 
 ``job`` runs the orchestrated P1-P4 pipeline (ledger-gated, parquet
@@ -102,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
     sb.add_argument("--table", required=True,
                     help="snapshot table root (holds _COMMITTED + v<N>/)")
     sb.add_argument("--partition-col", required=True)
+
+    sh = sub.add_parser(
+        "snapshot-history",
+        help="list a snapshot table's retained versions (files/rows/bytes "
+        "per commit, committed pointer marked) — the time-travel horizon",
+    )
+    sh.add_argument("--table", required=True)
 
     sg = sub.add_parser(
         "snapshot-gc",
@@ -275,6 +283,22 @@ def main(argv: list[str] | None = None) -> int:
                 f"{stats['partitions_backfilled']} partition(s) replaced "
                 f"(readers resolve {snapshot_read_path(args.table)})"
             )
+            return 0
+
+        if args.cmd == "snapshot-history":
+            from .sources.layout import snapshot_history
+
+            hist = snapshot_history(args.table)
+            if not hist:
+                print(f"no snapshot versions under {args.table}",
+                      file=sys.stderr)
+                return 2
+            for h in hist:
+                mark = " <- committed" if h["committed"] else ""
+                print(
+                    f"v{h['version']}: {h['files']} file(s), "
+                    f"{h['rows']} row(s), {h['bytes']} byte(s){mark}"
+                )
             return 0
 
         if args.cmd == "snapshot-gc":

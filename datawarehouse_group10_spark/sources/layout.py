@@ -355,16 +355,77 @@ def snapshot_write(
     return snap
 
 
-def snapshot_read_path(path: str) -> str:
-    """Resolve the committed snapshot directory — the ONE pointer read a
-    scan performs at plan time. Everything under the returned dir is
-    immutable until snapshot_gc reclaims it."""
+def snapshot_read_path(path: str, version: int | None = None) -> str:
+    """Resolve a snapshot directory — the ONE pointer read a scan
+    performs at plan time. Everything under the returned dir is
+    immutable until snapshot_gc reclaims it.
+
+    ``version=None`` (the default) resolves the committed pointer.
+    An explicit ``version`` is TIME TRAVEL: read the table as of that
+    commit — valid for any version at or below the committed pointer
+    that snapshot_gc has not yet reclaimed. Versions above the pointer
+    are a writer's uncommitted staging and raise ValueError; reclaimed
+    versions raise FileNotFoundError naming the retention knob, so a
+    reader pinned to an old version fails loudly instead of silently
+    reading the wrong data."""
     import os
 
     committed = _snapshot_committed(path)
     if committed is None:
         raise FileNotFoundError(f"no _COMMITTED pointer under {path}")
-    return os.path.join(path, f"v{committed}")
+    if version is None:
+        version = committed
+    elif version > committed:
+        raise ValueError(
+            f"version {version} is above the committed pointer "
+            f"(v{committed}) — uncommitted staging is not readable"
+        )
+    snap = os.path.join(path, f"v{version}")
+    if not os.path.isdir(snap):
+        raise FileNotFoundError(
+            f"snapshot v{version} under {path} was reclaimed by "
+            "snapshot_gc — raise its `keep` retention to time-travel "
+            "this far back"
+        )
+    return snap
+
+
+def snapshot_history(path: str) -> list[dict[str, int | bool]]:
+    """The table's retained commit history, oldest first: one entry per
+    on-disk version with file count, total bytes, row count (parquet
+    footers only — no data read), and whether it is the committed
+    snapshot. Versions above the committed pointer (a writer's staging
+    or a pre-commit crash's orphan) are flagged ``committed=False`` like
+    reclaimed-pending ones; the committed row is the one readers resolve.
+    Driver cost is O(versions x files) metadata stats — the same class
+    as snapshot_gc's own listing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    committed = _snapshot_committed(path)
+    out: list[dict[str, int | bool]] = []
+    for v in _snapshot_versions(path):
+        snap = os.path.join(path, f"v{v}")
+        files = rows = nbytes = 0
+        for dirpath, _dirs, names in os.walk(snap):
+            for f in names:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, f)
+                files += 1
+                nbytes += os.path.getsize(full)
+                rows += pq.ParquetFile(full).metadata.num_rows
+        out.append(
+            {
+                "version": v,
+                "committed": v == committed,
+                "files": files,
+                "rows": rows,
+                "bytes": nbytes,
+            }
+        )
+    return out
 
 
 def snapshot_compact(

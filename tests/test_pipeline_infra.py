@@ -1573,11 +1573,22 @@ def test_cli_snapshot_subcommands(spark, tmp_path, monkeypatch, capsys):
     assert snapshot_read_path(table).endswith("v2")
     assert spark.read.parquet(snapshot_read_path(table)).count() == 400
 
+    rc = main(["snapshot-history", "--table", table])
+    assert rc == 0
+    hist_out = capsys.readouterr().out.strip().splitlines()
+    assert len(hist_out) == 2
+    assert hist_out[0].startswith("v1:") and "committed" not in hist_out[0]
+    assert hist_out[1].startswith("v2:") and hist_out[1].endswith("<- committed")
+    assert "400 row(s)" in hist_out[1]
+
     rc = main(["snapshot-gc", "--table", table, "--keep", "1"])
     assert rc == 0
     assert "removed v1" in capsys.readouterr().out
     assert not os.path.exists(os.path.join(table, "v1"))
     assert spark.read.parquet(snapshot_read_path(table)).count() == 400
+
+    # history on a non-snapshot dir is a loud rc=2, not a crash
+    assert main(["snapshot-history", "--table", str(tmp_path / "nope")]) == 2
 
 
 def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
@@ -1644,3 +1655,67 @@ def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+def test_snapshot_time_travel_and_history(spark, tmp_path):
+    """Time travel (r11): snapshot_read_path(version=N) reads the table
+    AS OF commit N for any retained version; versions above the pointer
+    (uncommitted staging) and GC-reclaimed ones fail loudly instead of
+    silently reading wrong data. snapshot_history lists the retained
+    commits with footer-derived stats and marks the committed one."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_history,
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b") for i in range(20)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    fixed = df.withColumn(
+        "v", F.when(F.col("p") == "b", F.col("v") + 1000).otherwise(F.col("v"))
+    )
+    snapshot_backfill(fixed.filter("p = 'b'"), path, "p")
+
+    # default read = committed v2; version=1 time-travels to the pre-fix
+    # state; both are simultaneously scannable (immutable dirs).
+    assert snapshot_read_path(path).endswith("v2")
+    assert snapshot_read_path(path, version=2) == snapshot_read_path(path)
+    old = spark.read.parquet(snapshot_read_path(path, version=1))
+    new = spark.read.parquet(snapshot_read_path(path, version=2))
+    assert old.filter("p = 'b'").agg(F.sum("v")).first()[0] == 190.0
+    assert new.filter("p = 'b'").agg(F.sum("v")).first()[0] == 20190.0
+
+    # history: oldest first, committed marked, footer stats populated
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert [h["committed"] for h in hist] == [False, True]
+    assert all(h["rows"] == 40 and h["files"] > 0 and h["bytes"] > 0 for h in hist)
+
+    # uncommitted staging (a crashed writer's orphan v3) is not readable
+    # and not marked committed in history
+    os.makedirs(os.path.join(path, "v3"))
+    with _pytest.raises(ValueError, match="above the committed pointer"):
+        snapshot_read_path(path, version=3)
+    assert [h["committed"] for h in snapshot_history(path)] == [
+        False,
+        True,
+        False,
+    ]
+
+    # GC reclaims v1 -> time travel past the retention window is loud
+    assert snapshot_gc(path, keep=1) == [1]
+    with _pytest.raises(FileNotFoundError, match="retention"):
+        snapshot_read_path(path, version=1)
+    assert [h["version"] for h in snapshot_history(path)] == [2, 3]
