@@ -3138,6 +3138,29 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (r11) — the memory-bounded scale
+    path: 4 subspaces x 16 data-derived codebook entries encode each
+    64-dim vector as 4 bytes, the ADC scan ranks by plan-time-folded
+    distance-table lookups (no join, no shuffle), and the top-50
+    candidates are exact-reranked by cosine.
+
+    Oracle-checkable end-to-end like the IVF surface: codebooks are
+    subvectors of the 16 lowest-id corpus vectors (SQL can slice them),
+    per-subspace code assignment is argmin over c.c - 2*v.c with ties to
+    the lowest entry (bit-identical folds both engines), and the ADC sum
+    is a left-associative add chain the oracle reproduces term by term.
+    """
+    _utc(spark)
+    from .functions.similarity import pq_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    books = pq_codebooks(emb, m=4, k=16)
+    out = pq_topk(emb, q, books, k=10, refine=50)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
 def q_serving_mart_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 + W3/W4/W5/W6: the dashboard's display projection — mart rows
     with percent-formatted probability and recency classification, top-50
@@ -4416,6 +4439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_contamination": q_dedup_contamination,
     "sim_cosine_suite": q_sim_cosine_suite,
     "sim_ann_suite": q_sim_ann_suite,
+    "sim_pq_topk": q_sim_pq_topk,
     "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
     "dedup_semantic": q_dedup_semantic,
     # skew discipline + SCD2
@@ -6108,6 +6132,60 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
 
 # Incremental MinHash vs the persisted corpus index must equal the
 # new-involving subset of the full-corpus exact-Jaccard pair set.
+#: sim_pq_topk: codebook entry (s, j) = subspace s (16 dims, 1-based
+#: inclusive DuckDB list slice) of the j-th lowest-id corpus vector;
+#: per-row codes are argmin over c.c - 2*v.c (rank-window, ties to the
+#: lowest j — the ivf assign precedent); the ADC approximation is the
+#: LEFT-ASSOCIATIVE 4-term add chain the Spark side builds, pivoted out
+#: of the per-subspace terms so the fold order is explicit (a bare SUM()
+#: would add in arbitrary order and flip refine-boundary ties).
+ORACLES["sim_pq_topk"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT s.s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY b.vec_id) - 1
+              AS INT) AS j,
+         b.bv[(s.s*16+1):(s.s*16+16)] AS cv
+  FROM base b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) s
+),
+codes AS (
+  SELECT e.vec_id, c.s, c.cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id, c.s
+           ORDER BY list_dot_product(c.cv, c.cv)
+                    - 2 * list_dot_product(
+                        CAST(e.embedding AS DOUBLE[])[(c.s*16+1):(c.s*16+16)],
+                        c.cv),
+                    c.j
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb c
+),
+terms AS (
+  SELECT k.vec_id, k.s,
+         list_dot_product(k.cv, k.cv)
+         - 2 * list_dot_product(q.qv[(k.s*16+1):(k.s*16+16)], k.cv) AS t
+  FROM codes k CROSS JOIN q
+  WHERE k.rn = 1
+),
+adc AS (
+  SELECT vec_id,
+         ((MAX(CASE WHEN s = 0 THEN t END)
+           + MAX(CASE WHEN s = 1 THEN t END))
+          + MAX(CASE WHEN s = 2 THEN t END))
+         + MAX(CASE WHEN s = 3 THEN t END) AS d
+  FROM terms GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY d, vec_id LIMIT 50)
+SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY {_COS_Q} DESC, e.vec_id
+LIMIT 10
+"""
+
 ORACLES["dedup_minhash_incremental"] = (
     "SELECT * FROM (\n"
     + _NGRAM_JACCARD_SQL

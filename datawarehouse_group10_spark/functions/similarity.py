@@ -346,6 +346,105 @@ def semantic_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — memory-bounded approximate search
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Data-derived PQ codebooks: ``codebooks[s][j]`` is subspace ``s``
+    of the j-th lowest-id corpus vector — the PQ analogue of
+    :func:`deterministic_centroids` (a production index would k-means
+    each subspace; the layout only needs a fixed, reproducible set, and
+    data-derived entries keep the whole path oracle-checkable). One
+    k-row collect at index-build time."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    d = len(vecs[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    return [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as M small codes (one per subspace): the
+    argmin-distance codebook entry for each subvector, via the same
+    array-build + array_min + array_position shape as
+    :func:`ivf_assign` (each per-entry distance appears once in the
+    plan; ties go to the lowest entry id on both engines). Adds
+    ``_pq`` (array<int>, length M). A 64-dim float corpus stores 4
+    bytes/vector instead of 256 — the 100 TB trick that keeps a whole
+    ANN index in executor memory. Pure scan-project: no join, no
+    shuffle."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        v = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = []
+        for c in cb:
+            ca = F.array(*[F.lit(float(x)) for x in c])
+            dists.append(_dot(ca, ca) - 2 * _dot(v, ca))
+        darr = F.array(*dists)
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return df.withColumn("_pq", F.array(*codes))
+
+
+def pq_topk(
+    df: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: rank by the ADC approximation
+    (sum over subspaces of the query-to-codebook-entry distance each
+    row's code selects), take the best ``refine`` candidates, then
+    exact-rank those by cosine. The per-subspace distance tables are
+    constant expressions (literal codebooks x literal query), so
+    Catalyst folds them at plan time and the per-row cost is M array
+    lookups + one add chain — no join, no shuffle; the only ordered
+    steps are two TakeOrderedAndProject heaps (refine, then k).
+
+    Determinism for the oracle: the ADC sum is a LEFT-ASSOCIATIVE add
+    chain (term0 + term1 + ...) and every dot product is the same
+    sequential fold on both engines, so the refine-boundary ordering
+    (approx distance, then id) is bit-identical."""
+    enc = pq_encode(df, codebooks, vec_col)
+    sub = len(codebooks[0][0])
+    approx = None
+    for s, cb in enumerate(codebooks):
+        qs = F.array(*[F.lit(float(x)) for x in query[s * sub : (s + 1) * sub]])
+        entries = []
+        for c in cb:
+            ca = F.array(*[F.lit(float(x)) for x in c])
+            entries.append(_dot(ca, ca) - 2 * _dot(qs, ca))
+        term = F.element_at(F.array(*entries), F.col("_pq").getItem(s) + 1)
+        approx = term if approx is None else approx + term
+    cand = (
+        enc.withColumn("_adc", approx)
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(refine)
+    )
+    sim = cosine_similarity_col(vec_col, query)
+    return (
+        cand.select(id_col, sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN (inverted-file index over deterministic centroids)
 
 

@@ -597,6 +597,55 @@ def test_banded_near_dup_bucket_cap(spark):
     assert roomy.count() == n * (n - 1) // 2
 
 
+def test_pq_topk_full_refine_equals_brute_force(spark):
+    """PQ ANN (r11): with refine >= corpus size the exact re-rank sees
+    every row, so pq_topk is deterministically EQUAL to brute force
+    regardless of quantization error — the same full-probe equivalence
+    the IVF kNN join pins. With a small refine the ADC scan still ranks
+    an exact duplicate of the query first (its codes match the query's
+    in every subspace). Codebook shape is validated loudly."""
+    import math as _math
+
+    from datawarehouse_group10_spark.functions.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    n, d = 40, 8
+    rows = [
+        (i, [_math.sin(0.7 * i + 0.3 * j) for j in range(d)]) for i in range(n)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = rows[7][1]
+    books = pq_codebooks(corpus, m=4, k=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == d // 4
+
+    full = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in pq_topk(corpus, q, books, k=5, refine=n).collect()
+    ]
+    brute = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in brute_force_topk(corpus, q, k=5).collect()
+    ]
+    assert full == brute
+
+    # narrow refine: the query's own row (codes identical in every
+    # subspace -> minimal ADC) survives the candidate cut and ranks #1
+    narrow = pq_topk(corpus, q, books, k=1, refine=4).collect()
+    assert narrow[0]["vec_id"] == 7
+    assert narrow[0]["cosine"] == pytest.approx(1.0)
+
+    # codes are one small int per subspace — the 4-byte representation
+    enc = pq_encode(corpus, books).select("_pq").first()[0]
+    assert len(enc) == 4 and all(0 <= c < 8 for c in enc)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(corpus, m=3, k=8)
+
+
 def test_semantic_dedup_keep_decisions(spark):
     """semantic_dedup (r11): pairs -> components -> per-row KEEP
     decisions over the FULL corpus. Two exact-dup clusters ({1,6,7} and
