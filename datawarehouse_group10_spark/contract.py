@@ -4195,6 +4195,28 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity scoring (r11): every document's
+    token count and mean/summed logprob under a self-trained unigram LM
+    — the quality filter that drops gibberish (low score) and degenerate
+    repetition (implausibly high score) from a web corpus. The LM is
+    vocabulary-sized; the scoring join is token-keyed against it and the
+    per-doc rollup is one hash aggregate. Rounded to 5 decimals on both
+    engines: the per-doc float sums are order-sensitive in the last ulp
+    (~1e-13 on ~40-token docs) and rounding absorbs exactly that."""
+    _utc(spark)
+    from .functions.text import lm_perplexity_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_perplexity_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("sum_logprob", 5).alias("sum_logprob"),
+        F.round("avg_logprob", 5).alias("avg_logprob"),
+    )
+
+
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (token tf/df), distinct-bigram counts,
     language-id distribution, and (r7) the count-min frequency sketch in
@@ -4426,6 +4448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis (language-id rides text_corpus_stats' `lang` rows)
     "text_features": q_text_features,
     "text_corpus_stats": q_text_corpus_stats,
+    "text_lm_scores": q_text_lm_scores,
     "text_chunks": q_text_chunks,
     "text_redact_pii": q_text_redact_pii,
     # dedup / similarity
@@ -6335,6 +6358,32 @@ SELECT id_a, id_b,
          AS hamming
 FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+"""
+
+#: text_lm_scores: self-trained unigram LM — every token is in-vocab, so
+#: the inner token join loses nothing; round(…, 5) on both engines
+#: absorbs the order-sensitive last-ulp of the per-doc float sums.
+ORACLES["text_lm_scores"] = r"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+lm AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1
+),
+tot AS (SELECT SUM(tf) AS total FROM lm),
+scored AS (
+  SELECT k.doc_id,
+         ln(CAST(l.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS lp
+  FROM toks k JOIN lm l ON l.t = k.t CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(SUM(lp), 5) AS sum_logprob,
+       round(SUM(lp) / COUNT(*), 5) AS avg_logprob
+FROM scored GROUP BY doc_id
 """
 
 ORACLES["text_redact_pii"] = r"""

@@ -255,3 +255,59 @@ def ngram_counts(df, text_col: str = "text", n: int = 2):
 
     grams = df.select(F.explode(word_shingles(text_col, n)).alias("ngram"))
     return grams.groupBy("ngram").agg(F.count("*").cast("bigint").alias("n"))
+
+
+def unigram_lm(df, text_col: str = "text"):
+    """Train a unigram language model over the corpus: (token, tf,
+    logprob) with logprob = ln(tf / total). One explode + one hash
+    aggregate (map-side combinable, uniform token keys); the total is a
+    window-less scalar folded in via a 1-row cross join. The LM table is
+    vocabulary-sized — orders of magnitude smaller than the corpus."""
+    tok = df.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("_total"))
+    return tf.crossJoin(F.broadcast(total)).select(
+        "token",
+        "tf",
+        F.log(F.col("tf").cast("double") / F.col("_total").cast("double")).alias(
+            "logprob"
+        ),
+    )
+
+
+def lm_perplexity_scores(
+    df,
+    lm=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob: float = -20.0,
+):
+    """CCNet-style quality scoring: each document's mean token logprob
+    under a unigram LM (``lm=None`` self-trains on ``df`` via
+    :func:`unigram_lm` — then every token is in-vocabulary; pass a
+    reference-corpus LM to score a different corpus, with OOV tokens
+    priced at ``oov_logprob``). Low scores flag gibberish/rare-token
+    junk; implausibly high scores flag degenerate repetition — the
+    standard two-sided perplexity filter of a web-corpus pipeline.
+
+    Returns (id, n_tokens, sum_logprob, avg_logprob). Scale shape: one
+    token explode, one token-keyed join against the vocabulary-sized LM
+    (broadcast when it fits, shuffle-hash otherwise — token frequency
+    skew is absorbed by the map-side combine of the following per-doc
+    aggregate), one id-keyed hash aggregate."""
+    if lm is None:
+        lm = unigram_lm(df, text_col)
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    scored = tok.join(lm.select("token", "logprob"), "token", "left").select(
+        id_col,
+        F.coalesce("logprob", F.lit(float(oov_logprob))).alias("logprob"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("logprob").alias("sum_logprob"),
+        (F.sum("logprob") / F.count("*")).alias("avg_logprob"),
+    )

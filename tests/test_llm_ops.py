@@ -511,6 +511,46 @@ def vecs(spark):
     return spark.createDataFrame(VECS, "vec_id bigint, embedding array<float>, label int")
 
 
+def test_lm_perplexity_scores(spark):
+    """Unigram-LM quality scoring (r11): self-trained scores rank a
+    common-token doc above a rare-token one; a reference LM scores a
+    different corpus with OOV tokens priced at oov_logprob."""
+    import math as _math
+
+    from datawarehouse_group10_spark.functions.text import (
+        lm_perplexity_scores,
+        unigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "the the rare the"),
+            (3, "zxq"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity_scores(corpus).collect()}
+    # 9 tokens total: the x7, rare x1, zxq x1
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["avg_logprob"] == pytest.approx(_math.log(7 / 9))
+    assert out[2]["avg_logprob"] == pytest.approx(
+        (3 * _math.log(7 / 9) + _math.log(1 / 9)) / 4
+    )
+    # common-token doc scores strictly higher than the rare-token one
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"] > out[3]["avg_logprob"]
+
+    # reference-LM mode: score a NEW corpus against corpus' LM; the OOV
+    # token gets the floor price
+    lm = unigram_lm(corpus)
+    new = spark.createDataFrame(
+        [(10, "the unseen")], "doc_id bigint, text string"
+    )
+    r = lm_perplexity_scores(new, lm=lm, oov_logprob=-20.0).first()
+    assert r["n_tokens"] == 2
+    assert r["sum_logprob"] == pytest.approx(_math.log(7 / 9) + -20.0)
+
+
 def test_cosine_and_topk(spark, vecs):
     out = brute_force_topk(vecs, [1.0, 0.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in out] == [1, 2]
