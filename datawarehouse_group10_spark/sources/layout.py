@@ -428,6 +428,86 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
     return out
 
 
+def _snapshot_changed_partitions(
+    a_dir: str, b_dir: str, partition_col: str
+) -> list[str]:
+    """Partition values whose parquet file sets (name, size) differ
+    between two snapshot dirs — metadata-only. Untouched partitions are
+    HARDLINKED across versions with identical names/sizes (that is the
+    compact/backfill contract), so they compare equal without reading a
+    byte; a partition present in only one version also counts."""
+    import os
+
+    def listing(root: str) -> dict[str, set[tuple[str, int]]]:
+        out: dict[str, set[tuple[str, int]]] = {}
+        prefix = f"{partition_col}="
+        if not os.path.isdir(root):
+            return out
+        for d in os.listdir(root):
+            if not d.startswith(prefix):
+                continue
+            pdir = os.path.join(root, d)
+            out[d[len(prefix):]] = {
+                (f, os.path.getsize(os.path.join(pdir, f)))
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            }
+        return out
+
+    a, b = listing(a_dir), listing(b_dir)
+    return sorted(v for v in a.keys() | b.keys() if a.get(v) != b.get(v))
+
+
+def snapshot_diff(
+    spark,
+    path: str,
+    from_version: int,
+    to_version: int,
+    partition_col: str,
+) -> DataFrame:
+    """Row-level CDC between two retained snapshot versions: every row
+    added or removed going ``from_version -> to_version``, tagged
+    ``_change`` ('insert' | 'delete'). Duplicates are respected
+    (exceptAll, not except), so a row whose multiplicity changed shows
+    the net difference.
+
+    Scale shape: identical partitions are pruned by METADATA before any
+    scan — compact/backfill hardlink untouched partitions, so their
+    (name, size) file sets match across versions and
+    :func:`_snapshot_changed_partitions` drops them for free; only the
+    partitions a maintenance op actually rewrote are read and
+    exceptAll'd (one shuffle each way over the changed subset, not the
+    table). On a 100 TB table where a backfill touched 3 of 3000 day
+    partitions, the diff scans 3."""
+    import os
+
+    a_dir = snapshot_read_path(path, version=from_version)
+    b_dir = snapshot_read_path(path, version=to_version)
+    changed = _snapshot_changed_partitions(a_dir, b_dir, partition_col)
+    if not changed:
+        empty = spark.read.option("basePath", a_dir).parquet(a_dir)
+        return empty.withColumn("_change", F.lit("insert")).limit(0)
+
+    def read_side(root: str) -> DataFrame | None:
+        dirs = [
+            os.path.join(root, f"{partition_col}={v}")
+            for v in changed
+            if os.path.isdir(os.path.join(root, f"{partition_col}={v}"))
+        ]
+        if not dirs:
+            return None
+        return spark.read.option("basePath", root).parquet(*dirs)
+
+    a_df, b_df = read_side(a_dir), read_side(b_dir)
+    if a_df is None:
+        return b_df.withColumn("_change", F.lit("insert"))
+    if b_df is None:
+        return a_df.withColumn("_change", F.lit("delete"))
+    inserts = b_df.exceptAll(a_df).withColumn("_change", F.lit("insert"))
+    deletes = a_df.exceptAll(b_df).withColumn("_change", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def snapshot_compact(
     spark,
     path: str,

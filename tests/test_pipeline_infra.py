@@ -1657,6 +1657,52 @@ def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
     assert a == b
 
 
+def test_snapshot_diff_scans_only_changed_partitions(spark, tmp_path):
+    """snapshot_diff (r11): row-level CDC between two retained versions.
+    Hardlinked (untouched) partitions compare equal by metadata and are
+    pruned before any scan; the diff is exactly the backfill's net row
+    changes, duplicates respected."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.sources.layout import (
+        _snapshot_changed_partitions,
+        snapshot_backfill,
+        snapshot_diff,
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    rows = [(m, i, float(i)) for m in ("a", "b", "c") for i in range(30)]
+    df = spark.createDataFrame(rows, "p string, k int, v double")
+    # v1 is missing two b-rows and carries a duplicate of (b, 1)
+    bad = df.filter(~((F.col("p") == "b") & (F.col("k").isin(5, 6)))).unionByName(
+        df.filter("p = 'b' AND k = 1")
+    )
+    snapshot_write(bad, path, "p")
+    snapshot_backfill(df.filter("p = 'b'"), path, "p")
+
+    # metadata prune: only b's file set differs between v1 and v2
+    assert _snapshot_changed_partitions(
+        snapshot_read_path(path, version=1),
+        snapshot_read_path(path, version=2),
+        "p",
+    ) == ["b"]
+
+    diff = snapshot_diff(spark, path, 1, 2, "p")
+    got = {
+        (r["_change"], r["k"]): r
+        for r in diff.collect()
+    }
+    # net changes: the two missing rows inserted, the duplicate deleted
+    assert set(got) == {("insert", 5), ("insert", 6), ("delete", 1)}
+    assert all(r["p"] == "b" for r in got.values())
+
+    # identical versions diff to zero rows (and scan nothing)
+    snapshot_backfill(df.filter("p = 'b'"), path, "p")  # v3 == v2 content
+    assert snapshot_diff(spark, path, 2, 3, "p").count() == 0
+
+
 def test_snapshot_time_travel_and_history(spark, tmp_path):
     """Time travel (r11): snapshot_read_path(version=N) reads the table
     AS OF commit N for any retained version; versions above the pointer
