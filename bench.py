@@ -98,11 +98,28 @@ HEADLINE = [
 #:   (exact/cap1000/fuzzy/setcos) over the staged shingle artifact
 #:   (r8 — 7.44s in-query → 3.01s staged at sf0.1); tracked so the
 #:   staged-path speedup stays visible round-over-round.
+#: - r11 additions: sim_pq_topk (PQ ADC scan + exact rerank — the
+#:   memory-bounded ANN path), dedup_semantic (embedding near-dup keep
+#:   decisions: LSH pairs -> components -> corpus left join), and
+#:   text_lm_scores (unigram-LM perplexity scoring). Secondary, not
+#:   headline, to keep the 17-query headline series comparable. In the
+#:   REGISTRY these ride sim_ann_suite ('pq' surface) / text_features
+#:   (lm_* columns) so the registry holds at the driver's 50-entry
+#:   correctness window; here they are timed as their standalone q_*
+#:   bodies so each series isolates one operator. SEAM r11: the
+#:   registry consolidation also folded stream_hourly_counts into
+#:   stream_suite, so the stream_suite secondary series gains the
+#:   hourly micro-batch run (~+5s) from r11 on; the headline
+#:   stream_hourly_counts series itself is unchanged (still timed
+#:   standalone).
 SECONDARY = [
     "dedup_minhash_oneshot",
     "corpus_curation_pipeline",
     "stream_suite",
     "dedup_ngram_jaccard",
+    "sim_pq_topk",
+    "dedup_semantic",
+    "text_lm_scores",
 ]
 
 

@@ -2739,7 +2739,12 @@ def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so the same per-query rank-window SQL oracle checks the whole
     assign→probe→rank path (r6 verdict ask #4; partial-probe recall
     trade-off stays pytest-pinned). One surface-tagged result, same
-    consolidation shape as sim_cosine_suite."""
+    consolidation shape as sim_cosine_suite.
+
+    The ``pq`` surface (r11) rides here too — product-quantization ANN
+    top-10 (:func:`q_sim_pq_topk`, which stays importable/benchable on
+    its own) — so the registry holds at 50 entries, the driver's
+    correctness-gate window."""
     from .functions.similarity import (
         deterministic_centroids,
         knn_join,
@@ -2767,7 +2772,15 @@ def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("cosine", 5).alias("cos5"),
     )
-    return lsh.unionByName(ivf).unionByName(knn).unionByName(knn_ivf)
+    pq = q_sim_pq_topk(spark, sf_dir).select(
+        F.lit("pq").alias("surface"), "vec_id", "cos5"
+    )
+    return (
+        lsh.unionByName(ivf)
+        .unionByName(knn)
+        .unionByName(knn_ivf)
+        .unionByName(pq)
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3614,11 +3627,26 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").cast("double").alias("d1"),
         F.lit(None).cast("string").alias("s2"),
     )
+    # 'hourly' (r11 consolidation): the deployable watermarked
+    # tumbling-window path (append-mode parquet sink + checkpoint),
+    # previously its own registry entry — folded in so the registry holds
+    # at the driver's 50-entry gate window. q_stream_hourly_counts stays
+    # importable on its own.
+    hourly = q_stream_hourly_counts(spark, sf_dir).select(
+        F.lit("hourly").alias("surface"),
+        F.col("event_type").alias("s1"),
+        F.col("n").cast("bigint").alias("i1"),
+        F.lit(None).cast("bigint").alias("i2"),
+        F.lit(None).cast("bigint").alias("i3"),
+        F.lit(None).cast("double").alias("d1"),
+        F.col("window_start").alias("s2"),
+    )
     return (
         upsert.unionByName(interval)
         .unionByName(session)
         .unionByName(outer)
         .unionByName(ingest)
+        .unionByName(hourly)
     )
 
 
@@ -4163,15 +4191,33 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/text.py::novelty_features): the across-corpus axis next to
     repetition's within-doc axis, fed from the shared materialized
     shingle parquet; exact integer/rational arithmetic so the oracle
-    equality is bit-level, no transcendental functions involved."""
+    equality is bit-level, no transcendental functions involved.
+
+    r11 adds the unigram-LM perplexity columns (``lm_*``, CCNet-style
+    self-trained LM — functions/text.py::lm_perplexity_scores) to the
+    same per-doc row, consolidating the former ``text_lm_scores``
+    registry entry so the registry holds at the driver's 50-entry gate
+    window; the LM floats are rounded to 5 decimals (their per-doc sums
+    are order-sensitive in the last ulp) while everything else stays
+    bit-exact."""
     _utc(spark)
-    from .functions.text import novelty_features, repetition_features
+    from .functions.text import (
+        lm_perplexity_scores,
+        novelty_features,
+        repetition_features,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     q = quality_features("text")
     r = repetition_features("text", n=3)
     nov = novelty_features(
         docs, k=3, rare_df=1, pre_shingled=staged_shingles(spark, sf_dir)
+    )
+    lm = lm_perplexity_scores(docs).select(
+        "doc_id",
+        F.col("n_tokens").alias("lm_n_tokens"),
+        F.round("sum_logprob", 5).alias("lm_sum_lp5"),
+        F.round("avg_logprob", 5).alias("lm_avg_lp5"),
     )
     return docs.select(
         "doc_id",
@@ -4192,7 +4238,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio",
         ),
         "doc_id",
-    )
+    ).join(lm, "doc_id", "left")
 
 
 def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4448,7 +4494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis (language-id rides text_corpus_stats' `lang` rows)
     "text_features": q_text_features,
     "text_corpus_stats": q_text_corpus_stats,
-    "text_lm_scores": q_text_lm_scores,
+    # text_lm_scores rides text_features (lm_* columns) since r11
     "text_chunks": q_text_chunks,
     "text_redact_pii": q_text_redact_pii,
     # dedup / similarity
@@ -4462,7 +4508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_contamination": q_dedup_contamination,
     "sim_cosine_suite": q_sim_cosine_suite,
     "sim_ann_suite": q_sim_ann_suite,
-    "sim_pq_topk": q_sim_pq_topk,
+    # sim_pq_topk rides sim_ann_suite (the 'pq' surface) since r11
     "ann_label_blocked_pairs": q_ann_label_blocked_pairs,
     "dedup_semantic": q_dedup_semantic,
     # skew discipline + SCD2
@@ -4471,10 +4517,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation composition (subsumes sample_ops' split/mixture) + serving
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "serving_mart_view": q_serving_mart_view,
-    # multimodal + streaming (stateless windowed agg; stateful suite:
-    # foreachBatch mart upsert + stream-stream interval join)
+    # multimodal + streaming (stateful suite: foreachBatch mart upsert,
+    # stream-stream interval joins, sessionization, corpus ingest, and —
+    # since r11 — the watermarked hourly tumbling window as 'hourly')
     "multimodal_decode": q_multimodal_decode,
-    "stream_hourly_counts": q_stream_hourly_counts,
     "stream_suite": q_stream_suite,
 }
 
@@ -5306,6 +5352,26 @@ nov AS (
          CAST(COUNT(*) AS BIGINT) AS n_sh3,
          CAST(SUM(CASE WHEN f.dfc <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare3
   FROM post p JOIN dfreq f USING (s) GROUP BY p.doc_id
+),
+lmtoks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+lmfreq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM lmtoks GROUP BY 1
+),
+lmtot AS (SELECT SUM(tf) AS total FROM lmfreq),
+lm AS (
+  SELECT k.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS lm_n_tokens,
+         round(SUM(ln(CAST(l.tf AS DOUBLE) / CAST(lmtot.total AS DOUBLE))), 5)
+           AS lm_sum_lp5,
+         round(SUM(ln(CAST(l.tf AS DOUBLE) / CAST(lmtot.total AS DOUBLE)))
+               / COUNT(*), 5) AS lm_avg_lp5
+  FROM lmtoks k JOIN lmfreq l ON l.t = k.t CROSS JOIN lmtot
+  GROUP BY k.doc_id
 )
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -5330,8 +5396,12 @@ SELECT d.doc_id,
              / greatest(len(g.g), 1), 6) AS dup_ratio6,
        n.n_sh3,
        n.n_rare3,
-       CAST(n.n_rare3 AS DOUBLE) / n.n_sh3 AS novelty_ratio
+       CAST(n.n_rare3 AS DOUBLE) / n.n_sh3 AS novelty_ratio,
+       lm.lm_n_tokens,
+       lm.lm_sum_lp5,
+       lm.lm_avg_lp5
 FROM documents d JOIN grams g USING (doc_id) JOIN nov n USING (doc_id)
+     LEFT JOIN lm USING (doc_id)
 """,
     # (whole-text md5 dedup, rolling fingerprints, and language-id now
     # ride dedup_exact_suite / text_corpus_stats so every surface stays
@@ -5930,12 +6000,6 @@ SELECT 'adpcm' AS surface,
        CAST(NULL AS VARCHAR) AS digest
 FROM documents
 """,
-    "stream_hourly_counts": """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2
-""",
 }
 
 # Stateful streaming suite: the foreachBatch mart upsert must equal the
@@ -6024,6 +6088,19 @@ SELECT 'ingest' AS surface,
 FROM inter
 WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
   AND (id_a % 4 = 0 OR id_b % 4 = 0)
+UNION ALL
+-- hourly (r11 consolidation): the deployable watermarked tumbling-window
+-- aggregate (append-mode parquet + checkpoint, sentinel-advanced
+-- watermark) must equal the plain batch hourly rollup.
+SELECT 'hourly' AS surface,
+       event_type AS s1,
+       CAST(COUNT(*) AS BIGINT) AS i1,
+       CAST(NULL AS BIGINT) AS i2,
+       CAST(NULL AS BIGINT) AS i3,
+       CAST(NULL AS DOUBLE) AS d1,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS s2
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
 """
 
 # The capped/uncapped suite renders from the shared core.
@@ -6155,14 +6232,15 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
 
 # Incremental MinHash vs the persisted corpus index must equal the
 # new-involving subset of the full-corpus exact-Jaccard pair set.
-#: sim_pq_topk: codebook entry (s, j) = subspace s (16 dims, 1-based
-#: inclusive DuckDB list slice) of the j-th lowest-id corpus vector;
-#: per-row codes are argmin over c.c - 2*v.c (rank-window, ties to the
-#: lowest j — the ivf assign precedent); the ADC approximation is the
-#: LEFT-ASSOCIATIVE 4-term add chain the Spark side builds, pivoted out
-#: of the per-subspace terms so the fold order is explicit (a bare SUM()
-#: would add in arbitrary order and flip refine-boundary ties).
-ORACLES["sim_pq_topk"] = f"""
+#: PQ top-k (the sim_ann_suite 'pq' surface): codebook entry (s, j) =
+#: subspace s (16 dims, 1-based inclusive DuckDB list slice) of the j-th
+#: lowest-id corpus vector; per-row codes are argmin over c.c - 2*v.c
+#: (rank-window, ties to the lowest j — the ivf assign precedent); the
+#: ADC approximation is the LEFT-ASSOCIATIVE 4-term add chain the Spark
+#: side builds, pivoted out of the per-subspace terms so the fold order
+#: is explicit (a bare SUM() would add in arbitrary order and flip
+#: refine-boundary ties).
+_PQ_TOPK_SQL = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
 base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv
@@ -6207,6 +6285,14 @@ SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
 FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
 ORDER BY {_COS_Q} DESC, e.vec_id
 LIMIT 10
+"""
+
+# Consolidated into sim_ann_suite as the 'pq' surface (registry stays at
+# the driver's 50-entry gate window); q_sim_pq_topk remains importable
+# and is benched on its own as a SECONDARY series.
+ORACLES["sim_ann_suite"] += f"""
+UNION ALL
+SELECT 'pq' AS surface, t.* FROM ({_PQ_TOPK_SQL}) t
 """
 
 ORACLES["dedup_minhash_incremental"] = (
@@ -6363,28 +6449,6 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 #: text_lm_scores: self-trained unigram LM — every token is in-vocab, so
 #: the inner token join loses nothing; round(…, 5) on both engines
 #: absorbs the order-sensitive last-ulp of the per-doc float sums.
-ORACLES["text_lm_scores"] = r"""
-WITH toks AS (
-  SELECT doc_id, t FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-    FROM documents
-  ) WHERE t <> ''
-),
-lm AS (
-  SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1
-),
-tot AS (SELECT SUM(tf) AS total FROM lm),
-scored AS (
-  SELECT k.doc_id,
-         ln(CAST(l.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS lp
-  FROM toks k JOIN lm l ON l.t = k.t CROSS JOIN tot
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(SUM(lp), 5) AS sum_logprob,
-       round(SUM(lp) / COUNT(*), 5) AS avg_logprob
-FROM scored GROUP BY doc_id
-"""
 
 ORACLES["text_redact_pii"] = r"""
 -- URL pass first, emails counted on the URL-redacted stage: each audit

@@ -1020,8 +1020,24 @@ def resolve_duplicate_clusters(
     a safety bound only; if it is exhausted before the fixpoint the
     function RAISES rather than silently returning split components
     (2^20 doubling covers any real corpus). Every join keys on doc id
-    (uniform), no skew; per-round results are persisted so lineage stays
-    O(1) across iterations.
+    (uniform), no skew.
+
+    Per-round results are ``localCheckpoint``-ed, NOT merely persisted:
+    ``persist`` caches the DATA but the LOGICAL plan of round i still
+    nests the full plan of round i-1 (each round references the prior
+    labels in three joins), so the analyzed plan more than doubles every
+    round — at a dense dup graph this was observed to reach Spark's
+    2 GiB plan-string ceiling and OOM an 8 GiB driver heap on the
+    ``Dataset.persist`` call itself (r11 validation sweep, sf0.3
+    embeddings). ``localCheckpoint`` truncates lineage to a LogicalRDD
+    each round, keeping the plan O(1) across iterations; superseded
+    rounds' blocks are reclaimed by Spark's ContextCleaner once the
+    driver-side reference drops. Cluster note: ``localCheckpoint``
+    stores blocks on executors without lineage, so an executor loss
+    mid-fixpoint fails the job (retry the call) — for long jobs on
+    preemptible fleets use ``setCheckpointDir`` + reliable
+    ``checkpoint`` instead; the O(log diameter) round count makes the
+    retry-the-call policy the right default here.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -1031,7 +1047,7 @@ def resolve_duplicate_clusters(
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.min("src")).alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -1055,7 +1071,10 @@ def resolve_duplicate_clusters(
                     F.col("h.label"), F.coalesce(F.col("p._ll"), F.col("h.label"))
                 ).alias("label"),
             )
-            .persist()
+            # Lineage MUST be cut every round, not just cached — see the
+            # docstring's plan-explosion note. Eager: materializes here,
+            # and the changed-count below reads the checkpointed blocks.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1063,24 +1082,19 @@ def resolve_duplicate_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"resolve_duplicate_clusters: no fixpoint after {max_iter} "
             "doubling rounds — component structure is pathological; raise "
             "max_iter explicitly"
         )
-    # Materialize the (small: one row per doc appearing in any dup pair)
-    # result eagerly so the final round's cache can be released — repeated
-    # calls in a long-lived driver otherwise accumulate persisted RDDs.
-    # localCheckpoint also truncates the O(log n)-deep join lineage.
-    result = labels.select(
+    # One final checkpoint of the (small: one row per doc appearing in any
+    # dup pair) projection so the caller holds a lineage-free result and
+    # every intermediate round's blocks become ContextCleaner-reclaimable.
+    return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("canonical_id")
     ).localCheckpoint(eager=True)
-    labels.unpersist()
-    return result

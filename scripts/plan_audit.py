@@ -31,7 +31,6 @@ PYTHON_OK = {"multimodal_decode"}
 SKIP = {
     # streaming queries materialize via query.start(); plan introspection
     # happens in their own pytest suites instead.
-    "stream_hourly_counts",
     "stream_suite",
 }
 

@@ -457,8 +457,11 @@ def test_suite_projection_plans_are_single_stage(spark):
     must stay a pure scan-projection (ZERO shuffles — at 100 TB an
     accidental Exchange there is a corpus-wide repartition for row-local
     arithmetic), and text_features may shuffle ONLY for its
-    corpus-relative novelty columns: the document-frequency aggregate
-    and the per-doc rollup (r7) — two hash Exchanges on uniform keys,
+    corpus-relative columns: the novelty document-frequency aggregate
+    and per-doc rollup (r7), plus — since the r11 registry
+    consolidation folded the unigram-LM columns in — the LM's token-tf
+    aggregate, its 1-row total, the per-doc logprob rollup, and the
+    doc_id join of that rollup: six hash Exchanges on uniform keys,
     nothing more. The row-local features must not add any."""
     import re
 
@@ -473,7 +476,7 @@ def test_suite_projection_plans_are_single_stage(spark):
                 if e == "Exchange"]
 
     assert shuffles("t_part_suite") == []
-    assert len(shuffles("text_features")) == 2
+    assert len(shuffles("text_features")) == 6
 
 
 def test_w_recency_suite_window_is_partitioned(spark):
