@@ -3732,7 +3732,12 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles on both engines. The ``hopping`` section adds
     the sliding-window API (F.window with a 15-min slide over 1-hour
     windows; the oracle reconstructs membership by exploding the four
-    candidate window starts per event)."""
+    candidate window starts per event). The ``funnel`` and ``cohort``
+    sections (r11) exercise operators/analytics.py over a deterministic
+    sparse slice (event_id % 7 = 0 — the full corpus has every user doing
+    every event type, which would make both surfaces degenerate): an
+    ordered 4-step funnel (view→click→signup→purchase, greedy
+    earliest-completion) and a weekly cohort-retention triangle."""
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
     out = days_since_last(ev, key="user_id", date_col="d")
@@ -3797,7 +3802,52 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("sval"),
         )
     )
-    return rec.unionByName(gf).unionByName(hop)
+
+    from .operators.analytics import cohort_retention, funnel_steps
+
+    ev_sparse = _events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    fun = (
+        funnel_steps(ev_sparse, ["view", "click", "signup", "purchase"])
+        .selectExpr(
+            "step_name",
+            "step",
+            "stack(3, 'n_users', cast(n_users as double),"
+            " 'conv_from_prev', conv_from_prev,"
+            " 'conv_from_first', conv_from_first) as (metric, val)",
+        )
+        .select(
+            F.lit("funnel").alias("section"),
+            F.col("step_name").alias("k1"),
+            F.col("step").cast("string").alias("k2"),
+            "metric",
+            "val",
+            F.lit(None).cast("string").alias("sval"),
+        )
+    )
+    coh = (
+        cohort_retention(ev_sparse, granularity="week")
+        .selectExpr(
+            "cohort",
+            "offset",
+            "stack(3, 'n_users', cast(n_users as double),"
+            " 'cohort_size', cast(cohort_size as double),"
+            " 'retention', retention) as (metric, val)",
+        )
+        .select(
+            F.lit("cohort").alias("section"),
+            F.date_format("cohort", "yyyy-MM-dd").alias("k1"),
+            F.col("offset").cast("string").alias("k2"),
+            "metric",
+            "val",
+            F.lit(None).cast("string").alias("sval"),
+        )
+    )
+    return (
+        rec.unionByName(gf)
+        .unionByName(hop)
+        .unionByName(fun)
+        .unionByName(coh)
+    )
 
 
 def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5281,6 +5331,78 @@ FROM (
   WHERE event_type = 'purchase'
 )
 GROUP BY w_start
+UNION ALL
+SELECT 'funnel', nm, CAST(step AS VARCHAR), m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT step, nm,
+         unnest(['n_users', 'conv_from_prev', 'conv_from_first']) AS m,
+         unnest([n, cp, cf]) AS v
+  FROM (
+    WITH ev AS (SELECT user_id, ts, event_type FROM events
+                WHERE event_id % 7 = 0),
+    r1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+    r2 AS (SELECT r1.user_id, t1,
+                  MIN(CASE WHEN e.ts > r1.t1 THEN e.ts END) AS t2
+           FROM r1 LEFT JOIN ev e
+             ON e.user_id = r1.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+    r3 AS (SELECT r2.user_id, t1, t2,
+                  MIN(CASE WHEN e.ts > r2.t2 THEN e.ts END) AS t3
+           FROM r2 LEFT JOIN ev e
+             ON e.user_id = r2.user_id AND e.event_type = 'signup'
+           GROUP BY 1, 2, 3),
+    r4 AS (SELECT r3.user_id, t1, t2, t3,
+                  MIN(CASE WHEN e.ts > r3.t3 THEN e.ts END) AS t4
+           FROM r3 LEFT JOIN ev e
+             ON e.user_id = r3.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3, 4),
+    fc AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2,
+                  COUNT(t3) AS n3, COUNT(t4) AS n4 FROM r4)
+    SELECT 1 AS step, 'view' AS nm, CAST(n1 AS DOUBLE) AS n,
+           CAST(NULL AS DOUBLE) AS cp,
+           CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END AS cf FROM fc
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS DOUBLE),
+           CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+           CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END FROM fc
+    UNION ALL
+    SELECT 3, 'signup', CAST(n3 AS DOUBLE),
+           CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END,
+           CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END FROM fc
+    UNION ALL
+    SELECT 4, 'purchase', CAST(n4 AS DOUBLE),
+           CASE WHEN n3 > 0 THEN CAST(n4 AS DOUBLE) / n3 END,
+           CASE WHEN n1 > 0 THEN CAST(n4 AS DOUBLE) / n1 END FROM fc
+  )
+)
+UNION ALL
+SELECT 'cohort', strftime(cohort, '%Y-%m-%d'), CAST(off_w AS VARCHAR),
+       m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT cohort, off_w,
+         unnest(['n_users', 'cohort_size', 'retention']) AS m,
+         unnest([CAST(n_users AS DOUBLE), CAST(cohort_size AS DOUBLE),
+                 CAST(n_users AS DOUBLE) / cohort_size]) AS v
+  FROM (
+    WITH ev AS (SELECT user_id, ts FROM events WHERE event_id % 7 = 0),
+    co AS (SELECT user_id,
+                  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+           FROM ev GROUP BY 1),
+    act AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS p
+            FROM ev)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, p) / 7 AS INT) AS off_w,
+           COUNT(DISTINCT a.user_id) AS n_users,
+           MIN(sz.cohort_size) AS cohort_size
+    FROM act a
+    JOIN co USING (user_id)
+    JOIN (SELECT cohort AS c2, COUNT(*) AS cohort_size
+          FROM co GROUP BY 1) sz ON sz.c2 = cohort
+    GROUP BY 1, 2
+  )
+)
 """,
     "w4_set_suite": """
 WITH ranked AS (

@@ -1,0 +1,163 @@
+"""Behavioral analytics operators over event streams: ordered funnels
+and cohort retention (beyond-the-reference surface — the event-table
+analytics a product team runs next to the warehouse queries; the
+reference's events pipeline stops at per-day counts,
+ETLMain.java:359-412 territory).
+
+Both are pure DataFrame compositions — no Python in the row path — with
+plans chosen for the 100 TB case:
+
+- ``funnel_steps``: the greedy earliest-completion construction. Step 1's
+  reach time is min(ts); step k's is the earliest step-k event STRICTLY
+  AFTER step k-1's reach time. An exchange argument shows greedy is
+  exact for the unwindowed ordered-sequence semantics: if any increasing
+  event sequence exists, the greedy one does. Each step costs one join +
+  one hash aggregate, both keyed on the SAME user column, so AQE/
+  co-partitioning reuses one Exchange layout; k is the (small) number of
+  funnel steps, never the data size. No per-user event collection — a
+  power user with millions of events costs the same as anyone else.
+- ``cohort_retention``: two hash aggregates (first-activity per user,
+  distinct user-period activity) joined on the user key, then one
+  aggregate on (cohort, offset). All shuffle keys are uniform (user id,
+  then cohort period) — no skew surface at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "cohort_retention"]
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered (strict-sequence) funnel: a user reaches step k iff events
+    of types ``steps[0..k-1]`` exist at strictly increasing timestamps.
+
+    Returns one row per step:
+    ``(step, step_name, n_users, conv_from_prev, conv_from_first)`` with
+    conversions as double ratios (NULL-safe: 0-user denominators yield
+    NULL). Unwindowed by design — greedy earliest-completion is provably
+    exact here, while per-step gap windows would need per-user sequence
+    scans (see module docstring).
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    reach = (
+        ev.filter(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"_t{i - 1}"
+        step_ev = ev.filter(F.col("_ty") == step).select("_u", "_ts")
+        # Left join keeps users stalled at step i-1 (their _t{i} is NULL);
+        # the carried _t columns are functionally dependent on _u, so the
+        # groupBy re-aggregates on the same key layout.
+        reach = (
+            reach.join(step_ev, "_u", "left")
+            .groupBy("_u", *[f"_t{j}" for j in range(1, i)])
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(prev), F.col("_ts"))
+                ).alias(f"_t{i}")
+            )
+        )
+    counts = reach.agg(
+        *[
+            F.count(f"_t{i}").cast("bigint").alias(f"_n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = counts.selectExpr(
+        "stack({n}, {args}) as (step, step_name, n_users)".format(
+            n=len(steps),
+            args=", ".join(
+                f"{i}, '{s}', _n{i}" for i, s in enumerate(steps, start=1)
+            ),
+        )
+    )
+    # The summary is a handful of rows (one per step): the single-partition
+    # window below is driver-trivial by construction.
+    w = Window.orderBy("step")
+    prev_n = F.lag("n_users").over(w)
+    first_n = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rows.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.when(prev_n > 0, F.col("n_users") / prev_n)
+        .otherwise(F.lit(None))
+        .cast("double")
+        .alias("conv_from_prev"),
+        F.when(first_n > 0, F.col("n_users") / first_n)
+        .otherwise(F.lit(None))
+        .cast("double")
+        .alias("conv_from_first"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period of
+    their first event; a cohort's offset-k cell counts the cohort's users
+    active k periods later.
+
+    Returns ``(cohort, offset, n_users, cohort_size, retention)`` —
+    ``cohort`` is the period-start date, ``offset`` an int >= 0,
+    ``retention`` a double ratio. ``granularity`` is any unit
+    ``date_trunc`` accepts with a fixed day width here: 'day' or 'week'
+    (month offsets would need months_between; weeks keep the offset
+    arithmetic exact integer days / 7 on both engines).
+    """
+    if granularity not in ("day", "week"):
+        raise ValueError("cohort_retention: granularity must be day|week")
+    width = 1 if granularity == "day" else 7
+    period = lambda c: F.to_date(F.date_trunc(granularity, c))  # noqa: E731
+    firsts = (
+        events.groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_first_ts"))
+        .select("_u", period("_first_ts").alias("cohort"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("_u"), period(ts_col).alias("_p")
+    ).distinct()
+    cells = (
+        activity.join(firsts, "_u")
+        .groupBy(
+            "cohort",
+            (F.datediff("_p", "cohort") / width).cast("int").alias("offset"),
+        )
+        .agg(F.count_distinct("_u").cast("bigint").alias("n_users"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort").select(
+        "cohort",
+        "offset",
+        "n_users",
+        "cohort_size",
+        (F.col("n_users") / F.col("cohort_size"))
+        .cast("double")
+        .alias("retention"),
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datawarehouse_group10_spark.operators.aggregates import (
@@ -1482,3 +1484,74 @@ def test_aqe_partition_coalesce_fires(spark):
         assert "coalesced" in final, final
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_funnel_greedy_ordering(spark):
+    """Ordered-funnel semantics: only strictly increasing step sequences
+    count. u1 converts fully; u2 clicked BEFORE its first view (and never
+    after), so it stalls at step 1; u3 has no view at all and never enters;
+    u4 re-views after a click so a later click would be needed (none
+    exists) — stalls at step 1."""
+    from datawarehouse_group10_spark.operators.analytics import funnel_steps
+
+    rows = [
+        # u1: view@1 -> click@2 -> purchase@3
+        (1, 1.0, "view"), (1, 2.0, "click"), (1, 3.0, "purchase"),
+        # u2: click@1, view@2 (wrong order)
+        (2, 1.0, "click"), (2, 2.0, "view"),
+        # u3: click+purchase only, no view
+        (3, 1.0, "click"), (3, 2.0, "purchase"),
+        # u4: view@5, click@4 (click precedes first view)
+        (4, 5.0, "view"), (4, 4.0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double, event_type string")
+    out = {
+        r["step_name"]: r
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out["view"]["n_users"] == 3  # u1, u2, u4
+    assert out["click"]["n_users"] == 1  # only u1 clicked after its view
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conv_from_prev"] is None
+    assert out["click"]["conv_from_prev"] == pytest.approx(1 / 3)
+    assert out["purchase"]["conv_from_first"] == pytest.approx(1 / 3)
+
+
+def test_funnel_single_step_and_empty(spark):
+    from datawarehouse_group10_spark.operators.analytics import funnel_steps
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "view")], "user_id int, ts double, event_type string"
+    )
+    one = funnel_steps(df, ["view"]).collect()
+    assert len(one) == 1 and one[0]["n_users"] == 1
+    none = funnel_steps(df, ["purchase", "view"]).collect()
+    assert [r["n_users"] for r in none] == [0, 0]
+    # 0-user first step: conversions are NULL, not a division error
+    assert none[1]["conv_from_prev"] is None
+
+
+def test_cohort_retention_triangle(spark):
+    """Weekly cohorts: u1/u2 start week of 2024-01-01 (Mon), u3 a week
+    later; u1 active weeks 0 and 2, u2 only week 0."""
+    from datawarehouse_group10_spark.operators.analytics import cohort_retention
+
+    rows = [
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-16 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        (3, "2024-01-09 10:00:00"), (3, "2024-01-17 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort"]), r["offset"]): r
+        for r in cohort_retention(df, granularity="week").collect()
+    }
+    c0 = ("2024-01-01", 0)
+    assert out[c0]["n_users"] == 2 and out[c0]["cohort_size"] == 2
+    assert out[("2024-01-01", 2)]["n_users"] == 1
+    assert out[("2024-01-01", 2)]["retention"] == pytest.approx(0.5)
+    assert out[("2024-01-08", 0)]["cohort_size"] == 1
+    assert out[("2024-01-08", 1)]["n_users"] == 1
+    assert ("2024-01-01", 1) not in out  # nobody active in week 1
