@@ -3737,7 +3737,10 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse slice (event_id % 7 = 0 — the full corpus has every user doing
     every event type, which would make both surfaces degenerate): an
     ordered 4-step funnel (view→click→signup→purchase, greedy
-    earliest-completion) and a weekly cohort-retention triangle."""
+    earliest-completion), its exact gap-windowed variant (``funnel_w``,
+    48 h between consecutive steps via the good-event ladder — the case
+    where greedy is NOT exact and e.g. ClickHouse's windowFunnel
+    approximates), and a weekly cohort-retention triangle."""
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
     out = days_since_last(ev, key="user_id", date_col="d")
@@ -3824,6 +3827,28 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("sval"),
         )
     )
+    fun_w = (
+        funnel_steps(
+            ev_sparse,
+            ["view", "click", "signup", "purchase"],
+            within_seconds=48 * 3600,
+        )
+        .selectExpr(
+            "step_name",
+            "step",
+            "stack(3, 'n_users', cast(n_users as double),"
+            " 'conv_from_prev', conv_from_prev,"
+            " 'conv_from_first', conv_from_first) as (metric, val)",
+        )
+        .select(
+            F.lit("funnel_w").alias("section"),
+            F.col("step_name").alias("k1"),
+            F.col("step").cast("string").alias("k2"),
+            "metric",
+            "val",
+            F.lit(None).cast("string").alias("sval"),
+        )
+    )
     coh = (
         cohort_retention(ev_sparse, granularity="week")
         .selectExpr(
@@ -3846,6 +3871,7 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec.unionByName(gf)
         .unionByName(hop)
         .unionByName(fun)
+        .unionByName(fun_w)
         .unionByName(coh)
     )
 
@@ -5359,6 +5385,70 @@ FROM (
            GROUP BY 1, 2, 3, 4),
     fc AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2,
                   COUNT(t3) AS n3, COUNT(t4) AS n4 FROM r4)
+    SELECT 1 AS step, 'view' AS nm, CAST(n1 AS DOUBLE) AS n,
+           CAST(NULL AS DOUBLE) AS cp,
+           CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END AS cf FROM fc
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS DOUBLE),
+           CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+           CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END FROM fc
+    UNION ALL
+    SELECT 3, 'signup', CAST(n3 AS DOUBLE),
+           CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END,
+           CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END FROM fc
+    UNION ALL
+    SELECT 4, 'purchase', CAST(n4 AS DOUBLE),
+           CASE WHEN n3 > 0 THEN CAST(n4 AS DOUBLE) / n3 END,
+           CASE WHEN n1 > 0 THEN CAST(n4 AS DOUBLE) / n1 END FROM fc
+  )
+)
+UNION ALL
+SELECT 'funnel_w', nm, CAST(step AS VARCHAR), m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT step, nm,
+         unnest(['n_users', 'conv_from_prev', 'conv_from_first']) AS m,
+         unnest([n, cp, cf]) AS v
+  FROM (
+    WITH ev AS (SELECT user_id, ts, event_type FROM events
+                WHERE event_id % 7 = 0),
+    g1 AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+    m2 AS (SELECT user_id, ts, 0 AS tag, CAST(NULL AS TIMESTAMP) AS pts
+           FROM ev WHERE event_type = 'click'
+           UNION ALL SELECT user_id, ts, 1, ts FROM g1),
+    g2 AS (SELECT user_id, ts FROM (
+             SELECT user_id, ts, tag,
+                    MAX(pts) OVER (PARTITION BY user_id ORDER BY ts, tag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS lastp
+             FROM m2)
+           WHERE tag = 0 AND lastp IS NOT NULL
+             AND epoch_us(ts) - epoch_us(lastp) <= 172800000000),
+    m3 AS (SELECT user_id, ts, 0 AS tag, CAST(NULL AS TIMESTAMP) AS pts
+           FROM ev WHERE event_type = 'signup'
+           UNION ALL SELECT user_id, ts, 1, ts FROM g2),
+    g3 AS (SELECT user_id, ts FROM (
+             SELECT user_id, ts, tag,
+                    MAX(pts) OVER (PARTITION BY user_id ORDER BY ts, tag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS lastp
+             FROM m3)
+           WHERE tag = 0 AND lastp IS NOT NULL
+             AND epoch_us(ts) - epoch_us(lastp) <= 172800000000),
+    m4 AS (SELECT user_id, ts, 0 AS tag, CAST(NULL AS TIMESTAMP) AS pts
+           FROM ev WHERE event_type = 'purchase'
+           UNION ALL SELECT user_id, ts, 1, ts FROM g3),
+    g4 AS (SELECT user_id, ts FROM (
+             SELECT user_id, ts, tag,
+                    MAX(pts) OVER (PARTITION BY user_id ORDER BY ts, tag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS lastp
+             FROM m4)
+           WHERE tag = 0 AND lastp IS NOT NULL
+             AND epoch_us(ts) - epoch_us(lastp) <= 172800000000),
+    fc AS (SELECT (SELECT COUNT(DISTINCT user_id) FROM g1) AS n1,
+                  (SELECT COUNT(DISTINCT user_id) FROM g2) AS n2,
+                  (SELECT COUNT(DISTINCT user_id) FROM g3) AS n3,
+                  (SELECT COUNT(DISTINCT user_id) FROM g4) AS n4)
     SELECT 1 AS step, 'view' AS nm, CAST(n1 AS DOUBLE) AS n,
            CAST(NULL AS DOUBLE) AS cp,
            CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END AS cf FROM fc

@@ -38,16 +38,33 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Ordered (strict-sequence) funnel: a user reaches step k iff events
-    of types ``steps[0..k-1]`` exist at strictly increasing timestamps.
+    of types ``steps[0..k-1]`` exist at strictly increasing timestamps —
+    and, when ``within_seconds`` is set, every consecutive gap is at most
+    that long.
 
     Returns one row per step:
     ``(step, step_name, n_users, conv_from_prev, conv_from_first)`` with
     conversions as double ratios (NULL-safe: 0-user denominators yield
-    NULL). Unwindowed by design — greedy earliest-completion is provably
-    exact here, while per-step gap windows would need per-user sequence
-    scans (see module docstring).
+    NULL).
+
+    Two exact plans, picked by ``within_seconds``:
+
+    - **Unwindowed** (None): greedy earliest-completion (see module
+      docstring) — k joins + aggregates on the user key.
+    - **Windowed**: greedy is NOT exact under gap constraints (a later
+      step-1 event can convert where the earliest one cannot), and
+      engines like ClickHouse's ``windowFunnel`` accept that
+      approximation. The exact construction here is a *good-event
+      ladder*: a step-k event is good iff SOME good step-(k-1) event
+      lies strictly before it and within the gap — a monotone
+      reachability condition, so one union + one per-user window pass
+      per step (MAX of good-previous timestamps over preceding rows,
+      ties ordered so equal timestamps never qualify) decides every
+      event exactly. k-1 shuffles on the user key, no per-user sequence
+      collection, no quadratic step-pair join.
     """
     if not steps:
         raise ValueError("funnel_steps: need at least one step")
@@ -56,40 +73,102 @@ def funnel_steps(
         F.col(ts_col).alias("_ts"),
         F.col(type_col).alias("_ty"),
     )
-    reach = (
-        ev.filter(F.col("_ty") == steps[0])
-        .groupBy("_u")
-        .agg(F.min("_ts").alias("_t1"))
-    )
-    for i, step in enumerate(steps[1:], start=2):
-        prev = f"_t{i - 1}"
-        step_ev = ev.filter(F.col("_ty") == step).select("_u", "_ts")
-        # Left join keeps users stalled at step i-1 (their _t{i} is NULL);
-        # the carried _t columns are functionally dependent on _u, so the
-        # groupBy re-aggregates on the same key layout.
+    if within_seconds is None:
         reach = (
-            reach.join(step_ev, "_u", "left")
-            .groupBy("_u", *[f"_t{j}" for j in range(1, i)])
-            .agg(
-                F.min(
-                    F.when(F.col("_ts") > F.col(prev), F.col("_ts"))
-                ).alias(f"_t{i}")
+            ev.filter(F.col("_ty") == steps[0])
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t1"))
+        )
+        for i, step in enumerate(steps[1:], start=2):
+            prev = f"_t{i - 1}"
+            step_ev = ev.filter(F.col("_ty") == step).select("_u", "_ts")
+            # Left join keeps users stalled at step i-1 (their _t{i} is
+            # NULL); the carried _t columns are functionally dependent on
+            # _u, so the groupBy re-aggregates on the same key layout.
+            reach = (
+                reach.join(step_ev, "_u", "left")
+                .groupBy("_u", *[f"_t{j}" for j in range(1, i)])
+                .agg(
+                    F.min(
+                        F.when(F.col("_ts") > F.col(prev), F.col("_ts"))
+                    ).alias(f"_t{i}")
+                )
+            )
+        counts = reach.agg(
+            *[
+                F.count(f"_t{i}").cast("bigint").alias(f"_n{i}")
+                for i in range(1, len(steps) + 1)
+            ]
+        )
+        rows = counts.selectExpr(
+            "stack({n}, {args}) as (step, step_name, n_users)".format(
+                n=len(steps),
+                args=", ".join(
+                    f"{i}, '{s}', _n{i}" for i, s in enumerate(steps, start=1)
+                ),
             )
         )
-    counts = reach.agg(
-        *[
-            F.count(f"_t{i}").cast("bigint").alias(f"_n{i}")
-            for i in range(1, len(steps) + 1)
-        ]
-    )
-    rows = counts.selectExpr(
-        "stack({n}, {args}) as (step, step_name, n_users)".format(
-            n=len(steps),
-            args=", ".join(
-                f"{i}, '{s}', _n{i}" for i, s in enumerate(steps, start=1)
-            ),
+    else:
+        is_ts = dict(ev.dtypes)["_ts"].startswith("timestamp")
+        # cast("timestamp") lifts TIMESTAMP_NTZ (which unix_micros
+        # rejects) at the session TZ; only differences are used, so any
+        # fixed offset cancels.
+        num = (
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            if is_ts
+            else F.col("_ts").cast("double")
         )
-    )
+        gap = (
+            int(within_seconds * 1_000_000) if is_ts else float(within_seconds)
+        )
+        good = ev.filter(F.col("_ty") == steps[0]).select(
+            "_u", num.alias("_n")
+        )
+        parts = [
+            good.agg(
+                F.count_distinct("_u").cast("bigint").alias("n_users")
+            ).select(
+                F.lit(1).alias("step"),
+                F.lit(steps[0]).alias("step_name"),
+                "n_users",
+            )
+        ]
+        for i, step in enumerate(steps[1:], start=2):
+            cur = ev.filter(F.col("_ty") == step).select("_u", num.alias("_n"))
+            # tag 0 = candidate step-i event, tag 1 = good step-(i-1)
+            # event; ordering by (_n, tag) puts an equal-timestamp good
+            # prev AFTER the candidate, so strictness is structural.
+            merged = cur.withColumn("_tag", F.lit(0)).withColumn(
+                "_pn", F.lit(None).cast("bigint" if is_ts else "double")
+            ).unionByName(
+                good.withColumn("_tag", F.lit(1)).withColumn("_pn", F.col("_n"))
+            )
+            w = (
+                Window.partitionBy("_u")
+                .orderBy("_n", "_tag")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            good = (
+                merged.withColumn("_lastp", F.max("_pn").over(w))
+                .filter(
+                    (F.col("_tag") == 0)
+                    & F.col("_lastp").isNotNull()
+                    & (F.col("_n") - F.col("_lastp") <= F.lit(gap))
+                )
+                .select("_u", "_n")
+            )
+            parts.append(
+                good.agg(
+                    F.count_distinct("_u").cast("bigint").alias("n_users")
+                ).select(
+                    F.lit(i).alias("step"),
+                    F.lit(step).alias("step_name"),
+                    "n_users",
+                )
+            )
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
     # The summary is a handful of rows (one per step): the single-partition
     # window below is driver-trivial by construction.
     w = Window.orderBy("step")

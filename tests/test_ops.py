@@ -1555,3 +1555,44 @@ def test_cohort_retention_triangle(spark):
     assert out[("2024-01-08", 0)]["cohort_size"] == 1
     assert out[("2024-01-08", 1)]["n_users"] == 1
     assert ("2024-01-01", 1) not in out  # nobody active in week 1
+
+
+def test_funnel_windowed_exact_beats_greedy(spark):
+    """Gap-windowed funnel must be EXACT, not greedy: u1's earliest view
+    (t=0) cannot reach the click at t=100 within W=20, but the later view
+    at t=90 can — greedy earliest-completion would say 0 conversions.
+    u2's gap is too wide; u3's click ties its view (strictness)."""
+    from datawarehouse_group10_spark.operators.analytics import funnel_steps
+
+    rows = [
+        (1, 0.0, "view"), (1, 100.0, "click"), (1, 90.0, "view"),
+        (2, 0.0, "view"), (2, 100.0, "click"),
+        (3, 5.0, "view"), (3, 5.0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double, event_type string")
+    out = {
+        r["step_name"]: r
+        for r in funnel_steps(df, ["view", "click"], within_seconds=20).collect()
+    }
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1  # only u1, via the NON-earliest view
+    assert out["click"]["conv_from_prev"] == pytest.approx(1 / 3)
+
+
+def test_funnel_windowed_matches_unwindowed_at_infinite_gap(spark):
+    """With a gap wider than the data span, the ladder and the greedy
+    construction must agree — on real data, not a toy."""
+    from datawarehouse_group10_spark.operators.analytics import funnel_steps
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("event_id") % 3 == 0
+    )
+    steps = ["view", "click", "purchase"]
+    a = {r["step"]: r["n_users"] for r in funnel_steps(ev, steps).collect()}
+    b = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            ev, steps, within_seconds=10 * 365 * 86400
+        ).collect()
+    }
+    assert a == b
