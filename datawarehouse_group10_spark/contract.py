@@ -4275,7 +4275,13 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry entry so the registry holds at the driver's 50-entry gate
     window; the LM floats are rounded to 5 decimals (their per-doc sums
     are order-sensitive in the last ulp) while everything else stays
-    bit-exact."""
+    bit-exact.
+
+    r11 also adds the DSIR data-selection columns (``dsir_*``,
+    functions/sampling.py — hashed unigram+bigram importance weights
+    against a zh-language target corpus, deterministic hash-Gumbel key,
+    and the top-ceil(25%) selection flag with ties on the ROUNDED key
+    broken by doc_id so both engines rank identically)."""
     _utc(spark)
     from .functions.text import (
         lm_perplexity_scores,
@@ -4294,6 +4300,31 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("lm_n_tokens"),
         F.round("sum_logprob", 5).alias("lm_sum_lp5"),
         F.round("avg_logprob", 5).alias("lm_avg_lp5"),
+    )
+
+    from .functions.sampling import dsir_scores
+
+    sc = dsir_scores(docs, docs.filter(F.col("lang") == "zh"))
+    n_docs = docs.count()
+    k = -(-n_docs // 4)  # ceil(25%)
+    top = (
+        sc.orderBy(F.round("key", 5).desc(), "doc_id")
+        .limit(int(k))
+        .select("doc_id", F.lit(1).alias("_sel"))
+    )
+    dsir = (
+        sc.select(
+            "doc_id",
+            F.round("log_w", 5).alias("dsir_logw5"),
+            F.round("key", 5).alias("dsir_key5"),
+        )
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dsir_logw5",
+            "dsir_key5",
+            F.coalesce("_sel", F.lit(0)).cast("int").alias("dsir_sel"),
+        )
     )
     return docs.select(
         "doc_id",
@@ -4314,7 +4345,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio",
         ),
         "doc_id",
-    ).join(lm, "doc_id", "left")
+    ).join(lm, "doc_id", "left").join(dsir, "doc_id", "left")
 
 
 def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5584,6 +5615,53 @@ lm AS (
                / COUNT(*), 5) AS lm_avg_lp5
   FROM lmtoks k JOIN lmfreq l ON l.t = k.t CROSS JOIN lmtot
   GROUP BY k.doc_id
+),
+dsirg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 4096 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id, unnest(
+      list_filter(t, x -> x <> '')
+      || CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+              ELSE [] END
+    ) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents)
+  ) WHERE g <> ''
+  GROUP BY 1, 2
+),
+dsirr AS (SELECT bucket, SUM(cnt) AS rn FROM dsirg GROUP BY 1),
+dsirt AS (SELECT bucket, SUM(cnt) AS tn
+          FROM dsirg JOIN documents USING (doc_id)
+          WHERE lang = 'zh' GROUP BY 1),
+dsirw AS (
+  SELECT r.bucket,
+         ln((COALESCE(t.tn, 0) + 1.0)
+            / ((SELECT SUM(tn) FROM dsirt) + 4096.0))
+         - ln((r.rn + 1.0)
+            / ((SELECT SUM(rn) FROM dsirr) + 4096.0)) AS logw
+  FROM dsirr r LEFT JOIN dsirt t USING (bucket)
+),
+dsirs AS (
+  SELECT g.doc_id, SUM(g.cnt * w.logw) AS log_w
+  FROM dsirg g JOIN dsirw w USING (bucket) GROUP BY 1
+),
+dsirk AS (
+  SELECT doc_id, log_w,
+         log_w + (-ln(-ln(
+           ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir-g'),
+               1, 8))::BIGINT % 1000000) + 0.5) / 1000000.0))) AS key
+  FROM dsirs
+),
+dsir AS (
+  SELECT doc_id, round(log_w, 5) AS dsir_logw5, round(key, 5) AS dsir_key5,
+         CAST(CASE WHEN row_number()
+                        OVER (ORDER BY round(key, 5) DESC, doc_id)
+                   <= CEIL(0.25 * (SELECT COUNT(*) FROM documents))
+              THEN 1 ELSE 0 END AS INT) AS dsir_sel
+  FROM dsirk
 )
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -5611,9 +5689,12 @@ SELECT d.doc_id,
        CAST(n.n_rare3 AS DOUBLE) / n.n_sh3 AS novelty_ratio,
        lm.lm_n_tokens,
        lm.lm_sum_lp5,
-       lm.lm_avg_lp5
+       lm.lm_avg_lp5,
+       ds.dsir_logw5,
+       ds.dsir_key5,
+       ds.dsir_sel
 FROM documents d JOIN grams g USING (doc_id) JOIN nov n USING (doc_id)
-     LEFT JOIN lm USING (doc_id)
+     LEFT JOIN lm USING (doc_id) LEFT JOIN dsir ds USING (doc_id)
 """,
     # (whole-text md5 dedup, rolling fingerprints, and language-id now
     # ride dedup_exact_suite / text_corpus_stats so every surface stays

@@ -137,3 +137,151 @@ def stratified_take(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+# distribution looks like a TARGET corpus. Bag-of-hashed-ngrams models
+# p (target) and q (raw) over B buckets give every document an
+# importance weight log w(x) = sum_b cnt_b(x) * (ln p_b - ln q_b);
+# resampling takes the top-k of log w + Gumbel noise. Kept fully
+# deterministic here: the Gumbel draw is a pure hash of the doc id
+# (same md5-bucket trick as everything above), so the selected set is
+# reproducible on any engine.
+#
+# Scale shape: features are one explode + one (id, bucket) hash
+# aggregate per corpus; the bucket-weight table is at most B rows
+# (broadcast); scoring is one broadcast join + one id-keyed aggregate.
+# No per-doc vocabularies, no RNG, no Python in the row path.
+
+DSIR_SALT = ":dsir"
+DSIR_GUMBEL_SALT = ":dsir-g"
+#: Gumbel uniform resolution: u = (bucket + 0.5) / this.
+_GUMBEL_RES = 1_000_000
+
+
+def _word_ngrams(col: Column | str, n: int) -> Column:
+    """Raw (non-distinct, order-preserving) word n-grams; empty array when
+    the document has fewer than n tokens. Distinctness would distort the
+    multinomial counts DSIR models — functions.dedup.word_shingles is the
+    wrong primitive here."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(sz >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    orders: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Per-document hashed n-gram counts: (id, bucket, cnt) with bucket =
+    md5-hash of the gram into [0, buckets). Unigrams + bigrams by
+    default, per the DSIR recipe."""
+    parts = None
+    for n in orders:
+        p = df.select(
+            F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("_g")
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return (
+        parts.filter(F.col("_g") != "")
+        .select(
+            id_col, hash_bucket("_g", buckets, salt=DSIR_SALT).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_bucket_weights(
+    raw_buckets: DataFrame,
+    target_buckets: DataFrame,
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance log-ratio ln p_b - ln q_b with add-lambda
+    smoothing on both multinomials. Built over the raw corpus' buckets
+    (a bucket no raw document touches is never scored); at most
+    ``buckets`` rows, so downstream joins broadcast it."""
+    r = raw_buckets.groupBy("bucket").agg(F.sum("cnt").alias("_rn"))
+    t = target_buckets.groupBy("bucket").agg(F.sum("cnt").alias("_tn"))
+    rt = r.agg(F.sum("_rn").alias("_rtot"))
+    tt = t.agg(F.sum("_tn").alias("_ttot"))
+    s = float(smoothing)
+    return (
+        r.join(t, "bucket", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tn"), F.lit(0)).cast("double") + s)
+                    / (F.col("_ttot").cast("double") + s * buckets)
+                )
+                - F.log(
+                    (F.col("_rn").cast("double") + s)
+                    / (F.col("_rtot").cast("double") + s * buckets)
+                )
+            ).alias("logw"),
+        )
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    orders: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Per-raw-document DSIR scores: (id, log_w, gumbel, key) where
+    key = log_w + Gumbel(0,1) drawn deterministically from the doc id
+    (u = (hash-bucket + 0.5) / 1e6; g = -ln(-ln u)). Top-k by key IS the
+    DSIR resample; documents with no tokens produce no row."""
+    rb = hashed_ngram_buckets(raw, text_col, id_col, buckets, orders)
+    tb = hashed_ngram_buckets(target, text_col, id_col, buckets, orders)
+    w = dsir_bucket_weights(rb, tb, buckets, smoothing)
+    scored = (
+        rb.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("logw")).alias("log_w"))
+    )
+    u = (
+        hash_bucket(id_col, _GUMBEL_RES, salt=DSIR_GUMBEL_SALT).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_GUMBEL_RES))
+    g = -F.log(-F.log(u))
+    return scored.select(
+        id_col, "log_w", g.alias("gumbel"), (F.col("log_w") + g).alias("key")
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """The selected documents: top-k Gumbel-perturbed importance scores,
+    ties broken by id. ``orderBy().limit(k)`` plans as TakeOrdered —
+    each task keeps k rows, the driver merges task heads; fine for the
+    usual 'select a training subset' k. For k approaching the corpus
+    size, filter on a key threshold from :func:`dsir_scores` instead."""
+    sc = dsir_scores(raw, target, text_col, id_col, buckets, smoothing)
+    top = sc.orderBy(F.col("key").desc(), F.col(id_col)).limit(int(k))
+    return raw.join(top, id_col)

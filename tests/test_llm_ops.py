@@ -1449,3 +1449,52 @@ def test_stratified_take_exact_quota_and_determinism(spark):
         for r in stratified_take(df, ["source"], k=10, seed="other").collect()
     }
     assert other != set(got)
+
+
+def test_dsir_enriches_target_like_docs(spark):
+    """DSIR semantics on a corpus with a real distribution shift: docs
+    drawn from the target vocabulary must out-weigh docs from a disjoint
+    vocabulary, and the resample must keep (nearly) only target-like
+    docs."""
+    from datawarehouse_group10_spark.functions.sampling import (
+        dsir_resample,
+        dsir_scores,
+    )
+
+    tgt_like = [(i, "alpha beta gamma delta alpha beta") for i in range(20)]
+    other = [(i + 100, "omega psi chi phi omega psi") for i in range(20)]
+    raw = spark.createDataFrame(tgt_like + other, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sc = {r["doc_id"]: r["log_w"] for r in dsir_scores(raw, target).collect()}
+    assert min(sc[i] for i, _ in tgt_like) > max(sc[i] for i, _ in other)
+    sel = dsir_resample(raw, target, 20).select("doc_id").collect()
+    ids = {r["doc_id"] for r in sel}
+    # Gumbel noise can flip a few boundary docs; the bulk must be target-like
+    assert len(ids) == 20
+    assert len([i for i in ids if i < 100]) >= 15
+
+
+def test_dsir_deterministic_and_bucket_counts(spark):
+    """Hash-everything determinism: two runs give byte-identical scores;
+    hashed_ngram_buckets counts unigrams+bigrams non-distinct."""
+    from datawarehouse_group10_spark.functions.sampling import (
+        dsir_scores,
+        hashed_ngram_buckets,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "a b a"), (2, "c")], "doc_id long, text string"
+    )
+    b = hashed_ngram_buckets(raw).groupBy("doc_id").agg(
+        F.sum("cnt").alias("n")
+    )
+    got = {r["doc_id"]: r["n"] for r in b.collect()}
+    # doc1: 3 unigrams + 2 bigrams ("a b", "b a"); doc2: 1 unigram, no bigram
+    assert got == {1: 5, 2: 1}
+    t = raw.filter("doc_id = 1")
+    a = sorted(dsir_scores(raw, t).collect())
+    c = sorted(dsir_scores(raw, t).collect())
+    assert a == c
