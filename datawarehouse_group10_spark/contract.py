@@ -3740,7 +3740,12 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest-completion), its exact gap-windowed variant (``funnel_w``,
     48 h between consecutive steps via the good-event ladder — the case
     where greedy is NOT exact and e.g. ClickHouse's windowFunnel
-    approximates), and a weekly cohort-retention triangle."""
+    approximates), and a weekly cohort-retention triangle. The ``paths``
+    and ``rolling7`` sections complete the behavioral set: next-event
+    transition edges with conditional probabilities (one lag window on
+    the user key, event_id tie-breaks) and exact trailing-7-day distinct
+    actives (the contribution-explode shape — distinct cannot ride a
+    window frame)."""
     _utc(spark)
     ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d")).distinct()
     out = days_since_last(ev, key="user_id", date_col="d")
@@ -3867,12 +3872,38 @@ def q_w_recency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("sval"),
         )
     )
+    from .operators.analytics import path_transitions, rolling_active_users
+
+    paths = path_transitions(
+        _events(spark, sf_dir), id_col="event_id"
+    ).selectExpr(
+        "src",
+        "dst",
+        "stack(2, 'n', cast(n as double), 'p', p) as (metric, val)",
+    ).select(
+        F.lit("paths").alias("section"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        "metric",
+        "val",
+        F.lit(None).cast("string").alias("sval"),
+    )
+    roll = rolling_active_users(_events(spark, sf_dir), window_days=7).select(
+        F.lit("rolling7").alias("section"),
+        F.lit("users").alias("k1"),
+        F.date_format("day", "yyyy-MM-dd").alias("k2"),
+        F.lit("n_active").alias("metric"),
+        F.col("n_active").cast("double").alias("val"),
+        F.lit(None).cast("string").alias("sval"),
+    )
     return (
         rec.unionByName(gf)
         .unionByName(hop)
         .unionByName(fun)
         .unionByName(fun_w)
         .unionByName(coh)
+        .unionByName(paths)
+        .unionByName(roll)
     )
 
 
@@ -5497,6 +5528,36 @@ FROM (
            CASE WHEN n1 > 0 THEN CAST(n4 AS DOUBLE) / n1 END FROM fc
   )
 )
+UNION ALL
+SELECT 'paths', src, dst, m, v, CAST(NULL AS VARCHAR)
+FROM (
+  SELECT src, dst,
+         unnest(['n', 'p']) AS m,
+         unnest([CAST(n AS DOUBLE),
+                 CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src)]) AS v
+  FROM (
+    SELECT prev AS src, event_type AS dst, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+  )
+)
+UNION ALL
+SELECT 'rolling7', 'users', strftime(day, '%Y-%m-%d'), 'n_active',
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+           CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+)
+WHERE day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY day
 UNION ALL
 SELECT 'cohort', strftime(cohort, '%Y-%m-%d'), CAST(off_w AS VARCHAR),
        m, v, CAST(NULL AS VARCHAR)

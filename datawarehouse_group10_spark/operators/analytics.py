@@ -29,7 +29,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "cohort_retention"]
+__all__ = [
+    "funnel_steps",
+    "cohort_retention",
+    "path_transitions",
+    "rolling_active_users",
+]
 
 
 def funnel_steps(
@@ -239,4 +244,71 @@ def cohort_retention(
         (F.col("n_users") / F.col("cohort_size"))
         .cast("double")
         .alias("retention"),
+    )
+
+
+def path_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str | None = None,
+) -> DataFrame:
+    """User-path transition edges (the Sankey / next-event surface):
+    per (src, dst) consecutive-event pair, the count and the conditional
+    probability p = n / sum(n) over the same src.
+
+    One per-user window pass (lag on the user key) + one hash aggregate
+    + one src-keyed window for the denominator. ``id_col`` breaks
+    timestamp ties deterministically; pass the event id whenever
+    duplicates are possible."""
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    edges = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("src"), F.col(type_col).alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    denom = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n") / F.sum("n").over(denom)).cast("double").alias("p"),
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact trailing-window distinct actives (DAU/WAU-style): for each
+    day, the count of distinct users with >= 1 event in the preceding
+    ``window_days`` days (inclusive). Distinct-count cannot ride a
+    window frame, so each (user, day) contribution is EXPLODED onto the
+    <= window_days future days it covers and one hash aggregate counts
+    distinct users per day — the standard scale shape (shuffle key =
+    calendar day, uniform; blow-up factor = window_days, bounded).
+    Days past the corpus' max date are clipped; days where no user was
+    active in the window don't appear (inner semantics)."""
+    ud = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
+    ).distinct()
+    max_d = ud.agg(F.max("_d").alias("_maxd"))
+    return (
+        ud.select(
+            "_u",
+            F.explode(
+                F.sequence(
+                    F.col("_d"), F.date_add("_d", int(window_days) - 1)
+                )
+            ).alias("day"),
+        )
+        .crossJoin(F.broadcast(max_d))
+        .filter(F.col("day") <= F.col("_maxd"))
+        .groupBy("day")
+        .agg(F.count_distinct("_u").cast("bigint").alias("n_active"))
     )

@@ -1596,3 +1596,54 @@ def test_funnel_windowed_matches_unwindowed_at_infinite_gap(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_path_transitions_edges_and_probs(spark):
+    from datawarehouse_group10_spark.operators.analytics import path_transitions
+
+    rows = [
+        (1, 1, 1.0, "a"), (1, 2, 2.0, "b"), (1, 3, 3.0, "a"),
+        (2, 4, 1.0, "a"), (2, 5, 2.0, "c"),
+        # tie on ts for user 3: event_id breaks it deterministically
+        (3, 6, 1.0, "a"), (3, 7, 1.0, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts double, event_type string"
+    )
+    out = {
+        (r["src"], r["dst"]): r
+        for r in path_transitions(df, id_col="event_id").collect()
+    }
+    assert out[("a", "b")]["n"] == 2  # users 1 and 3
+    assert out[("a", "c")]["n"] == 1
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "b")]["p"] == pytest.approx(2 / 3)
+    assert out[("b", "a")]["p"] == pytest.approx(1.0)
+    assert len(out) == 3
+
+
+def test_rolling_active_users_window_math(spark):
+    from datawarehouse_group10_spark.operators.analytics import (
+        rolling_active_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 05:00:00"),
+        (2, "2024-01-03 05:00:00"),
+        (1, "2024-01-10 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        str(r["day"]): r["n_active"]
+        for r in rolling_active_users(df, window_days=3).collect()
+    }
+    # u1 covers Jan 1-3 and Jan 10 (clipped at max date), u2 covers Jan 3-5
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-03"] == 2
+    assert out["2024-01-04"] == 1
+    assert out["2024-01-05"] == 1
+    assert "2024-01-06" not in out  # dead zone: nobody active in window
+    assert out["2024-01-10"] == 1
+    assert "2024-01-11" not in out  # clipped past corpus max date
