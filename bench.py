@@ -176,6 +176,13 @@ def main() -> None:
     contract.partitioned_orders(spark, SF_DIR)
     secondary["partitioned_fact_stage"] = round(time.time() - t0, 3)
 
+    # Row-level MERGE through the snapshot layout (r11): the one-time
+    # snapshot_merge cost (update/delete/insert/move batch) — ~0 warm.
+    t0 = time.time()
+    contract.merged_snapshot_orders(spark, SF_DIR)
+    secondary["snapshot_merge_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_merge_apply"] = contract.MERGE_STATS.get("seconds", 0.0)
+
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 
     # Sub-second queries are dominated by fixed job-scheduling jitter

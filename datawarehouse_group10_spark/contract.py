@@ -1314,6 +1314,10 @@ def compacted_orders(spark: SparkSession, sf_dir: str) -> str:
 #: shape as COMPACT_STATS plus old/new version — read by tests.
 SNAPSHOT_STATS: dict[str, float] = {}
 
+#: Filled by merged_snapshot_orders' one-time snapshot_merge (bench.py
+#: reports it as a secondary alongside SNAPSHOT_STATS).
+MERGE_STATS: dict[str, float] = {}
+
 
 def snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
     """Stage a SNAPSHOT-POINTER-versioned month-partitioned orders copy
@@ -1352,6 +1356,66 @@ def snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
         stats = snapshot_compact(spark, path, "o_month")
         SNAPSHOT_STATS.update(stats)
         SNAPSHOT_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read_path(path)
+
+
+def merged_snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a second snapshot-pointer orders table and run ONE
+    deterministic row-level MERGE (:func:`sources.layout.snapshot_merge`)
+    through it — every MERGE verb in one batch, all keyed off
+    o_orderkey residues so the SQL oracle can reconstruct the exact
+    final state from the plain table:
+
+    - DELETE:  keys % 101 == 0;
+    - MOVE:    keys % 107 == 0 (not deleted) re-home to partition
+      '1999-12' — the key-moves-partition case a backfill-by-batch-
+      partition cannot express (both old and new homes rewrite);
+    - UPDATE:  keys % 97 == 0 (not deleted/moved) get o_totalprice+1.0
+      (the +1 stays in DOUBLE on both engines; aggregation casts to
+      decimal after, like every price sum here);
+    - INSERT:  keys % 103 == 0 are copied with key -k (guaranteed
+      absent) into their own month.
+
+    The ``a_extended`` 'merge' section aggregates the merged committed
+    snapshot per month; a wrong verb precedence, a lost old-home row on
+    the move path, or a hardlinked untouched month drifting all break
+    the driver hash. Returns the committed read path."""
+    from .sources.layout import snapshot_merge, snapshot_read_path, snapshot_write
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_merged"
+    )
+    if not os.path.exists(os.path.join(path, "_COMMITTED")):
+        po = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        snapshot_write(po, path, "o_month")
+        k = F.col("o_orderkey")
+        upd = (
+            po.filter((k % 97 == 0) & (k % 101 != 0) & (k % 107 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .withColumn("_del", F.lit(False))
+        )
+        dele = po.filter(k % 101 == 0).withColumn("_del", F.lit(True))
+        mov = (
+            po.filter((k % 107 == 0) & (k % 101 != 0))
+            .withColumn("o_month", F.lit("1999-12"))
+            .withColumn("_del", F.lit(False))
+        )
+        ins = (
+            po.filter(k % 103 == 0)
+            .withColumn("o_orderkey", -k)
+            .withColumn("_del", F.lit(False))
+        )
+        batch = (
+            upd.unionByName(dele).unionByName(mov).unionByName(ins)
+        )
+        t0 = time.time()
+        stats = snapshot_merge(
+            spark, batch, path, "o_month", ["o_orderkey"], delete_col="_del"
+        )
+        MERGE_STATS.update(stats)
+        MERGE_STATS["seconds"] = round(time.time() - t0, 3)
     return snapshot_read_path(path)
 
 
@@ -4203,6 +4267,32 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Row-level MERGE round trip (r11): one batch of every MERGE verb
+    # (update / delete / insert / partition-move) through the
+    # copy-on-write snapshot_merge; the committed result must equal the
+    # SQL-reconstructed final state (merged_snapshot_orders).
+    mg = (
+        spark.read.parquet(merged_snapshot_orders(spark, sf_dir))
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("merge").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -4229,6 +4319,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bf)
         .unionByName(co)
         .unionByName(sn)
+        .unionByName(mg)
         .unionByName(zo)
     )
 
@@ -6275,6 +6366,34 @@ SELECT 'snapshot' AS section,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val,
        CAST(NULL AS VARCHAR) AS sval
 FROM orders GROUP BY 1, 2, 3, 4
+UNION ALL
+-- row-level MERGE round trip (r11): reconstruct snapshot_merge's final
+-- state from the plain table (delete %101, move %107 -> '1999-12',
+-- update %97 price+1.0 in DOUBLE, insert %103 as -key).
+SELECT 'merge' AS section, m AS k1, '' AS k2, 'n' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT CASE WHEN o_orderkey % 107 = 0 THEN '1999-12'
+              ELSE strftime(o_orderdate, '%Y-%m') END AS m
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT strftime(o_orderdate, '%Y-%m') FROM orders
+  WHERE o_orderkey % 103 = 0
+) GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'merge' AS section, m AS k1, '' AS k2, 'sum_price' AS metric,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT CASE WHEN o_orderkey % 107 = 0 THEN '1999-12'
+              ELSE strftime(o_orderdate, '%Y-%m') END AS m,
+         CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 107 <> 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice FROM orders
+  WHERE o_orderkey % 103 = 0
+) GROUP BY 1, 2, 3, 4
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered
 -- parquet copy back; content must equal the original table row-level.

@@ -645,6 +645,95 @@ def snapshot_backfill(
     }
 
 
+def snapshot_merge(
+    spark,
+    batch: DataFrame,
+    path: str,
+    partition_col: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> dict[str, int]:
+    """Row-level MERGE INTO the snapshot-pointer table with
+    partition-level copy-on-write — upsert (update matched keys, insert
+    new ones) plus optional deletes (rows where ``delete_col`` is true
+    remove their key). The lakehouse MERGE shape:
+
+    1. Matched partitions are found by ONE key semi-join against the
+       committed snapshot (so a key that MOVES partitions rewrites both
+       its old and new home — the classic CDC trap an
+       overwrite-by-batch-partition backfill gets wrong);
+    2. only touched partitions are rewritten (committed rows minus
+       batch keys, union the batch's non-delete rows); every untouched
+       partition is hardlinked byte-identical into ``v<N+1>``;
+    3. the ``_COMMITTED`` pointer swap publishes the merge atomically —
+       readers see the whole merge or none of it.
+
+    Scale shape: one shuffle on the key columns (the anti/semi joins),
+    one write of the touched partitions; cost is proportional to the
+    touched data, never the table. Returns {"partitions_rewritten",
+    "old_version", "new_version"}."""
+    import os
+
+    committed = _snapshot_committed(path)
+    if committed is None:
+        raise FileNotFoundError(f"no _COMMITTED pointer under {path}")
+    cur_path = os.path.join(path, f"v{committed}")
+    cur = spark.read.parquet(cur_path)
+
+    keys = batch.select(*key_cols).distinct()
+    upserts = (
+        batch.filter(~F.col(delete_col)).drop(delete_col)
+        if delete_col
+        else batch
+    )
+    matched_parts = (
+        cur.join(keys, key_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+    )
+    touched = {
+        str(r[0])
+        for r in matched_parts.unionByName(
+            upserts.select(partition_col).distinct()
+        )
+        .distinct()
+        .collect()
+    }
+    version = _snapshot_versions(path)[-1] + 1
+    snap = os.path.join(path, f"v{version}")
+    if not touched:
+        # Pure no-op batch (empty, or deletes of absent keys): publish a
+        # fully-hardlinked version so the merge is still a commit.
+        touched = set()
+    for val in partition_file_stats(cur_path, partition_col):
+        if val in touched:
+            continue
+        src = os.path.join(cur_path, f"{partition_col}={val}")
+        dst = os.path.join(snap, f"{partition_col}={val}")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if os.path.isfile(os.path.join(src, f)):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+    if touched:
+        survivors = cur.filter(
+            F.col(partition_col).isin(list(touched))
+        ).join(keys, key_cols, "left_anti")
+        merged = survivors.unionByName(upserts.select(*cur.columns))
+        (
+            merged.repartition(partition_col)
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(snap)
+        )
+    os.makedirs(snap, exist_ok=True)
+    _snapshot_commit(path, version)
+    return {
+        "partitions_rewritten": len(touched),
+        "old_version": committed,
+        "new_version": version,
+    }
+
+
 def snapshot_gc(path: str, keep: int = 1) -> list[int]:
     """Reclaim old snapshots: delete every version older than the
     ``keep`` most recent COMMITTED-or-newer ones, never the committed

@@ -1765,3 +1765,76 @@ def test_snapshot_time_travel_and_history(spark, tmp_path):
     with _pytest.raises(FileNotFoundError, match="retention"):
         snapshot_read_path(path, version=1)
     assert [h["version"] for h in snapshot_history(path)] == [2, 3]
+
+
+def test_snapshot_merge_all_verbs(spark, tmp_path):
+    """One MERGE batch exercising every verb: update, delete, insert
+    into a NEW partition, and a key that MOVES partitions (both homes
+    rewrite). Untouched partitions hardlink; the old version stays
+    readable (reader isolation)."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0),
+         (4, "b", 40.0), (5, "c", 50.0)],
+        "k int, p string, v double",
+    )
+    snapshot_write(base, path, "p")
+    batch = spark.createDataFrame(
+        [(1, "a", 11.0, False),   # update in place
+         (3, "b", 0.0, True),     # delete
+         (4, "a", 44.0, False),   # key moves b -> a
+         (9, "d", 90.0, False)],  # insert into a new partition
+        "k int, p string, v double, del boolean",
+    )
+    st = snapshot_merge(spark, batch, path, "p", ["k"], delete_col="del")
+    assert st == {
+        "partitions_rewritten": 3,  # a (update+arrival), b (delete+departure), d (new)
+        "old_version": 1,
+        "new_version": 2,
+    }
+    got = {
+        r["k"]: (r["p"], r["v"])
+        for r in spark.read.parquet(snapshot_read_path(path)).collect()
+    }
+    assert got == {1: ("a", 11.0), 2: ("a", 20.0), 4: ("a", 44.0),
+                   5: ("c", 50.0), 9: ("d", 90.0)}
+    # untouched partition c is a hardlink of v1's file (same inode)
+    v1c = [f for f in os.listdir(os.path.join(path, "v1", "p=c"))
+           if f.endswith(".parquet")]
+    v2c = [f for f in os.listdir(os.path.join(path, "v2", "p=c"))
+           if f.endswith(".parquet")]
+    assert v1c == v2c
+    ino = lambda v, f: os.stat(os.path.join(path, v, "p=c", f)).st_ino  # noqa: E731
+    assert ino("v1", v1c[0]) == ino("v2", v2c[0])
+    # reader isolation: v1 is byte-for-byte the pre-merge table
+    old = spark.read.parquet(snapshot_read_path(path, version=1))
+    assert old.count() == 5
+    assert {r["v"] for r in old.filter("k = 1").collect()} == {10.0}
+
+
+def test_snapshot_merge_noop_batch_publishes_hardlinked_version(
+    spark, tmp_path
+):
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, p string, v double"
+    )
+    snapshot_write(base, path, "p")
+    empty = spark.createDataFrame([], "k int, p string, v double, del boolean")
+    st = snapshot_merge(spark, empty, path, "p", ["k"], delete_col="del")
+    assert st["partitions_rewritten"] == 0
+    assert st["new_version"] == 2
+    out = spark.read.parquet(snapshot_read_path(path)).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, 10.0), (2, 20.0)]
