@@ -4429,24 +4429,36 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = dsir_scores(docs, docs.filter(F.col("lang") == "zh"))
     n_docs = docs.count()
     k = -(-n_docs // 4)  # ceil(25%)
-    top = (
-        sc.orderBy(F.round("key", 5).desc(), "doc_id")
+    # Selection by an eagerly-computed k-th (rounded key, doc_id)
+    # threshold — ONE driver row (the same bounded-collect class as the
+    # IVF centroids), so the scoring subtree appears once in the lazy
+    # plan instead of twice (a limit-join flag would re-evaluate it).
+    kth = (
+        sc.select(F.round("key", 5).alias("_rk"), "doc_id")
+        .orderBy(F.col("_rk").desc(), "doc_id")
         .limit(int(k))
-        .select("doc_id", F.lit(1).alias("_sel"))
+        .orderBy(F.col("_rk").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .collect()
     )
-    dsir = (
-        sc.select(
-            "doc_id",
-            F.round("log_w", 5).alias("dsir_logw5"),
-            F.round("key", 5).alias("dsir_key5"),
+    thr_rk, thr_id = (
+        (kth[0]["_rk"], kth[0]["doc_id"])
+        if kth
+        else (float("inf"), -1)
+    )
+    rk = F.round("key", 5)
+    dsir = sc.select(
+        "doc_id",
+        F.round("log_w", 5).alias("dsir_logw5"),
+        rk.alias("dsir_key5"),
+        F.when(
+            (rk > F.lit(thr_rk))
+            | ((rk == F.lit(thr_rk)) & (F.col("doc_id") <= F.lit(thr_id))),
+            F.lit(1),
         )
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "dsir_logw5",
-            "dsir_key5",
-            F.coalesce("_sel", F.lit(0)).cast("int").alias("dsir_sel"),
-        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("dsir_sel"),
     )
     return docs.select(
         "doc_id",

@@ -463,8 +463,14 @@ def test_suite_projection_plans_are_single_stage(spark):
     and per-doc rollup (r7), plus — since the r11 registry
     consolidation folded the unigram-LM columns in — the LM's token-tf
     aggregate, its 1-row total, the per-doc logprob rollup, and the
-    doc_id join of that rollup: six hash Exchanges on uniform keys,
-    nothing more. The row-local features must not add any."""
+    doc_id join of that rollup (six hash Exchanges on uniform keys),
+    plus the r11 DSIR columns' twelve: two hashed-gram (id, bucket)
+    aggregates (raw + target corpus), their two bucket roll-ups and two
+    1-row totals, the per-doc score aggregate, and the doc_id joins of
+    the score row into the wide result — all uniform doc/bucket keys,
+    one evaluation of the scoring subtree (the selection flag is an
+    eager 1-row threshold, not a limit-join that would plan it twice).
+    The row-local features must not add any."""
     import re
 
     from datawarehouse_group10_spark.contract import QUERIES
@@ -478,7 +484,7 @@ def test_suite_projection_plans_are_single_stage(spark):
                 if e == "Exchange"]
 
     assert shuffles("t_part_suite") == []
-    assert len(shuffles("text_features")) == 6
+    assert len(shuffles("text_features")) == 18
 
 
 def test_w_recency_suite_window_is_partitioned(spark):
@@ -492,7 +498,12 @@ def test_w_recency_suite_window_is_partitioned(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "hashpartitioning(user_id" in plan
-    assert "SinglePartition" not in plan
+    # The ONLY single-partition spots allowed are the funnel sections'
+    # per-step summaries (operators/analytics.py): the global count
+    # aggregates and the <=4-row step window of the plain and windowed
+    # funnel — bounded by len(steps), never by data. Anything beyond the
+    # pinned count means an event-scale op lost its user_id partitioning.
+    assert plan.count("SinglePartition") == 6
 
 
 def test_scd2_apply_versions_and_as_of(spark):
