@@ -104,6 +104,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="snapshot table root (holds _COMMITTED + v<N>/)")
     sb.add_argument("--partition-col", required=True)
 
+    sm = sub.add_parser(
+        "snapshot-merge",
+        help="row-level MERGE INTO a snapshot table: upsert the batch's "
+        "keys (and delete rows flagged in --delete-col), rewriting only "
+        "touched partitions as a new committed version",
+    )
+    sm.add_argument("--input", required=True,
+                    help="batch parquet: rows to upsert/delete")
+    sm.add_argument("--table", required=True,
+                    help="snapshot table root (holds _COMMITTED + v<N>/)")
+    sm.add_argument("--partition-col", required=True)
+    sm.add_argument("--key-cols", required=True,
+                    help="comma-separated MERGE key column(s)")
+    sm.add_argument("--delete-col", default=None,
+                    help="optional boolean batch column: true rows delete "
+                    "their key instead of upserting")
+
     sh = sub.add_parser(
         "snapshot-history",
         help="list a snapshot table's retained versions (files/rows/bytes "
@@ -281,6 +298,40 @@ def main(argv: list[str] | None = None) -> int:
                 f"snapshot-backfilled {args.table}: "
                 f"v{stats['old_version']} -> v{stats['new_version']}, "
                 f"{stats['partitions_backfilled']} partition(s) replaced "
+                f"(readers resolve {snapshot_read_path(args.table)})"
+            )
+            return 0
+
+        if args.cmd == "snapshot-merge":
+            from .sources.layout import snapshot_merge, snapshot_read_path
+
+            batch = spark.read.parquet(args.input)
+            keys = [c.strip() for c in args.key_cols.split(",") if c.strip()]
+            missing = [
+                c
+                for c in keys + [args.partition_col]
+                + ([args.delete_col] if args.delete_col else [])
+                if c not in batch.columns
+            ]
+            if missing:
+                print(
+                    f"batch {args.input} is missing column(s) "
+                    f"{', '.join(repr(c) for c in missing)}",
+                    file=sys.stderr,
+                )
+                return 2
+            stats = snapshot_merge(
+                spark,
+                batch,
+                args.table,
+                args.partition_col,
+                keys,
+                delete_col=args.delete_col,
+            )
+            print(
+                f"snapshot-merged {args.table}: "
+                f"v{stats['old_version']} -> v{stats['new_version']}, "
+                f"{stats['partitions_rewritten']} partition(s) rewritten "
                 f"(readers resolve {snapshot_read_path(args.table)})"
             )
             return 0

@@ -1838,3 +1838,57 @@ def test_snapshot_merge_noop_batch_publishes_hardlinked_version(
     assert st["new_version"] == 2
     out = spark.read.parquet(snapshot_read_path(path)).orderBy("k").collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, 10.0), (2, 20.0)]
+
+
+def test_cli_snapshot_merge_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """snapshot-merge through the argparse front door: upserts + flagged
+    deletes land as a new committed version; a batch missing a named
+    column exits 2 loudly."""
+    import datawarehouse_group10_spark.session as S
+    from datawarehouse_group10_spark.__main__ import main
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_read_path,
+        snapshot_write,
+    )
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, name):
+            return getattr(self._s, name)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(S, "get_spark", lambda **k: _NoStop(spark))
+
+    table = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, p string, v double"
+    )
+    snapshot_write(base, table, "p")
+    batch_path = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, "a", 11.0, False), (2, "b", 0.0, True), (3, "c", 30.0, False)],
+        "k int, p string, v double, del boolean",
+    ).write.parquet(batch_path)
+
+    rc = main([
+        "snapshot-merge", "--input", batch_path, "--table", table,
+        "--partition-col", "p", "--key-cols", "k", "--delete-col", "del",
+    ])
+    assert rc == 0
+    assert "v1 -> v2" in capsys.readouterr().out
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(snapshot_read_path(table)).collect()
+    }
+    assert got == {1: 11.0, 3: 30.0}
+
+    rc = main([
+        "snapshot-merge", "--input", batch_path, "--table", table,
+        "--partition-col", "p", "--key-cols", "nope",
+    ])
+    assert rc == 2
+    assert "missing column" in capsys.readouterr().err
