@@ -3577,6 +3577,52 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % 4 != 0
             ),
         )
+        # CDC staging (r11): a snapshot-pointer base table from orders
+        # plus two change batches — one parquet FILE per micro-batch,
+        # mtime-ordered so the file source replays them in sequence.
+        # c2 RE-updates the same keys c1 updated (absolute values), so
+        # the oracle proves batches applied in order, not just at all.
+        from .sources.layout import snapshot_write as _snap_write
+
+        po = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            "o_totalprice",
+        )
+        _snap_write(po, os.path.join(work, "cdc_base"), "o_month")
+        kk = F.col("o_orderkey")
+        c1 = (
+            po.filter((kk % 13 == 0) & (kk % 17 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .withColumn("_del", F.lit(False))
+            .unionByName(
+                po.filter(kk % 17 == 0).withColumn("_del", F.lit(True))
+            )
+        )
+        c2 = (
+            po.filter((kk % 13 == 0) & (kk % 17 != 0) & (kk % 23 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+            .withColumn("_del", F.lit(False))
+            .unionByName(
+                po.filter((kk % 23 == 0) & (kk % 17 != 0)).withColumn(
+                    "_del", F.lit(True)
+                )
+            )
+            .unionByName(
+                po.filter(kk % 19 == 0)
+                .withColumn("o_orderkey", -kk)
+                .withColumn("_del", F.lit(False))
+            )
+        )
+        cdc_in = os.path.join(work, "cdc_in")
+        os.makedirs(cdc_in)
+        for i, batch in enumerate((c1, c2)):
+            stage = os.path.join(work, f"stage_c{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(cdc_in, f"c{i}.parquet")
+            _shutil.copy(part, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
         _STREAM_SUITE_CACHE[sf_dir] = work
     src_dir = os.path.join(work, "csv_in")
     mart_dir = os.path.join(work, "mart")
@@ -3590,13 +3636,16 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ing_idx = os.path.join(work, "mh_index_run")
     ing_out = os.path.join(work, "ingest_out")
     ing_ckpt = os.path.join(work, "ingest_ckpt")
+    cdc_run = os.path.join(work, "cdc_run")
+    cdc_ckpt = os.path.join(work, "cdc_ckpt")
     for d in (
         mart_dir, ckpt, attr_out, attr_ckpt,
         sess_out, sess_ckpt, outer_out, outer_ckpt,
-        ing_idx, ing_out, ing_ckpt,
+        ing_idx, ing_out, ing_ckpt, cdc_run, cdc_ckpt,
     ):
         _shutil.rmtree(d, ignore_errors=True)
     _shutil.copytree(os.path.join(work, "mh_index_base"), ing_idx)
+    _shutil.copytree(os.path.join(work, "cdc_base"), cdc_run)
 
     # Same state-store sizing as q_stream_hourly_counts: instance count ==
     # shuffle partitions at stream start; 32 stores are pure overhead for
@@ -3628,6 +3677,20 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_stream_corpus_ingest(
             doc_stream, ing_idx, ing_out, ing_ckpt, jaccard_threshold=0.5
+        )
+        from .streaming import run_stream_cdc_apply
+
+        cdc_stream = (
+            spark.readStream.schema(
+                "o_orderkey BIGINT, o_month STRING, "
+                "o_totalprice DOUBLE, _del BOOLEAN"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "cdc_in"))
+        )
+        run_stream_cdc_apply(
+            cdc_stream, cdc_run, "o_month", ["o_orderkey"], delete_col="_del",
+            checkpoint_dir=cdc_ckpt,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -3705,12 +3768,38 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("d1"),
         F.col("window_start").alias("s2"),
     )
+    # 'cdc' (r11): final committed state of the snapshot table after the
+    # two streamed change batches, aggregated per month — a wrong batch
+    # order (c2's absolute updates must supersede c1's), a missed verb,
+    # or a partial (non-atomic) batch visibility all break the hash.
+    from .sources.layout import snapshot_read_path as _snap_read
+
+    cdc = (
+        spark.read.parquet(_snap_read(cdc_run))
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("bigint").alias("i1"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("d1"),
+        )
+        .select(
+            F.lit("cdc").alias("surface"),
+            F.col("o_month").alias("s1"),
+            "i1",
+            F.lit(None).cast("bigint").alias("i2"),
+            F.lit(None).cast("bigint").alias("i3"),
+            "d1",
+            F.lit(None).cast("string").alias("s2"),
+        )
+    )
     return (
         upsert.unionByName(interval)
         .unionByName(session)
         .unionByName(outer)
         .unionByName(ingest)
         .unionByName(hourly)
+        .unionByName(cdc)
     )
 
 
@@ -6586,6 +6675,27 @@ SELECT 'hourly' AS surface,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS s2
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
+UNION ALL
+-- cdc (r11): streaming CDC apply — the final committed snapshot state
+-- after two IN-ORDER change batches (c1: update %13 -> +1.0, delete
+-- %17; c2: RE-update %13 -> +2.0 absolute, delete %23, insert %19 as
+-- -key). c2's update superseding c1's proves batch order.
+SELECT 'cdc' AS surface,
+       m AS s1,
+       CAST(COUNT(*) AS BIGINT) AS i1,
+       CAST(NULL AS BIGINT) AS i2,
+       CAST(NULL AS BIGINT) AS i3,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS d1,
+       CAST(NULL AS VARCHAR) AS s2
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 2.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 17 <> 0 AND o_orderkey % 23 <> 0
+  UNION ALL
+  SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice FROM orders
+  WHERE o_orderkey % 19 = 0
+) GROUP BY m
 """
 
 # The capped/uncapped suite renders from the shared core.

@@ -901,3 +901,59 @@ def run_stream_count_min(
     finally:
         if q.isActive:
             q.stop()
+
+
+def run_stream_cdc_apply(
+    cdc_stream: DataFrame,
+    table_path: str,
+    partition_col: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming CDC apply: each microbatch of change rows (upserts +
+    optionally delete-flagged rows) lands as ONE
+    :func:`sources.layout.snapshot_merge` — a new committed snapshot
+    version per batch, so every batch is an atomic, reader-isolated
+    transaction and downstream readers only ever see whole batches.
+    Batches apply in stream order (the file source's WAL fixes the
+    order), so later updates of a key win.
+
+    Crash story — simpler than the corpus-ingest journal BY
+    CONSTRUCTION: a batch replayed after a crash between the pointer
+    swap and the checkpoint commit re-merges the same rows onto the
+    already-merged state, and MERGE is value-idempotent (same-key
+    upserts rewrite the same values, deletes of absent keys no-op), so
+    the table converges to the identical state — one extra version on
+    the history, no journal needed. The ingest path needed a rollback
+    journal precisely because an index APPEND is not idempotent.
+
+    Scale shape per batch: one key semi-join + a rewrite of the touched
+    partitions (cost ∝ batch-touched data); hot tables want batches
+    grouped by partition so the touched set stays narrow.
+    """
+
+    from ..sources.layout import snapshot_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        snapshot_merge(
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            partition_col,
+            key_cols,
+            delete_col=delete_col,
+        )
+
+    writer = cdc_stream.writeStream.foreachBatch(_apply)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()

@@ -1498,3 +1498,70 @@ def test_dsir_deterministic_and_bucket_counts(spark):
     a = sorted(dsir_scores(raw, t).collect())
     c = sorted(dsir_scores(raw, t).collect())
     assert a == c
+
+
+def test_stream_cdc_apply_sequential_and_replay_idempotent(spark, tmp_path):
+    """Two CDC microbatches apply IN ORDER (the second update of a key
+    wins) with one committed snapshot version per batch; re-merging a
+    batch (the crash-replay case) is value-idempotent."""
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read_path,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import run_stream_cdc_apply
+
+    table = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k int, p string, v double",
+    )
+    snapshot_write(base, table, "p")
+
+    src = str(tmp_path / "cdc_in")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, "a", 11.0, False), (3, "b", 0.0, True)],
+        "k int, p string, v double, del boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a", 12.0, False), (9, "c", 90.0, False)],
+        "k int, p string, v double, del boolean",
+    )
+    for i, b in enumerate((b1, b2)):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1000 + i, 1000 + i))  # deterministic batch order
+
+    stream = (
+        spark.readStream.schema("k int, p string, v double, del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_cdc_apply(
+        stream, table, "p", ["k"], delete_col="del",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(snapshot_read_path(table)).collect()
+    }
+    # b2's update of k=1 (12.0) supersedes b1's (11.0); k=3 deleted
+    assert got == {1: 12.0, 2: 20.0, 9: 90.0}
+    # one version per batch: v1 base + v2 (b1) + v3 (b2)
+    assert snapshot_read_path(table).endswith("v3")
+
+    # crash-replay: re-merging b2 converges to the same state (new
+    # version, identical content)
+    snapshot_merge(spark, b2, table, "p", ["k"], delete_col="del")
+    again = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(snapshot_read_path(table)).collect()
+    }
+    assert again == got
+    assert snapshot_read_path(table).endswith("v4")
