@@ -120,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--delete-col", default=None,
                     help="optional boolean batch column: true rows delete "
                     "their key instead of upserting")
+    sm.add_argument("--seq-col", default=None,
+                    help="optional sequence column: a batch with several "
+                    "changes per key keeps the highest-sequence one "
+                    "(last-change-wins); without it duplicate keys raise")
 
     sh = sub.add_parser(
         "snapshot-history",
@@ -265,7 +269,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "snapshot-optimize":
-            from .sources.layout import snapshot_compact, snapshot_read_path
+            from .sources.layout import snapshot_compact, snapshot_version
 
             stats = snapshot_compact(
                 spark,
@@ -278,12 +282,12 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{stats['old_version']} -> v{stats['new_version']}, "
                 f"{stats['partitions_compacted']} partition(s) compacted, "
                 f"{stats['files_before']} -> {stats['files_after']} files "
-                f"(readers resolve {snapshot_read_path(args.table)})"
+                f"(readers resolve v{snapshot_version(args.table)})"
             )
             return 0
 
         if args.cmd == "snapshot-backfill":
-            from .sources.layout import snapshot_backfill, snapshot_read_path
+            from .sources.layout import snapshot_backfill, snapshot_version
 
             batch = spark.read.parquet(args.input)
             if args.partition_col not in batch.columns:
@@ -298,12 +302,12 @@ def main(argv: list[str] | None = None) -> int:
                 f"snapshot-backfilled {args.table}: "
                 f"v{stats['old_version']} -> v{stats['new_version']}, "
                 f"{stats['partitions_backfilled']} partition(s) replaced "
-                f"(readers resolve {snapshot_read_path(args.table)})"
+                f"(readers resolve v{snapshot_version(args.table)})"
             )
             return 0
 
         if args.cmd == "snapshot-merge":
-            from .sources.layout import snapshot_merge, snapshot_read_path
+            from .sources.layout import snapshot_merge, snapshot_version
 
             batch = spark.read.parquet(args.input)
             keys = [c.strip() for c in args.key_cols.split(",") if c.strip()]
@@ -311,6 +315,7 @@ def main(argv: list[str] | None = None) -> int:
                 c
                 for c in keys + [args.partition_col]
                 + ([args.delete_col] if args.delete_col else [])
+                + ([args.seq_col] if args.seq_col else [])
                 if c not in batch.columns
             ]
             if missing:
@@ -327,12 +332,15 @@ def main(argv: list[str] | None = None) -> int:
                 args.partition_col,
                 keys,
                 delete_col=args.delete_col,
+                seq_col=args.seq_col,
             )
             print(
                 f"snapshot-merged {args.table}: "
                 f"v{stats['old_version']} -> v{stats['new_version']}, "
-                f"{stats['partitions_rewritten']} partition(s) rewritten "
-                f"(readers resolve {snapshot_read_path(args.table)})"
+                f"{stats['partitions_rewritten']} partition(s) rewritten, "
+                f"{stats['probe_partitions']}/{stats['partitions_total']} "
+                f"partition(s) probed "
+                f"(readers resolve v{snapshot_version(args.table)})"
             )
             return 0
 

@@ -1319,35 +1319,62 @@ SNAPSHOT_STATS: dict[str, float] = {}
 MERGE_STATS: dict[str, float] = {}
 
 
-def snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
+def _snapshot_stale(path: str, expect_version: int = 2) -> bool:
+    """True when a warehouse snapshot table needs (re)staging: never
+    committed, committed under the pre-manifest layout (r11 staged dirs
+    carry _COMMITTED but no _manifests/), or committed below
+    ``expect_version`` (both stagers commit exactly twice — load +
+    maintenance — so a lower pointer is a crashed stage). Stale dirs
+    are wiped and rebuilt the same way a crashed layout dir without
+    its _SUCCESS marker is."""
+    import shutil
+
+    from .sources.layout import _manifest_read, _snapshot_committed
+
+    committed = _snapshot_committed(path)
+    if (
+        committed is not None
+        and committed >= expect_version
+        and _manifest_read(path, committed) is not None
+    ):
+        return False
+    shutil.rmtree(path, ignore_errors=True)
+    return True
+
+
+def snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage a SNAPSHOT-POINTER-versioned month-partitioned orders copy
-    through a fragment-then-OPTIMIZE lifecycle (r11, VERDICT r10 #6) and
-    return the committed snapshot READ path — the concurrent-reader-safe
-    twin of :func:`compacted_orders`:
+    through a fragment-then-OPTIMIZE lifecycle (r11, VERDICT r10 #6;
+    manifest commits since r12) and return the committed snapshot as a
+    DataFrame — the concurrent-reader-safe twin of
+    :func:`compacted_orders`:
 
     1. FRAGMENTED LOAD: ``snapshot_write(shards=8)`` lands v1 with ~8
-       shard files per month dir and commits the ``_COMMITTED`` pointer.
+       shard files per month dir, writes the v1 manifest, and commits
+       the ``_COMMITTED`` pointer.
     2. OPTIMIZE: :func:`sources.layout.snapshot_compact` stages v2 —
-       hardlinks for every right-sized partition (zero data copy),
-       maxRecordsPerFile-bounded rewrite for the fragmented ones — then
-       swaps the pointer. v1's files are never modified or deleted, so
-       a reader that resolved v1 before (or during) the optimize scans
-       consistent data throughout; space reclaim is the EXPLICIT
-       ``snapshot_gc`` with a retention window, not an implicit race.
+       a maxRecordsPerFile-bounded rewrite of the fragmented
+       partitions only; every right-sized partition's existing data
+       dir is RE-REFERENCED in the v2 manifest (no per-file work) —
+       then swaps the pointer. v1's files are never modified or
+       deleted, so a reader that resolved v1 before (or during) the
+       optimize scans consistent data throughout; space reclaim is the
+       EXPLICIT ``snapshot_gc`` with a retention window, not an
+       implicit race.
 
     The ``a_extended`` 'snapshot' section aggregates the committed
     snapshot per month against the plain-table SQL oracle — a pointer
     naming a wrong/partial version, lost/duplicated rows in the staged
-    v2, or hardlinked partitions drifting from their v1 content all
-    break the driver hash. Pointer-swap atomicity, reader isolation,
-    no-op re-runs, and GC retention are pytest-pinned
-    (tests/test_pipeline_infra.py)."""
-    from .sources.layout import snapshot_compact, snapshot_read_path, snapshot_write
+    v2, or a re-referenced partition resolving to wrong data all break
+    the driver hash. Pointer-swap atomicity, reader isolation, no-op
+    re-runs, O(touched) commit metadata, and GC retention are
+    pytest-pinned (tests/test_pipeline_infra.py)."""
+    from .sources.layout import snapshot_compact, snapshot_read, snapshot_write
 
     path = os.path.join(
         GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_by_month"
     )
-    if not os.path.exists(os.path.join(path, "_COMMITTED")):
+    if _snapshot_stale(path):
         po = _t(spark, sf_dir, "orders").withColumn(
             "o_month", F.date_format("o_orderdate", "yyyy-MM")
         )
@@ -1356,10 +1383,10 @@ def snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
         stats = snapshot_compact(spark, path, "o_month")
         SNAPSHOT_STATS.update(stats)
         SNAPSHOT_STATS["seconds"] = round(time.time() - t0, 3)
-    return snapshot_read_path(path)
+    return snapshot_read(spark, path)
 
 
-def merged_snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
+def merged_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage a second snapshot-pointer orders table and run ONE
     deterministic row-level MERGE (:func:`sources.layout.snapshot_merge`)
     through it — every MERGE verb in one batch, all keyed off
@@ -1373,19 +1400,24 @@ def merged_snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
     - UPDATE:  keys % 97 == 0 (not deleted/moved) get o_totalprice+1.0
       (the +1 stays in DOUBLE on both engines; aggregation casts to
       decimal after, like every price sum here);
-    - INSERT:  keys % 103 == 0 are copied with key -k (guaranteed
-      absent) into their own month.
+    - INSERT:  keys % 103 == 0 (excluding key 0, whose negation -0
+      would collide with its own %101 delete — a MERGE batch carries
+      ONE change per key by contract, enforced since r12) are copied
+      with key -k (guaranteed absent) into their own month.
 
     The ``a_extended`` 'merge' section aggregates the merged committed
     snapshot per month; a wrong verb precedence, a lost old-home row on
-    the move path, or a hardlinked untouched month drifting all break
-    the driver hash. Returns the committed read path."""
-    from .sources.layout import snapshot_merge, snapshot_read_path, snapshot_write
+    the move path, or a re-referenced untouched month resolving wrong
+    all break the driver hash. Returns the committed snapshot
+    DataFrame (v2 spans two version roots — v1's untouched months plus
+    v2's rewritten ones — exactly the multi-root read
+    :func:`sources.layout.snapshot_read` exists for)."""
+    from .sources.layout import snapshot_merge, snapshot_read, snapshot_write
 
     path = os.path.join(
         GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_merged"
     )
-    if not os.path.exists(os.path.join(path, "_COMMITTED")):
+    if _snapshot_stale(path):
         po = _t(spark, sf_dir, "orders").withColumn(
             "o_month", F.date_format("o_orderdate", "yyyy-MM")
         )
@@ -1403,7 +1435,7 @@ def merged_snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("_del", F.lit(False))
         )
         ins = (
-            po.filter(k % 103 == 0)
+            po.filter((k % 103 == 0) & (k != 0))
             .withColumn("o_orderkey", -k)
             .withColumn("_del", F.lit(False))
         )
@@ -1416,7 +1448,7 @@ def merged_snapshot_orders(spark: SparkSession, sf_dir: str) -> str:
         )
         MERGE_STATS.update(stats)
         MERGE_STATS["seconds"] = round(time.time() - t0, 3)
-    return snapshot_read_path(path)
+    return snapshot_read(spark, path)
 
 
 def calendar_months(spark: SparkSession) -> DataFrame:
@@ -3582,6 +3614,11 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mtime-ordered so the file source replays them in sequence.
         # c2 RE-updates the same keys c1 updated (absolute values), so
         # the oracle proves batches applied in order, not just at all.
+        # Each change row carries a `_seq` (r12, ADVICE r11): if a
+        # trigger coalesces both files into one microbatch, the merge
+        # reduces the batch last-change-wins instead of writing both
+        # versions of a key — the final state is identical either way,
+        # which is what the oracle hash checks.
         from .sources.layout import snapshot_write as _snap_write
 
         po = _t(spark, sf_dir, "orders").select(
@@ -3598,6 +3635,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(
                 po.filter(kk % 17 == 0).withColumn("_del", F.lit(True))
             )
+            .withColumn("_seq", F.lit(1))
         )
         c2 = (
             po.filter((kk % 13 == 0) & (kk % 17 != 0) & (kk % 23 != 0))
@@ -3613,6 +3651,7 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("o_orderkey", -kk)
                 .withColumn("_del", F.lit(False))
             )
+            .withColumn("_seq", F.lit(2))
         )
         cdc_in = os.path.join(work, "cdc_in")
         os.makedirs(cdc_in)
@@ -3683,14 +3722,14 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_stream = (
             spark.readStream.schema(
                 "o_orderkey BIGINT, o_month STRING, "
-                "o_totalprice DOUBLE, _del BOOLEAN"
+                "o_totalprice DOUBLE, _del BOOLEAN, _seq INT"
             )
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(work, "cdc_in"))
         )
         run_stream_cdc_apply(
             cdc_stream, cdc_run, "o_month", ["o_orderkey"], delete_col="_del",
-            checkpoint_dir=cdc_ckpt,
+            seq_col="_seq", checkpoint_dir=cdc_ckpt,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -3772,10 +3811,10 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two streamed change batches, aggregated per month — a wrong batch
     # order (c2's absolute updates must supersede c1's), a missed verb,
     # or a partial (non-atomic) batch visibility all break the hash.
-    from .sources.layout import snapshot_read_path as _snap_read
+    from .sources.layout import snapshot_read as _snap_read
 
     cdc = (
-        spark.read.parquet(_snap_read(cdc_run))
+        _snap_read(spark, cdc_run)
         .groupBy("o_month")
         .agg(
             F.count("*").cast("bigint").alias("i1"),
@@ -4335,7 +4374,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot_orders). Same per-month aggregate against the plain
     # table's oracle.
     sn = (
-        spark.read.parquet(snapshot_orders(spark, sf_dir))
+        snapshot_orders(spark, sf_dir)
         .groupBy("o_month")
         .agg(
             F.count("*").cast("double").alias("_n"),
@@ -4361,7 +4400,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copy-on-write snapshot_merge; the committed result must equal the
     # SQL-reconstructed final state (merged_snapshot_orders).
     mg = (
-        spark.read.parquet(merged_snapshot_orders(spark, sf_dir))
+        merged_snapshot_orders(spark, sf_dir)
         .groupBy("o_month")
         .agg(
             F.count("*").cast("double").alias("_n"),
@@ -6470,7 +6509,9 @@ FROM orders GROUP BY 1, 2, 3, 4
 UNION ALL
 -- row-level MERGE round trip (r11): reconstruct snapshot_merge's final
 -- state from the plain table (delete %101, move %107 -> '1999-12',
--- update %97 price+1.0 in DOUBLE, insert %103 as -key).
+-- update %97 price+1.0 in DOUBLE, insert %103 as -key; key 0 is
+-- excluded from inserts — its -0 would collide with its own delete,
+-- and a MERGE batch carries one change per key).
 SELECT 'merge' AS section, m AS k1, '' AS k2, 'n' AS metric,
        CAST(COUNT(*) AS DOUBLE) AS val, CAST(NULL AS VARCHAR) AS sval
 FROM (
@@ -6479,7 +6520,7 @@ FROM (
   FROM orders WHERE o_orderkey % 101 <> 0
   UNION ALL
   SELECT strftime(o_orderdate, '%Y-%m') FROM orders
-  WHERE o_orderkey % 103 = 0
+  WHERE o_orderkey % 103 = 0 AND o_orderkey <> 0
 ) GROUP BY 1, 2, 3, 4
 UNION ALL
 SELECT 'merge' AS section, m AS k1, '' AS k2, 'sum_price' AS metric,
@@ -6493,7 +6534,7 @@ FROM (
   FROM orders WHERE o_orderkey % 101 <> 0
   UNION ALL
   SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice FROM orders
-  WHERE o_orderkey % 103 = 0
+  WHERE o_orderkey % 103 = 0 AND o_orderkey <> 0
 ) GROUP BY 1, 2, 3, 4
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered

@@ -909,6 +909,7 @@ def run_stream_cdc_apply(
     partition_col: str,
     key_cols: list[str],
     delete_col: str | None = None,
+    seq_col: str | None = None,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
 ) -> None:
@@ -918,7 +919,16 @@ def run_stream_cdc_apply(
     version per batch, so every batch is an atomic, reader-isolated
     transaction and downstream readers only ever see whole batches.
     Batches apply in stream order (the file source's WAL fixes the
-    order), so later updates of a key win.
+    order), so ACROSS batches later updates of a key win.
+
+    WITHIN a batch, ordering needs ``seq_col``: a trigger is free to
+    coalesce several change files into one microbatch (availableNow
+    with no ``maxFilesPerTrigger`` does exactly that), putting multiple
+    changes of one key in a single merge. With ``seq_col`` the merge
+    keeps the highest-sequence change per key (last-change-wins);
+    without it, per-batch key-uniqueness is a PRECONDITION the merge
+    enforces by raising — never by silently writing duplicate or
+    conflicting rows for a key.
 
     Crash story — simpler than the corpus-ingest journal BY
     CONSTRUCTION: a batch replayed after a crash between the pointer
@@ -929,9 +939,10 @@ def run_stream_cdc_apply(
     the history, no journal needed. The ingest path needed a rollback
     journal precisely because an index APPEND is not idempotent.
 
-    Scale shape per batch: one key semi-join + a rewrite of the touched
-    partitions (cost ∝ batch-touched data); hot tables want batches
-    grouped by partition so the touched set stays narrow.
+    Scale shape per batch: one manifest-stat-pruned key semi-join + a
+    rewrite of the touched partitions + ONE manifest/pointer commit
+    (cost ∝ batch-touched data, never table size); hot tables want
+    batches grouped by partition so the touched set stays narrow.
     """
 
     from ..sources.layout import snapshot_merge
@@ -946,6 +957,7 @@ def run_stream_cdc_apply(
             partition_col,
             key_cols,
             delete_col=delete_col,
+            seq_col=seq_col,
         )
 
     writer = cdc_stream.writeStream.foreachBatch(_apply)

@@ -1508,7 +1508,8 @@ def test_stream_cdc_apply_sequential_and_replay_idempotent(spark, tmp_path):
 
     from datawarehouse_group10_spark.sources.layout import (
         snapshot_merge,
-        snapshot_read_path,
+        snapshot_read,
+        snapshot_version,
         snapshot_write,
     )
     from datawarehouse_group10_spark.streaming import run_stream_cdc_apply
@@ -1549,19 +1550,19 @@ def test_stream_cdc_apply_sequential_and_replay_idempotent(spark, tmp_path):
     )
     got = {
         r["k"]: r["v"]
-        for r in spark.read.parquet(snapshot_read_path(table)).collect()
+        for r in snapshot_read(spark, table).collect()
     }
     # b2's update of k=1 (12.0) supersedes b1's (11.0); k=3 deleted
     assert got == {1: 12.0, 2: 20.0, 9: 90.0}
     # one version per batch: v1 base + v2 (b1) + v3 (b2)
-    assert snapshot_read_path(table).endswith("v3")
+    assert snapshot_version(table) == 3
 
     # crash-replay: re-merging b2 converges to the same state (new
     # version, identical content)
     snapshot_merge(spark, b2, table, "p", ["k"], delete_col="del")
     again = {
         r["k"]: r["v"]
-        for r in spark.read.parquet(snapshot_read_path(table)).collect()
+        for r in snapshot_read(spark, table).collect()
     }
     assert again == got
-    assert snapshot_read_path(table).endswith("v4")
+    assert snapshot_version(table) == 4

@@ -1447,25 +1447,28 @@ def test_snapshot_layout_pointer_swap_and_reader_isolation(spark, tmp_path):
     assert snapshot_read_path(path) == snap2
 
 
-def test_snapshot_compact_hardlinks_untouched_partitions(spark, tmp_path):
-    """The untouched partition's files in the new snapshot are HARDLINKS
-    of the old snapshot's (st_nlink >= 2, same inode) — O(files)
-    metadata, zero bytes copied — while the fragmented partition is
-    genuinely rewritten."""
+def test_snapshot_compact_rereferences_untouched_partitions(spark, tmp_path):
+    """O(touched) commit metadata (r12, VERDICT r11 #1): the untouched
+    partition is RE-REFERENCED in the new manifest — its entry still
+    names the v1 data dir verbatim, the v2 root holds ONLY the
+    rewritten partition, and no file of the untouched partition is
+    copied, linked, or listed. The commit's total metadata is one
+    manifest + the pointer."""
     import glob
     import hashlib
     import os
 
     from datawarehouse_group10_spark.sources.layout import (
+        _stage_version,
         snapshot_compact,
-        snapshot_read_path,
-        snapshot_write,
-        _snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
     )
 
     path = str(tmp_path / "tbl")
-    # v1 staged by hand: partition a fragmented (8 shards), partition c
-    # right-sized (one file) — so compact touches a, links c.
+    # v1 staged via the shared commit protocol: partition a fragmented
+    # (8 shards), partition c right-sized (one file) — so compact
+    # rewrites a and re-references c.
     frag = spark.createDataFrame(
         [("a", hashlib.md5(str(i).encode()).hexdigest()) for i in range(1000)],
         "p string, payload string",
@@ -1474,24 +1477,32 @@ def test_snapshot_compact_hardlinks_untouched_partitions(spark, tmp_path):
         [("c", hashlib.md5(str(-i).encode()).hexdigest()) for i in range(1, 1001)],
         "p string, payload string",
     )
-    snap1 = os.path.join(path, "v1")
-    frag.repartition(8).write.partitionBy("p").parquet(snap1)
-    ok.coalesce(1).write.mode("append").partitionBy("p").parquet(snap1)
-    _snapshot_commit(path, 1)
+
+    def writer(snap):
+        frag.repartition(8).write.mode("append").partitionBy("p").parquet(snap)
+        ok.coalesce(1).write.mode("append").partitionBy("p").parquet(snap)
+
+    _stage_version(path, "p", {}, set(), writer)
+    c_files_v1 = sorted(glob.glob(os.path.join(path, "v1", "p=c", "*.parquet")))
+    assert len(c_files_v1) == 1
 
     res = snapshot_compact(spark, path, "p")
     assert res["partitions_compacted"] == 1
-    snap2 = snapshot_read_path(path)
-
-    linked = glob.glob(os.path.join(snap2, "p=c", "*.parquet"))
-    assert linked and all(os.stat(f).st_nlink >= 2 for f in linked)
-    v1_inodes = {
-        os.stat(f).st_ino
-        for f in glob.glob(os.path.join(snap1, "p=c", "*.parquet"))
-    }
-    assert {os.stat(f).st_ino for f in linked} == v1_inodes
-    rewritten = glob.glob(os.path.join(snap2, "p=a", "*.parquet"))
-    assert rewritten and all(os.stat(f).st_nlink == 1 for f in rewritten)
+    m = snapshot_manifest(path)
+    assert m["partitions"]["c"]["root"] == "v1"  # carried, not copied
+    assert m["partitions"]["a"]["root"] == "v2"
+    # the v2 data root holds ONLY the rewritten partition
+    v2_dirs = [
+        d for d in os.listdir(os.path.join(path, "v2")) if d.startswith("p=")
+    ]
+    assert v2_dirs == ["p=a"]
+    # c's single v1 file is untouched on disk and still the one scanned
+    assert sorted(
+        glob.glob(os.path.join(path, "v1", "p=c", "*.parquet"))
+    ) == c_files_v1
+    got = snapshot_read(spark, path)
+    assert got.count() == 2000
+    assert got.filter("p = 'c'").count() == 1000
 
 
 def test_snapshot_orphan_staging_invisible_and_gc_retention(spark, tmp_path):
@@ -1594,7 +1605,8 @@ def test_cli_snapshot_subcommands(spark, tmp_path, monkeypatch, capsys):
 def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
     """snapshot_backfill: the reader-safe backfill replaces exactly the
     batch's partitions as a NEW committed version — corruption repaired,
-    siblings hardlinked (zero data copy, same inodes), old snapshot
+    siblings RE-REFERENCED in the manifest (the v2 root holds only the
+    batch's partition; zero sibling file-system work), old snapshot
     byte-intact for in-flight readers, and a replay of the same batch
     is idempotent (a third version with identical content)."""
     import glob
@@ -1604,7 +1616,8 @@ def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
 
     from datawarehouse_group10_spark.sources.layout import (
         snapshot_backfill,
-        snapshot_read_path,
+        snapshot_manifest,
+        snapshot_read,
         snapshot_write,
     )
 
@@ -1615,8 +1628,7 @@ def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
     bad = df.withColumn(
         "v", F.when(F.col("p") == "b", F.col("v") * 2).otherwise(F.col("v"))
     ).filter(~((F.col("p") == "b") & (F.col("k") % 5 == 0)))
-    snapshot_write(bad, path, "p")
-    snap1 = snapshot_read_path(path)
+    snap1 = snapshot_write(bad, path, "p")
     v1_files = {
         f: os.path.getsize(f)
         for f in glob.glob(os.path.join(snap1, "p=*", "*.parquet"))
@@ -1625,24 +1637,21 @@ def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
     res = snapshot_backfill(df.filter("p = 'b'"), path, "p")
     assert res["partitions_backfilled"] == 1
     assert (res["old_version"], res["new_version"]) == (1, 2)
-    snap2 = snapshot_read_path(path)
-    got = spark.read.parquet(snap2)
+    got = snapshot_read(spark, path)
     assert got.count() == 150
     assert (
         got.filter("p = 'b'").agg(F.sum("v")).first()[0]
         == df.filter("p = 'b'").agg(F.sum("v")).first()[0]
     )
-    # siblings hardlinked, not copied
-    for part in ("a", "c"):
-        v1_inodes = {
-            os.stat(f).st_ino
-            for f in glob.glob(os.path.join(snap1, f"p={part}", "*.parquet"))
-        }
-        v2_inodes = {
-            os.stat(f).st_ino
-            for f in glob.glob(os.path.join(snap2, f"p={part}", "*.parquet"))
-        }
-        assert v1_inodes == v2_inodes
+    # O(touched) commit: siblings re-referenced, only p=b landed in v2
+    m = snapshot_manifest(path)
+    assert m["partitions"]["a"]["root"] == "v1"
+    assert m["partitions"]["c"]["root"] == "v1"
+    assert m["partitions"]["b"]["root"] == "v2"
+    v2_dirs = [
+        d for d in os.listdir(os.path.join(path, "v2")) if d.startswith("p=")
+    ]
+    assert v2_dirs == ["p=b"]
     # old snapshot byte-intact
     for f, size in v1_files.items():
         assert os.path.getsize(f) == size
@@ -1650,7 +1659,7 @@ def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
     # replay idempotence: same batch again -> v3 with identical content
     res2 = snapshot_backfill(df.filter("p = 'b'"), path, "p")
     assert res2["new_version"] == 3
-    again = spark.read.parquet(snapshot_read_path(path))
+    again = snapshot_read(spark, path)
     assert again.count() == 150
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, again.collect()))
@@ -1658,17 +1667,17 @@ def test_snapshot_backfill_replaces_batch_partitions_only(spark, tmp_path):
 
 
 def test_snapshot_diff_scans_only_changed_partitions(spark, tmp_path):
-    """snapshot_diff (r11): row-level CDC between two retained versions.
-    Hardlinked (untouched) partitions compare equal by metadata and are
-    pruned before any scan; the diff is exactly the backfill's net row
-    changes, duplicates respected."""
+    """snapshot_diff (r11; manifest-pruned since r12): row-level CDC
+    between two retained versions. Untouched partitions keep the SAME
+    manifest data-dir reference across versions and are pruned by pure
+    manifest compare (zero I/O); the diff is exactly the backfill's net
+    row changes, duplicates respected."""
     from pyspark.sql import functions as F
 
     from datawarehouse_group10_spark.sources.layout import (
-        _snapshot_changed_partitions,
+        _changed_partitions,
         snapshot_backfill,
         snapshot_diff,
-        snapshot_read_path,
         snapshot_write,
     )
 
@@ -1682,12 +1691,8 @@ def test_snapshot_diff_scans_only_changed_partitions(spark, tmp_path):
     snapshot_write(bad, path, "p")
     snapshot_backfill(df.filter("p = 'b'"), path, "p")
 
-    # metadata prune: only b's file set differs between v1 and v2
-    assert _snapshot_changed_partitions(
-        snapshot_read_path(path, version=1),
-        snapshot_read_path(path, version=2),
-        "p",
-    ) == ["b"]
+    # manifest prune: only b's data-dir reference differs v1 -> v2
+    assert _changed_partitions(path, 1, 2) == ["b"]
 
     diff = snapshot_diff(spark, path, 1, 2, "p")
     got = {
@@ -1698,17 +1703,22 @@ def test_snapshot_diff_scans_only_changed_partitions(spark, tmp_path):
     assert set(got) == {("insert", 5), ("insert", 6), ("delete", 1)}
     assert all(r["p"] == "b" for r in got.values())
 
-    # identical versions diff to zero rows (and scan nothing)
+    # identical content rewritten as v3: the ref changed (b -> v3) so b
+    # is scanned, but the net diff is zero rows
     snapshot_backfill(df.filter("p = 'b'"), path, "p")  # v3 == v2 content
+    assert _changed_partitions(path, 2, 3) == ["b"]
     assert snapshot_diff(spark, path, 2, 3, "p").count() == 0
 
 
 def test_snapshot_time_travel_and_history(spark, tmp_path):
-    """Time travel (r11): snapshot_read_path(version=N) reads the table
-    AS OF commit N for any retained version; versions above the pointer
-    (uncommitted staging) and GC-reclaimed ones fail loudly instead of
-    silently reading wrong data. snapshot_history lists the retained
-    commits with footer-derived stats and marks the committed one."""
+    """Time travel (r11; manifests since r12): snapshot_read(version=N)
+    reads the table AS OF commit N for any retained version; versions
+    above the pointer (uncommitted staging) and GC-reclaimed ones fail
+    loudly instead of silently reading wrong data. snapshot_history
+    lists the retained commits with manifest-derived stats and marks
+    the committed one. The v2 snapshot spans two version roots (a
+    carried from v1, b rewritten in v2) — the multi-root case the
+    single-dir snapshot_read_path shim refuses by design."""
     import os
 
     import pytest as _pytest
@@ -1719,7 +1729,9 @@ def test_snapshot_time_travel_and_history(spark, tmp_path):
         snapshot_backfill,
         snapshot_gc,
         snapshot_history,
+        snapshot_read,
         snapshot_read_path,
+        snapshot_version,
         snapshot_write,
     )
 
@@ -1729,6 +1741,8 @@ def test_snapshot_time_travel_and_history(spark, tmp_path):
         "p string, k int, v double",
     )
     snapshot_write(df, path, "p")
+    # the single-root committed v1 resolves to one directory
+    assert snapshot_read_path(path).endswith("v1")
     fixed = df.withColumn(
         "v", F.when(F.col("p") == "b", F.col("v") + 1000).otherwise(F.col("v"))
     )
@@ -1736,14 +1750,16 @@ def test_snapshot_time_travel_and_history(spark, tmp_path):
 
     # default read = committed v2; version=1 time-travels to the pre-fix
     # state; both are simultaneously scannable (immutable dirs).
-    assert snapshot_read_path(path).endswith("v2")
-    assert snapshot_read_path(path, version=2) == snapshot_read_path(path)
-    old = spark.read.parquet(snapshot_read_path(path, version=1))
-    new = spark.read.parquet(snapshot_read_path(path, version=2))
+    assert snapshot_version(path) == 2
+    old = snapshot_read(spark, path, version=1)
+    new = snapshot_read(spark, path, version=2)
     assert old.filter("p = 'b'").agg(F.sum("v")).first()[0] == 190.0
     assert new.filter("p = 'b'").agg(F.sum("v")).first()[0] == 20190.0
+    # v2 spans roots v1 + v2: no single dir holds it
+    with _pytest.raises(ValueError, match="snapshot_read"):
+        snapshot_read_path(path, version=2)
 
-    # history: oldest first, committed marked, footer stats populated
+    # history: oldest first, committed marked, manifest stats populated
     hist = snapshot_history(path)
     assert [h["version"] for h in hist] == [1, 2]
     assert [h["committed"] for h in hist] == [False, True]
@@ -1753,28 +1769,34 @@ def test_snapshot_time_travel_and_history(spark, tmp_path):
     # and not marked committed in history
     os.makedirs(os.path.join(path, "v3"))
     with _pytest.raises(ValueError, match="above the committed pointer"):
-        snapshot_read_path(path, version=3)
+        snapshot_read(spark, path, version=3)
     assert [h["committed"] for h in snapshot_history(path)] == [
         False,
         True,
         False,
     ]
 
-    # GC reclaims v1 -> time travel past the retention window is loud
+    # GC reclaims v1's COMMIT -> time travel past the retention window
+    # is loud; v2 (which still references v1's p=a data) keeps reading
     assert snapshot_gc(path, keep=1) == [1]
     with _pytest.raises(FileNotFoundError, match="retention"):
-        snapshot_read_path(path, version=1)
+        snapshot_read(spark, path, version=1)
     assert [h["version"] for h in snapshot_history(path)] == [2, 3]
+    assert snapshot_read(spark, path).filter(
+        "p = 'a'"
+    ).count() == 20  # v1/p=a survived the gc because v2 references it
 
 
 def test_snapshot_merge_all_verbs(spark, tmp_path):
     """One MERGE batch exercising every verb: update, delete, insert
     into a NEW partition, and a key that MOVES partitions (both homes
-    rewrite). Untouched partitions hardlink; the old version stays
-    readable (reader isolation)."""
+    rewrite). The untouched partition is re-referenced in the manifest
+    (zero file-system work, nothing under the v2 root for it); the old
+    version stays readable (reader isolation)."""
     from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
         snapshot_merge,
-        snapshot_read_path,
+        snapshot_read,
         snapshot_write,
     )
 
@@ -1795,35 +1817,44 @@ def test_snapshot_merge_all_verbs(spark, tmp_path):
     st = snapshot_merge(spark, batch, path, "p", ["k"], delete_col="del")
     assert st == {
         "partitions_rewritten": 3,  # a (update+arrival), b (delete+departure), d (new)
+        # batch key range 1..9 overlaps every partition's k stats here,
+        # so nothing prunes (see the key-range pruning test for the
+        # disjoint case)
+        "probe_partitions": 3,
+        "partitions_total": 3,
         "old_version": 1,
         "new_version": 2,
     }
     got = {
         r["k"]: (r["p"], r["v"])
-        for r in spark.read.parquet(snapshot_read_path(path)).collect()
+        for r in snapshot_read(spark, path).collect()
     }
     assert got == {1: ("a", 11.0), 2: ("a", 20.0), 4: ("a", 44.0),
                    5: ("c", 50.0), 9: ("d", 90.0)}
-    # untouched partition c is a hardlink of v1's file (same inode)
-    v1c = [f for f in os.listdir(os.path.join(path, "v1", "p=c"))
-           if f.endswith(".parquet")]
-    v2c = [f for f in os.listdir(os.path.join(path, "v2", "p=c"))
-           if f.endswith(".parquet")]
-    assert v1c == v2c
-    ino = lambda v, f: os.stat(os.path.join(path, v, "p=c", f)).st_ino  # noqa: E731
-    assert ino("v1", v1c[0]) == ino("v2", v2c[0])
+    # untouched partition c: manifest still references the v1 data dir,
+    # and the v2 root holds only the rewritten partitions
+    m = snapshot_manifest(path)
+    assert m["partitions"]["c"]["root"] == "v1"
+    assert {d for d in os.listdir(os.path.join(path, "v2"))
+            if d.startswith("p=")} == {"p=a", "p=d"}
+    # partition b lost its last row -> dropped from the manifest
+    assert "b" not in m["partitions"]
     # reader isolation: v1 is byte-for-byte the pre-merge table
-    old = spark.read.parquet(snapshot_read_path(path, version=1))
+    old = snapshot_read(spark, path, version=1)
     assert old.count() == 5
     assert {r["v"] for r in old.filter("k = 1").collect()} == {10.0}
 
 
-def test_snapshot_merge_noop_batch_publishes_hardlinked_version(
+def test_snapshot_merge_noop_batch_publishes_rereferencing_version(
     spark, tmp_path
 ):
+    """An empty batch still commits: a new manifest re-referencing
+    every partition (O(1) data work — and O(0) probe I/O, since an
+    empty key range can match nothing)."""
     from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
         snapshot_merge,
-        snapshot_read_path,
+        snapshot_read,
         snapshot_write,
     )
 
@@ -1835,9 +1866,157 @@ def test_snapshot_merge_noop_batch_publishes_hardlinked_version(
     empty = spark.createDataFrame([], "k int, p string, v double, del boolean")
     st = snapshot_merge(spark, empty, path, "p", ["k"], delete_col="del")
     assert st["partitions_rewritten"] == 0
+    assert st["probe_partitions"] == 0  # empty key range probes nothing
     assert st["new_version"] == 2
-    out = spark.read.parquet(snapshot_read_path(path)).orderBy("k").collect()
+    m = snapshot_manifest(path)
+    assert {e["root"] for e in m["partitions"].values()} == {"v1"}
+    out = snapshot_read(spark, path).orderBy("k").collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, 10.0), (2, 20.0)]
+
+
+def test_snapshot_merge_key_range_pruning(spark, tmp_path):
+    """Manifest-stat pruning of the MERGE probe (r12, VERDICT r11 #2):
+    a 1-key batch into a key-clustered 10-partition table probes
+    exactly the ONE partition whose manifest [min,max] for the key
+    overlaps the batch's key range — the read side is ∝ touched, not
+    table size — and the merged result is still exact."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    # key-sorted layout: partition p<i> holds keys [100*i, 100*i+49]
+    rows = [
+        (100 * i + j, f"p{i}", float(j)) for i in range(10) for j in range(50)
+    ]
+    base = spark.createDataFrame(rows, "k int, p string, v double")
+    snapshot_write(base, path, "p")
+    m = snapshot_manifest(path)
+    # the manifest carries per-partition key stats from the write
+    assert m["partitions"]["p3"]["stats"]["k"] == [300, 349]
+
+    batch = spark.createDataFrame(
+        [(307, "p3", -1.0, False)], "k int, p string, v double, del boolean"
+    )
+    st = snapshot_merge(spark, batch, path, "p", ["k"], delete_col="del")
+    assert st["partitions_total"] == 10
+    assert st["probe_partitions"] == 1  # << total: only p3's range matches
+    assert st["partitions_rewritten"] == 1
+    got = snapshot_read(spark, path)
+    assert got.filter("k = 307").first()["v"] == -1.0
+    assert got.count() == 500
+
+    # a key that exists NOWHERE still prunes to zero probes but inserts
+    ins = spark.createDataFrame(
+        [(5000, "p0", 9.0, False)], "k int, p string, v double, del boolean"
+    )
+    st2 = snapshot_merge(spark, ins, path, "p", ["k"], delete_col="del")
+    assert st2["probe_partitions"] == 0
+    assert st2["partitions_rewritten"] == 1  # p0 rewritten for the insert
+    assert snapshot_read(spark, path).count() == 501
+
+
+def test_snapshot_merge_batch_dedup_and_null_flags(spark, tmp_path):
+    """ADVICE r11: (a) a batch with several changes per key RAISES
+    without seq_col instead of silently writing duplicate rows; (b)
+    with seq_col the highest-sequence change wins, including a final
+    delete; (c) a NULL delete flag means upsert, never a silent
+    delete."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k int, p string, v double",
+    )
+    snapshot_write(base, path, "p")
+
+    dup = spark.createDataFrame(
+        [(1, "a", 11.0, False, 1), (1, "a", 12.0, False, 2),
+         (2, "a", 0.0, True, 1), (2, "a", 21.0, False, 2),
+         (3, "b", 31.0, False, 1), (3, "b", 0.0, True, 2)],
+        "k int, p string, v double, del boolean, seq int",
+    )
+    with _pytest.raises(ValueError, match="ONE change per key"):
+        snapshot_merge(spark, dup, path, "p", ["k"], delete_col="del")
+
+    st = snapshot_merge(
+        spark, dup, path, "p", ["k"], delete_col="del", seq_col="seq"
+    )
+    assert st["new_version"] == 2
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    # last change wins per key: k=1 -> 12.0, k=2 un-deleted to 21.0,
+    # k=3's final change is a delete
+    assert got == {1: 12.0, 2: 21.0}
+
+    nulls = spark.createDataFrame(
+        [(1, "a", 100.0, None), (2, "a", 0.0, True)],
+        "k int, p string, v double, del boolean",
+    )
+    snapshot_merge(spark, nulls, path, "p", ["k"], delete_col="del")
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    # NULL flag upserted k=1; the true flag deleted k=2
+    assert got == {1: 100.0}
+
+
+def test_snapshot_gc_keeps_data_referenced_by_retained_versions(
+    spark, tmp_path
+):
+    """Reader-during-GC contract (r12, VERDICT r11 #8): gc reclaims
+    COMMITS outside the retention window, but every data directory a
+    retained manifest still references survives — a time-travel read
+    of a retained version keeps working through a gc of older
+    versions, while a read past retention fails loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b", "c") for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")                                   # v1
+    snapshot_backfill(
+        df.filter("p = 'b'").withColumn("v", F.col("v") + 100), path, "p"
+    )                                                               # v2
+    snapshot_backfill(
+        df.filter("p = 'c'").withColumn("v", F.col("v") + 200), path, "p"
+    )                                                               # v3
+
+    doomed = snapshot_gc(path, keep=2)
+    assert doomed == [1]
+    # retained v2 still references v1's p=a AND p=c dirs: both survive
+    assert os.path.isdir(os.path.join(path, "v1", "p=a"))
+    assert os.path.isdir(os.path.join(path, "v1", "p=c"))
+    # v1's p=b is referenced by NO retained manifest: reclaimed
+    assert not os.path.exists(os.path.join(path, "v1", "p=b"))
+    # time-travel read of retained v2 works end-to-end after the gc
+    old = snapshot_read(spark, path, version=2)
+    assert old.count() == 30
+    assert old.filter("p = 'c'").agg(F.sum("v")).first()[0] == 45.0
+    # reading past retention fails loudly
+    with _pytest.raises(FileNotFoundError, match="retention"):
+        snapshot_read(spark, path, version=1)
+    # the committed head is untouched
+    new = snapshot_read(spark, path)
+    assert new.filter("p = 'c'").agg(F.sum("v")).first()[0] == 2045.0
 
 
 def test_cli_snapshot_merge_subcommand(spark, tmp_path, monkeypatch, capsys):
