@@ -84,8 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     so = sub.add_parser(
         "snapshot-optimize",
         help="compact a snapshot-pointer-versioned table: stage the next "
-        "v<N> (hardlinked untouched partitions) and swap _COMMITTED — "
-        "concurrent readers keep scanning their resolved snapshot",
+        "v<N> (untouched partitions re-referenced in its manifest) and "
+        "swap _COMMITTED — concurrent readers keep scanning their "
+        "resolved snapshot",
     )
     so.add_argument("--table", required=True,
                     help="snapshot table root (holds _COMMITTED + v<N>/)")

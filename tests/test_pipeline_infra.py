@@ -1388,10 +1388,9 @@ def test_snapshot_layout_pointer_swap_and_reader_isolation(spark, tmp_path):
     """Snapshot-pointer maintenance (r11, VERDICT r10 #6): optimize
     stages a NEW version and swaps _COMMITTED, so a reader that
     resolved the old snapshot keeps scanning byte-identical files
-    during and after the rewrite; untouched partitions are hardlinked
-    (zero data copy), fragmented ones land at the writer's predicted
-    file count, and a re-run is a structural no-op with the pointer
-    untouched."""
+    during and after the rewrite; fragmented partitions land at the
+    writer's predicted file count, and a re-run is a structural no-op
+    with the pointer untouched."""
     import glob
     import hashlib
     import os
