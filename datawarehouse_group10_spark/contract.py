@@ -3248,24 +3248,28 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN top-10 (r11) — the memory-bounded scale
-    path: 4 subspaces x 16 data-derived codebook entries encode each
-    64-dim vector as 4 bytes, the ADC scan ranks by plan-time-folded
-    distance-table lookups (no join, no shuffle), and the top-50
-    candidates are exact-reranked by cosine.
+    """Product-quantization ANN top-10 (r11; TRAINED codebooks since
+    r12, VERDICT r11 #5) — the memory-bounded scale path: 4 subspaces x
+    16 Lloyd-trained codebook entries encode each 64-dim vector as 4
+    bytes, the ADC scan ranks by plan-time-folded distance-table
+    lookups (no join, no shuffle), and the top-50 candidates are
+    exact-reranked by cosine.
 
-    Oracle-checkable end-to-end like the IVF surface: codebooks are
-    subvectors of the 16 lowest-id corpus vectors (SQL can slice them),
-    per-subspace code assignment is argmin over c.c - 2*v.c with ties to
-    the lowest entry (bit-identical folds both engines), and the ADC sum
-    is a left-associative add chain the oracle reproduces term by term.
-    """
+    Oracle-checkable end-to-end INCLUDING the training: init codebooks
+    are subvectors of the 16 lowest-id corpus vectors (SQL can slice
+    them), each Lloyd iteration is argmin assignment + per-(subspace,
+    entry, dim) means on a quantized integer grid (exact and
+    engine-portable — see ``pq_train_codebooks``), and the oracle
+    replays the SAME two unrolled iterations in SQL
+    (``_pq_trained_cb_sql``) before reproducing the ADC add chain term
+    by term. Recall@10 vs the untrained lowest-id codebooks is
+    pytest-pinned to improve on a clustered fixture."""
     _utc(spark)
-    from .functions.similarity import pq_codebooks, pq_topk
+    from .functions.similarity import pq_topk, pq_train_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    books = pq_codebooks(emb, m=4, k=16)
+    books = pq_train_codebooks(emb, m=4, k=16, n_iter=2)
     out = pq_topk(emb, q, books, k=10, refine=50)
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
@@ -6868,27 +6872,78 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
 
 # Incremental MinHash vs the persisted corpus index must equal the
 # new-involving subset of the full-corpus exact-Jaccard pair set.
-#: PQ top-k (the sim_ann_suite 'pq' surface): codebook entry (s, j) =
-#: subspace s (16 dims, 1-based inclusive DuckDB list slice) of the j-th
-#: lowest-id corpus vector; per-row codes are argmin over c.c - 2*v.c
-#: (rank-window, ties to the lowest j — the ivf assign precedent); the
-#: ADC approximation is the LEFT-ASSOCIATIVE 4-term add chain the Spark
-#: side builds, pivoted out of the per-subspace terms so the fold order
-#: is explicit (a bare SUM() would add in arbitrary order and flip
-#: refine-boundary ties).
+#: PQ top-k (the sim_ann_suite 'pq' surface): codebooks are TRAINED
+#: (r12) — init entry (s, j) = subspace s (16 dims, 1-based inclusive
+#: DuckDB list slice) of the j-th lowest-id corpus vector, then TWO
+#: unrolled Lloyd iterations replayed in SQL (_pq_trained_cb_sql):
+#: argmin assignment (rank-window, ties to the lowest j — the ivf
+#: assign precedent) and per-(s, j, dim) means summed on the
+#: round(x*1e6) integer grid, exactly the engine's arithmetic. Per-row
+#: codes are argmin over c.c - 2*v.c; the ADC approximation is the
+#: LEFT-ASSOCIATIVE 4-term add chain the Spark side builds, pivoted out
+#: of the per-subspace terms so the fold order is explicit (a bare
+#: SUM() would add in arbitrary order and flip refine-boundary ties).
+
+
+def _pq_trained_cb_sql(n_iter: int = 2) -> str:
+    """The unrolled-Lloyd codebook CTE chain ending in ``cb`` — the SQL
+    replay of functions/similarity.py::pq_train_codebooks (same init,
+    same assignment tie-break, same quantized-integer means, same
+    empty-cell carry-forward)."""
+    ctes = [
+        """cb_t0 AS (
+  SELECT s.s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY b.vec_id) - 1
+              AS INT) AS j,
+         b.bv[(s.s*16+1):(s.s*16+16)] AS cv
+  FROM base b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) s
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        ctes.append(f"""asg_t{t} AS (
+  SELECT e.vec_id, c.s, c.j
+  FROM embeddings e CROSS JOIN cb_t{p} c
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY e.vec_id, c.s
+    ORDER BY list_dot_product(c.cv, c.cv)
+             - 2 * list_dot_product(
+                 CAST(e.embedding AS DOUBLE[])[(c.s*16+1):(c.s*16+16)],
+                 c.cv),
+             c.j
+  ) = 1
+),
+sums_t{t} AS (
+  SELECT k.s, k.j, d.d,
+         SUM(CAST(round(
+           CAST(e.embedding AS DOUBLE[])[k.s*16 + d.d] * 1000000
+         ) AS BIGINT)) AS sq,
+         COUNT(*) AS n
+  FROM asg_t{t} k
+  JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 17)) AS d) d
+  GROUP BY 1, 2, 3
+),
+cb_t{t} AS (
+  SELECT s, j, list(CAST(sq AS DOUBLE) / n / 1000000.0 ORDER BY d) AS cv
+  FROM sums_t{t} GROUP BY s, j
+  UNION ALL
+  SELECT c.s, c.j, c.cv FROM cb_t{p} c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sums_t{t} m WHERE m.s = c.s AND m.j = c.j
+  )
+)""")
+    ctes.append(f"cb AS (SELECT * FROM cb_t{n_iter})")
+    return ",\n".join(ctes)
+
+
 _PQ_TOPK_SQL = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
 base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv
   FROM embeddings ORDER BY vec_id LIMIT 16
 ),
-cb AS (
-  SELECT s.s,
-         CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY b.vec_id) - 1
-              AS INT) AS j,
-         b.bv[(s.s*16+1):(s.s*16+16)] AS cv
-  FROM base b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) s
-),
+{_pq_trained_cb_sql(n_iter=2)},
 codes AS (
   SELECT e.vec_id, c.s, c.cv,
          ROW_NUMBER() OVER (
