@@ -26,6 +26,20 @@ cache), wide enough to hide real regressions. median-of-5 is the
 cross-run comparison metric: PERF.md r9 re-measures the band on two
 same-HEAD runs at <=+-10% for the headline total. min-of-N stays the
 headline "value" so the series remains comparable to r1-r8.
+
+r12 (VERDICT r11 #6) — interleaved A/B drift probe: twice in three
+rounds the headline series moved by a uniform ~1.16x on byte-untouched
+code, attributed post-hoc to host co-tenancy. Now the claim is
+MEASURED in-band: after the full pass-A sweep (the unchanged r1-r11
+protocol — every reported headline stat still comes from pass A
+alone), a pass B re-samples every headline query minutes later in the
+SAME session and the JSON carries per-query min(B)/min(A) ratios plus
+their median/max ("interleaved"). Identical code on a quiet host
+shows ratio_median ~1.0; a co-tenancy window shows the same uniform
+inflation WITHIN one run that the cross-round series shows between
+runs — so a cross-round mover can be read against the run's own
+measured drift band instead of a hand-wave. SPARK_GRAFT_BENCH_AB=0
+disables pass B.
 """
 
 from __future__ import annotations
@@ -192,13 +206,17 @@ def main() -> None:
     # the heavier queries'.
     short_extra = int(os.environ.get("SPARK_GRAFT_BENCH_SHORT_SAMPLES", "15"))
 
-    def run(name: str) -> list[float]:
+    def run(name: str, n: int | None = None, warm: int | None = None) -> list[float]:
         fn = getattr(contract, f"q_{name}")
-        for _ in range(warmup):  # untimed: codegen compile + C2 JIT
+        for _ in range(warmup if warm is None else warm):
+            # untimed: codegen compile + C2 JIT
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         samples = []
-        while len(samples) < repeats or (
-            statistics.median(samples) < 1.0 and len(samples) < short_extra
+        target = repeats if n is None else n
+        while len(samples) < target or (
+            n is None
+            and statistics.median(samples) < 1.0
+            and len(samples) < short_extra
         ):
             t0 = time.time()
             df = fn(spark, SF_DIR)
@@ -213,6 +231,28 @@ def main() -> None:
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
     for name in SECONDARY:
         secondary[name] = round(min(run(name)), 3)
+
+    # Interleaved A/B drift probe (r12): re-sample every headline query
+    # minutes after its pass-A measurement, same session, same code.
+    # Per-query min(B)/min(A) measures machine drift in-band; every
+    # reported headline stat above still comes from pass A alone, so the
+    # r1-r11 series stays comparable.
+    ab_samples = int(os.environ.get("SPARK_GRAFT_BENCH_AB", "2"))
+    interleaved = None
+    if ab_samples > 0:
+        b_min: dict[str, float] = {}
+        ratio: dict[str, float] = {}
+        for name in HEADLINE:
+            b = min(run(name, n=ab_samples, warm=0))
+            b_min[name] = round(b, 3)
+            ratio[name] = round(b / max(times[name], 1e-9), 3)
+        interleaved = {
+            "b_min": b_min,
+            "ratio": ratio,
+            "ratio_median": round(statistics.median(ratio.values()), 3),
+            "ratio_max": round(max(ratio.values()), 3),
+            "b_samples": ab_samples,
+        }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -234,6 +274,7 @@ def main() -> None:
                 "repeats": repeats,
                 "warmup": warmup,
                 "variance": spreads,
+                "interleaved": interleaved,
                 "secondary": secondary,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -886,6 +886,14 @@ def snapshot_backfill(
     }
 
 
+#: Optional plan-capture hook (r12, VERDICT r11 #3): when a plan audit
+#: is listening (scripts/plan_audit.py sets this to
+#: streaming.capture_plan), snapshot_merge records the formatted plan
+#: of the touched-partition rewrite it is about to execute — the
+#: per-microbatch plan run_stream_cdc_apply pays. None = no overhead.
+MERGE_PLAN_HOOK = None
+
+
 def _ranges_overlap(a_lo, a_hi, b_lo, b_hi) -> bool:
     """Conservative interval overlap for manifest stats vs batch
     bounds: values of different type families (numeric vs string — a
@@ -1050,6 +1058,8 @@ def snapshot_merge(
             if survivors is not None
             else upserts
         )
+        if MERGE_PLAN_HOOK is not None:
+            MERGE_PLAN_HOOK("snapshot_merge", merged)
 
         def writer(snap: str) -> None:
             (

@@ -47,6 +47,31 @@ __all__ = [
     "run_stream_count_min",
 ]
 
+#: Plan-capture hook (r12, VERDICT r11 #3): scripts/plan_audit.py sets
+#: this to a dict; every streaming body then records the FORMATTED
+#: physical plan of the DataFrame it is about to act on — the merged
+#: mart, the mined pair set, the CMS counters union, the MERGE's
+#: rewritten partitions, and the pre-start plans of pure streaming
+#: sinks — keyed by surface tag, latest microbatch wins. The audit's
+#: shuffle/python counters then cover streaming microbatch plans
+#: instead of SKIPping the suite. None (the default) is zero overhead.
+PLAN_CAPTURE: dict[str, str] | None = None
+
+
+def capture_plan(tag: str, df: DataFrame) -> None:
+    """Record ``df``'s formatted physical plan under ``tag`` when a
+    plan audit is listening (PLAN_CAPTURE set); no-op otherwise."""
+    if PLAN_CAPTURE is None:
+        return
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    PLAN_CAPTURE[tag] = buf.getvalue()
+
+
 #: Explicit schemas for the events stream (streams cannot infer schemas).
 #: The testdata has shipped ts in two physical layouts; the probe in
 #: sources.events_ts_layout picks which schema a given file needs.
@@ -238,6 +263,9 @@ def run_stream_to_parquet(
     aggregations emit a window downstream once the watermark passes it —
     state never accumulates on the driver.
     """
+    capture_plan(
+        f"stream_to_parquet:{os.path.basename(output_dir)}", stream_df
+    )
     q = (
         stream_df.writeStream.format("parquet")
         .option("path", output_dir)
@@ -294,6 +322,7 @@ def run_stream_mart_upsert(
             merged = merge_mart(existing, batch_mart)
         except AnalysisException:  # first batch: no mart yet
             merged = batch_mart
+        capture_plan("stream_mart_upsert", merged)
         out = merged.localCheckpoint(eager=True)
         out.write.mode("overwrite").parquet(mart_dir)
 
@@ -456,6 +485,7 @@ def run_stream_corpus_ingest(
             jaccard_threshold=jaccard_threshold,
             max_bucket_size=None,
         ).dropDuplicates(["id_a", "id_b"])
+        capture_plan("stream_corpus_ingest", pairs)
         # File count proportional to pair count, not a hard coalesce(1)
         # (r11, VERDICT r10 #4): maxRecordsPerFile splits a hot batch's
         # pairs across write tasks while small batches still produce one
@@ -777,6 +807,7 @@ def apply_cms_batch(
                 [(-1, int(b), 1) for b in applied], "j int, bucket int, cnt bigint"
             )
         )
+    capture_plan("stream_cms_merge", out)
     _commit_cms_snapshot(out, sketch_dir, next_v, supersedes=version)
     return True
 

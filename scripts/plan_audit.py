@@ -7,6 +7,15 @@ multimodal mapInPandas path).
 Usage: python scripts/plan_audit.py [sf_dir] [query ...]
        python scripts/plan_audit.py --summary   # totals only
 
+Streaming coverage (r12, VERDICT r11 #3): stream_suite is no longer
+SKIPped — running its body with streaming.PLAN_CAPTURE armed records
+each foreachBatch body's microbatch plan (the merged mart, the mined
+pair set, the CDC MERGE rewrite) plus the pre-start plans of pure
+streaming sinks, and those plans are audited with the same counters as
+sub-lines ``stream_suite/<tag>``. The suite still counts as ONE query
+in the total; its microbatch shuffles/python-evals roll into the
+totals.
+
 This is the tooling behind PERF.md's per-round plan audits: run it after
 touching any registered query and diff the counts. A new SortMergeJoin
 where a dim should broadcast, an extra Exchange, or a BatchEvalPython
@@ -25,21 +34,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 #: Queries whose plans legitimately contain Python evaluation (Arrow
-#: mapInPandas codec paths) or that run streaming/multi-action bodies a
-#: single explain cannot represent.
+#: mapInPandas codec paths).
 PYTHON_OK = {"multimodal_decode"}
-SKIP = {
-    # streaming queries materialize via query.start(); plan introspection
-    # happens in their own pytest suites instead.
-    "stream_suite",
-}
+#: Queries whose CALL executes streaming pipelines (plan capture armed).
+STREAMING = {"stream_suite"}
 
 
-def audit(name: str, df) -> dict[str, int]:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+def audit_plan(plan: str) -> dict[str, int]:
     return {
         # Counts come from the pre-execution AdaptiveSparkPlan (AQE may
         # still convert SMJ->BHJ at runtime, never the reverse, so the
@@ -62,6 +63,24 @@ def audit(name: str, df) -> dict[str, int]:
     }
 
 
+def audit(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return audit_plan(buf.getvalue())
+
+
+def _fmt(stats: dict[str, int], flag: str = "") -> str:
+    return (
+        f"bhj={stats['broadcast_joins']} "
+        f"smj={stats['sortmerge_joins']} ex={stats['exchanges']} "
+        f"pushed={stats['pushed_filter_scans']} "
+        f"pf={stats['partition_filter_scans']} "
+        f"dpp={stats['dynamic_pruning']} "
+        f"py={stats['python_evals']}{flag}"
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--summary"]
     summary_only = "--summary" in sys.argv
@@ -69,37 +88,45 @@ def main() -> None:
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
     import __spark_entry__ as entry
+    from datawarehouse_group10_spark import streaming
+    from datawarehouse_group10_spark.sources import layout
     from datawarehouse_group10_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry.queries()
-    targets = names or [n for n in queries if n not in SKIP]
+    targets = names or list(queries)
     totals = {"python_violations": 0, "sortmerge_joins": 0, "exchanges": 0}
-    for name in targets:
-        if name in SKIP:
-            print(f"SKIP  {name}: streaming body, audited in pytest")
-            continue
-        try:
-            stats = audit(name, queries[name](spark, sf_dir))
-        except Exception as exc:  # plan-time failure is a real finding
-            print(f"ERR   {name}: {type(exc).__name__}: {exc}")
-            continue
-        violation = stats["python_evals"] > 0 and name not in PYTHON_OK
+
+    def account(name: str, stats: dict[str, int]) -> None:
+        violation = stats["python_evals"] > 0 and name.split("/")[0] not in PYTHON_OK
         totals["python_violations"] += int(violation)
         totals["sortmerge_joins"] += stats["sortmerge_joins"]
         totals["exchanges"] += stats["exchanges"]
         if not summary_only:
             flag = "  PYTHON-IN-PLAN" if violation else ""
-            print(
-                f"{name}: bhj={stats['broadcast_joins']} "
-                f"smj={stats['sortmerge_joins']} ex={stats['exchanges']} "
-                f"pushed={stats['pushed_filter_scans']} "
-                f"pf={stats['partition_filter_scans']} "
-                f"dpp={stats['dynamic_pruning']} "
-                f"py={stats['python_evals']}{flag}"
-            )
+            print(f"{name}: {_fmt(stats, flag)}")
+
+    for name in targets:
+        capture: dict[str, str] | None = None
+        if name in STREAMING:
+            capture = {}
+            streaming.PLAN_CAPTURE = capture
+            layout.MERGE_PLAN_HOOK = streaming.capture_plan
+        try:
+            df = queries[name](spark, sf_dir)
+            stats = audit(df)
+        except Exception as exc:  # plan-time failure is a real finding
+            print(f"ERR   {name}: {type(exc).__name__}: {exc}")
+            continue
+        finally:
+            if capture is not None:
+                streaming.PLAN_CAPTURE = None
+                layout.MERGE_PLAN_HOOK = None
+        account(name, stats)
+        for tag in sorted(capture or {}):
+            account(f"{name}/{tag}", audit_plan(capture[tag]))
     print(
         f"TOTAL queries={len(targets)} exchanges={totals['exchanges']} "
         f"sortmerge={totals['sortmerge_joins']} "
