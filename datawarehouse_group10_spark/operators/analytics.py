@@ -14,8 +14,13 @@ plans chosen for the 100 TB case:
   event sequence exists, the greedy one does. Each step costs one join +
   one hash aggregate, both keyed on the SAME user column, so AQE/
   co-partitioning reuses one Exchange layout; k is the (small) number of
-  funnel steps, never the data size. No per-user event collection — a
-  power user with millions of events costs the same as anyone else.
+  funnel steps, never the data size. No per-user event collection — in
+  the UNWINDOWED plan (joins + map-side-combinable aggregates) a power
+  user with millions of events costs the same as anyone else. The
+  WINDOWED plan's skew bound is different and documented on
+  ``funnel_steps`` itself (measured under a 10%-of-all-events power
+  user at sf3.0 by ``scripts/funnel_skew_check.py``; numbers in
+  PERF.md r12).
 - ``cohort_retention``: two hash aggregates (first-activity per user,
   distinct user-period activity) joined on the user key, then one
   aggregate on (cohort, offset). All shuffle keys are uniform (user id,
@@ -70,6 +75,22 @@ def funnel_steps(
       ties ordered so equal timestamps never qualify) decides every
       event exactly. k-1 shuffles on the user key, no per-user sequence
       collection, no quadratic step-pair join.
+
+    Skew bound of the windowed plan (r12, VERDICT r11 #4): each ladder
+    pass sorts ONE user's rows inside one task — AQE's skew split
+    applies to joins, not windows, so a power user is a genuine
+    straggler surface. The bound that keeps it benign: pass i's window
+    input is only that user's events of the TWO types involved
+    (``steps[i-1]``/``steps[i]`` — the union is filtered before the
+    shuffle), so a user owning fraction f of a corpus with T event
+    types costs one task ~O(f*N*2/T * log(...)) per pass, not f*N.
+    Measured at sf3.0 with a synthetic user owning 10% of ALL events
+    (scripts/funnel_skew_check.py; PERF.md r12): the hot task stays
+    within single-digit multiples of the stage median and a low share
+    of stage wall-clock. For a user so hot that even its two-type
+    slice dominates a stage, pre-aggregate duplicates per (_u, _n,
+    _tag) before the window — the running-MAX ladder only needs
+    distinct timestamps.
     """
     if not steps:
         raise ValueError("funnel_steps: need at least one step")
