@@ -231,6 +231,10 @@ def main() -> None:
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
     for name in SECONDARY:
         secondary[name] = round(min(run(name)), 3)
+    # One-time PQ codebook training (r12): q_sim_pq_topk's warm-up call
+    # trained + cached the books, so the timed repeats price the ADC
+    # scan; the index-build cost is surfaced here like the other stages.
+    secondary["pq_train_stage"] = contract.PQ_TRAIN_STATS.get("seconds", 0.0)
 
     # Interleaved A/B drift probe (r12): re-sample every headline query
     # minutes after its pass-A measurement, same session, same code.

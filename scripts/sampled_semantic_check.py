@@ -26,7 +26,16 @@ either side of it per fold order). Both exclusions are counted and
 printed, so the coverage claim stays explicit.
 
 Usage: python scripts/sampled_semantic_check.py [sf_dir] [--mod 7]
-       (--mod M samples blocks where (band*1000003+code) % M == 0)
+                                                [--cap N]
+       (--mod M samples blocks where (band*1000003+code) % M == 0;
+        --cap N runs the PRODUCTION semantic_dedup configuration with
+        max_bucket_size=N instead of the registry query's uncapped one
+        — blocks larger than N are then skipped on BOTH sides, since
+        the engine legitimately drops them from candidate generation.
+        Use --cap at replica-heavy scale tiers: gen_scale.py replicates
+        vectors verbatim, so uncapped banding on sfK grows pair counts
+        ~K^2 in the hot buckets — the exact degenerate-bucket shape the
+        cap exists to fence off in production.)
 """
 
 from __future__ import annotations
@@ -49,9 +58,14 @@ EPS = 1e-9
 def main() -> int:
     args = list(sys.argv[1:])
     mod = 7
+    cap = None
     if "--mod" in args:
         i = args.index("--mod")
         mod = int(args[i + 1])
+        del args[i : i + 2]
+    if "--cap" in args:
+        i = args.index("--cap")
+        cap = int(args[i + 1])
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
@@ -59,6 +73,7 @@ def main() -> int:
 
     from datawarehouse_group10_spark.contract import (
         _lsh_data_planes,
+        _t,
         q_dedup_semantic,
     )
     from datawarehouse_group10_spark.session import get_spark
@@ -67,7 +82,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    out = q_dedup_semantic(spark, sf_dir).toPandas()
+    if cap is None:
+        out = q_dedup_semantic(spark, sf_dir).toPandas()
+    else:
+        from pyspark.sql import functions as F
+
+        from datawarehouse_group10_spark.functions.similarity import (
+            semantic_dedup,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        out = (
+            semantic_dedup(
+                emb,
+                _lsh_data_planes(spark, sf_dir, n=N_PLANES),
+                bands=BANDS,
+                threshold=THRESHOLD,
+                max_bucket_size=cap,
+            )
+            .orderBy(F.col("vec_id"))
+            .toPandas()
+        )
     engine_sec = time.time() - t0
     canon = dict(zip(out["vec_id"], out["canonical_id"]))
 
@@ -100,13 +135,18 @@ def main() -> int:
     r = N_PLANES // BANDS
     norms = np.linalg.norm(V, axis=1)
 
-    blocks_sampled = members = pairs_above = violations = 0
+    blocks_sampled = members = pairs_above = violations = over_cap = 0
     for b in range(BANDS):
         codes = np.zeros(len(ids), dtype=np.int64)
         for k in range(r):
             codes |= bits[:, b * r + k].astype(np.int64) << k
         for code in np.unique(codes):
             if (b * 1_000_003 + int(code)) % mod != 0:
+                continue
+            if cap is not None and int((codes == code).sum()) > cap:
+                # the engine drops over-cap buckets from candidate
+                # generation — skip them here too (counted for honesty)
+                over_cap += 1
                 continue
             idx = np.where((codes == code) & ~ambiguous)[0]
             if len(idx) < 2:
@@ -131,9 +171,11 @@ def main() -> int:
                         )
 
     status = "FAIL" if problems or violations else "OK"
+    cap_note = f", cap={cap} ({over_cap} over-cap blocks skipped)" if cap else ""
     print(
         f"{status}  dedup_semantic sampled check @ {sf_dir}: "
-        f"{n_corpus} rows, {blocks_sampled} blocks sampled (mod {mod}), "
+        f"{n_corpus} rows, {blocks_sampled} blocks sampled (mod {mod}"
+        f"{cap_note}), "
         f"{members} members, {pairs_above} above-threshold pairs asserted, "
         f"{violations} violations, {int(ambiguous.sum())} sign-ambiguous "
         f"rows excluded [engine {engine_sec:.1f}s, total "
