@@ -93,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--partition-col", required=True)
     so.add_argument("--target-mb", type=int, default=128,
                     help="target output file size in MiB (default 128)")
+    so.add_argument("--zorder-cols", default=None,
+                    help="comma-separated columns: cluster rewritten "
+                    "partitions on their interleaved z-order key "
+                    "(OPTIMIZE ... ZORDER BY)")
 
     sb = sub.add_parser(
         "snapshot-backfill",
@@ -272,11 +276,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "snapshot-optimize":
             from .sources.layout import snapshot_compact, snapshot_version
 
+            zcols = (
+                [c.strip() for c in args.zorder_cols.split(",") if c.strip()]
+                if args.zorder_cols
+                else None
+            )
             stats = snapshot_compact(
                 spark,
                 args.table,
                 args.partition_col,
                 target_bytes=args.target_mb << 20,
+                zorder_cols=zcols,
             )
             print(
                 f"snapshot-optimized {args.table}: "

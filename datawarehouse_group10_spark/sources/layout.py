@@ -777,6 +777,7 @@ def snapshot_compact(
     partition_col: str,
     target_bytes: int = 128 << 20,
     slack: int = 1,
+    zorder_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """OPTIMIZE under the snapshot-pointer layout: same selection and
     writer arithmetic as :func:`compact_partitions` (fragmented iff
@@ -791,7 +792,23 @@ def snapshot_compact(
     garbage-collect. A no-op re-run is structural (nothing fragmented
     -> no new version, pointer untouched). Returns
     compact_partitions-shaped stats plus {"old_version",
-    "new_version"} (equal on no-op)."""
+    "new_version"} (equal on no-op).
+
+    ``zorder_cols`` (r12) composes OPTIMIZE with ZORDER under the same
+    reader isolation — the Delta/Iceberg ``OPTIMIZE ... ZORDER BY``
+    maintenance combo: rewritten partitions are clustered on the
+    interleaved z-key of those columns (:func:`zorder_key`:
+    equi-depth quantile buckets, bit interleave, sort) before the
+    ``maxRecordsPerFile`` split, so each output file covers a tight
+    range in EVERY z column and parquet footer min/max stats prune
+    selective filters on any of them. Cost on top of plain compaction:
+    ONE approxQuantile sketch pass over the fragmented subset and a
+    per-task sort — no extra shuffle (the rows were being moved
+    anyway, which is exactly why clustering belongs inside the
+    compaction rewrite and not as a separate pass over the table).
+    The freshly-written files' footer stats flow into the new
+    manifest entries like any other write, so a post-zorder MERGE
+    prunes its probe on the clustered columns too."""
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
     m = snapshot_manifest(path)
@@ -820,11 +837,22 @@ def snapshot_compact(
             "new_version": committed,
         }
     df = snapshot_read(spark, path, partitions=frag)
+    if zorder_cols:
+        keyed, zkey = zorder_key(df, zorder_cols)
+        # one task per partition value (hash on the partition col), rows
+        # z-sorted within it; the maxRecordsPerFile split then cuts the
+        # sorted stream into files with tight per-file z ranges
+        shaped = (
+            keyed.repartition(F.col(partition_col))
+            .sortWithinPartitions(partition_col, zkey)
+            .drop(zkey)
+        )
+    else:
+        shaped = df.repartition(partition_col)
 
     def writer(snap: str) -> None:
         (
-            df.repartition(partition_col)
-            .write.mode("append")
+            shaped.write.mode("append")
             .option("maxRecordsPerFile", rows_per_file)
             .partitionBy(partition_col)
             .parquet(snap)

@@ -1873,6 +1873,49 @@ def test_snapshot_merge_noop_batch_publishes_rereferencing_version(
     assert [(r["k"], r["v"]) for r in out] == [(1, 10.0), (2, 20.0)]
 
 
+def test_snapshot_compact_zorder_clusters_rewritten_partitions(
+    spark, tmp_path
+):
+    """snapshot_compact(zorder_cols=...) (r12): OPTIMIZE + ZORDER under
+    reader isolation. The rewritten partition's files each cover a
+    tight range in BOTH z columns (footer pruning improves on either
+    predicate vs the unclustered rewrite), content is unchanged, and
+    the fresh manifest stats reflect the clustered files."""
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        file_prune_fraction,
+        snapshot_compact,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    n = 4000
+    # two independent uniform columns; the 16-shard write scatters both
+    rows = [("a", i % 97, (i * 31) % 89, float(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "p string, x int, y int, v double")
+    snapshot_write(df, path, "p", shards=16)
+
+    res = snapshot_compact(
+        spark, path, "p", target_bytes=6_000, zorder_cols=["x", "y"]
+    )
+    assert res["partitions_compacted"] == 1
+    assert res["files_after"] >= 8  # several files, else pruning is moot
+    pdir = os.path.join(path, "v2", "p=a")
+    # a ~10% range on EITHER column prunes most files
+    fx = file_prune_fraction(pdir, "x", 10, 19)
+    fy = file_prune_fraction(pdir, "y", 10, 18)
+    assert fx < 0.7 and fy < 0.7, (fx, fy)
+    # content identical and the manifest carries the clustered stats
+    got = snapshot_read(spark, path)
+    assert got.count() == n
+    assert got.agg(F.sum("v")).first()[0] == sum(r[3] for r in rows)
+    m = snapshot_manifest(path)
+    assert m["partitions"]["a"]["stats"]["x"] == [0, 96]
+
+
 def test_snapshot_merge_key_range_pruning(spark, tmp_path):
     """Manifest-stat pruning of the MERGE probe (r12, VERDICT r11 #2):
     a 1-key batch into a key-clustered 10-partition table probes
