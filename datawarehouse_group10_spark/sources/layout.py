@@ -32,6 +32,7 @@ __all__ = [
     "overwrite_partitions",
     "partition_file_stats",
     "compact_partitions",
+    "ConcurrentWriteError",
     "snapshot_write",
     "snapshot_read",
     "snapshot_read_path",
@@ -316,6 +317,17 @@ def compact_partitions(
 # point where a real table format shards it into a manifest LIST,
 # which is a size split, not a design change).
 #
+# Writer concurrency (r12): optimistic, with two exclusive-create
+# primitives (POSIX O_EXCL; If-None-Match PUT on object stores —
+# exactly where Delta plugs a LogStore). A version CLAIM
+# (_manifests/v<N>.json.claim) means no two writers ever share a data
+# root; a COMMIT TOKEN (_manifests/succ_v<base>) means every base
+# version has at most one committed successor — a stale writer raises
+# ConcurrentWriteError instead of silently overwriting the pointer,
+# and a winner that crashed between token and pointer swap is rolled
+# forward by the next writer on that base (safe: manifests are written
+# before tokens).
+#
 # The per-column stats make the manifest a pruning index: a MERGE
 # probes only partitions whose key-column [min,max] overlaps the
 # batch's key range (``snapshot_merge``), the same file-skipping
@@ -323,9 +335,18 @@ def compact_partitions(
 # ---------------------------------------------------------------------------
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A snapshot commit lost the optimistic-concurrency race: the base
+    version this writer planned against already has a committed
+    successor. The writer's staging (data root + manifest + claim) is
+    orphaned for gc; callers retry by replanning against the NEW
+    committed version."""
+
+
 def _snapshot_versions(path: str) -> list[int]:
-    """All version numbers present on disk — data roots AND manifests
-    (a crash can leave either one alone; allocation must skip both)."""
+    """All version numbers present on disk — data roots, manifests,
+    AND claims (a crash can leave any one alone; allocation must skip
+    them all, since a claimed version's data root may be dirty)."""
     import os
     import re
 
@@ -341,9 +362,67 @@ def _snapshot_versions(path: str) -> list[int]:
         found |= {
             int(m.group(1))
             for f in os.listdir(mdir)
-            if (m := re.fullmatch(r"v(\d+)\.json", f))
+            if (m := re.fullmatch(r"v(\d+)\.json(\.claim)?", f))
         }
     return sorted(found)
+
+
+def _allocate_version(path: str) -> int:
+    """Atomically claim the next version number via exclusive-create of
+    ``_manifests/v<N>.json.claim`` (POSIX O_EXCL; the object-store
+    analogue is an If-None-Match PUT). Two concurrent writers can never
+    own the same version — so they can never write into each other's
+    data root — and a crashed claim is simply skipped by later
+    allocations (never reused: its root may hold a partial write)."""
+    import os
+
+    os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+    while True:
+        versions = _snapshot_versions(path)
+        v = (versions[-1] if versions else 0) + 1
+        try:
+            fd = os.open(
+                _manifest_file(path, v) + ".claim",
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return v
+        except FileExistsError:
+            continue  # raced another writer's claim; rescan
+
+
+def _snapshot_commit_cas(path: str, base: int | None, version: int) -> None:
+    """Publish ``version`` as the committed successor of ``base`` with
+    single-winner semantics: the commit token ``_manifests/succ_v<base>``
+    is exclusive-create (the one atomic primitive the protocol needs —
+    O_EXCL here, If-None-Match on object stores), so at most ONE
+    version ever commits on top of a given base; the pointer swap then
+    can't lose a concurrent writer's update. Losers raise
+    :class:`ConcurrentWriteError` — after ROLLING THE WINNER FORWARD if
+    it crashed between its token and its pointer swap (the token names
+    the winner; its manifest was written before the token, so
+    finishing the swap is always safe)."""
+    import os
+
+    token = os.path.join(path, "_manifests", f"succ_v{base or 0}")
+    try:
+        fd = os.open(token, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(version).encode("utf-8"))
+        os.close(fd)
+    except FileExistsError:
+        with open(token, encoding="utf-8") as fh:
+            winner = int(fh.read().strip())
+        if (
+            _manifest_read(path, winner) is not None
+            and (_snapshot_committed(path) or 0) == (base or 0)
+        ):
+            _snapshot_commit(path, winner)  # crashed winner: roll forward
+        raise ConcurrentWriteError(
+            f"snapshot under {path}: base v{base or 0} already has "
+            f"committed successor v{winner} — replan against the new "
+            "committed version and retry"
+        )
+    _snapshot_commit(path, version)
 
 
 def _snapshot_committed(path: str) -> int | None:
@@ -476,21 +555,27 @@ def _stage_version(
     base_partitions: dict,
     touched: set[str],
     writer,
+    base_version: int | None = None,
 ) -> tuple[int, dict]:
-    """Shared commit protocol for every snapshot writer: allocate the
-    next version, let ``writer(snap_dir)`` land ONLY the touched
+    """Shared commit protocol for every snapshot writer: CLAIM the next
+    version atomically (:func:`_allocate_version` — no two writers ever
+    share a data root), let ``writer(snap_dir)`` land ONLY the touched
     partitions' data, build the new manifest (untouched entries carried
     verbatim from ``base_partitions`` — a dict copy, zero file-system
     work; touched entries rebuilt from the freshly-written dirs), write
-    the manifest, swap the pointer. A touched partition the writer
+    the manifest, then COMMIT with single-winner semantics against
+    ``base_version`` (:func:`_snapshot_commit_cas` — a concurrent
+    commit on the same base makes this writer lose loudly instead of
+    silently overwriting the pointer). A touched partition the writer
     produced no rows for (a full-partition delete) simply drops out of
     the manifest. Crash-safe at every step: until the pointer swap the
     table stays committed at the old version with only orphan staging
-    (data root and/or manifest) that allocation skips and gc reclaims."""
+    (claim, data root, manifest) that allocation skips and gc reclaims;
+    a crash BETWEEN the commit token and the pointer swap is rolled
+    forward by the next writer on that base."""
     import os
 
-    versions = _snapshot_versions(path)
-    version = (versions[-1] if versions else 0) + 1
+    version = _allocate_version(path)
     root_rel = f"v{version}"
     snap = os.path.join(path, root_rel)
     os.makedirs(snap, exist_ok=True)
@@ -513,7 +598,7 @@ def _stage_version(
         "partitions": parts,
     }
     _manifest_write(path, manifest)
-    _snapshot_commit(path, version)
+    _snapshot_commit_cas(path, base_version, version)
     return version, manifest
 
 
@@ -659,6 +744,7 @@ def snapshot_write(
         writer=lambda snap: (
             shaped.write.mode("append").partitionBy(partition_col).parquet(snap)
         ),
+        base_version=_snapshot_committed(path),
     )
     return os.path.join(path, f"v{version}")
 
@@ -858,7 +944,9 @@ def snapshot_compact(
             .parquet(snap)
         )
 
-    version, new_m = _stage_version(path, partition_col, parts, frag, writer)
+    version, new_m = _stage_version(
+        path, partition_col, parts, frag, writer, base_version=committed
+    )
     return {
         "partitions_compacted": len(frag),
         "files_before": files_before,
@@ -905,7 +993,8 @@ def snapshot_backfill(
         )
 
     version, _new_m = _stage_version(
-        path, partition_col, m["partitions"], touched, writer
+        path, partition_col, m["partitions"], touched, writer,
+        base_version=committed,
     )
     return {
         "partitions_backfilled": len(touched),
@@ -1100,7 +1189,9 @@ def snapshot_merge(
     # Even a pure no-op batch (empty, or deletes of absent keys)
     # publishes a commit: a re-referencing manifest + pointer swap,
     # O(1) data work.
-    version, _new_m = _stage_version(path, partition_col, parts, touched, writer)
+    version, _new_m = _stage_version(
+        path, partition_col, parts, touched, writer, base_version=committed
+    )
     return {
         "partitions_rewritten": len(touched),
         "probe_partitions": len(candidates),
@@ -1147,9 +1238,13 @@ def snapshot_gc(path: str, keep: int = 1) -> list[int]:
         for val, e in m["partitions"].items():
             referenced.add((e["root"], f"{pc}={val}"))
     for v in doomed:
-        mf = _manifest_file(path, v)
-        if os.path.exists(mf):
-            os.remove(mf)
+        for f in (
+            _manifest_file(path, v),
+            _manifest_file(path, v) + ".claim",
+            os.path.join(path, "_manifests", f"succ_v{v}"),
+        ):
+            if os.path.exists(f):
+                os.remove(f)
     for v in old:
         root = os.path.join(path, f"v{v}")
         if not os.path.isdir(root):

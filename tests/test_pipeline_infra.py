@@ -2010,6 +2010,65 @@ def test_snapshot_merge_batch_dedup_and_null_flags(spark, tmp_path):
     assert got == {1: 100.0}
 
 
+def test_snapshot_optimistic_concurrency(spark, tmp_path):
+    """Writer OCC (r12): version numbers are claimed by exclusive
+    create (two writers can never share a data root), and the commit
+    token gives each base version AT MOST ONE committed successor — a
+    stale writer raises ConcurrentWriteError instead of silently
+    overwriting the pointer, and a winner that crashed between its
+    token and its pointer swap is rolled forward by the next writer on
+    that base."""
+    import os
+
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        ConcurrentWriteError,
+        _stage_version,
+        snapshot_backfill,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b") for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")                                   # v1
+    fix = df.filter("p = 'b'").withColumn("v", F.col("v") + 100)
+    snapshot_backfill(fix, path, "p")                               # v2
+
+    # STALE writer: planned against v1 after v2 committed -> loses
+    # loudly (its staging is orphaned, the table is untouched)
+    v1_parts = snapshot_manifest(path, 1)["partitions"]
+    with _pytest.raises(ConcurrentWriteError, match="successor v2"):
+        _stage_version(path, "p", v1_parts, set(), None, base_version=1)
+    assert snapshot_version(path) == 2
+
+    # CRASHED winner: simulate a writer that committed its token for
+    # base v2 and wrote manifest v4 but died before the pointer swap
+    fix2 = df.filter("p = 'a'").withColumn("v", F.col("v") + 500)
+    snapshot_backfill(fix2, path, "p")                              # v4?
+    crashed = snapshot_version(path)
+    # rewind the pointer to v2 and leave the token in place — exactly
+    # the on-disk state a pre-swap crash leaves
+    with open(os.path.join(path, "_COMMITTED"), "w") as fh:
+        fh.write("v2")
+    # the next writer on base v2 rolls the winner forward, then loses
+    with _pytest.raises(ConcurrentWriteError, match="replan"):
+        snapshot_backfill(fix, path, "p")
+    assert snapshot_version(path) == crashed  # roll-forward happened
+    # retry against the new committed version succeeds
+    res = snapshot_backfill(fix, path, "p")
+    assert res["old_version"] == crashed
+    got = snapshot_read(spark, path)
+    assert got.filter("p = 'a'").agg(F.sum("v")).first()[0] == 5045.0
+    assert got.filter("p = 'b'").agg(F.sum("v")).first()[0] == 1045.0
+
+
 def test_snapshot_gc_keeps_data_referenced_by_retained_versions(
     spark, tmp_path
 ):
