@@ -1352,15 +1352,18 @@ def snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. FRAGMENTED LOAD: ``snapshot_write(shards=8)`` lands v1 with ~8
        shard files per month dir, writes the v1 manifest, and commits
        the ``_COMMITTED`` pointer.
-    2. OPTIMIZE: :func:`sources.layout.snapshot_compact` stages v2 —
-       a maxRecordsPerFile-bounded rewrite of the fragmented
-       partitions only; every right-sized partition's existing data
-       dir is RE-REFERENCED in the v2 manifest (no per-file work) —
-       then swaps the pointer. v1's files are never modified or
-       deleted, so a reader that resolved v1 before (or during) the
-       optimize scans consistent data throughout; space reclaim is the
-       EXPLICIT ``snapshot_gc`` with a retention window, not an
-       implicit race.
+    2. OPTIMIZE + ZORDER: :func:`sources.layout.snapshot_compact`
+       stages v2 — a maxRecordsPerFile-bounded rewrite of the
+       fragmented partitions only, CLUSTERED on the interleaved
+       z-order of (o_orderkey, o_totalprice) (r12: the Delta-style
+       ``OPTIMIZE ... ZORDER BY`` combo, so the driver hash also
+       proves the z-order rewrite loses/duplicates/corrupts nothing);
+       every right-sized partition's existing data dir is
+       RE-REFERENCED in the v2 manifest (no per-file work) — then
+       swaps the pointer. v1's files are never modified or deleted, so
+       a reader that resolved v1 before (or during) the optimize scans
+       consistent data throughout; space reclaim is the EXPLICIT
+       ``snapshot_gc`` with a retention window, not an implicit race.
 
     The ``a_extended`` 'snapshot' section aggregates the committed
     snapshot per month against the plain-table SQL oracle — a pointer
@@ -1380,7 +1383,10 @@ def snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         snapshot_write(po, path, "o_month", shards=8)
         t0 = time.time()
-        stats = snapshot_compact(spark, path, "o_month")
+        stats = snapshot_compact(
+            spark, path, "o_month",
+            zorder_cols=["o_orderkey", "o_totalprice"],
+        )
         SNAPSHOT_STATS.update(stats)
         SNAPSHOT_STATS["seconds"] = round(time.time() - t0, 3)
     return snapshot_read(spark, path)
