@@ -642,6 +642,7 @@ def snapshot_scan_groups(
     path: str,
     version: int | None = None,
     partitions: set[str] | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> list[tuple[str, list[str]]]:
     """The physical scan plan for a snapshot (optionally restricted to
     a set of partition VALUES — manifest-level partition pruning):
@@ -649,16 +650,41 @@ def snapshot_scan_groups(
     root that owns data. Each group reads with ``basePath`` set to its
     root so hive partition-column inference works; group count is
     bounded by the retention depth (maintenance consolidates refs),
-    not the partition count."""
+    not the partition count.
+
+    ``prune`` (r12) is READ-side stats pruning — the reader twin of
+    the MERGE probe's: ``{col: (lo, hi)}`` drops every partition whose
+    manifest [min, max] for ALL given columns provably misses the
+    range (missing/incomparable stats keep the partition — pruning is
+    only ever an optimization). The scan is a SUPERSET of the matching
+    rows; the caller still applies its row filter. Bounds are compared
+    after :func:`_stat_norm` (pass dates/timestamps as such or as
+    ISO-8601 strings)."""
     import os
 
     m = snapshot_manifest(path, version)
     pc = m["partition_col"]
+    norm_prune = (
+        {
+            c: (_stat_norm(lo), _stat_norm(hi))
+            for c, (lo, hi) in prune.items()
+        }
+        if prune
+        else None
+    )
     groups: dict[str, list[str]] = {}
     for val in sorted(m["partitions"]):
         if partitions is not None and val not in partitions:
             continue
         entry = m["partitions"][val]
+        if norm_prune is not None and not all(
+            (rng := entry.get("stats", {}).get(c)) is None
+            or lo is None
+            or hi is None
+            or _ranges_overlap(rng[0], rng[1], lo, hi)
+            for c, (lo, hi) in norm_prune.items()
+        ):
+            continue
         groups.setdefault(entry["root"], []).append(
             os.path.join(path, entry["root"], f"{pc}={val}")
         )
@@ -681,17 +707,29 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     partitions: set[str] | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot version as a DataFrame — the canonical reader:
     resolve the manifest once, scan exactly the partition directories
     it references (grouped per owning version root), union the groups.
-    ``partitions`` restricts the scan to those partition values —
-    manifest-level pruning, no directory listing of the rest."""
-    df = _read_groups(spark, snapshot_scan_groups(path, version, partitions))
+    ``partitions`` restricts the scan to those partition values;
+    ``prune`` drops partitions whose manifest column stats provably
+    miss a ``{col: (lo, hi)}`` range (see :func:`snapshot_scan_groups`
+    — the result is a SUPERSET of matching rows, apply your row filter
+    on top). Both are manifest-level pruning: the dropped partitions
+    cost no directory listing, no footer read, no task."""
+    df = _read_groups(
+        spark, snapshot_scan_groups(path, version, partitions, prune)
+    )
     if df is None:
+        if partitions is not None or prune is not None:
+            # everything pruned: a valid EMPTY result — take the schema
+            # from the unfiltered snapshot without scanning data
+            full = _read_groups(spark, snapshot_scan_groups(path, version))
+            if full is not None:
+                return full.limit(0)
         raise FileNotFoundError(
             f"snapshot under {path} references no partitions"
-            + (f" matching {sorted(partitions)}" if partitions else "")
         )
     return df
 

@@ -2010,6 +2010,45 @@ def test_snapshot_merge_batch_dedup_and_null_flags(spark, tmp_path):
     assert got == {1: 100.0}
 
 
+def test_snapshot_read_stats_pruning(spark, tmp_path):
+    """snapshot_read(prune={col: (lo, hi)}) (r12): the read-side twin
+    of the MERGE probe's manifest-stat pruning — partitions whose
+    manifest [min,max] provably miss the range are dropped from the
+    scan plan (no listing, no footer, no task); the scan is a SUPERSET
+    of matching rows and the caller's row filter yields exactly the
+    full-scan answer. An empty match is a valid empty DataFrame, not
+    an error."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_read,
+        snapshot_scan_groups,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [
+        (100 * i + j, f"p{i}", float(j)) for i in range(10) for j in range(50)
+    ]
+    snapshot_write(
+        spark.createDataFrame(rows, "k int, p string, v double"), path, "p"
+    )
+    groups = snapshot_scan_groups(path, prune={"k": (300, 310)})
+    dirs = [d for _base, ds in groups for d in ds]
+    assert len(dirs) == 1 and dirs[0].endswith("p=p3")
+    got = (
+        snapshot_read(spark, path, prune={"k": (300, 310)})
+        .filter("k BETWEEN 300 AND 310")
+        .count()
+    )
+    full = (
+        snapshot_read(spark, path).filter("k BETWEEN 300 AND 310").count()
+    )
+    assert got == full == 11
+    # a range nothing overlaps: empty result with the table schema
+    empty = snapshot_read(spark, path, prune={"k": (5000, 6000)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "p", "v"}
+
+
 def test_snapshot_optimistic_concurrency(spark, tmp_path):
     """Writer OCC (r12): version numbers are claimed by exclusive
     create (two writers can never share a data root), and the commit
