@@ -970,6 +970,15 @@ def run_stream_cdc_apply(
     the history, no journal needed. The ingest path needed a rollback
     journal precisely because an index APPEND is not idempotent.
 
+    Concurrent-writer story (r12): each microbatch merge plans against
+    the committed manifest it reads at batch start and commits through
+    the layout's optimistic-concurrency token. If an EXTERNAL
+    maintenance job (compact/backfill) wins the race, the merge raises
+    ``ConcurrentWriteError``, the stream fails loudly, and a restart
+    replays the same batch from the checkpoint — now planning against
+    the new committed version — converging by the same value-idempotent
+    argument. No interleaving can silently drop either writer's commit.
+
     Scale shape per batch: one manifest-stat-pruned key semi-join + a
     rewrite of the touched partitions + ONE manifest/pointer commit
     (cost ∝ batch-touched data, never table size); hot tables want
