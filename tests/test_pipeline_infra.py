@@ -2108,6 +2108,61 @@ def test_snapshot_optimistic_concurrency(spark, tmp_path):
     assert got.filter("p = 'b'").agg(F.sum("v")).first()[0] == 1045.0
 
 
+def test_snapshot_two_live_writers_one_wins_one_retries(spark, tmp_path):
+    """OCC under REAL concurrency: two backfills race from the same
+    committed base in parallel threads. Exactly one commits; the loser
+    raises ConcurrentWriteError without corrupting anything; its retry
+    (replanned against the winner) lands BOTH changes."""
+    import threading
+
+    from datawarehouse_group10_spark.sources.layout import (
+        ConcurrentWriteError,
+        snapshot_backfill,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b", "c") for i in range(20)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    fix_a = df.filter("p = 'a'").withColumn("v", F.col("v") + 100)
+    fix_b = df.filter("p = 'b'").withColumn("v", F.col("v") + 200)
+
+    results: dict[str, object] = {}
+
+    def run(tag, batch):
+        try:
+            results[tag] = snapshot_backfill(batch, path, "p")
+        except ConcurrentWriteError as e:
+            results[tag] = e
+
+    ta = threading.Thread(target=run, args=("a", fix_a))
+    tb = threading.Thread(target=run, args=("b", fix_b))
+    ta.start(); tb.start(); ta.join(); tb.join()
+
+    errs = [t for t, r in results.items() if isinstance(r, Exception)]
+    wins = [t for t, r in results.items() if isinstance(r, dict)]
+    # the schedule usually collides (same base) but a fast winner can
+    # finish before the loser reads the pointer, in which case both
+    # serialize cleanly — either outcome must leave the table sound
+    assert len(wins) >= 1 and len(wins) + len(errs) == 2
+    for tag in errs:
+        # the loser retries against the new committed version
+        results[tag] = snapshot_backfill(
+            fix_a if tag == "a" else fix_b, path, "p"
+        )
+    got = snapshot_read(spark, path)
+    assert got.count() == 60
+    assert got.filter("p = 'a'").agg(F.sum("v")).first()[0] == 2190.0
+    assert got.filter("p = 'b'").agg(F.sum("v")).first()[0] == 4190.0
+    assert got.filter("p = 'c'").agg(F.sum("v")).first()[0] == 190.0
+    assert snapshot_version(path) >= 3
+
+
 def test_snapshot_gc_keeps_data_referenced_by_retained_versions(
     spark, tmp_path
 ):
