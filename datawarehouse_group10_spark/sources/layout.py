@@ -508,6 +508,7 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
     files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
     nbytes = rows = 0
     stats: dict[str, list] = {}
+    cols: set[str] = set()
     dropped: set[str] = set()
     for fname in files:
         full = os.path.join(pdir, fname)
@@ -516,6 +517,7 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
         rows += md.num_rows
         for j in range(md.num_columns):
             name = md.schema.column(j).name
+            cols.add(name)
             if name in dropped:
                 continue
             fmin = fmax = None
@@ -545,6 +547,7 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
         "files": len(files),
         "bytes": nbytes,
         "rows": rows,
+        "cols": sorted(cols),
         "stats": stats,
     }
 
@@ -698,7 +701,14 @@ def _read_groups(spark, groups) -> DataFrame | None:
     out = None
     for base, dirs in groups:
         part = spark.read.option("basePath", base).parquet(*dirs)
-        out = part if out is None else out.unionByName(part)
+        # allowMissingColumns: partitions written before a schema
+        # evolution lack the added columns — they read back as NULLs
+        # (a no-op when every group shares one schema)
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
     return out
 
 
@@ -1069,6 +1079,7 @@ def snapshot_merge(
     key_cols: list[str],
     delete_col: str | None = None,
     seq_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> dict[str, int]:
     """Row-level MERGE INTO the snapshot-pointer table with
     partition-level copy-on-write — upsert (update matched keys, insert
@@ -1096,6 +1107,14 @@ def snapshot_merge(
        new manifest — no per-file work of any kind.
     4. The manifest write + ``_COMMITTED`` pointer swap publish the
        merge atomically — readers see the whole merge or none of it.
+
+    Schema evolution is EXPLICIT: by default a batch carrying columns
+    the table lacks raises (a misspelled column silently vanishing is
+    the CDC bug this fences); with ``evolve_schema=True`` new columns
+    are added — touched partitions rewrite with them, untouched
+    partitions keep their files and read back NULL for the new columns
+    (the grouped reader unions by name with missing-column fill, the
+    same add-column-without-rewrite contract Delta/Iceberg give).
 
     Scale shape: one shuffle on the key columns (the semi/anti joins)
     over pruned partitions only, one write of the touched partitions;
@@ -1198,6 +1217,20 @@ def snapshot_merge(
     )
     touched = {str(r[0]) for r in touched_df.collect()}
 
+    # Table schema from the MANIFEST (union of per-entry column lists —
+    # partitions written before an evolution legitimately differ), so
+    # validation doesn't depend on WHICH partitions this batch happens
+    # to touch. Legacy manifests without "cols" fall back to the
+    # touched partitions' observed schema.
+    known_cols: set[str] | None = {partition_col}  # stripped from files
+    for e in parts.values():
+        if "cols" not in e:
+            known_cols = None
+            break
+        known_cols |= set(e["cols"])
+    if not parts:
+        known_cols = None
+
     writer = None
     if touched:
         existing = touched & set(parts)
@@ -1208,11 +1241,34 @@ def snapshot_merge(
             if existing
             else None
         )
-        merged = (
-            survivors.unionByName(upserts.select(*survivors.columns))
-            if survivors is not None
-            else upserts
+        ref_cols = (
+            known_cols
+            if known_cols is not None
+            else (set(survivors.columns) if survivors is not None else None)
         )
+        if ref_cols is not None:
+            new_cols = [c for c in upserts.columns if c not in ref_cols]
+            if new_cols and not evolve_schema:
+                raise ValueError(
+                    f"snapshot_merge: batch carries column(s) "
+                    f"{new_cols} the table lacks — pass "
+                    "evolve_schema=True to add them (untouched "
+                    "partitions read back NULL), or drop them"
+                )
+            lost = sorted(c for c in ref_cols if c not in upserts.columns)
+            if lost:
+                # an upsert must carry FULL rows: a missing table
+                # column would silently null-out matched keys' values
+                raise ValueError(
+                    f"snapshot_merge: batch is missing table column(s) "
+                    f"{lost} — upserts replace whole rows"
+                )
+        if survivors is None:
+            merged = upserts
+        elif set(upserts.columns) == set(survivors.columns):
+            merged = survivors.unionByName(upserts.select(*survivors.columns))
+        else:
+            merged = survivors.unionByName(upserts, allowMissingColumns=True)
         if MERGE_PLAN_HOOK is not None:
             MERGE_PLAN_HOOK("snapshot_merge", merged)
 

@@ -2108,6 +2108,61 @@ def test_snapshot_optimistic_concurrency(spark, tmp_path):
     assert got.filter("p = 'b'").agg(F.sum("v")).first()[0] == 1045.0
 
 
+def test_snapshot_merge_schema_evolution(spark, tmp_path):
+    """Explicit schema evolution (r12): by default a batch with an
+    unknown column raises (misspellings don't vanish silently) and a
+    batch MISSING a table column raises (upserts replace whole rows);
+    with evolve_schema=True the new column is added — touched
+    partitions rewrite with it, untouched partitions keep their files
+    and read back NULL for it."""
+    import os
+
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, p string, v double",
+    )
+    snapshot_write(base, path, "p")
+    evolved = spark.createDataFrame(
+        [(1, "a", 11.0, "gold")], "k int, p string, v double, tier string"
+    )
+    with _pytest.raises(ValueError, match="evolve_schema=True"):
+        snapshot_merge(spark, evolved, path, "p", ["k"])
+    partial = spark.createDataFrame([(2, "b")], "k int, p string")
+    with _pytest.raises(ValueError, match="missing table column"):
+        snapshot_merge(spark, partial, path, "p", ["k"])
+
+    st = snapshot_merge(
+        spark, evolved, path, "p", ["k"], evolve_schema=True
+    )
+    assert st["partitions_rewritten"] == 1
+    got = {
+        r["k"]: (r["v"], r["tier"])
+        for r in snapshot_read(spark, path).collect()
+    }
+    # touched partition carries the value; untouched read back NULL
+    assert got == {1: (11.0, "gold"), 2: (20.0, None), 3: (30.0, None)}
+    # untouched partitions were NOT rewritten for the schema change
+    assert not os.path.isdir(os.path.join(path, "v2", "p=b"))
+    # a later plain merge against the evolved table must now carry tier
+    with _pytest.raises(ValueError, match="missing table column"):
+        snapshot_merge(
+            spark,
+            spark.createDataFrame([(3, "c", 31.0)], "k int, p string, v double"),
+            path,
+            "p",
+            ["k"],
+        )
+
+
 def test_snapshot_two_live_writers_one_wins_one_retries(spark, tmp_path):
     """OCC under REAL concurrency: two backfills race from the same
     committed base in parallel threads. Exactly one commits; the loser
