@@ -129,6 +129,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional sequence column: a batch with several "
                     "changes per key keeps the highest-sequence one "
                     "(last-change-wins); without it duplicate keys raise")
+    sm.add_argument("--evolve-schema", action="store_true",
+                    help="allow batch columns the table lacks: touched "
+                    "partitions rewrite with them, untouched partitions "
+                    "read back NULL (without this flag unknown columns "
+                    "raise)")
 
     sh = sub.add_parser(
         "snapshot-history",
@@ -344,6 +349,7 @@ def main(argv: list[str] | None = None) -> int:
                 keys,
                 delete_col=args.delete_col,
                 seq_col=args.seq_col,
+                evolve_schema=args.evolve_schema,
             )
             print(
                 f"snapshot-merged {args.table}: "
