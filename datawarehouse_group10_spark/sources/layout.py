@@ -391,37 +391,84 @@ def _allocate_version(path: str) -> int:
             continue  # raced another writer's claim; rescan
 
 
+def _succ_token(path: str, base: int) -> str:
+    import os
+
+    return os.path.join(path, "_manifests", f"succ_v{base}")
+
+
+def _succ_read(path: str, base: int) -> int | None:
+    """The committed successor of ``base``, or None. Tokens are
+    published atomically WITH their content (tmp + os.link — link is
+    exclusive-create, and the link target is fully written first), so
+    a token that exists always parses; no empty-file race window."""
+    import os
+
+    token = _succ_token(path, base)
+    if not os.path.exists(token):
+        return None
+    with open(token, encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def _commit_chain(path: str) -> list[int]:
+    """The table's COMMITTED lineage: follow the single-successor
+    tokens from base 0 (``succ_v0 -> v_a``, ``succ_v<a> -> v_b``, ...).
+    Every version in this list won its CAS (or was rolled forward);
+    a version with a manifest on disk but NOT in this chain is an
+    orphaned OCC loser — its manifest was written before it lost the
+    race — and must never be readable as history. Tokens are tiny and
+    retained forever (snapshot_gc keeps them), so the walk is complete;
+    it costs O(chain) small reads and runs only for EXPLICIT time
+    travel, never on the committed-pointer hot path."""
+    chain: list[int] = []
+    base = 0
+    while True:
+        succ = _succ_read(path, base)
+        if succ is None:
+            return chain
+        chain.append(succ)
+        base = succ
+
+
 def _snapshot_commit_cas(path: str, base: int | None, version: int) -> None:
     """Publish ``version`` as the committed successor of ``base`` with
     single-winner semantics: the commit token ``_manifests/succ_v<base>``
     is exclusive-create (the one atomic primitive the protocol needs —
-    O_EXCL here, If-None-Match on object stores), so at most ONE
+    os.link here, If-None-Match on object stores), so at most ONE
     version ever commits on top of a given base; the pointer swap then
     can't lose a concurrent writer's update. Losers raise
     :class:`ConcurrentWriteError` — after ROLLING THE WINNER FORWARD if
     it crashed between its token and its pointer swap (the token names
     the winner; its manifest was written before the token, so
-    finishing the swap is always safe)."""
+    finishing the swap is always safe: the pointer write itself is
+    MONOTONIC, so a descheduled loser replaying a stale roll-forward
+    can never regress the pointer below a later commit)."""
     import os
 
-    token = os.path.join(path, "_manifests", f"succ_v{base or 0}")
+    token = _succ_token(path, base or 0)
+    tmp = token + f".tmp{os.getpid()}.{version}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
     try:
-        fd = os.open(token, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(version).encode("utf-8"))
-        os.close(fd)
+        os.link(tmp, token)  # atomic exclusive-create WITH content
     except FileExistsError:
-        with open(token, encoding="utf-8") as fh:
-            winner = int(fh.read().strip())
-        if (
-            _manifest_read(path, winner) is not None
-            and (_snapshot_committed(path) or 0) == (base or 0)
-        ):
-            _snapshot_commit(path, winner)  # crashed winner: roll forward
+        winner = _succ_read(path, base or 0)
+        if _manifest_read(path, winner) is not None:
+            # crashed winner: roll forward. _snapshot_commit is
+            # monotonic, so this is safe even if the winner (or a
+            # third writer past it) has committed meanwhile — a stale
+            # roll-forward simply becomes a no-op instead of
+            # regressing the pointer (the r12 TOCTOU).
+            _snapshot_commit(path, winner)
         raise ConcurrentWriteError(
             f"snapshot under {path}: base v{base or 0} already has "
             f"committed successor v{winner} — replan against the new "
             "committed version and retry"
         )
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     _snapshot_commit(path, version)
 
 
@@ -436,12 +483,29 @@ def _snapshot_committed(path: str) -> int | None:
 
 
 def _snapshot_commit(path: str, version: int) -> None:
+    """MONOTONIC pointer advance: never replaces ``_COMMITTED`` with a
+    lower version. The read-compare-replace runs under an advisory
+    flock (its own fd per caller, so it serializes threads AND
+    processes); the object-store analogue is an ETag-conditioned PUT
+    retried on conflict. Monotonicity is what makes the crashed-winner
+    roll-forward unconditionally safe: a loser that was descheduled
+    between its staleness check and its pointer write can no longer
+    regress the pointer below a commit that landed in between."""
+    import fcntl
     import os
 
-    tmp = os.path.join(path, "_COMMITTED.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(f"v{version}")
-    os.replace(tmp, os.path.join(path, "_COMMITTED"))
+    lock = os.path.join(path, "_COMMITTED.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        if (_snapshot_committed(path) or 0) >= version:
+            return  # stale write (e.g. a replayed roll-forward): no-op
+        tmp = os.path.join(path, f"_COMMITTED.tmp{os.getpid()}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(f"v{version}")
+        os.replace(tmp, os.path.join(path, "_COMMITTED"))
+    finally:
+        os.close(fd)  # releases the flock
 
 
 def _manifest_file(path: str, version: int) -> str:
@@ -559,6 +623,7 @@ def _stage_version(
     touched: set[str],
     writer,
     base_version: int | None = None,
+    schema_json: str | None = None,
 ) -> tuple[int, dict]:
     """Shared commit protocol for every snapshot writer: CLAIM the next
     version atomically (:func:`_allocate_version` — no two writers ever
@@ -600,6 +665,12 @@ def _stage_version(
         "partition_col": partition_col,
         "partitions": parts,
     }
+    if schema_json is not None:
+        # Table schema (Spark StructType JSON) persisted with the
+        # commit: a merge whose deletes empty EVERY partition is a
+        # valid zero-partition snapshot, and reading it back needs a
+        # schema no data file can provide anymore (ADVICE r12 #5).
+        manifest["schema"] = schema_json
     _manifest_write(path, manifest)
     _snapshot_commit_cas(path, base_version, version)
     return version, manifest
@@ -630,6 +701,18 @@ def snapshot_manifest(path: str, version: int | None = None) -> dict:
         raise ValueError(
             f"version {version} is above the committed pointer "
             f"(v{committed}) — uncommitted staging is not readable"
+        )
+    elif version != committed and version not in _commit_chain(path):
+        # A manifest on disk does NOT imply a commit: an OCC loser
+        # writes its manifest before losing the CAS, and once later
+        # commits advance the pointer past its number, `version <=
+        # committed` alone would accept that never-committed state as
+        # readable history. Time travel is validated against the
+        # single-successor token chain — the actual committed lineage.
+        raise ValueError(
+            f"version {version} under {path} was never committed (an "
+            "orphaned concurrent-writer staging, not history) — valid "
+            f"time-travel versions are {_commit_chain(path)}"
         )
     manifest = _manifest_read(path, version)
     if manifest is None:
@@ -738,6 +821,19 @@ def snapshot_read(
             full = _read_groups(spark, snapshot_scan_groups(path, version))
             if full is not None:
                 return full.limit(0)
+        m = snapshot_manifest(path, version)
+        if m.get("schema") is not None:
+            # A committed ZERO-PARTITION snapshot (a merge whose
+            # deletes emptied every partition) is valid table state;
+            # the schema persisted in the manifest is the only record
+            # of its shape (no data file survives to infer from).
+            import json
+
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
         raise FileNotFoundError(
             f"snapshot under {path} references no partitions"
         )
@@ -793,6 +889,7 @@ def snapshot_write(
             shaped.write.mode("append").partitionBy(partition_col).parquet(snap)
         ),
         base_version=_snapshot_committed(path),
+        schema_json=df.schema.json(),
     )
     return os.path.join(path, f"v{version}")
 
@@ -993,7 +1090,8 @@ def snapshot_compact(
         )
 
     version, new_m = _stage_version(
-        path, partition_col, parts, frag, writer, base_version=committed
+        path, partition_col, parts, frag, writer, base_version=committed,
+        schema_json=m.get("schema") or df.schema.json(),
     )
     return {
         "partitions_compacted": len(frag),
@@ -1043,6 +1141,7 @@ def snapshot_backfill(
     version, _new_m = _stage_version(
         path, partition_col, m["partitions"], touched, writer,
         base_version=committed,
+        schema_json=m.get("schema") or df.schema.json(),
     )
     return {
         "partitions_backfilled": len(touched),
@@ -1284,7 +1383,10 @@ def snapshot_merge(
     # publishes a commit: a re-referencing manifest + pointer swap,
     # O(1) data work.
     version, _new_m = _stage_version(
-        path, partition_col, parts, touched, writer, base_version=committed
+        path, partition_col, parts, touched, writer, base_version=committed,
+        schema_json=(
+            merged.schema.json() if writer is not None else m.get("schema")
+        ),
     )
     return {
         "partitions_rewritten": len(touched),
@@ -1295,19 +1397,40 @@ def snapshot_merge(
     }
 
 
-def snapshot_gc(path: str, keep: int = 1) -> list[int]:
-    """Reclaim old snapshots: delete the MANIFESTS of every version
-    older than the ``keep`` most recent committed-or-older ones (never
-    the committed version itself), then delete every data directory no
+def snapshot_gc(
+    path: str, keep: int = 1, orphans: bool = False
+) -> list[int]:
+    """Reclaim old snapshots: delete the MANIFESTS of every COMMITTED
+    version older than the ``keep`` most recent ones (never the
+    committed version itself), then delete every data directory no
     retained manifest references. Data a retained version still
     references SURVIVES even when the version that wrote it is
     reclaimed — a time-travel read of any retained version keeps
-    working through and after a gc of older versions. Staging newer
-    than the committed pointer is left alone (a writer may own it).
-    This is the explicit operational contract the in-place ops lacked:
-    readers must finish within the retention window, and the window is
-    a visible knob instead of an implicit race. Returns the reclaimed
-    version numbers."""
+    working through and after a gc of older versions. This is the
+    explicit operational contract the in-place ops lacked: readers
+    must finish within the retention window, and the window is a
+    visible knob instead of an implicit race. Returns the reclaimed
+    version numbers.
+
+    What gc NEVER touches (r13, ADVICE r12):
+
+    - ``succ_v*`` commit tokens: they are the single-successor
+      invariant AND the committed-lineage record (:func:`_commit_chain`
+      validates time travel against them). Deleting a doomed base's
+      token would let a stalled writer re-create it and re-commit a
+      long-dead version; they are a few bytes each, kept forever.
+    - Staging of versions NOT in the commit chain — by default. A
+      version ≤ the pointer without a commit can be an orphaned OCC
+      loser (safe to reclaim) or a STILL-RUNNING writer whose claimed
+      number other commits merely advanced past (reclaiming it would
+      yank directories from under a live write). Only the operator
+      knows no writers are active: ``orphans=True`` additionally
+      deletes non-chain claims, manifests, and data roots at or below
+      the pointer (such a writer's eventual CAS was going to lose
+      anyway — its base already has a successor — so the worst case
+      of a mis-timed ``orphans=True`` is a different error on a
+      doomed commit, never corruption). Staging ABOVE the pointer is
+      always left alone."""
     import os
     import shutil
 
@@ -1316,14 +1439,28 @@ def snapshot_gc(path: str, keep: int = 1) -> list[int]:
     committed = _snapshot_committed(path)
     if committed is None:
         return []
-    versions = _snapshot_versions(path)
-    old = [v for v in versions if v <= committed]
-    doomed = [v for v in old[:-keep] if v != committed]
+    chain = _commit_chain(path)
+    if committed not in chain:
+        chain.append(committed)  # defensive: pointer is always lineage
+    doomed = [
+        v
+        for v in chain[:-keep]
+        # already-reclaimed chain versions (manifest gone) are not
+        # re-reported: gc is idempotent
+        if v != committed and _manifest_read(path, v) is not None
+    ]
     doomed_set = set(doomed)
-    # every (root, partition dir) any surviving manifest references
+    versions = _snapshot_versions(path)
+    orphan_set = (
+        {v for v in versions if v <= committed and v not in set(chain)}
+        if orphans
+        else set()
+    )
+    dead = doomed_set | orphan_set
+    # every (root, partition relpath) any surviving manifest references
     referenced: set[tuple[str, str]] = set()
     for v in versions:
-        if v in doomed_set:
+        if v in dead:
             continue
         m = _manifest_read(path, v)
         if m is None:
@@ -1331,15 +1468,16 @@ def snapshot_gc(path: str, keep: int = 1) -> list[int]:
         pc = m["partition_col"]
         for val, e in m["partitions"].items():
             referenced.add((e["root"], f"{pc}={val}"))
-    for v in doomed:
+    for v in dead:
         for f in (
             _manifest_file(path, v),
             _manifest_file(path, v) + ".claim",
-            os.path.join(path, "_manifests", f"succ_v{v}"),
         ):
             if os.path.exists(f):
                 os.remove(f)
-    for v in old:
+    for v in versions:
+        if v > committed or (v not in set(chain) and v not in orphan_set):
+            continue  # never touch live staging / unknown-status roots
         root = os.path.join(path, f"v{v}")
         if not os.path.isdir(root):
             continue
@@ -1348,11 +1486,11 @@ def snapshot_gc(path: str, keep: int = 1) -> list[int]:
             if "=" in d and os.path.isdir(full):
                 if (f"v{v}", d) not in referenced:
                     shutil.rmtree(full)
-            elif v in doomed_set and not os.path.isdir(full):
+            elif v in dead and not os.path.isdir(full):
                 os.remove(full)  # write-job droppings (_SUCCESS)
         if not os.listdir(root):
             os.rmdir(root)
-    return doomed
+    return sorted(dead)
 
 
 def file_prune_fraction(path: str, col: str, lo: float, hi: float) -> float:

@@ -1531,11 +1531,16 @@ def test_snapshot_orphan_staging_invisible_and_gc_retention(spark, tmp_path):
     assert res["new_version"] == 3
     assert snapshot_read_path(path).endswith("v3")
 
-    # GC with keep=1: committed v3 stays; v1 AND the dead v2 staging
-    # (both older than the pointer) are reclaimable garbage.
+    # GC with keep=1 (default orphans=False): committed v3 stays, the
+    # old COMMIT v1 is reclaimed, but the never-committed v2 staging is
+    # LEFT ALONE — gc cannot tell a dead orphan from a live writer
+    # whose claimed number other commits advanced past (ADVICE r12).
     doomed = snapshot_gc(path, keep=1)
-    assert doomed == [1, 2]
+    assert doomed == [1]
     assert not os.path.exists(os.path.join(path, "v1"))
+    assert os.path.exists(os.path.join(path, "v2"))
+    # the operator, knowing no writers are active, reclaims orphans
+    assert snapshot_gc(path, keep=1, orphans=True) == [2]
     assert not os.path.exists(os.path.join(path, "v2"))
     assert spark.read.parquet(snapshot_read_path(path)).count() == 500
 
@@ -2321,3 +2326,144 @@ def test_cli_snapshot_merge_subcommand(spark, tmp_path, monkeypatch, capsys):
     ])
     assert rc == 2
     assert "missing column" in capsys.readouterr().err
+
+
+def test_snapshot_time_travel_rejects_orphaned_loser_manifests(
+    spark, tmp_path
+):
+    """ADVICE r13: an OCC loser writes its manifest BEFORE losing the
+    CAS; once later commits advance the pointer past its version
+    number, `version <= committed` alone would accept that
+    never-committed state as readable history. Time travel validates
+    against the commit chain (the succ_v* token lineage), so the
+    orphan raises loudly; gc(orphans=True) then reclaims it."""
+    import os
+
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        ConcurrentWriteError,
+        _commit_chain,
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b") for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")                                   # v1
+    # a stale writer stages v2 against base v1... but a faster writer
+    # commits v2 first; the loser's staging lands as orphan v3
+    fast = df.filter("p = 'a'").withColumn("v", F.col("v") + 100)
+    snapshot_backfill(fast, path, "p")                              # v2
+    slow = df.filter("p = 'b'").withColumn("v", F.col("v") + 999)
+    from datawarehouse_group10_spark.sources.layout import _stage_version
+
+    with _pytest.raises(ConcurrentWriteError):
+        _stage_version(
+            path, "p", snapshot_manifest(path, 1)["partitions"], {"b"},
+            lambda snap: slow.repartition("p").write.mode("append")
+            .partitionBy("p").parquet(snap),
+            base_version=1,
+        )
+    # the loser's manifest v3 exists on disk...
+    assert os.path.exists(os.path.join(path, "_manifests", "v3.json"))
+    # ...and later commits advance the pointer past 3
+    snapshot_backfill(fast, path, "p")                              # v4
+    snapshot_backfill(fast, path, "p")                              # v5
+    assert _commit_chain(path) == [1, 2, 4, 5]
+    # v3 <= committed but NOT in the chain: never readable as history
+    with _pytest.raises(ValueError, match="never committed"):
+        snapshot_read(spark, path, version=3)
+    # real chain members still time-travel fine
+    assert snapshot_read(spark, path, version=2).count() == 20
+    # orphans=True quarantines the loser's manifest + staging
+    reclaimed = snapshot_gc(path, keep=10, orphans=True)
+    assert 3 in reclaimed
+    assert not os.path.exists(os.path.join(path, "_manifests", "v3.json"))
+
+
+def test_snapshot_gc_keeps_commit_tokens_and_pointer_is_monotonic(
+    spark, tmp_path
+):
+    """ADVICE r13: gc retains succ_v* commit tokens forever (deleting
+    a doomed base's token would let a stalled writer re-create it and
+    silently re-commit a dead version), and _snapshot_commit refuses
+    to move the pointer to a lower version (the roll-forward TOCTOU:
+    a descheduled loser replaying a stale roll-forward must not
+    regress the pointer below a commit that landed in between)."""
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        _snapshot_commit,
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)], "p string, k int, v double"
+    )
+    snapshot_write(df, path, "p")                                   # v1
+    snapshot_backfill(df, path, "p")                                # v2
+    snapshot_backfill(df, path, "p")                                # v3
+    assert snapshot_gc(path, keep=1) == [1, 2]
+    mdir = os.path.join(path, "_manifests")
+    tokens = sorted(f for f in os.listdir(mdir) if f.startswith("succ_"))
+    # every base's token survives the gc (tiny, kept forever), and
+    # each one was published atomically WITH its content
+    assert tokens == ["succ_v0", "succ_v1", "succ_v2"]
+    for t in tokens:
+        assert open(os.path.join(mdir, t)).read().strip().isdigit()
+    # monotonic pointer: a stale (lower-version) commit is a no-op
+    assert snapshot_version(path) == 3
+    _snapshot_commit(path, 1)
+    assert snapshot_version(path) == 3
+    _snapshot_commit(path, 4)  # forward still works (no manifest check)
+    assert open(os.path.join(path, "_COMMITTED")).read() == "v4"
+
+
+def test_snapshot_merge_full_delete_leaves_readable_empty_table(
+    spark, tmp_path
+):
+    """ADVICE r13: a merge whose deletes empty EVERY partition commits
+    a valid zero-partition snapshot; reading it returns an EMPTY
+    DataFrame with the schema persisted in the manifest (no data file
+    survives to infer from) instead of raising, and a follow-up merge
+    repopulates the table."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, p string, v double"
+    )
+    snapshot_write(base, path, "p")
+    wipe = spark.createDataFrame(
+        [(1, "a", 0.0, True), (2, "b", 0.0, True)],
+        "k int, p string, v double, del boolean",
+    )
+    st = snapshot_merge(spark, wipe, path, "p", ["k"], delete_col="del")
+    assert st["partitions_rewritten"] == 2
+    got = snapshot_read(spark, path)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "p", "v"}
+    assert dict(got.dtypes)["v"] == "double"
+    # and the empty table accepts the next merge normally
+    refill = spark.createDataFrame(
+        [(5, "c", 50.0, False)], "k int, p string, v double, del boolean"
+    )
+    snapshot_merge(spark, refill, path, "p", ["k"], delete_col="del")
+    assert [
+        (r["k"], r["v"]) for r in snapshot_read(spark, path).collect()
+    ] == [(5, 50.0)]
