@@ -33,6 +33,9 @@ __all__ = [
     "partition_file_stats",
     "compact_partitions",
     "ConcurrentWriteError",
+    "MetaStore",
+    "PosixMetaStore",
+    "MemoryMetaStore",
     "snapshot_write",
     "snapshot_read",
     "snapshot_read_path",
@@ -343,6 +346,181 @@ class ConcurrentWriteError(RuntimeError):
     committed version."""
 
 
+class MetaStore:
+    """The metadata-plane I/O seam (r13, VERDICT r12 #2) — the exact
+    point Delta plugs a LogStore. Every snapshot-layout METADATA object
+    (manifests, claims, commit tokens, the ``_COMMITTED`` pointer)
+    moves through one of these five primitives; the DATA plane (parquet
+    partition directories) stays on whatever filesystem Spark writes.
+    Keys are absolute POSIX-style path strings.
+
+    An implementation needs exactly ONE atomicity guarantee —
+    :meth:`put_if_absent` is all-or-nothing including content (the
+    object-store form is a conditional ``If-None-Match: *`` PUT) — plus
+    linearizable :meth:`put_if` for the monotonic pointer (an
+    ETag-conditioned PUT retried on conflict). Nothing in the commit
+    protocol depends on POSIX specifics (O_EXCL file descriptors,
+    hardlinks, rename-into-place); :class:`MemoryMetaStore` proves it
+    by backing the full OCC pytest block with a plain locked dict."""
+
+    def read(self, key: str) -> bytes | None:
+        raise NotImplementedError
+
+    def put_atomic(self, key: str, data: bytes) -> None:
+        """Full-object atomic replace: readers see the old bytes or the
+        new bytes, never a partial write."""
+        raise NotImplementedError
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        """Atomic exclusive create WITH content; False if ``key``
+        exists. THE primitive the OCC protocol is built on."""
+        raise NotImplementedError
+
+    def put_if(self, key: str, data: bytes, accept) -> bool:
+        """Atomic conditional replace: write ``data`` iff
+        ``accept(current_bytes_or_None)`` holds, evaluated atomically
+        with the write. Returns whether the write happened."""
+        raise NotImplementedError
+
+    def list(self, dirpath: str) -> list[str]:
+        """Basenames of keys directly under ``dirpath`` (no recursion);
+        empty when the prefix is absent."""
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        """Remove ``key`` if present (idempotent)."""
+        raise NotImplementedError
+
+
+class PosixMetaStore(MetaStore):
+    """Default store: local/NFS POSIX semantics. put_if_absent is
+    tmp-write + ``os.link`` (exclusive create whose target is fully
+    written first — no empty-object window); put_atomic is tmp +
+    ``os.replace``; put_if serializes read-check-write under an
+    advisory flock on ``<key>.lock`` (each caller its own fd, so it
+    fences threads AND processes)."""
+
+    def read(self, key: str) -> bytes | None:
+        import os
+
+        if not os.path.exists(key):
+            return None
+        with open(key, "rb") as fh:
+            return fh.read()
+
+    def put_atomic(self, key: str, data: bytes) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        tmp = f"{key}.tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, key)
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        import os
+
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        tmp = f"{key}.tmp{os.getpid()}.{id(data)}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, key)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def put_if(self, key: str, data: bytes, accept) -> bool:
+        import fcntl
+        import os
+
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        fd = os.open(f"{key}.lock", os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if not accept(self.read(key)):
+                return False
+            self.put_atomic(key, data)
+            return True
+        finally:
+            os.close(fd)  # releases the flock
+
+    def list(self, dirpath: str) -> list[str]:
+        import os
+
+        if not os.path.isdir(dirpath):
+            return []
+        return sorted(os.listdir(dirpath))
+
+    def delete(self, key: str) -> None:
+        import os
+
+        if os.path.exists(key):
+            os.remove(key)
+
+
+class MemoryMetaStore(MetaStore):
+    """In-memory fake for tests: a dict under one mutex, whose ONLY
+    notion of atomicity is the lock itself — no O_EXCL, no links, no
+    rename. Running the OCC pytest block against it pins that the
+    commit protocol needs nothing POSIX-shaped."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._data: dict[str, bytes] = {}
+        self._mu = threading.Lock()
+
+    def read(self, key: str) -> bytes | None:
+        with self._mu:
+            return self._data.get(key)
+
+    def put_atomic(self, key: str, data: bytes) -> None:
+        with self._mu:
+            self._data[key] = data
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        with self._mu:
+            if key in self._data:
+                return False
+            self._data[key] = data
+            return True
+
+    def put_if(self, key: str, data: bytes, accept) -> bool:
+        with self._mu:
+            if not accept(self._data.get(key)):
+                return False
+            self._data[key] = data
+            return True
+
+    def list(self, dirpath: str) -> list[str]:
+        prefix = dirpath.rstrip("/") + "/"
+        with self._mu:
+            return sorted(
+                {
+                    k[len(prefix):]
+                    for k in self._data
+                    if k.startswith(prefix) and "/" not in k[len(prefix):]
+                }
+            )
+
+    def delete(self, key: str) -> None:
+        with self._mu:
+            self._data.pop(key, None)
+
+
+#: The active metadata store. Tests (and an eventual object-store
+#: deployment) swap this; all layout metadata I/O resolves it at call
+#: time through _meta_store().
+META_STORE: MetaStore = PosixMetaStore()
+
+
+def _meta_store() -> MetaStore:
+    return META_STORE
+
+
 def _snapshot_versions(path: str) -> list[int]:
     """All version numbers present on disk — data roots, manifests,
     AND claims (a crash can leave any one alone; allocation must skip
@@ -357,38 +535,32 @@ def _snapshot_versions(path: str) -> list[int]:
         for d in os.listdir(path)
         if (m := re.fullmatch(r"v(\d+)", d)) and os.path.isdir(os.path.join(path, d))
     }
-    mdir = os.path.join(path, "_manifests")
-    if os.path.isdir(mdir):
-        found |= {
-            int(m.group(1))
-            for f in os.listdir(mdir)
-            if (m := re.fullmatch(r"v(\d+)\.json(\.claim)?", f))
-        }
+    found |= {
+        int(m.group(1))
+        for f in _meta_store().list(os.path.join(path, "_manifests"))
+        if (m := re.fullmatch(r"v(\d+)\.json(\.claim)?", f))
+    }
     return sorted(found)
 
 
 def _allocate_version(path: str) -> int:
     """Atomically claim the next version number via exclusive-create of
-    ``_manifests/v<N>.json.claim`` (POSIX O_EXCL; the object-store
-    analogue is an If-None-Match PUT). Two concurrent writers can never
-    own the same version — so they can never write into each other's
-    data root — and a crashed claim is simply skipped by later
-    allocations (never reused: its root may hold a partial write)."""
+    ``_manifests/v<N>.json.claim`` (MetaStore.put_if_absent — O_EXCL-
+    shaped on POSIX, If-None-Match PUT on object stores). Two
+    concurrent writers can never own the same version — so they can
+    never write into each other's data root — and a crashed claim is
+    simply skipped by later allocations (never reused: its root may
+    hold a partial write)."""
     import os
 
-    os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+    os.makedirs(path, exist_ok=True)
+    store = _meta_store()
     while True:
         versions = _snapshot_versions(path)
         v = (versions[-1] if versions else 0) + 1
-        try:
-            fd = os.open(
-                _manifest_file(path, v) + ".claim",
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-            os.close(fd)
+        if store.put_if_absent(_manifest_file(path, v) + ".claim", b""):
             return v
-        except FileExistsError:
-            continue  # raced another writer's claim; rescan
+        # raced another writer's claim; rescan
 
 
 def _succ_token(path: str, base: int) -> str:
@@ -399,16 +571,11 @@ def _succ_token(path: str, base: int) -> str:
 
 def _succ_read(path: str, base: int) -> int | None:
     """The committed successor of ``base``, or None. Tokens are
-    published atomically WITH their content (tmp + os.link — link is
-    exclusive-create, and the link target is fully written first), so
-    a token that exists always parses; no empty-file race window."""
-    import os
-
-    token = _succ_token(path, base)
-    if not os.path.exists(token):
-        return None
-    with open(token, encoding="utf-8") as fh:
-        return int(fh.read().strip())
+    published atomically WITH their content (MetaStore.put_if_absent
+    is all-or-nothing including the bytes), so a token that exists
+    always parses; no empty-object race window."""
+    raw = _meta_store().read(_succ_token(path, base))
+    return None if raw is None else int(raw.decode("utf-8").strip())
 
 
 def _commit_chain(path: str) -> list[int]:
@@ -435,7 +602,7 @@ def _snapshot_commit_cas(path: str, base: int | None, version: int) -> None:
     """Publish ``version`` as the committed successor of ``base`` with
     single-winner semantics: the commit token ``_manifests/succ_v<base>``
     is exclusive-create (the one atomic primitive the protocol needs —
-    os.link here, If-None-Match on object stores), so at most ONE
+    MetaStore.put_if_absent), so at most ONE
     version ever commits on top of a given base; the pointer swap then
     can't lose a concurrent writer's update. Losers raise
     :class:`ConcurrentWriteError` — after ROLLING THE WINNER FORWARD if
@@ -444,15 +611,8 @@ def _snapshot_commit_cas(path: str, base: int | None, version: int) -> None:
     finishing the swap is always safe: the pointer write itself is
     MONOTONIC, so a descheduled loser replaying a stale roll-forward
     can never regress the pointer below a later commit)."""
-    import os
-
     token = _succ_token(path, base or 0)
-    tmp = token + f".tmp{os.getpid()}.{version}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    try:
-        os.link(tmp, token)  # atomic exclusive-create WITH content
-    except FileExistsError:
+    if not _meta_store().put_if_absent(token, str(version).encode("utf-8")):
         winner = _succ_read(path, base or 0)
         if _manifest_read(path, winner) is not None:
             # crashed winner: roll forward. _snapshot_commit is
@@ -466,46 +626,38 @@ def _snapshot_commit_cas(path: str, base: int | None, version: int) -> None:
             f"committed successor v{winner} — replan against the new "
             "committed version and retry"
         )
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
     _snapshot_commit(path, version)
 
 
 def _snapshot_committed(path: str) -> int | None:
     import os
 
-    ptr = os.path.join(path, "_COMMITTED")
-    if not os.path.exists(ptr):
+    raw = _meta_store().read(os.path.join(path, "_COMMITTED"))
+    if raw is None:
         return None
-    with open(ptr, encoding="utf-8") as fh:
-        return int(fh.read().strip().lstrip("v"))
+    return int(raw.decode("utf-8").strip().lstrip("v"))
 
 
 def _snapshot_commit(path: str, version: int) -> None:
     """MONOTONIC pointer advance: never replaces ``_COMMITTED`` with a
-    lower version. The read-compare-replace runs under an advisory
-    flock (its own fd per caller, so it serializes threads AND
-    processes); the object-store analogue is an ETag-conditioned PUT
-    retried on conflict. Monotonicity is what makes the crashed-winner
-    roll-forward unconditionally safe: a loser that was descheduled
-    between its staleness check and its pointer write can no longer
-    regress the pointer below a commit that landed in between."""
-    import fcntl
+    lower version (MetaStore.put_if — a flock-guarded compare-and-
+    replace on POSIX, an ETag-conditioned PUT on object stores).
+    Monotonicity is what makes the crashed-winner roll-forward
+    unconditionally safe: a loser that was descheduled between its
+    staleness check and its pointer write can no longer regress the
+    pointer below a commit that landed in between."""
     import os
 
-    lock = os.path.join(path, "_COMMITTED.lock")
-    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        if (_snapshot_committed(path) or 0) >= version:
-            return  # stale write (e.g. a replayed roll-forward): no-op
-        tmp = os.path.join(path, f"_COMMITTED.tmp{os.getpid()}")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(f"v{version}")
-        os.replace(tmp, os.path.join(path, "_COMMITTED"))
-    finally:
-        os.close(fd)  # releases the flock
+    def _newer(cur: bytes | None) -> bool:
+        if cur is None:
+            return True
+        return int(cur.decode("utf-8").strip().lstrip("v")) < version
+
+    _meta_store().put_if(
+        os.path.join(path, "_COMMITTED"),
+        f"v{version}".encode("utf-8"),
+        _newer,
+    )
 
 
 def _manifest_file(path: str, version: int) -> str:
@@ -516,25 +668,18 @@ def _manifest_file(path: str, version: int) -> str:
 
 def _manifest_write(path: str, manifest: dict) -> None:
     import json
-    import os
 
-    os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
-    dst = _manifest_file(path, manifest["version"])
-    tmp = dst + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, separators=(",", ":"))
-    os.replace(tmp, dst)
+    _meta_store().put_atomic(
+        _manifest_file(path, manifest["version"]),
+        json.dumps(manifest, separators=(",", ":")).encode("utf-8"),
+    )
 
 
 def _manifest_read(path: str, version: int) -> dict | None:
     import json
-    import os
 
-    f = _manifest_file(path, version)
-    if not os.path.exists(f):
-        return None
-    with open(f, encoding="utf-8") as fh:
-        return json.load(fh)
+    raw = _meta_store().read(_manifest_file(path, version))
+    return None if raw is None else json.loads(raw.decode("utf-8"))
 
 
 def _stat_norm(v):
@@ -1469,12 +1614,8 @@ def snapshot_gc(
         for val, e in m["partitions"].items():
             referenced.add((e["root"], f"{pc}={val}"))
     for v in dead:
-        for f in (
-            _manifest_file(path, v),
-            _manifest_file(path, v) + ".claim",
-        ):
-            if os.path.exists(f):
-                os.remove(f)
+        _meta_store().delete(_manifest_file(path, v))
+        _meta_store().delete(_manifest_file(path, v) + ".claim")
     for v in versions:
         if v > committed or (v not in set(chain) and v not in orphan_set):
             continue  # never touch live staging / unknown-status roots

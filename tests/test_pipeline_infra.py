@@ -25,6 +25,25 @@ from datawarehouse_group10_spark.streaming import (
 )
 
 
+@pytest.fixture(params=["posix", "memory"])
+def meta_store(request):
+    """Runs the OCC tests twice: against the default PosixMetaStore and
+    against the in-memory fake whose ONLY atomic primitive is a locked
+    dict — pinning that the snapshot commit protocol has no hidden
+    POSIX dependence (VERDICT r12 #2)."""
+    import datawarehouse_group10_spark.sources.layout as L
+
+    if request.param == "posix":
+        yield L.META_STORE
+        return
+    old = L.META_STORE
+    L.META_STORE = L.MemoryMetaStore()
+    try:
+        yield L.META_STORE
+    finally:
+        L.META_STORE = old
+
+
 @pytest.fixture()
 def csv_dir(tmp_path):
     (tmp_path / "data_01012024.csv").write_text(
@@ -2054,7 +2073,7 @@ def test_snapshot_read_stats_pruning(spark, tmp_path):
     assert set(empty.columns) == {"k", "p", "v"}
 
 
-def test_snapshot_optimistic_concurrency(spark, tmp_path):
+def test_snapshot_optimistic_concurrency(spark, tmp_path, meta_store):
     """Writer OCC (r12): version numbers are claimed by exclusive
     create (two writers can never share a data root), and the commit
     token gives each base version AT MOST ONE committed successor — a
@@ -2098,9 +2117,9 @@ def test_snapshot_optimistic_concurrency(spark, tmp_path):
     snapshot_backfill(fix2, path, "p")                              # v4?
     crashed = snapshot_version(path)
     # rewind the pointer to v2 and leave the token in place — exactly
-    # the on-disk state a pre-swap crash leaves
-    with open(os.path.join(path, "_COMMITTED"), "w") as fh:
-        fh.write("v2")
+    # the state a pre-swap crash leaves (written through the store so
+    # the scenario runs identically on the in-memory fake)
+    meta_store.put_atomic(os.path.join(path, "_COMMITTED"), b"v2")
     # the next writer on base v2 rolls the winner forward, then loses
     with _pytest.raises(ConcurrentWriteError, match="replan"):
         snapshot_backfill(fix, path, "p")
@@ -2168,7 +2187,9 @@ def test_snapshot_merge_schema_evolution(spark, tmp_path):
         )
 
 
-def test_snapshot_two_live_writers_one_wins_one_retries(spark, tmp_path):
+def test_snapshot_two_live_writers_one_wins_one_retries(
+    spark, tmp_path, meta_store
+):
     """OCC under REAL concurrency: two backfills race from the same
     committed base in parallel threads. Exactly one commits; the loser
     raises ConcurrentWriteError without corrupting anything; its retry
