@@ -666,6 +666,71 @@ def _manifest_file(path: str, version: int) -> str:
     return os.path.join(path, "_manifests", f"v{version}.json")
 
 
+def _segment_file(path: str, seg_id: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifests", f"seg_{seg_id}.json")
+
+
+#: Consolidation threshold for the manifest LIST (r13, VERDICT r12 #1):
+#: when a commit would push the segment chain past this length, it
+#: writes ONE consolidated segment holding every live entry instead —
+#: the occasional O(partitions_total) metadata write that keeps every
+#: other commit O(touched), Iceberg's rewrite-manifests shape. Plan
+#: cost is bounded the same way: a reader opens at most this many
+#: segment objects.
+SEGMENT_CONSOLIDATE_AT = 32
+
+
+def _segment_write(path: str, seg_id: str, entries: dict) -> int:
+    """Write one immutable manifest segment; returns its byte size
+    (the commit-metadata-cost measurement the r13 pytest pins)."""
+    import json
+
+    data = json.dumps({"entries": entries}, separators=(",", ":")).encode(
+        "utf-8"
+    )
+    _meta_store().put_atomic(_segment_file(path, seg_id), data)
+    return len(data)
+
+
+def _manifest_resolve(path: str, raw: dict | None) -> dict | None:
+    """Resolve a version file to the flat ``{"partitions": {...}}``
+    manifest every consumer sees. Two formats:
+
+    - legacy inline (pre-r13): the version file itself carries
+      ``"partitions"`` — returned as-is;
+    - manifest list (r13): the version file carries ``"segments"``, a
+      newest-first list of immutable segment ids; resolution walks
+      them FIRST-WINS per partition value, a ``null`` entry being a
+      tombstone (the partition was deleted or superseded-to-absent by
+      the segment's commit). The chain length is bounded by
+      ``SEGMENT_CONSOLIDATE_AT``, so plan-time metadata I/O is a
+      handful of small objects regardless of commit count."""
+    import json
+
+    if raw is None or "partitions" in raw:
+        return raw
+    parts: dict = {}
+    seen: set[str] = set()
+    for sid in raw["segments"]:
+        seg_raw = _meta_store().read(_segment_file(path, sid))
+        if seg_raw is None:
+            raise FileNotFoundError(
+                f"manifest segment seg_{sid} under {path} is missing — "
+                "metadata corrupted or gc raced a reader past retention"
+            )
+        for val, e in json.loads(seg_raw.decode("utf-8"))["entries"].items():
+            if val in seen:
+                continue
+            seen.add(val)
+            if e is not None:
+                parts[val] = e
+    out = dict(raw)
+    out["partitions"] = parts
+    return out
+
+
 def _manifest_write(path: str, manifest: dict) -> None:
     import json
 
@@ -761,10 +826,16 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
     }
 
 
+#: Metadata bytes the most recent _stage_version commit wrote (segment
+#: + version file) — observability for the O(touched)-metadata pytest
+#: pin and the PERF commit-cost curve. Not part of any on-disk state.
+LAST_COMMIT_META_BYTES = 0
+
+
 def _stage_version(
     path: str,
     partition_col: str,
-    base_partitions: dict,
+    base: dict | None,
     touched: set[str],
     writer,
     base_version: int | None = None,
@@ -773,51 +844,100 @@ def _stage_version(
     """Shared commit protocol for every snapshot writer: CLAIM the next
     version atomically (:func:`_allocate_version` — no two writers ever
     share a data root), let ``writer(snap_dir)`` land ONLY the touched
-    partitions' data, build the new manifest (untouched entries carried
-    verbatim from ``base_partitions`` — a dict copy, zero file-system
-    work; touched entries rebuilt from the freshly-written dirs), write
-    the manifest, then COMMIT with single-winner semantics against
-    ``base_version`` (:func:`_snapshot_commit_cas` — a concurrent
-    commit on the same base makes this writer lose loudly instead of
-    silently overwriting the pointer). A touched partition the writer
-    produced no rows for (a full-partition delete) simply drops out of
-    the manifest. Crash-safe at every step: until the pointer swap the
-    table stays committed at the old version with only orphan staging
-    (claim, data root, manifest) that allocation skips and gc reclaims;
-    a crash BETWEEN the commit token and the pointer swap is rolled
-    forward by the next writer on that base."""
+    partitions' data, then publish the commit as MANIFEST-LIST
+    metadata (r13, VERDICT r12 #1):
+
+    - ONE new immutable segment holding just the touched partitions'
+      entries (freshly-written dirs re-stated, full-partition deletes
+      as tombstones) — O(touched) bytes;
+    - a version file whose ``segments`` list is the new segment
+      prepended to the base version's list — O(chain length) ids,
+      bounded by ``SEGMENT_CONSOLIDATE_AT``;
+    - when the chain would exceed that bound (or the base is a legacy
+      inline manifest), one CONSOLIDATED segment with every live entry
+      instead — the amortized rewrite that keeps both commit cost and
+      plan-time segment reads bounded.
+
+    Untouched partitions cost NOTHING per commit — not a dict copy
+    into the version file, not a re-serialization; their entries stay
+    in the old segments the new list re-references. This kills the
+    last O(partitions_total) term in the commit path (r12 moved the
+    data plane to O(touched); the single inline-JSON manifest kept the
+    METADATA plane O(table)).
+
+    Then COMMIT with single-winner semantics against ``base_version``
+    (:func:`_snapshot_commit_cas`). Crash-safe at every step: until
+    the pointer swap the table stays committed at the old version with
+    only orphan staging (claim, data root, segment, version file) that
+    allocation skips and gc reclaims; a crash BETWEEN the commit token
+    and the pointer swap is rolled forward by the next writer on that
+    base."""
+    import json
     import os
 
+    global LAST_COMMIT_META_BYTES
+
+    base_partitions = (base or {}).get("partitions", {})
     version = _allocate_version(path)
     root_rel = f"v{version}"
     snap = os.path.join(path, root_rel)
     os.makedirs(snap, exist_ok=True)
     if writer is not None:
         writer(snap)
+    fresh: dict = {}
+    prefix = f"{partition_col}="
+    for d in sorted(os.listdir(snap)):
+        if d.startswith(prefix) and os.path.isdir(os.path.join(snap, d)):
+            fresh[d[len(prefix):]] = _partition_entry(
+                root_rel, os.path.join(snap, d)
+            )
     parts = {
         val: entry
         for val, entry in base_partitions.items()
         if val not in touched
     }
-    prefix = f"{partition_col}="
-    for d in sorted(os.listdir(snap)):
-        if d.startswith(prefix) and os.path.isdir(os.path.join(snap, d)):
-            parts[d[len(prefix):]] = _partition_entry(
-                root_rel, os.path.join(snap, d)
-            )
+    parts.update(fresh)
+
+    seg_id = f"v{version}"
+    base_segments = (base or {}).get("segments")
+    meta_bytes = 0
+    if base is None or base_segments is None:
+        # fresh table OR legacy inline base: one consolidated segment
+        meta_bytes += _segment_write(path, seg_id, parts)
+        segments = [seg_id]
+    else:
+        delta = dict(fresh)
+        for val in touched:
+            if val not in fresh and val in base_partitions:
+                delta[val] = None  # tombstone: full-partition delete
+        if delta:
+            segments = [seg_id] + list(base_segments)
+        else:
+            segments = list(base_segments)  # pure re-referencing no-op
+        if len(segments) > SEGMENT_CONSOLIDATE_AT:
+            meta_bytes += _segment_write(path, seg_id, parts)
+            segments = [seg_id]
+        elif delta:
+            meta_bytes += _segment_write(path, seg_id, delta)
     manifest = {
         "version": version,
         "partition_col": partition_col,
-        "partitions": parts,
+        "segments": segments,
     }
+    if schema_json is None and base is not None:
+        schema_json = base.get("schema")
     if schema_json is not None:
         # Table schema (Spark StructType JSON) persisted with the
         # commit: a merge whose deletes empty EVERY partition is a
         # valid zero-partition snapshot, and reading it back needs a
         # schema no data file can provide anymore (ADVICE r12 #5).
         manifest["schema"] = schema_json
+    meta_bytes += len(json.dumps(manifest, separators=(",", ":")))
+    LAST_COMMIT_META_BYTES = meta_bytes
     _manifest_write(path, manifest)
     _snapshot_commit_cas(path, base_version, version)
+    manifest = dict(manifest)
+    manifest["partitions"] = parts
     return version, manifest
 
 
@@ -859,7 +979,7 @@ def snapshot_manifest(path: str, version: int | None = None) -> dict:
             "orphaned concurrent-writer staging, not history) — valid "
             f"time-travel versions are {_commit_chain(path)}"
         )
-    manifest = _manifest_read(path, version)
+    manifest = _manifest_resolve(path, _manifest_read(path, version))
     if manifest is None:
         raise FileNotFoundError(
             f"snapshot v{version} under {path} was reclaimed by "
@@ -1028,7 +1148,7 @@ def snapshot_write(
     version, _m = _stage_version(
         path,
         partition_col,
-        base_partitions={},
+        base=None,
         touched=set(),
         writer=lambda snap: (
             shaped.write.mode("append").partitionBy(partition_col).parquet(snap)
@@ -1055,7 +1175,7 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
     committed = _snapshot_committed(path)
     out: list[dict[str, int | bool]] = []
     for v in _snapshot_versions(path):
-        m = _manifest_read(path, v)
+        m = _manifest_resolve(path, _manifest_read(path, v))
         if m is not None:
             out.append(
                 {
@@ -1235,7 +1355,7 @@ def snapshot_compact(
         )
 
     version, new_m = _stage_version(
-        path, partition_col, parts, frag, writer, base_version=committed,
+        path, partition_col, m, frag, writer, base_version=committed,
         schema_json=m.get("schema") or df.schema.json(),
     )
     return {
@@ -1284,7 +1404,7 @@ def snapshot_backfill(
         )
 
     version, _new_m = _stage_version(
-        path, partition_col, m["partitions"], touched, writer,
+        path, partition_col, m, touched, writer,
         base_version=committed,
         schema_json=m.get("schema") or df.schema.json(),
     )
@@ -1528,7 +1648,7 @@ def snapshot_merge(
     # publishes a commit: a re-referencing manifest + pointer swap,
     # O(1) data work.
     version, _new_m = _stage_version(
-        path, partition_col, parts, touched, writer, base_version=committed,
+        path, partition_col, m, touched, writer, base_version=committed,
         schema_json=(
             merged.schema.json() if writer is not None else m.get("schema")
         ),
@@ -1602,20 +1722,42 @@ def snapshot_gc(
         else set()
     )
     dead = doomed_set | orphan_set
-    # every (root, partition relpath) any surviving manifest references
+    # every (root, partition relpath) and every manifest SEGMENT any
+    # surviving version file references
     referenced: set[tuple[str, str]] = set()
+    live_segs: set[str] = set()
     for v in versions:
         if v in dead:
             continue
-        m = _manifest_read(path, v)
-        if m is None:
+        raw = _manifest_read(path, v)
+        if raw is None:
             continue
+        live_segs |= set(raw.get("segments") or [])
+        m = _manifest_resolve(path, raw)
         pc = m["partition_col"]
         for val, e in m["partitions"].items():
             referenced.add((e["root"], f"{pc}={val}"))
     for v in dead:
         _meta_store().delete(_manifest_file(path, v))
         _meta_store().delete(_manifest_file(path, v) + ".claim")
+    # Segments are immutable and SHARED across version files (a list
+    # re-references older versions' segments), so one is garbage only
+    # when no surviving version's list names it — and, like data
+    # roots, a segment whose writing version is above the pointer (or
+    # of unknown status without orphans=True) is an active writer's
+    # staging and is never touched: gc must not sweep the gap between
+    # a writer's segment write and its version-file write.
+    import re as _re
+
+    for f in _meta_store().list(os.path.join(path, "_manifests")):
+        sm = _re.fullmatch(r"seg_v(\d+)\.json", f)
+        if sm is None or f"v{sm.group(1)}" in live_segs:
+            continue
+        sv = int(sm.group(1))
+        if sv <= committed and (
+            sv in dead or (orphans and _manifest_read(path, sv) is None)
+        ):
+            _meta_store().delete(os.path.join(path, "_manifests", f))
     for v in versions:
         if v > committed or (v not in set(chain) and v not in orphan_set):
             continue  # never touch live staging / unknown-status roots
