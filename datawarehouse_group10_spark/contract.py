@@ -1457,6 +1457,75 @@ def merged_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, path)
 
 
+#: Filled by merged_snapshot_orders_mc's one-time composite-partition
+#: snapshot_merge (observability only; correctness rides the driver
+#: hash of the 'merge_mc' section).
+MERGE_MC_STATS: dict[str, float] = {}
+
+
+def merged_snapshot_orders_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-partition MERGE round trip (r13, VERDICT r12 #3): the
+    snapshot table partitions on TWO columns ``(o_year, o_mm)`` —
+    the (date, hour)-style layout real 100 TB tables use — and one
+    deterministic batch exercises every MERGE verb across the
+    composite key space:
+
+    - DELETE: keys % 109 == 0;
+    - MOVE:   keys % 127 == 0 (not deleted) re-home to partition
+      ('1999', '12') — BOTH composite legs change, so both the old
+      (year, month) home and the new one rewrite;
+    - UPDATE: keys % 113 == 0 (not deleted/moved) get o_totalprice+2.0;
+    - INSERT: keys % 131 == 0 (excluding key 0) copied with key -k
+      into their own (year, month).
+
+    The ``a_extended`` 'merge_mc' section aggregates the committed
+    snapshot per (o_year, o_mm) against the SQL-reconstructed final
+    state; manifest keys are 'year/month' composites, the probe prunes
+    on o_orderkey manifest stats exactly as the single-column layout
+    does, and untouched (year, month) leaves are re-referenced."""
+    from .sources.layout import snapshot_merge, snapshot_read, snapshot_write
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_merged_mc"
+    )
+    if _snapshot_stale(path):
+        po = (
+            _t(spark, sf_dir, "orders")
+            .withColumn("o_year", F.date_format("o_orderdate", "yyyy"))
+            .withColumn("o_mm", F.date_format("o_orderdate", "MM"))
+        )
+        snapshot_write(po, path, ["o_year", "o_mm"])
+        k = F.col("o_orderkey")
+        dele = po.filter(k % 109 == 0).withColumn("_del", F.lit(True))
+        mov = (
+            po.filter((k % 127 == 0) & (k % 109 != 0))
+            .withColumn("o_year", F.lit("1999"))
+            .withColumn("o_mm", F.lit("12"))
+            .withColumn("_del", F.lit(False))
+        )
+        upd = (
+            po.filter((k % 113 == 0) & (k % 109 != 0) & (k % 127 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+            .withColumn("_del", F.lit(False))
+        )
+        ins = (
+            po.filter((k % 131 == 0) & (k != 0))
+            .withColumn("o_orderkey", -k)
+            .withColumn("_del", F.lit(False))
+        )
+        batch = (
+            upd.unionByName(dele).unionByName(mov).unionByName(ins)
+        )
+        t0 = time.time()
+        stats = snapshot_merge(
+            spark, batch, path, ["o_year", "o_mm"], ["o_orderkey"],
+            delete_col="_del",
+        )
+        MERGE_MC_STATS.update(stats)
+        MERGE_MC_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read(spark, path)
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -4449,6 +4518,33 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Composite-partition MERGE round trip (r13, VERDICT r12 #3): the
+    # same every-verb batch through a TWO-column (o_year, o_mm)
+    # snapshot partitioning — manifest keys are 'year/month'
+    # composites, the move verb re-homes across BOTH legs.
+    mg2 = (
+        merged_snapshot_orders_mc(spark, sf_dir)
+        .groupBy("o_year", "o_mm")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_year",
+            "o_mm",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("merge_mc").alias("section"),
+            F.col("o_year").alias("k1"),
+            F.col("o_mm").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -4476,6 +4572,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(co)
         .unionByName(sn)
         .unionByName(mg)
+        .unionByName(mg2)
         .unionByName(zo)
     )
 
@@ -6563,6 +6660,41 @@ FROM (
   UNION ALL
   SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice FROM orders
   WHERE o_orderkey % 103 = 0 AND o_orderkey <> 0
+) GROUP BY 1, 2, 3, 4
+UNION ALL
+-- composite-partition MERGE round trip (r13): reconstruct the
+-- (o_year, o_mm)-partitioned snapshot_merge's final state (delete
+-- %109, move %127 -> ('1999','12') across BOTH partition legs,
+-- update %113 price+2.0 in DOUBLE, insert %131 as -key, key 0
+-- excluded from inserts).
+SELECT 'merge_mc' AS section, y AS k1, mm AS k2, 'n' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT CASE WHEN o_orderkey % 127 = 0 THEN '1999'
+              ELSE strftime(o_orderdate, '%Y') END AS y,
+         CASE WHEN o_orderkey % 127 = 0 THEN '12'
+              ELSE strftime(o_orderdate, '%m') END AS mm
+  FROM orders WHERE o_orderkey % 109 <> 0
+  UNION ALL
+  SELECT strftime(o_orderdate, '%Y'), strftime(o_orderdate, '%m')
+  FROM orders WHERE o_orderkey % 131 = 0 AND o_orderkey <> 0
+) GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'merge_mc' AS section, y AS k1, mm AS k2, 'sum_price' AS metric,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS val,
+       CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT CASE WHEN o_orderkey % 127 = 0 THEN '1999'
+              ELSE strftime(o_orderdate, '%Y') END AS y,
+         CASE WHEN o_orderkey % 127 = 0 THEN '12'
+              ELSE strftime(o_orderdate, '%m') END AS mm,
+         CASE WHEN o_orderkey % 113 = 0 AND o_orderkey % 127 <> 0
+              THEN o_totalprice + 2.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 109 <> 0
+  UNION ALL
+  SELECT strftime(o_orderdate, '%Y'), strftime(o_orderdate, '%m'),
+         o_totalprice
+  FROM orders WHERE o_orderkey % 131 = 0 AND o_orderkey <> 0
 ) GROUP BY 1, 2, 3, 4
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered
