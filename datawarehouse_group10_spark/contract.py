@@ -1526,6 +1526,61 @@ def merged_snapshot_orders_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, path)
 
 
+#: Filled by merged_snapshot_orders_pc's one-time partial-column merge.
+MERGE_PC_STATS: dict[str, float] = {}
+
+
+def merged_snapshot_orders_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-row MERGE round trip (r13, VERDICT r12 #5): the batch
+    carries ONLY (o_orderkey, o_month, o_totalprice, _del) — the
+    changed-columns-only shape CDC feeds commonly emit — and
+    ``snapshot_merge(update_cols=["o_totalprice"])`` applies it:
+
+    - DELETE: keys % 101 == 0;
+    - UPDATE: keys % 97 == 0 (not deleted) get o_totalprice+3.0 while
+      every OTHER column (o_custkey, o_orderstatus, ...) keeps its
+      current value — the partial-update contract;
+    - INSERT: keys % 103 == 0 (excluding 0) land as -k with
+      o_totalprice carried and every uncarried column NULL.
+
+    The ``a_extended`` 'merge_pc' section checks per month: row count,
+    price sum (updates applied), and the NON-NULL count of o_custkey —
+    which breaks if a partial update nulls out uncarried columns
+    (matched rows must keep custkey) or an insert fabricates one."""
+    from .sources.layout import snapshot_merge, snapshot_read, snapshot_write
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_merged_pc"
+    )
+    if _snapshot_stale(path):
+        po = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        snapshot_write(po, path, "o_month")
+        k = F.col("o_orderkey")
+        slim = po.select("o_orderkey", "o_month", "o_totalprice")
+        dele = slim.filter(k % 101 == 0).withColumn("_del", F.lit(True))
+        upd = (
+            slim.filter((k % 97 == 0) & (k % 101 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(3.0))
+            .withColumn("_del", F.lit(False))
+        )
+        ins = (
+            slim.filter((k % 103 == 0) & (k != 0))
+            .withColumn("o_orderkey", -k)
+            .withColumn("_del", F.lit(False))
+        )
+        batch = upd.unionByName(dele).unionByName(ins)
+        t0 = time.time()
+        stats = snapshot_merge(
+            spark, batch, path, "o_month", ["o_orderkey"],
+            delete_col="_del", update_cols=["o_totalprice"],
+        )
+        MERGE_PC_STATS.update(stats)
+        MERGE_PC_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read(spark, path)
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -4545,6 +4600,34 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Partial-row MERGE round trip (r13, VERDICT r12 #5): the batch
+    # carries only (key, partition, o_totalprice); matched rows keep
+    # every uncarried column, inserts pad them NULL — n_cust (non-NULL
+    # o_custkey count) breaks if either direction leaks.
+    mg3 = (
+        merged_snapshot_orders_pc(spark, sf_dir)
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+            F.count("o_custkey").cast("double").alias("_c"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(3, 'n', _n, 'sum_price', _s, 'n_cust', _c)"
+            " as (metric, val)",
+        )
+        .select(
+            F.lit("merge_pc").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -4573,6 +4656,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sn)
         .unionByName(mg)
         .unionByName(mg2)
+        .unionByName(mg3)
         .unionByName(zo)
     )
 
@@ -6696,6 +6780,29 @@ FROM (
          o_totalprice
   FROM orders WHERE o_orderkey % 131 = 0 AND o_orderkey <> 0
 ) GROUP BY 1, 2, 3, 4
+UNION ALL
+-- partial-row MERGE round trip (r13): reconstruct the
+-- update_cols=['o_totalprice'] merge — delete %101, update %97
+-- price+3.0 keeping every other column, insert %103 as -key with
+-- uncarried columns NULL (n_cust counts non-NULL o_custkey).
+SELECT 'merge_pc' AS section, m AS k1, '' AS k2, metric,
+       val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT m,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(cust) AS DOUBLE) AS n_cust
+  FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 3.0
+                ELSE o_totalprice END AS price,
+           o_custkey AS cust
+    FROM orders WHERE o_orderkey % 101 <> 0
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice, NULL
+    FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey <> 0
+  ) GROUP BY m
+) UNPIVOT (val FOR metric IN (n, sum_price, n_cust))
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered
 -- parquet copy back; content must equal the original table row-level.
