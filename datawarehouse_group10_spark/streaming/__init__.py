@@ -943,6 +943,7 @@ def run_stream_cdc_apply(
     seq_col: str | None = None,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
+    occ_retries: int = 3,
 ) -> None:
     """Streaming CDC apply: each microbatch of change rows (upserts +
     optionally delete-flagged rows) lands as ONE
@@ -970,14 +971,20 @@ def run_stream_cdc_apply(
     the history, no journal needed. The ingest path needed a rollback
     journal precisely because an index APPEND is not idempotent.
 
-    Concurrent-writer story (r12): each microbatch merge plans against
-    the committed manifest it reads at batch start and commits through
-    the layout's optimistic-concurrency token. If an EXTERNAL
-    maintenance job (compact/backfill) wins the race, the merge raises
-    ``ConcurrentWriteError``, the stream fails loudly, and a restart
-    replays the same batch from the checkpoint — now planning against
-    the new committed version — converging by the same value-idempotent
-    argument. No interleaving can silently drop either writer's commit.
+    Concurrent-writer story (r12; in-stream retry since r13): each
+    microbatch merge plans against the committed manifest it reads at
+    batch start and commits through the layout's optimistic-concurrency
+    token. If an EXTERNAL maintenance job (compact/backfill) wins the
+    race, the merge raises ``ConcurrentWriteError`` and the batch is
+    RETRIED in place up to ``occ_retries`` times, each attempt
+    replanning against the NEW committed version (safe by the same
+    value-idempotence argument as crash replay: the loser's staging is
+    orphaned, nothing of it was published). Routine compaction winning
+    a race therefore no longer needs operator intervention; only a
+    writer that keeps losing (``occ_retries`` consecutive conflicts —
+    a misconfigured second CDC stream, not maintenance) fails the
+    stream loudly, and a restart replays from the checkpoint. No
+    interleaving can silently drop either writer's commit.
 
     Scale shape per batch: one manifest-stat-pruned key semi-join + a
     rewrite of the touched partitions + ONE manifest/pointer commit
@@ -985,20 +992,29 @@ def run_stream_cdc_apply(
     batches grouped by partition so the touched set stays narrow.
     """
 
-    from ..sources.layout import snapshot_merge
+    from ..sources.layout import ConcurrentWriteError, snapshot_merge
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        snapshot_merge(
-            batch_df.sparkSession,
-            batch_df,
-            table_path,
-            partition_col,
-            key_cols,
-            delete_col=delete_col,
-            seq_col=seq_col,
-        )
+        for attempt in range(occ_retries + 1):
+            try:
+                snapshot_merge(
+                    batch_df.sparkSession,
+                    batch_df,
+                    table_path,
+                    partition_col,
+                    key_cols,
+                    delete_col=delete_col,
+                    seq_col=seq_col,
+                )
+                return
+            except ConcurrentWriteError:
+                # replan against the new committed version: the merge
+                # re-reads the manifest on entry, so retrying IS the
+                # replan; each loss is a distinct external commit
+                if attempt == occ_retries:
+                    raise
 
     writer = cdc_stream.writeStream.foreachBatch(_apply)
     if checkpoint_dir:
