@@ -3001,11 +3001,15 @@ def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = q_sim_pq_topk(spark, sf_dir).select(
         F.lit("pq").alias("surface"), "vec_id", "cos5"
     )
+    ivfpq = q_sim_ivfpq_topk(spark, sf_dir).select(
+        F.lit("ivfpq").alias("surface"), "vec_id", "cos5"
+    )
     return (
         lsh.unionByName(ivf)
         .unionByName(knn)
         .unionByName(knn_ivf)
         .unionByName(pq)
+        .unionByName(ivfpq)
     )
 
 
@@ -3419,6 +3423,39 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         PQ_TRAIN_STATS["seconds"] = round(time.time() - t0, 3)
     out = pq_topk(emb, q, _PQ_BOOKS_CACHE[sf_dir], k=10, refine=50)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ composed ANN top-10 (r13, VERDICT r12 #6) — FAISS's
+    IVFADC layout as a composition of the two oracle-checked pieces:
+    the coarse quantizer (16 deterministic cells) picks the 6 cells
+    nearest the query driver-side, :func:`ivf_assign` restricts the
+    scan to them, and the TRAINED-codebook ADC ranking + exact top-50
+    rerank of :func:`pq_topk` runs over that restricted set only. The
+    oracle replays probe selection, cell assignment, the unrolled
+    Lloyd training, the per-cell ADC add chain, and the refine cut in
+    SQL. Rides sim_ann_suite as the 'ivfpq' surface."""
+    _utc(spark)
+    from .functions.similarity import (
+        deterministic_centroids,
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        t0 = time.time()
+        _PQ_BOOKS_CACHE[sf_dir] = pq_train_codebooks(
+            emb, m=4, k=16, n_iter=2
+        )
+        PQ_TRAIN_STATS["seconds"] = round(time.time() - t0, 3)
+    cents = deterministic_centroids(emb, k=16)
+    out = ivfpq_topk(
+        emb, q, cents, _PQ_BOOKS_CACHE[sf_dir],
+        k=10, n_probe=6, refine=50,
+    )
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
 
@@ -7247,6 +7284,84 @@ LIMIT 10
 ORACLES["sim_ann_suite"] += f"""
 UNION ALL
 SELECT 'pq' AS surface, t.* FROM ({_PQ_TOPK_SQL}) t
+"""
+
+#: IVF x PQ composed ANN (r13, the sim_ann_suite 'ivfpq' surface):
+#: probe = the 6 cells nearest the query (the _IVF_TOPK_SQL ranking),
+#: cell membership = the same argmin assignment, and the ADC ranking +
+#: refine runs ONLY over probed cells' members — the SQL replay of
+#: functions/similarity.py::ivfpq_topk's composition, training CTEs
+#: included.
+_IVFPQ_TOPK_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+probe AS (
+  SELECT c.cid FROM cents c CROSS JOIN q
+  ORDER BY list_distance(q.qv, c.cv), c.cid LIMIT 6
+),
+assign AS (
+  SELECT e.vec_id,
+         c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(c.cv, c.cv)
+                    - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv),
+                    c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cellcand AS (
+  SELECT vec_id FROM assign
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+{_pq_trained_cb_sql(n_iter=2)},
+codes AS (
+  SELECT e.vec_id, c.s, c.cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id, c.s
+           ORDER BY list_dot_product(c.cv, c.cv)
+                    - 2 * list_dot_product(
+                        CAST(e.embedding AS DOUBLE[])[(c.s*16+1):(c.s*16+16)],
+                        c.cv),
+                    c.j
+         ) AS rn
+  FROM embeddings e
+  JOIN cellcand ON e.vec_id = cellcand.vec_id
+  CROSS JOIN cb c
+),
+terms AS (
+  SELECT k.vec_id, k.s,
+         list_dot_product(k.cv, k.cv)
+         - 2 * list_dot_product(q.qv[(k.s*16+1):(k.s*16+16)], k.cv) AS t
+  FROM codes k CROSS JOIN q
+  WHERE k.rn = 1
+),
+adc AS (
+  SELECT vec_id,
+         ((MAX(CASE WHEN s = 0 THEN t END)
+           + MAX(CASE WHEN s = 1 THEN t END))
+          + MAX(CASE WHEN s = 2 THEN t END))
+         + MAX(CASE WHEN s = 3 THEN t END) AS d
+  FROM terms GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY d, vec_id LIMIT 50)
+SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY {_COS_Q} DESC, e.vec_id
+LIMIT 10
+"""
+
+ORACLES["sim_ann_suite"] += f"""
+UNION ALL
+SELECT 'ivfpq' AS surface, t.* FROM ({_IVFPQ_TOPK_SQL}) t
 """
 
 ORACLES["dedup_minhash_incremental"] = (

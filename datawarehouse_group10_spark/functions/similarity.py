@@ -654,6 +654,58 @@ def ivf_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF x PQ composed ANN (r13, VERDICT r12 #6) — the standard
+    100 TB index layout (FAISS IVFPQ/IVFADC): the IVF coarse quantizer
+    restricts the search to the ``n_probe`` cells nearest the query,
+    and only THOSE cells' vectors are PQ-coded and ADC-ranked; the
+    best ``refine`` candidates are exact-reranked by cosine.
+
+    Composition, not new machinery: probe selection is
+    :func:`ivf_topk`'s driver-side centroid ranking, cell restriction
+    is :func:`ivf_assign` + an isin filter, and the ADC scan is
+    :func:`pq_topk` over the restricted DataFrame — every stage keeps
+    its existing determinism contract, so the whole path is
+    oracle-checkable end to end.
+
+    Scale shape: the ADC work drops from O(N) (PQ-only) to
+    O(N * n_probe / n_cells), and the cell restriction is QUERY-AWARE
+    — it keeps the fraction of the corpus most likely to hold true
+    neighbors, which is what lets IVFPQ beat a PQ scan over any
+    query-oblivious subsample of equal size (pytest-pinned). As with
+    :func:`ivf_topk`, the production layout persists the assignment
+    once, partitioned by ``_cell``, making every query a
+    partition-pruned scan; codes are 4 bytes/vector, so a probed
+    cell's codes sit in executor memory. Non-residual variant
+    (codes quantize the raw vectors, not x - centroid): recall at
+    equal refine trails residual IVFPQ slightly but every component
+    stays bit-reproducible on both engines."""
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(centroids, key=lambda c: (sqdist(c[1], query), c[0]))
+    probe = [cid for cid, _ in order[:n_probe]]
+    cand_cells = (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("_cell").isin(probe))
+        .drop("_cell")
+    )
+    return pq_topk(
+        cand_cells, query, codebooks, k=k, refine=refine,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
