@@ -29,6 +29,14 @@ import argparse
 import sys
 
 
+def _snap_pcols(arg: str) -> str | list[str]:
+    """Snapshot partition-col CLI form: a single column name, or a
+    comma-separated ordered list for composite partitioning (r13) —
+    'region,month' -> ['region', 'month']."""
+    cols = [c.strip() for c in arg.split(",") if c.strip()]
+    return cols[0] if len(cols) == 1 else cols
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datawarehouse_group10_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -90,7 +98,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     so.add_argument("--table", required=True,
                     help="snapshot table root (holds _COMMITTED + v<N>/)")
-    so.add_argument("--partition-col", required=True)
+    so.add_argument("--partition-col", required=True,
+                    help="partition column, or comma-separated list for "
+                    "composite partitioning (e.g. region,month)")
     so.add_argument("--target-mb", type=int, default=128,
                     help="target output file size in MiB (default 128)")
     so.add_argument("--zorder-cols", default=None,
@@ -107,7 +117,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="batch parquet holding the TRUE rows to re-load")
     sb.add_argument("--table", required=True,
                     help="snapshot table root (holds _COMMITTED + v<N>/)")
-    sb.add_argument("--partition-col", required=True)
+    sb.add_argument("--partition-col", required=True,
+                    help="partition column, or comma-separated list for "
+                    "composite partitioning (e.g. region,month)")
 
     sm = sub.add_parser(
         "snapshot-merge",
@@ -119,7 +131,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="batch parquet: rows to upsert/delete")
     sm.add_argument("--table", required=True,
                     help="snapshot table root (holds _COMMITTED + v<N>/)")
-    sm.add_argument("--partition-col", required=True)
+    sm.add_argument("--partition-col", required=True,
+                    help="partition column, or comma-separated list for "
+                    "composite partitioning (e.g. region,month)")
     sm.add_argument("--key-cols", required=True,
                     help="comma-separated MERGE key column(s)")
     sm.add_argument("--delete-col", default=None,
@@ -129,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional sequence column: a batch with several "
                     "changes per key keeps the highest-sequence one "
                     "(last-change-wins); without it duplicate keys raise")
+    sm.add_argument("--update-cols", default=None,
+                    help="comma-separated column subset to update on "
+                    "matched keys (partial-row MERGE): the batch carries "
+                    "keys + partition columns + these; other columns keep "
+                    "their current values, inserts pad them NULL")
     sm.add_argument("--evolve-schema", action="store_true",
                     help="allow batch columns the table lacks: touched "
                     "partitions rewrite with them, untouched partitions "
@@ -148,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
         "(never the committed one)",
     )
     sg.add_argument("--table", required=True)
+    sg.add_argument("--orphans", action="store_true",
+                    help="also reclaim never-committed staging at or below "
+                    "the pointer (orphaned OCC losers); only when no "
+                    "writers are active")
     sg.add_argument("--keep", type=int, default=1,
                     help="committed-or-older versions to retain (default 1)")
 
@@ -289,7 +312,7 @@ def main(argv: list[str] | None = None) -> int:
             stats = snapshot_compact(
                 spark,
                 args.table,
-                args.partition_col,
+                _snap_pcols(args.partition_col),
                 target_bytes=args.target_mb << 20,
                 zorder_cols=zcols,
             )
@@ -306,14 +329,17 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.layout import snapshot_backfill, snapshot_version
 
             batch = spark.read.parquet(args.input)
-            if args.partition_col not in batch.columns:
+            pcols = _snap_pcols(args.partition_col)
+            pc_list = [pcols] if isinstance(pcols, str) else pcols
+            missing_pc = [c for c in pc_list if c not in batch.columns]
+            if missing_pc:
                 print(
-                    f"batch {args.input} has no column "
-                    f"{args.partition_col!r}",
+                    f"batch {args.input} has no column(s) "
+                    f"{', '.join(repr(c) for c in missing_pc)}",
                     file=sys.stderr,
                 )
                 return 2
-            stats = snapshot_backfill(batch, args.table, args.partition_col)
+            stats = snapshot_backfill(batch, args.table, pcols)
             print(
                 f"snapshot-backfilled {args.table}: "
                 f"v{stats['old_version']} -> v{stats['new_version']}, "
@@ -327,11 +353,19 @@ def main(argv: list[str] | None = None) -> int:
 
             batch = spark.read.parquet(args.input)
             keys = [c.strip() for c in args.key_cols.split(",") if c.strip()]
+            pcols = _snap_pcols(args.partition_col)
+            pc_list = [pcols] if isinstance(pcols, str) else pcols
+            upd = (
+                [c.strip() for c in args.update_cols.split(",") if c.strip()]
+                if args.update_cols
+                else None
+            )
             missing = [
                 c
-                for c in keys + [args.partition_col]
+                for c in keys + pc_list
                 + ([args.delete_col] if args.delete_col else [])
                 + ([args.seq_col] if args.seq_col else [])
+                + (upd or [])
                 if c not in batch.columns
             ]
             if missing:
@@ -345,11 +379,12 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 batch,
                 args.table,
-                args.partition_col,
+                pcols,
                 keys,
                 delete_col=args.delete_col,
                 seq_col=args.seq_col,
                 evolve_schema=args.evolve_schema,
+                update_cols=upd,
             )
             print(
                 f"snapshot-merged {args.table}: "
@@ -380,7 +415,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "snapshot-gc":
             from .sources.layout import snapshot_gc
 
-            doomed = snapshot_gc(args.table, keep=args.keep)
+            doomed = snapshot_gc(
+                args.table, keep=args.keep, orphans=args.orphans
+            )
             print(
                 f"snapshot-gc {args.table}: removed "
                 f"{', '.join(f'v{v}' for v in doomed) or 'nothing'} "
