@@ -196,6 +196,20 @@ def main() -> None:
     contract.merged_snapshot_orders(spark, SF_DIR)
     secondary["snapshot_merge_stage"] = round(time.time() - t0, 3)
     secondary["snapshot_merge_apply"] = contract.MERGE_STATS.get("seconds", 0.0)
+    # r13 merge variants: composite-partition and partial-row (one-time
+    # staging costs; the apply entries are the snapshot_merge call alone)
+    t0 = time.time()
+    contract.merged_snapshot_orders_mc(spark, SF_DIR)
+    secondary["snapshot_merge_mc_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_merge_mc_apply"] = contract.MERGE_MC_STATS.get(
+        "seconds", 0.0
+    )
+    t0 = time.time()
+    contract.merged_snapshot_orders_pc(spark, SF_DIR)
+    secondary["snapshot_merge_pc_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_merge_pc_apply"] = contract.MERGE_PC_STATS.get(
+        "seconds", 0.0
+    )
 
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 

@@ -598,6 +598,21 @@ def _commit_chain(path: str) -> list[int]:
         base = succ
 
 
+def _version_is_committed(path: str, version: int) -> bool:
+    """Was ``version`` ever committed (vs an orphaned OCC loser's
+    staging)? O(1) when its manifest records the base it planned
+    against (r13): committed iff that base's single-successor token
+    names it — exactly the CAS it would have had to win. Legacy
+    manifests without ``base`` fall back to the O(chain) walk."""
+    raw = _manifest_read(path, version)
+    if raw is None:
+        return version in _commit_chain(path)  # reclaimed-commit case
+    base = raw.get("base")
+    if base is None:
+        return version in _commit_chain(path)
+    return _succ_read(path, int(base)) == version
+
+
 def _snapshot_commit_cas(path: str, base: int | None, version: int) -> None:
     """Publish ``version`` as the committed successor of ``base`` with
     single-winner semantics: the commit token ``_manifests/succ_v<base>``
@@ -985,6 +1000,10 @@ def _stage_version(
         "version": version,
         "partition_col": _pc_store(partition_col),
         "segments": segments,
+        # the base this writer planned against: lets a reader validate
+        # "was THIS version committed?" in O(1) — committed iff the
+        # base's succ token names it — instead of walking the chain
+        "base": base_version or 0,
     }
     if schema_json is None and base is not None:
         schema_json = base.get("schema")
@@ -1029,13 +1048,14 @@ def snapshot_manifest(path: str, version: int | None = None) -> dict:
             f"version {version} is above the committed pointer "
             f"(v{committed}) — uncommitted staging is not readable"
         )
-    elif version != committed and version not in _commit_chain(path):
+    elif version != committed and not _version_is_committed(path, version):
         # A manifest on disk does NOT imply a commit: an OCC loser
         # writes its manifest before losing the CAS, and once later
         # commits advance the pointer past its number, `version <=
         # committed` alone would accept that never-committed state as
         # readable history. Time travel is validated against the
-        # single-successor token chain — the actual committed lineage.
+        # single-successor token lineage — O(1) when the manifest
+        # records its base (r13), O(chain) token reads otherwise.
         raise ValueError(
             f"version {version} under {path} was never committed (an "
             "orphaned concurrent-writer staging, not history) — valid "
@@ -1057,6 +1077,36 @@ def _norm_prune(prune: dict[str, tuple] | None) -> dict | None:
     return {
         c: (_stat_norm(lo), _stat_norm(hi)) for c, (lo, hi) in prune.items()
     }
+
+
+def _key_passes_prune(
+    pcols: list[str], key: str, norm_prune: dict | None
+) -> bool:
+    """Value-based pruning on the PARTITION COLUMNS themselves (r13):
+    partition values are stripped from the data files, so they carry
+    no footer stats — but the manifest KEY IS the value, so a
+    ``prune={date_col: (lo, hi)}`` range on a partition column
+    compares directly against it (the standard date-range read on a
+    date-partitioned table). Numeric bounds parse the key leg as a
+    number; unparseable or missing legs keep the partition
+    (conservative, like stats pruning)."""
+    if norm_prune is None:
+        return True
+    vmap = dict(zip(pcols, key.split("/")))
+    for c, (lo, hi) in norm_prune.items():
+        v = vmap.get(c)
+        if v is None or lo is None or hi is None:
+            continue
+        if isinstance(lo, (int, float)):
+            try:
+                vn: float | str = float(v)
+            except ValueError:
+                continue
+        else:
+            vn = v
+        if vn < lo or vn > hi:
+            return False
+    return True
 
 
 def _entry_passes_prune(entry: dict, norm_prune: dict | None) -> bool:
@@ -1101,12 +1151,15 @@ def snapshot_scan_groups(
 
     m = snapshot_manifest(path, version)
     pc = m["partition_col"]
+    pcols = _pcols(pc)
     norm_prune = _norm_prune(prune)
     groups: dict[str, list[str]] = {}
     for val in sorted(m["partitions"]):
         if partitions is not None and val not in partitions:
             continue
         entry = m["partitions"][val]
+        if not _key_passes_prune(pcols, val, norm_prune):
+            continue
         if not _entry_passes_prune(entry, norm_prune):
             continue
         groups.setdefault(entry["root"], []).append(
@@ -1368,10 +1421,12 @@ def snapshot_diff(
     m_to = snapshot_manifest(path, to_version)
     if prune:
         norm = _norm_prune(prune)
+        pcols = _pcols(m_to["partition_col"])
         changed = {
             val
             for val in changed
-            if any(
+            if _key_passes_prune(pcols, val, norm)
+            and any(
                 (e := m.get("partitions", {}).get(val)) is not None
                 and _entry_passes_prune(e, norm)
                 for m in (m_from, m_to)

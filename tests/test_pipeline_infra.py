@@ -2786,3 +2786,84 @@ def test_snapshot_merge_update_cols_partial_rows(spark, tmp_path):
     # full-row merges still demand whole rows
     with _pytest.raises(ValueError, match="whole rows|missing table"):
         snapshot_merge(spark, batch.drop("del"), path, "p", ["k"])
+
+
+def test_snapshot_partition_value_pruning(spark, tmp_path):
+    """Pruning on the PARTITION COLUMN itself (r13): partition values
+    carry no footer stats (they are stripped from the files), but the
+    manifest key IS the value — a date-range prune on a
+    date-partitioned table drops partitions by key comparison, both
+    in snapshot_read and composed with data-column stats pruning."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_read,
+        snapshot_scan_groups,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            (f"2024-{m:02d}", m * 100 + j, float(j))
+            for m in range(1, 13)
+            for j in range(10)
+        ],
+        "month string, k int, v double",
+    )
+    snapshot_write(df, path, "month")
+    # string-range prune on the partition column: 3 of 12 months
+    groups = snapshot_scan_groups(
+        path, prune={"month": ("2024-03", "2024-05")}
+    )
+    dirs = [d for _b, ds in groups for d in ds]
+    assert len(dirs) == 3
+    got = snapshot_read(spark, path, prune={"month": ("2024-03", "2024-05")})
+    assert got.count() == 30
+    assert set(r["month"] for r in got.select("month").distinct().collect()) \
+        == {"2024-03", "2024-04", "2024-05"}
+    # composed: partition-value range AND a data-column stats range
+    # that only month 04 satisfies (k 405-409; month 05 starts at 500)
+    groups2 = snapshot_scan_groups(
+        path, prune={"month": ("2024-03", "2024-05"), "k": (405, 495)}
+    )
+    dirs2 = [d for _b, ds in groups2 for d in ds]
+    assert len(dirs2) == 1 and dirs2[0].endswith("month=2024-04")
+
+
+def test_snapshot_commit_validation_is_o1(spark, tmp_path):
+    """r13: version files record their base, so 'was this version
+    committed?' is one token read (the base's successor must name it)
+    instead of a chain walk — pinned by counting MetaStore reads
+    during a time-travel manifest resolve on a long history."""
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_manifest,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)], "p string, k int, v double"
+    )
+    snapshot_write(df, path, "p")
+    for _ in range(8):
+        snapshot_backfill(df, path, "p")  # v2..v9
+
+    reads = {"n": 0}
+    real = L.PosixMetaStore.read
+
+    def counting_read(self, key):
+        reads["n"] += 1
+        return real(self, key)
+
+    orig = L.META_STORE
+    try:
+        store = L.PosixMetaStore()
+        store.read = counting_read.__get__(store)
+        L.META_STORE = store
+        snapshot_manifest(path, 3)  # time travel deep into history
+    finally:
+        L.META_STORE = orig
+    # pointer + v3 version file + one succ token + segment resolve
+    # reads — NOT a walk over all 9 bases
+    assert reads["n"] <= 7, reads["n"]
