@@ -2867,3 +2867,125 @@ def test_snapshot_commit_validation_is_o1(spark, tmp_path):
     # pointer + v3 version file + one succ token + segment resolve
     # reads — NOT a walk over all 9 bases
     assert reads["n"] <= 7, reads["n"]
+
+
+def test_snapshot_layout_randomized_against_model(spark, tmp_path):
+    """Model-based fuzz of the snapshot layout (r13): a seeded-random
+    sequence of full-row merges, partial (update_cols) merges,
+    backfills, and compactions is mirrored into a plain Python dict
+    model; after EVERY commit the committed snapshot must equal the
+    model exactly, every retained version must time-travel to its
+    recorded model state, and a final gc keeps the live state intact.
+    Catches cross-op interactions no single-op pytest stages (merge
+    after full-delete after backfill, tombstoned partitions getting
+    re-created, segment-chain resolution across mixed writers)."""
+    import random
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_gc,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    rng = random.Random(13)
+    parts = ["a", "b", "c"]
+    schema = "k int, p string, v double, tag string"
+
+    def read_state():
+        return {
+            r["k"]: (r["p"], r["v"], r["tag"])
+            for r in snapshot_read(spark, path).collect()
+        }
+
+    # initial state
+    model: dict[int, tuple] = {
+        k: (parts[k % 3], float(k), f"t{k}") for k in range(12)
+    }
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, *model[k]) for k in model], schema
+    )
+    snapshot_write(base, path, "p")
+    history: dict[int, dict] = {1: dict(model)}
+    version = 1
+
+    for step in range(10):
+        op = rng.choice(["merge", "merge", "merge_pc", "backfill", "compact"])
+        if op == "merge":
+            ops: dict[int, tuple] = {}
+            for _ in range(rng.randint(1, 5)):
+                k = rng.randint(0, 19)
+                if rng.random() < 0.3:
+                    ops[k] = (k, parts[k % 3], 0.0, "x", True)
+                else:
+                    p = rng.choice(parts + ["d"])
+                    ops[k] = (k, p, float(rng.randint(0, 99)), f"s{step}", False)
+            for k, (_, p, v, tag, dele) in ops.items():
+                if dele:
+                    model.pop(k, None)
+                else:
+                    model[k] = (p, v, tag)
+            batch = spark.createDataFrame(
+                list(ops.values()), schema + ", del boolean"
+            )
+            st = snapshot_merge(
+                spark, batch, path, "p", ["k"], delete_col="del"
+            )
+            version = st["new_version"]
+        elif op == "merge_pc":
+            rows = []
+            seen = set()
+            for _ in range(rng.randint(1, 4)):
+                k = rng.randint(0, 19)
+                if k in seen:
+                    continue
+                seen.add(k)
+                p = model[k][0] if k in model else rng.choice(parts)
+                v = float(rng.randint(100, 199))
+                rows.append((k, p, v))
+                if k in model:
+                    model[k] = (model[k][0], v, model[k][2])
+                else:
+                    model[k] = (p, v, None)
+            batch = spark.createDataFrame(rows, "k int, p string, v double")
+            st = snapshot_merge(
+                spark, batch, path, "p", ["k"], update_cols=["v"]
+            )
+            version = st["new_version"]
+        elif op == "backfill":
+            from datawarehouse_group10_spark.sources.layout import (
+                snapshot_backfill,
+            )
+
+            p = rng.choice(parts)
+            rows = [
+                (k, p, float(rng.randint(200, 299)), f"b{step}")
+                for k in rng.sample(range(30, 60), rng.randint(1, 4))
+            ]
+            for k in list(model):
+                if model[k][0] == p:
+                    del model[k]
+            for k, pp, v, tag in rows:
+                model[k] = (pp, v, tag)
+            st = snapshot_backfill(
+                spark.createDataFrame(rows, schema), path, "p"
+            )
+            version = st["new_version"]
+        else:
+            st = snapshot_compact(spark, path, "p", target_bytes=1 << 20)
+            version = st["new_version"]
+        history[version] = dict(model)
+        assert read_state() == model, f"divergence after step {step} ({op})"
+
+    # every retained version time-travels to its recorded model state
+    for v, snap_model in history.items():
+        got = {
+            r["k"]: (r["p"], r["v"], r["tag"])
+            for r in snapshot_read(spark, path, version=v).collect()
+        }
+        assert got == snap_model, f"time travel to v{v} diverged"
+    # gc keeps the live state
+    snapshot_gc(path, keep=1)
+    assert read_state() == model
