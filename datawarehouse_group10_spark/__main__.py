@@ -154,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
                     "read back NULL (without this flag unknown columns "
                     "raise)")
 
+    sr = sub.add_parser(
+        "snapshot-restore",
+        help="restore a snapshot table to a retained earlier version as "
+        "a NEW commit (pure metadata re-reference; history stays "
+        "append-only)",
+    )
+    sr.add_argument("--table", required=True)
+    sr.add_argument("--version", type=int, required=True)
+
     sh = sub.add_parser(
         "snapshot-history",
         help="list a snapshot table's retained versions (files/rows/bytes "
@@ -393,6 +402,16 @@ def main(argv: list[str] | None = None) -> int:
                 f"{stats['probe_partitions']}/{stats['partitions_total']} "
                 f"partition(s) probed "
                 f"(readers resolve v{snapshot_version(args.table)})"
+            )
+            return 0
+
+        if args.cmd == "snapshot-restore":
+            from .sources.layout import snapshot_restore
+
+            st = snapshot_restore(args.table, args.version)
+            print(
+                f"snapshot-restored {args.table} to v{st['restored_to']} "
+                f"as v{st['new_version']} (was v{st['old_version']})"
             )
             return 0
 

@@ -47,6 +47,7 @@ __all__ = [
     "snapshot_compact",
     "snapshot_backfill",
     "snapshot_merge",
+    "snapshot_restore",
     "snapshot_gc",
 ]
 
@@ -1961,6 +1962,40 @@ def snapshot_merge(
         "partitions_total": len(parts),
         "old_version": committed,
         "new_version": version,
+    }
+
+
+def snapshot_restore(path: str, version: int) -> dict[str, int]:
+    """RESTORE the table to a retained earlier version — as a NEW
+    commit (Delta's ``RESTORE TABLE ... TO VERSION AS OF``), never by
+    moving the pointer backwards (the pointer is monotonic; history
+    is append-only). On this layout the restore is pure metadata: the
+    new version file re-references the target version's segment list
+    verbatim — ZERO data work, O(1) metadata, one CAS commit. The
+    rolled-back-over versions stay readable history until gc reclaims
+    them. Restoring to an orphaned (never-committed) version raises
+    like any time travel would."""
+    target = snapshot_manifest(path, version)  # validates commit chain
+    committed = snapshot_version(path)
+    if version == committed:
+        return {
+            "restored_to": version,
+            "old_version": committed,
+            "new_version": committed,
+        }
+    new_version, _m = _stage_version(
+        path,
+        target["partition_col"],
+        target,
+        touched=set(),
+        writer=None,
+        base_version=committed,
+        schema_json=target.get("schema"),
+    )
+    return {
+        "restored_to": version,
+        "old_version": committed,
+        "new_version": new_version,
     }
 
 

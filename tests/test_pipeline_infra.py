@@ -2989,3 +2989,59 @@ def test_snapshot_layout_randomized_against_model(spark, tmp_path):
     # gc keeps the live state
     snapshot_gc(path, keep=1)
     assert read_state() == model
+
+
+def test_snapshot_restore_is_metadata_only_new_commit(spark, tmp_path):
+    """snapshot_restore (r13): rolls the table back to a retained
+    version AS A NEW COMMIT — pure segment re-reference, zero data
+    work, pointer stays monotonic, rolled-over versions stay readable
+    history, and gc after a restore keeps every data dir the restored
+    state references."""
+    import os
+
+    import pytest as _pytest
+
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b") for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")                                   # v1
+    bad = df.filter("p = 'b'").withColumn("v", F.col("v") + 666)
+    snapshot_backfill(bad, path, "p")                               # v2
+    snapshot_backfill(bad, path, "p")                               # v3
+    assert snapshot_read(spark, path).agg(
+        F.sum("v")
+    ).first()[0] == 45.0 + 45.0 + 6660.0
+
+    st = snapshot_restore(path, 1)
+    assert st == {"restored_to": 1, "old_version": 3, "new_version": 4}
+    # metadata-only: the restore commit wrote no data root content
+    assert L.LAST_COMMIT_META_BYTES < 1024
+    v4_root = os.path.join(path, "v4")
+    assert not os.path.isdir(v4_root) or os.listdir(v4_root) == []
+    # content equals v1; the rolled-over v3 is still readable history
+    assert snapshot_read(spark, path).agg(F.sum("v")).first()[0] == 90.0
+    assert snapshot_read(spark, path, version=3).agg(
+        F.sum("v")
+    ).first()[0] == 45.0 + 45.0 + 6660.0
+    assert snapshot_version(path) == 4
+
+    # restore-to-current is a no-op; restoring an orphan raises
+    assert snapshot_restore(path, 4)["new_version"] == 4
+    with _pytest.raises(ValueError):
+        snapshot_restore(path, 99)
+
+    # gc keeps the v1 data the restored head references
+    snapshot_gc(path, keep=1)
+    assert snapshot_read(spark, path).agg(F.sum("v")).first()[0] == 90.0
