@@ -2869,7 +2869,9 @@ def test_snapshot_commit_validation_is_o1(spark, tmp_path):
     assert reads["n"] <= 7, reads["n"]
 
 
-def test_snapshot_layout_randomized_against_model(spark, tmp_path):
+def test_snapshot_layout_randomized_against_model(
+    spark, tmp_path, meta_store
+):
     """Model-based fuzz of the snapshot layout (r13): a seeded-random
     sequence of full-row merges, partial (update_cols) merges,
     backfills, and compactions is mirrored into a plain Python dict
@@ -2878,7 +2880,9 @@ def test_snapshot_layout_randomized_against_model(spark, tmp_path):
     recorded model state, and a final gc keeps the live state intact.
     Catches cross-op interactions no single-op pytest stages (merge
     after full-delete after backfill, tombstoned partitions getting
-    re-created, segment-chain resolution across mixed writers)."""
+    re-created, segment-chain resolution across mixed writers).
+    Parametrized over BOTH MetaStores — the whole segment/commit/gc
+    metadata plane also runs against the in-memory fake."""
     import random
 
     from datawarehouse_group10_spark.sources.layout import (
