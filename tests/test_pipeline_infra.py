@@ -3049,3 +3049,52 @@ def test_snapshot_restore_is_metadata_only_new_commit(spark, tmp_path):
     # gc keeps the v1 data the restored head references
     snapshot_gc(path, keep=1)
     assert snapshot_read(spark, path).agg(F.sum("v")).first()[0] == 90.0
+
+
+def test_snapshot_compact_zorder_on_composite_partitions(spark, tmp_path):
+    """OPTIMIZE + ZORDER over a composite-partitioned snapshot (r13):
+    fragmented (region, month) leaves rewrite into one right-sized
+    file each, clustered on the z-key; right-sized leaves are
+    re-referenced; content is byte-equal to the pre-compact state."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            (reg, f"2024-{m:02d}", i, float((i * 37) % 500))
+            for reg in ("EU", "US")
+            for m in (1, 2)
+            for i in range(500)
+        ],
+        "region string, month string, k int, v double",
+    )
+    # shards=8 fragments every composite leaf
+    snapshot_write(df, path, ["region", "month"], shards=8)
+    m1 = snapshot_manifest(path)
+    assert all(e["files"] > 1 for e in m1["partitions"].values())
+    before = sorted(
+        (r["region"], r["month"], r["k"], r["v"])
+        for r in snapshot_read(spark, path).collect()
+    )
+    res = snapshot_compact(
+        spark, path, ["region", "month"], zorder_cols=["k", "v"]
+    )
+    assert res["partitions_compacted"] == 4
+    m2 = snapshot_manifest(path)
+    assert all(e["files"] == 1 for e in m2["partitions"].values())
+    assert all(e["root"] == "v2" for e in m2["partitions"].values())
+    after = sorted(
+        (r["region"], r["month"], r["k"], r["v"])
+        for r in snapshot_read(spark, path).collect()
+    )
+    assert after == before
+    # stats flowed into the new manifest entries for future pruning
+    assert all("k" in e["stats"] for e in m2["partitions"].values())
+    # no-op re-run on the composite layout
+    res2 = snapshot_compact(spark, path, ["region", "month"])
+    assert res2["new_version"] == res2["old_version"]
