@@ -1316,7 +1316,14 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
     writer's staging or a pre-commit crash's orphan) appear flagged
     ``committed=False`` with stats walked from disk if they lack a
     manifest; GC-reclaimed versions (manifest deleted) are absent even
-    if newer manifests still reference some of their data dirs."""
+    if newer manifests still reference some of their data dirs.
+
+    ``lineage`` (r13) distinguishes the two kinds of
+    ``committed=False`` entries at or below the pointer: True = a real
+    historical commit (time-travelable), False = an orphaned OCC
+    loser's staging (its manifest exists but it never won its CAS —
+    not readable history; ``snapshot_gc(orphans=True)`` reclaims
+    it)."""
     import os
 
     import pyarrow.parquet as pq
@@ -1330,6 +1337,8 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
                 {
                     "version": v,
                     "committed": v == committed,
+                    "lineage": v == committed
+                    or _version_is_committed(path, v),
                     "files": sum(e["files"] for e in m["partitions"].values()),
                     "rows": sum(e["rows"] for e in m["partitions"].values()),
                     "bytes": sum(e["bytes"] for e in m["partitions"].values()),
@@ -1353,6 +1362,7 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
             {
                 "version": v,
                 "committed": False,
+                "lineage": False,
                 "files": files,
                 "rows": rows,
                 "bytes": nbytes,

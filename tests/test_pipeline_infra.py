@@ -3098,3 +3098,119 @@ def test_snapshot_compact_zorder_on_composite_partitions(spark, tmp_path):
     # no-op re-run on the composite layout
     res2 = snapshot_compact(spark, path, ["region", "month"])
     assert res2["new_version"] == res2["old_version"]
+
+
+def test_snapshot_crash_at_every_commit_step_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection at each stage of the commit protocol (r13):
+    after the claim, during manifest build, before the CAS, and
+    between the token and the pointer swap. After EVERY simulated
+    crash the committed snapshot is untouched, history marks the
+    wreckage as non-lineage, and the next writer allocates past it
+    and commits normally (rolling a token-holding winner forward)."""
+    import pytest as _pytest
+
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        ConcurrentWriteError,
+        snapshot_backfill,
+        snapshot_history,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(m, i, float(i)) for m in ("a", "b") for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    fix = df.filter("p = 'b'").withColumn("v", F.col("v") + 100)
+
+    def state():
+        return sorted(
+            (r["p"], r["k"], r["v"])
+            for r in snapshot_read(spark, path).collect()
+        )
+
+    baseline = state()
+
+    class Boom(RuntimeError):
+        pass
+
+    # 1. crash right after the version CLAIM (nothing else written)
+    real_alloc = L._allocate_version
+
+    def alloc_then_die(p):
+        real_alloc(p)
+        raise Boom("post-claim crash")
+
+    monkeypatch.setattr(L, "_allocate_version", alloc_then_die)
+    with _pytest.raises(Boom):
+        snapshot_backfill(fix, path, "p")
+    monkeypatch.setattr(L, "_allocate_version", real_alloc)
+    assert state() == baseline
+
+    # 2. crash mid-manifest-build (data written, no manifest)
+    real_entry = L._partition_entry
+
+    def entry_then_die(root_rel, pdir):
+        raise Boom("mid-manifest crash")
+
+    monkeypatch.setattr(L, "_partition_entry", entry_then_die)
+    with _pytest.raises(Boom):
+        snapshot_backfill(fix, path, "p")
+    monkeypatch.setattr(L, "_partition_entry", real_entry)
+    assert state() == baseline
+
+    # 3. crash after the manifest write, before the CAS
+    real_cas = L._snapshot_commit_cas
+
+    def cas_die(p, base, version):
+        raise Boom("pre-CAS crash")
+
+    monkeypatch.setattr(L, "_snapshot_commit_cas", cas_die)
+    with _pytest.raises(Boom):
+        snapshot_backfill(fix, path, "p")
+    monkeypatch.setattr(L, "_snapshot_commit_cas", real_cas)
+    assert state() == baseline
+    # the pre-CAS wreck left a manifest but no commit: non-lineage
+    wrecks = [
+        h for h in snapshot_history(path) if not h["lineage"]
+    ]
+    assert wrecks, "expected orphaned staging in history"
+
+    # 4. crash between the commit token and the pointer swap
+    real_ptr = L._snapshot_commit
+    calls = {"n": 0}
+
+    def ptr_die(p, version):
+        calls["n"] += 1
+        raise Boom("post-token crash")
+
+    monkeypatch.setattr(L, "_snapshot_commit", ptr_die)
+    with _pytest.raises(Boom):
+        snapshot_backfill(fix, path, "p")
+    monkeypatch.setattr(L, "_snapshot_commit", real_ptr)
+    assert calls["n"] == 1
+    assert state() == baseline  # pointer never moved
+
+    # recovery: the next writer on the same base rolls the
+    # token-holding winner forward, loses loudly, and its retry lands
+    with _pytest.raises(ConcurrentWriteError, match="replan"):
+        snapshot_backfill(fix, path, "p")
+    rolled = snapshot_version(path)
+    assert sorted(
+        (r["p"], r["k"], r["v"])
+        for r in snapshot_read(spark, path).collect()
+    ) != baseline  # the crashed winner's backfill is now live
+    res = snapshot_backfill(fix, path, "p")
+    assert res["old_version"] == rolled
+    got = state()
+    assert [t for t in got if t[0] == "b"][0][2] == 100.0
+    # every surviving history wreck is non-lineage; the live chain is
+    assert all(
+        h["lineage"] or not h["committed"] for h in snapshot_history(path)
+    )
