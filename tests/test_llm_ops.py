@@ -1829,3 +1829,82 @@ def test_ivfpq_beats_pq_subsample_at_equal_scan_fraction(spark):
     sub_recall = sub_hits / (10 * n_q)
     assert ivfpq_recall > sub_recall, (ivfpq_recall, sub_recall)
     assert ivfpq_recall >= 0.9, ivfpq_recall
+
+
+def test_ivfpq_residual_codes_beat_global_codes(spark):
+    """Residual IVFPQ (r13): with 16 clusters and 16 codebook entries,
+    GLOBAL codebooks spend every entry on cluster identity — inside a
+    probed cell the ADC distance is constant and the refine cut
+    degrades to id order — while RESIDUAL codebooks (trained on
+    x - centroid) spend every entry on the within-cluster offsets,
+    so the candidate ranking is discriminative. Pinned: recall@10 at
+    equal (n_probe=1, refine=12) is strictly higher for residual, and
+    high in absolute terms."""
+    import math as _math
+
+    from datawarehouse_group10_spark.functions.similarity import (
+        ivfpq_topk,
+        ivfpq_train_residual_codebooks,
+        kmeans_centroids,
+        pq_train_codebooks,
+    )
+
+    d, n_clusters, per = 8, 16, 30
+
+    def center(c):
+        return [12.0 * _math.sin(1.3 * c + 0.9 * j) for j in range(d)]
+
+    def offset(t):
+        return [_math.sin(0.9 * t + 0.35 * j) for j in range(d)]
+
+    def member(c, t):
+        return [x + o for x, o in zip(center(c), offset(t))]
+
+    rows = [(c, center(c)) for c in range(n_clusters)]  # ids 0..15: seeds
+    vid = 100
+    for c in range(n_clusters):
+        for t in range(per):
+            rows.append((vid, member(c, t)))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    cents = kmeans_centroids(corpus, k=16, n_iter=2)
+    books_global = pq_train_codebooks(corpus, m=4, k=16, n_iter=2)
+    books_res = ivfpq_train_residual_codebooks(
+        corpus, cents, m=4, k=16, n_iter=2
+    )
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            _math.sqrt(sum(x * x for x in a))
+            * _math.sqrt(sum(y * y for y in b))
+        )
+
+    hits = {"global": 0, "residual": 0}
+    n_q = 4
+    for c in range(n_q):
+        q = member(2 * c, 77 + c)
+        exact = {
+            v
+            for v, _ in sorted(
+                ((v, cos(vec, q)) for v, vec in rows),
+                key=lambda t: (-t[1], t[0]),
+            )[:10]
+        }
+        for tag, books, res in (
+            ("global", books_global, False),
+            ("residual", books_res, True),
+        ):
+            got = {
+                r["vec_id"]
+                for r in ivfpq_topk(
+                    corpus, q, cents, books,
+                    k=10, n_probe=1, refine=12, residual=res,
+                ).collect()
+            }
+            hits[tag] += len(got & exact)
+    rec_g = hits["global"] / (10 * n_q)
+    rec_r = hits["residual"] / (10 * n_q)
+    assert rec_r > rec_g, (rec_r, rec_g)
+    assert rec_r >= 0.8, rec_r
