@@ -132,6 +132,7 @@ SECONDARY = [
     "stream_suite",
     "dedup_ngram_jaccard",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "dedup_semantic",
     "text_lm_scores",
 ]
