@@ -2505,12 +2505,41 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paragraph(segment)-level exact dedup with order-preserving document
-    reconstruction — the FineWeb/RefinedWeb sub-document dedup step. See
-    functions/dedup.py:paragraph_dedup for the plan shape."""
+    """Sub-document dedup suite, two surfaces over one schema
+    (surface, doc_id, m1, m2, m3, h):
+
+    - ``para``: paragraph(segment)-level exact dedup with
+      order-preserving reconstruction — the FineWeb/RefinedWeb step
+      (functions/dedup.py:paragraph_dedup); m1=n_segments, m2=n_kept,
+      h=md5 of the rebuilt document.
+    - ``spans`` (r13): exact-substring SPAN dedup at 8-token
+      granularity — Lee et al. arXiv:2107.06499's
+      remove-duplicated-passages step as an inverted-index plan
+      (functions/dedup.py:exact_substring_dedup); m1=n_tokens,
+      m2=n_removed, m3=n_spans, h=md5 of the span-stripped text. The
+      oracle replays gram hashing, global first-occurrence, the
+      gaps-and-islands span merge, and the reconstruction in SQL."""
     _utc(spark)
+    from .functions.dedup import exact_substring_dedup
+
     docs = _t(spark, sf_dir, "documents")
-    return paragraph_dedup(docs, window=20)
+    para = paragraph_dedup(docs, window=20).select(
+        F.lit("para").alias("surface"),
+        "doc_id",
+        F.col("n_segments").alias("m1"),
+        F.col("n_kept").alias("m2"),
+        F.lit(None).cast("bigint").alias("m3"),
+        F.col("kept_hash").alias("h"),
+    )
+    spans = exact_substring_dedup(docs, k=8).select(
+        F.lit("spans").alias("surface"),
+        "doc_id",
+        F.col("n_tokens").alias("m1"),
+        F.col("n_removed").alias("m2"),
+        F.col("n_spans").alias("m3"),
+        F.col("clean_hash").alias("h"),
+    )
+    return para.unionByName(spans)
 
 
 # ---------------------------------------------------------------------------
@@ -6263,13 +6292,76 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY md5(seg)
                             ORDER BY doc_id, seg_idx) AS rk
   FROM segs
+),
+-- spans (r13): exact-substring span dedup at 8-token granularity —
+-- gram hash, GLOBAL first occurrence (min (doc_id, pos)), merge the
+-- other occurrences' [pos, pos+8) spans per doc (gaps-and-islands),
+-- rebuild the document without them.
+tok_rows AS (
+  SELECT t.doc_id, t.t[CAST(u.i AS INT) + 1] AS tok, CAST(u.i AS BIGINT) AS i
+  FROM toks t, UNNEST(range(len(t.t))) AS u(i)
+),
+grams AS (
+  SELECT tr.doc_id, tr.i,
+         md5(array_to_string(t.t[(tr.i + 1):(tr.i + 8)], ' ')) AS h
+  FROM tok_rows tr JOIN toks t USING (doc_id)
+  WHERE tr.i <= len(t.t) - 8
+),
+dups AS (
+  SELECT doc_id, i AS s, i + 8 AS e
+  FROM (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rk
+    FROM grams
+  ) WHERE rk > 1
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM dups
+),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY 1, 2
+),
+span_stats AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS n_removed
+  FROM merged GROUP BY 1
+),
+kept_agg AS (
+  SELECT tr.doc_id, md5(string_agg(tr.tok, ' ' ORDER BY tr.i)) AS h
+  FROM tok_rows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m
+    WHERE m.doc_id = tr.doc_id AND tr.i >= m.s AND tr.i < m.e
+  )
+  GROUP BY tr.doc_id
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_segments,
-       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+SELECT 'para' AS surface, doc_id,
+       CAST(COUNT(*) AS BIGINT) AS m1,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+       CAST(NULL AS BIGINT) AS m3,
        md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' '
-                               ORDER BY seg_idx), '')) AS kept_hash
+                               ORDER BY seg_idx), '')) AS h
 FROM ranked GROUP BY doc_id
+UNION ALL
+SELECT 'spans' AS surface, t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS m1,
+       CAST(COALESCE(ss.n_removed, 0) AS BIGINT) AS m2,
+       CAST(COALESCE(ss.n_spans, 0) AS BIGINT) AS m3,
+       COALESCE(ka.h, md5('')) AS h
+FROM toks t
+LEFT JOIN span_stats ss USING (doc_id)
+LEFT JOIN kept_agg ka USING (doc_id)
 """,
     # The posting cap (cap1000 surface) provably does not bind on this
     # corpus (max posting length ~25 << 1000), so BOTH surfaces must

@@ -103,6 +103,119 @@ def paragraph_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring span dedup at k-token granularity — the
+    remove-duplicated-SPANS step of Lee et al., *Deduplicating
+    Training Data Makes Language Models Better* (arXiv:2107.06499),
+    re-expressed as DataFrame ops (the paper uses a suffix array; at
+    k-gram granularity the same "every repeated passage appears once
+    in the corpus" guarantee comes from an inverted index, which IS
+    the scalable Spark shape):
+
+    1. every k-token window of every document hashes to a gram;
+    2. the GLOBAL first occurrence of each gram (min (doc_id, pos) —
+       deterministic, no RNG) survives; every other occurrence marks
+       its ``[pos, pos+k)`` token span as duplicated;
+    3. per document, overlapping/adjacent duplicated spans merge
+       (gaps-and-islands: one window pass on the doc key);
+    4. the document is rebuilt WITHOUT the merged spans (a
+       higher-order filter over the token array against the
+       interval list — no per-row Python).
+
+    Returns one row per input document: (id, n_tokens, n_removed,
+    n_spans, clean_hash) where clean_hash is md5 of the span-stripped
+    text (md5('') if everything was duplicated). Documents shorter
+    than ``k`` tokens carry no grams and survive whole.
+
+    Scale shape: explode to ~1x corpus gram rows, ONE shuffle on the
+    uniform gram hash (first-occurrence window), ONE shuffle on the
+    doc key (span merge + reassembly), one broadcast-size-agnostic
+    hash join of the interval lists back to the corpus. No all-pairs,
+    no suffix array in driver memory, no collect.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(toks)
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), n_tok.alias("n_tokens")
+    )
+    grams = base.filter(F.col("n_tokens") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+                ),
+            )
+        ).alias("_i", "_h"),
+    )
+    w_first = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_i"))
+    dup_spans = (
+        grams.withColumn("_rk", F.row_number().over(w_first))
+        .filter(F.col("_rk") > 1)
+        .select(id_col, F.col("_i").alias("_s"), (F.col("_i") + k).alias("_e"))
+    )
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup_spans.withColumn("_pmax", F.max("_e").over(w_doc))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(
+                Window.partitionBy(id_col)
+                .orderBy("_s", "_e")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "_grp")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_s"), F.col("_e")))
+            ).alias("_iv"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+    )
+    joined = base.join(islands, id_col, "left")
+    iv = F.coalesce(F.col("_iv"), F.array().cast("array<struct<_s:int,_e:int>>"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda tok, i: ~F.exists(
+            iv, lambda v: (i >= v["_s"]) & (i < v["_e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias(
+            "n_spans"
+        ),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

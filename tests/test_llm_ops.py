@@ -1908,3 +1908,45 @@ def test_ivfpq_residual_codes_beat_global_codes(spark):
     rec_r = hits["residual"] / (10 * n_q)
     assert rec_r > rec_g, (rec_r, rec_g)
     assert rec_r >= 0.8, rec_r
+
+
+def test_exact_substring_dedup_spans(spark):
+    """exact_substring_dedup (r13, Lee et al. arXiv:2107.06499 at
+    k-gram granularity): the global first occurrence of every 8-token
+    gram survives; later occurrences mark spans that merge when
+    overlapping and are cut from the rebuilt text; short documents
+    and unique documents pass through whole; a fully-duplicated
+    document collapses to the empty string."""
+    import hashlib
+
+    from datawarehouse_group10_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),        # the source (first occ.)
+            (2, "x y a b c d e f g h i j z"),  # run duplicated mid-doc
+            (3, "p q r s"),                    # < k tokens: untouched
+            (4, "a b c d e f g h"),            # fully duplicated
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_spans"], r["clean_hash"])
+        for r in exact_substring_dedup(docs, k=8).collect()
+    }
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (10, 0, 0, h("a b c d e f g h i j"))
+    # 3 overlapping dup 8-grams in doc 2 merge into ONE [2, 12) span
+    assert got[2] == (13, 10, 1, h("x y z"))
+    assert got[3] == (4, 0, 0, h("p q r s"))
+    assert got[4] == (8, 8, 1, h(""))
+    # within-document repetition also dedups (first occurrence wins)
+    rep = spark.createDataFrame(
+        [(9, "m n o p q r s t u m n o p q r s t u")],
+        "doc_id int, text string",
+    )
+    r9 = exact_substring_dedup(rep, k=8).first()
+    assert r9["n_removed"] == 9 and r9["n_spans"] == 1
+    assert r9["clean_hash"] == h("m n o p q r s t u")
