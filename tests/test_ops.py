@@ -642,11 +642,15 @@ def test_tpch_suites_and_paragraph_dedup_plan_shapes(spark):
     import re
 
     para = plan_of("dedup_paragraph")
-    # hashpartitioning on the md5 window key + on doc_id for the regroup;
-    # AQE may add AQEShuffleRead nodes but no third hash exchange.
-    # formatted mode lists each node once as "(N) Exchange" in the detail
-    # section — count those.
-    assert len(re.findall(r"\(\d+\) Exchange", para)) == 2, para
+    # TWO surfaces since r13, TWO hash exchanges each: 'para' shuffles
+    # on the md5 segment key (first-occurrence window) + doc_id
+    # (regroup); 'spans' on the md5 gram key (first-occurrence window)
+    # + doc_id (island merge / interval aggregate / join back all
+    # REUSE that one doc_id partitioning — a fifth exchange would mean
+    # the span pipeline re-shuffles the corpus). AQE may add
+    # AQEShuffleRead nodes but no extra hash exchange; formatted mode
+    # lists each node once as "(N) Exchange" — count those.
+    assert len(re.findall(r"\(\d+\) Exchange", para)) == 4, para
 
     # j7's sweep plan (r7 scale fix): the count-per-interval query must
     # contain NO SortMergeJoin — the pair-materializing range_join plan
