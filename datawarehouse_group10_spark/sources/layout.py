@@ -1789,6 +1789,11 @@ def snapshot_merge(
     # overlap test per manifest entry. A key column with no stats in a
     # partition (unsupported type, truncated footer) keeps that
     # partition a candidate — pruning is only ever an optimization.
+    # Key columns that ARE partition columns carry no footer stats at
+    # all (stripped from the files), so they additionally prune by the
+    # manifest KEY itself (_key_passes_prune, r13) — without this, the
+    # common CDC shape "keyed on (partition_date, id)" probed every
+    # partition.
     bounds_row = batch.agg(
         *[
             f(c).alias(f"{tag}_{i}")
@@ -1813,10 +1818,12 @@ def snapshot_merge(
         # optimization, degrade to probing every partition.
         candidates = set(parts)
     else:
+        key_norm = {c: bounds[i] for i, c in enumerate(key_cols)}
         candidates = {
             val
             for val, e in parts.items()
-            if all(
+            if _key_passes_prune(_pcols(partition_col), val, key_norm)
+            and all(
                 (rng := e.get("stats", {}).get(c)) is None
                 or _ranges_overlap(rng[0], rng[1], bounds[i][0], bounds[i][1])
                 for i, c in enumerate(key_cols)

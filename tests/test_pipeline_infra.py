@@ -3214,3 +3214,35 @@ def test_snapshot_crash_at_every_commit_step_recovers(
     assert all(
         h["lineage"] or not h["committed"] for h in snapshot_history(path)
     )
+
+
+def test_snapshot_merge_prunes_on_partition_key_columns(spark, tmp_path):
+    """r13: a MERGE keyed on (partition_col, id) — the standard CDC
+    shape for date-partitioned tables — prunes its probe by the
+    manifest KEY for the partition leg (partition values carry no
+    footer stats), instead of probing every partition."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"d{i}", j, float(i * 10 + j)) for i in range(10) for j in range(5)],
+        "d string, k int, v double",
+    )
+    snapshot_write(df, path, "d")
+    # composite business key INCLUDES the partition column; k repeats
+    # across partitions, so k-stats alone cannot prune
+    batch = spark.createDataFrame(
+        [("d5", 2, 999.0, False)], "d string, k int, v double, del boolean"
+    )
+    st = snapshot_merge(
+        spark, batch, path, "d", ["d", "k"], delete_col="del"
+    )
+    assert st["probe_partitions"] == 1, st
+    assert st["partitions_rewritten"] == 1
+    got = snapshot_read(spark, path)
+    assert got.filter("d = 'd5' AND k = 2").first()["v"] == 999.0
+    assert got.count() == 50
