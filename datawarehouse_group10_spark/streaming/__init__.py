@@ -944,6 +944,7 @@ def run_stream_cdc_apply(
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
     occ_retries: int = 3,
+    update_cols: list[str] | None = None,
 ) -> None:
     """Streaming CDC apply: each microbatch of change rows (upserts +
     optionally delete-flagged rows) lands as ONE
@@ -986,6 +987,13 @@ def run_stream_cdc_apply(
     stream loudly, and a restart replays from the checkpoint. No
     interleaving can silently drop either writer's commit.
 
+    ``update_cols`` (r13) passes through to the merge: a CDC feed that
+    emits only the CHANGED columns applies partial-row updates per
+    microbatch (matched keys keep their other columns; see
+    ``snapshot_merge``) — still value-idempotent, so the crash-replay
+    and OCC-retry arguments hold unchanged (replaying "set v=x" over a
+    row whose v is already x rewrites identical bytes).
+
     Scale shape per batch: one manifest-stat-pruned key semi-join + a
     rewrite of the touched partitions + ONE manifest/pointer commit
     (cost ∝ batch-touched data, never table size); hot tables want
@@ -1007,6 +1015,7 @@ def run_stream_cdc_apply(
                     key_cols,
                     delete_col=delete_col,
                     seq_col=seq_col,
+                    update_cols=update_cols,
                 )
                 return
             except ConcurrentWriteError:

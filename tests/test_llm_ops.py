@@ -1950,3 +1950,48 @@ def test_exact_substring_dedup_spans(spark):
     r9 = exact_substring_dedup(rep, k=8).first()
     assert r9["n_removed"] == 9 and r9["n_spans"] == 1
     assert r9["clean_hash"] == h("m n o p q r s t u")
+
+
+def test_stream_cdc_apply_partial_columns(spark, tmp_path):
+    """update_cols through the CDC stream (r13): a changed-columns-only
+    feed applies partial updates per microbatch; uncarried columns
+    survive on matched keys and pad NULL on inserts."""
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import run_stream_cdc_apply
+
+    table = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "one"), (2, "b", 20.0, "two")],
+        "k int, p string, v double, label string",
+    )
+    snapshot_write(base, table, "p")
+
+    src = str(tmp_path / "cdc_in")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [(1, "a", 111.0, False), (7, "b", 70.0, False)],
+        "k int, p string, v double, del boolean",
+    )
+    stage = str(tmp_path / "stage")
+    batch.coalesce(1).write.parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part), os.path.join(src, "b0.parquet"))
+
+    stream = (
+        spark.readStream.schema("k int, p string, v double, del boolean")
+        .parquet(src)
+    )
+    run_stream_cdc_apply(
+        stream, table, "p", ["k"], delete_col="del",
+        checkpoint_dir=str(tmp_path / "ckpt"), update_cols=["v"],
+    )
+    got = {
+        r["k"]: (r["v"], r["label"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {1: (111.0, "one"), 2: (20.0, "two"), 7: (70.0, None)}
