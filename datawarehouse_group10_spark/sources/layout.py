@@ -1671,6 +1671,7 @@ def snapshot_merge(
     seq_col: str | None = None,
     evolve_schema: bool = False,
     update_cols: list[str] | None = None,
+    write_shards: int | None = None,
 ) -> dict[str, int]:
     """Row-level MERGE INTO the snapshot-pointer table with
     partition-level copy-on-write — upsert (update matched keys, insert
@@ -1956,10 +1957,25 @@ def snapshot_merge(
         if MERGE_PLAN_HOOK is not None:
             MERGE_PLAN_HOOK("snapshot_merge", merged)
 
+        # Default: one task (and one output file) per touched
+        # partition. ``write_shards`` (r13) is the hot-partition
+        # escape hatch: range-partition on (partition cols, key cols)
+        # so a partition whose rewrite is large spreads across
+        # several contiguous range buckets — parallel write tasks,
+        # several files, each covering a tight key range (free footer
+        # clustering for the NEXT merge's pruned probe). Fragments
+        # are snapshot_compact's job to fold back, same as any
+        # high-frequency ingest.
+        if write_shards:
+            shaped = merged.repartitionByRange(
+                write_shards, *pcols, *key_cols
+            )
+        else:
+            shaped = merged.repartition(*pcols)
+
         def writer(snap: str) -> None:
             (
-                merged.repartition(*pcols)
-                .write.mode("append")
+                shaped.write.mode("append")
                 .partitionBy(*pcols)
                 .parquet(snap)
             )

@@ -3246,3 +3246,40 @@ def test_snapshot_merge_prunes_on_partition_key_columns(spark, tmp_path):
     got = snapshot_read(spark, path)
     assert got.filter("d = 'd5' AND k = 2").first()["v"] == 999.0
     assert got.count() == 50
+
+
+def test_snapshot_merge_write_shards_parallel_hot_partition(spark, tmp_path):
+    """write_shards (r13): a merge into a hot partition range-shards
+    the rewrite across (partition, key) buckets — several files with
+    tight, mostly-disjoint key ranges per touched partition instead
+    of one straggler task/file — with identical content."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(2000)]
+        + [("cold", i, float(i)) for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(base, path, "p")
+    batch = spark.createDataFrame(
+        [("hot", 500, 999.0, False)], "p string, k int, v double, del boolean"
+    )
+    st = snapshot_merge(
+        spark, batch, path, "p", ["k"], delete_col="del", write_shards=4
+    )
+    assert st["partitions_rewritten"] == 1
+    m = snapshot_manifest(path)
+    assert m["partitions"]["hot"]["files"] >= 3  # parallel write tasks
+    assert m["partitions"]["cold"]["root"] == "v1"  # untouched
+    got = snapshot_read(spark, path)
+    assert got.count() == 2010
+    assert got.filter("k = 500 AND p = 'hot'").first()["v"] == 999.0
+    assert got.filter("p = 'hot'").agg(F.sum("v")).first()[0] == (
+        1999 * 2000 / 2 - 500 + 999.0
+    )
