@@ -420,9 +420,16 @@ class PosixMetaStore(MetaStore):
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
         import os
+        import uuid
 
         os.makedirs(os.path.dirname(key), exist_ok=True)
-        tmp = f"{key}.tmp{os.getpid()}.{id(data)}"
+        # Unique per CALL, not per process (r14, ADVICE r13 #2): the
+        # earlier f"...{id(data)}" suffix collided for same-process
+        # concurrent callers passing the interned b"" singleton (every
+        # claim), letting two racing threads share one tmp path — the
+        # loser's cleanup then raised, or worse, a second open()
+        # truncated the inode already hard-linked to the key.
+        tmp = f"{key}.tmp{os.getpid()}.{uuid.uuid4().hex}"
         with open(tmp, "wb") as fh:
             fh.write(data)
         try:
@@ -431,7 +438,10 @@ class PosixMetaStore(MetaStore):
         except FileExistsError:
             return False
         finally:
-            os.remove(tmp)
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
 
     def put_if(self, key: str, data: bytes, accept) -> bool:
         import fcntl
@@ -797,11 +807,32 @@ def _part_key_col(partition_col) -> Column:
     """The partition KEY as a Column over a DataFrame carrying the
     partition columns — what merge/backfill collect to find touched
     partitions. Dates/timestamps cast to their ISO string forms, the
-    same rendering hive directory names use."""
+    same rendering hive directory names use.
+
+    NULL partition values FAIL FAST (r14, ADVICE r13 #3): concat_ws
+    silently skips NULLs, so a NULL leg would collapse the composite
+    key into one that never matches the ``__HIVE_DEFAULT_PARTITION__``
+    directory Spark actually writes — a merge/backfill would compute
+    the wrong touched key and drop the existing partition's survivors.
+    The guard is embedded in the key expression itself (raise_error),
+    so it costs nothing extra: it fires during the action the caller
+    was already running."""
     cols = _pcols(partition_col)
-    return F.concat_ws(
-        "/", *[F.col(c).cast("string") for c in cols]
-    )
+    anynull = None
+    for c in cols:
+        n = F.col(c).isNull()
+        anynull = n if anynull is None else (anynull | n)
+    key = F.concat_ws("/", *[F.col(c).cast("string") for c in cols])
+    return F.when(
+        anynull,
+        F.raise_error(
+            F.lit(
+                "snapshot layout: NULL partition-column value in "
+                f"{cols} — partition keys must be non-NULL "
+                "hive-directory-safe values"
+            )
+        ).cast("string"),
+    ).otherwise(key)
 
 
 def _discover_parts(snap: str, partition_col) -> dict[str, str]:
@@ -1291,6 +1322,25 @@ def snapshot_write(
 
     os.makedirs(path, exist_ok=True)
     pcols = _pcols(partition_col)
+    # NULL partition values fail fast DURING the write (r14, ADVICE
+    # r13 #3) — same contract as _part_key_col, embedded in the
+    # written expression so it costs no extra pass: a NULL leg would
+    # land in __HIVE_DEFAULT_PARTITION__, a directory no manifest key
+    # ever resolves.
+    for c in pcols:
+        df = df.withColumn(
+            c,
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"snapshot_write: NULL value in partition "
+                        f"column '{c}' — partition keys must be "
+                        "non-NULL hive-directory-safe values"
+                    )
+                ),
+            ).otherwise(F.col(c)),
+        )
     shaped = (
         df.repartition(*pcols) if shards is None else df.repartition(shards)
     )
@@ -1468,7 +1518,11 @@ def snapshot_diff(
         return a_df.withColumn("_change", F.lit("delete"))
     if a_df.columns != b_df.columns:
         cols = list(dict.fromkeys([*a_df.columns, *b_df.columns]))
-        types = {c: t for c, t in [*b_df.dtypes, *a_df.dtypes]}
+        # the TO side's types win for shared columns (later items
+        # overwrite) — one schema, the later version's, governs both
+        # sides (r14, ADVICE r13 #4; the reversed order let the FROM
+        # side's stale type cast the TO side's NULL-fill)
+        types = {c: t for c, t in [*a_df.dtypes, *b_df.dtypes]}
         a_df = a_df.select(
             *[
                 F.col(c) if c in a_df.columns
@@ -1948,6 +2002,35 @@ def snapshot_merge(
                 ]
             )
             merged = survivors.unionByName(matched).unionByName(ins)
+        elif update_cols is not None:
+            # Partial batch whose touched partitions are ALL new (a
+            # pure-insert CDC microbatch into a fresh day partition —
+            # r14, ADVICE r13 #1): there is no `current` to join, but the
+            # contract is unchanged — inserts must land as FULL table
+            # rows with typed NULLs for the uncarried columns. Writing
+            # the slim batch columns here would also persist the slim
+            # schema as the table schema, silently dropping every
+            # uncarried column from every pre-existing partition on
+            # all subsequent reads. The table schema comes from the
+            # manifest (always persisted since r13) or, for a legacy
+            # table, from the committed snapshot's resolved read plan
+            # (schema-only — no scan is triggered).
+            if m.get("schema") is not None:
+                import json
+
+                from pyspark.sql.types import StructType
+
+                tschema = StructType.fromJson(json.loads(m["schema"]))
+            else:
+                tschema = snapshot_read(spark, path).schema
+            merged = upserts.select(
+                *[
+                    F.col(f.name)
+                    if f.name in upserts.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in tschema.fields
+                ]
+            )
         elif survivors is None:
             merged = upserts
         elif set(upserts.columns) == set(survivors.columns):
@@ -1983,11 +2066,19 @@ def snapshot_merge(
     # Even a pure no-op batch (empty, or deletes of absent keys)
     # publishes a commit: a re-referencing manifest + pointer swap,
     # O(1) data work.
+    if writer is None:
+        schema_json = m.get("schema")
+    elif update_cols is not None:
+        # a partial (update_cols) batch can never change the table
+        # schema — persist the manifest's, not the rewrite plan's
+        # (which for an all-new-partitions batch reflects the padded
+        # SELECT order, and before the r14 fix was the slim batch)
+        schema_json = m.get("schema") or merged.schema.json()
+    else:
+        schema_json = merged.schema.json()
     version, _new_m = _stage_version(
         path, partition_col, m, touched, writer, base_version=committed,
-        schema_json=(
-            merged.schema.json() if writer is not None else m.get("schema")
-        ),
+        schema_json=schema_json,
     )
     return {
         "partitions_rewritten": len(touched),

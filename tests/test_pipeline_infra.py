@@ -3283,3 +3283,119 @@ def test_snapshot_merge_write_shards_parallel_hot_partition(spark, tmp_path):
     assert got.filter("p = 'hot'").agg(F.sum("v")).first()[0] == (
         1999 * 2000 / 2 - 500 + 999.0
     )
+
+
+def test_snapshot_merge_update_cols_all_new_partitions(spark, tmp_path):
+    """A partial (update_cols) batch whose touched partitions are ALL
+    new — a pure-insert CDC microbatch into a fresh day partition
+    (r14, ADVICE r13 #1) — must pad inserts to the FULL table schema
+    with typed NULLs and keep the manifest-persisted table schema.
+    Before the fix this wrote the slim batch columns AND persisted the
+    slim schema, silently dropping the uncarried columns from every
+    pre-existing partition on all subsequent reads."""
+    import json
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "one"), (2, "b", 20.0, "two")],
+        "k int, p string, v double, label string",
+    )
+    snapshot_write(base, path, "p")
+
+    # every row of the batch lands in partition 'c' — which does not
+    # exist yet, so the rewrite plan has no `current` side at all
+    batch = spark.createDataFrame(
+        [(9, "c", 90.0), (10, "c", 100.0)], "k int, p string, v double"
+    )
+    st = snapshot_merge(spark, batch, path, "p", ["k"], update_cols=["v"])
+    assert st["partitions_rewritten"] == 1
+
+    got = snapshot_read(spark, path)
+    assert set(got.columns) == {"k", "p", "v", "label"}
+    rows = {r["k"]: (r["v"], r["label"]) for r in got.collect()}
+    assert rows == {
+        1: (10.0, "one"),   # pre-existing partitions keep ALL columns
+        2: (20.0, "two"),
+        9: (90.0, None),    # inserts NULL-padded for uncarried columns
+        10: (100.0, None),
+    }
+    # the persisted table schema is unchanged (4 columns, not 3)
+    fields = {
+        f["name"]
+        for f in json.loads(snapshot_manifest(path)["schema"])["fields"]
+    }
+    assert fields == {"k", "p", "v", "label"}
+
+
+def test_metastore_put_if_absent_same_key_thread_race(tmp_path):
+    """PosixMetaStore.put_if_absent under same-process concurrency on
+    ONE key with the interned b"" payload (r14, ADVICE r13 #2): the
+    old tmp name f"{key}.tmp{pid}.{id(data)}" was identical for every
+    thread, so racers shared a tmp path — the loser's cleanup raised
+    FileNotFoundError (or truncated the winner's inode). Exactly one
+    winner, zero exceptions, key content intact."""
+    import threading
+
+    from datawarehouse_group10_spark.sources.layout import PosixMetaStore
+
+    store = PosixMetaStore()
+    for i in range(20):
+        key = str(tmp_path / "claims" / f"k{i}")
+        wins: list[bool] = []
+        errs: list[BaseException] = []
+        barrier = threading.Barrier(8)
+
+        def attempt() -> None:
+            try:
+                barrier.wait()
+                wins.append(store.put_if_absent(key, b""))
+            except BaseException as e:  # noqa: BLE001 - recorded for assert
+                errs.append(e)
+
+        threads = [threading.Thread(target=attempt) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errs == []
+        assert sum(wins) == 1
+        assert store.read(key) == b""
+
+
+def test_snapshot_layout_rejects_null_partition_values(spark, tmp_path):
+    """NULL partition values fail fast (r14, ADVICE r13 #3): concat_ws
+    silently skips NULL legs, so without the guard a NULL-valued
+    partition computed a collapsed key that never matches the
+    __HIVE_DEFAULT_PARTITION__ directory Spark writes — a merge could
+    drop the partition's survivors. Write, merge, and backfill all
+    raise instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    bad = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0)], "k int, p string, v double"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        snapshot_write(bad, path, "p")
+    assert "NULL" in str(ei.value)
+
+    ok = spark.createDataFrame([(1, "a", 1.0)], "k int, p string, v double")
+    snapshot_write(ok, path, "p")
+    with pytest.raises(Exception, match="NULL"):
+        snapshot_merge(spark, bad, path, "p", ["k"])
+    with pytest.raises(Exception, match="NULL"):
+        snapshot_backfill(bad, path, "p")
