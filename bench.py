@@ -71,7 +71,14 @@ HEADLINE = [
     "w7_sessionize",
     "a8_rollup",
     "dedup_exact",
-    "dedup_paragraph",
+    # SEAM at r14 (VERDICT r13 #6): the single "dedup_paragraph" entry
+    # timed BOTH surfaces from r13 on (para + spans), which made the
+    # r13 surface addition read as a 3.2x mover. The halves are now
+    # timed separately: dedup_para continues the r6-r13 series' para
+    # half; dedup_spans starts its own series. The REGISTRY query (and
+    # its oracle) stays the combined q_dedup_paragraph.
+    "dedup_para",
+    "dedup_spans",
     "dedup_minhash_lsh",
     "sim_cosine_scores",
     "text_quality",

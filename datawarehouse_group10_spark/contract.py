@@ -2518,12 +2518,23 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
       (functions/dedup.py:exact_substring_dedup); m1=n_tokens,
       m2=n_removed, m3=n_spans, h=md5 of the span-stripped text. The
       oracle replays gram hashing, global first-occurrence, the
-      gaps-and-islands span merge, and the reconstruction in SQL."""
-    _utc(spark)
-    from .functions.dedup import exact_substring_dedup
+      gaps-and-islands span merge, and the reconstruction in SQL.
 
+    The registry entry stays COMBINED (one oracle section covers
+    both); the BENCH times the halves separately as ``dedup_para`` /
+    ``dedup_spans`` (r14, VERDICT r13 #6 — the combined timing made a
+    3.2x apparent mover out of the r13 surface addition)."""
+    return q_dedup_para(spark, sf_dir).unionByName(
+        q_dedup_spans(spark, sf_dir)
+    )
+
+
+def q_dedup_para(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``para`` half of :func:`q_dedup_paragraph` — the direct
+    continuation of the r6-r12 ``dedup_paragraph`` bench series."""
+    _utc(spark)
     docs = _t(spark, sf_dir, "documents")
-    para = paragraph_dedup(docs, window=20).select(
+    return paragraph_dedup(docs, window=20).select(
         F.lit("para").alias("surface"),
         "doc_id",
         F.col("n_segments").alias("m1"),
@@ -2531,7 +2542,16 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("m3"),
         F.col("kept_hash").alias("h"),
     )
-    spans = exact_substring_dedup(docs, k=8).select(
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spans`` half of :func:`q_dedup_paragraph` (exact-substring
+    span dedup, r13) — its own bench series from r14 on."""
+    _utc(spark)
+    from .functions.dedup import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, k=8).select(
         F.lit("spans").alias("surface"),
         "doc_id",
         F.col("n_tokens").alias("m1"),
@@ -2539,7 +2559,6 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_spans").alias("m3"),
         F.col("clean_hash").alias("h"),
     )
-    return para.unionByName(spans)
 
 
 # ---------------------------------------------------------------------------
