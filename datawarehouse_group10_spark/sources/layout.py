@@ -699,13 +699,29 @@ def _segment_file(path: str, seg_id: str) -> str:
 
 
 #: Consolidation threshold for the manifest LIST (r13, VERDICT r12 #1):
-#: when a commit would push the segment chain past this length, it
-#: writes ONE consolidated segment holding every live entry instead —
-#: the occasional O(partitions_total) metadata write that keeps every
-#: other commit O(touched), Iceberg's rewrite-manifests shape. Plan
-#: cost is bounded the same way: a reader opens at most this many
-#: segment objects.
+#: when a commit would push the DELTA-segment chain past this length,
+#: it rewrites every live entry into range-sharded consolidated
+#: segments instead — the occasional O(partitions_total) metadata
+#: write that keeps every other commit O(touched), Iceberg's
+#: rewrite-manifests shape. A scoped read opens at most this many
+#: delta segments plus the consolidated shards its key range overlaps.
 SEGMENT_CONSOLIDATE_AT = 32
+
+#: Entries per consolidated segment SHARD (r14, VERDICT r13 #1).
+#: Consolidation range-partitions the live entries by partition key
+#: into shards of at most this many entries, each carrying its own
+#: [lo, hi] key range in the version file — so a pruned read parses
+#: O(SEGMENT_SHARD_ENTRIES + touched deltas) metadata bytes no matter
+#: how many partitions the table holds. At 10^6 partitions and ~200 B
+#: per entry a shard is ~800 KB and the version file lists ~250 shard
+#: ids — both trivially small objects.
+SEGMENT_SHARD_ENTRIES = 4096
+
+#: Observability for the read-plane pruning pins (r14): how many
+#: segment objects the most recent _manifest_resolve opened and how
+#: many metadata bytes it parsed. Not part of any on-disk state.
+LAST_RESOLVE_SEGMENTS_READ = 0
+LAST_RESOLVE_META_BYTES = 0
 
 
 def _segment_write(path: str, seg_id: str, entries: dict) -> int:
@@ -720,38 +736,129 @@ def _segment_write(path: str, seg_id: str, entries: dict) -> int:
     return len(data)
 
 
-def _manifest_resolve(path: str, raw: dict | None) -> dict | None:
+def _seg_meta(seg_id: str, entries: dict, consolidated: bool = False) -> dict:
+    """The version-file descriptor of one segment (r14): id plus the
+    [lo, hi] partition-KEY range and entry count — the stats a scoped
+    resolve skips non-overlapping segments on. Tombstones count (a
+    reader scoped to a deleted key must see its tombstone)."""
+    ks = sorted(entries)
+    out = {
+        "i": seg_id,
+        "lo": ks[0] if ks else "",
+        "hi": ks[-1] if ks else "",
+        "n": len(entries),
+    }
+    if consolidated:
+        out["c"] = 1
+    return out
+
+
+def _seg_id(seg) -> str:
+    """Segment id from a version-file list element — typed descriptor
+    (r14) or bare id string (r13 legacy)."""
+    return seg if isinstance(seg, str) else seg["i"]
+
+
+def _write_consolidated(path: str, version: int, parts: dict) -> tuple[list[dict], int]:
+    """Rewrite every live entry into range-sharded consolidated
+    segments of at most SEGMENT_SHARD_ENTRIES entries each (keys
+    sorted, contiguous chunks — disjoint [lo, hi] ranges by
+    construction). Returns (segment descriptors, bytes written)."""
+    shard = max(1, SEGMENT_SHARD_ENTRIES)
+    ks = sorted(parts)
+    chunks = [ks[i: i + shard] for i in range(0, len(ks), shard)] or [[]]
+    descs: list[dict] = []
+    nbytes = 0
+    for j, chunk in enumerate(chunks):
+        sid = f"v{version}.c{j}"
+        entries = {k: parts[k] for k in chunk}
+        nbytes += _segment_write(path, sid, entries)
+        descs.append(_seg_meta(sid, entries, consolidated=True))
+    return descs, nbytes
+
+
+def _manifest_resolve(
+    path: str,
+    raw: dict | None,
+    keys: set[str] | None = None,
+    key_range: tuple[str, str] | None = None,
+) -> dict | None:
     """Resolve a version file to the flat ``{"partitions": {...}}``
-    manifest every consumer sees. Two formats:
+    manifest consumers see. Three formats:
 
     - legacy inline (pre-r13): the version file itself carries
       ``"partitions"`` — returned as-is;
-    - manifest list (r13): the version file carries ``"segments"``, a
-      newest-first list of immutable segment ids; resolution walks
-      them FIRST-WINS per partition value, a ``null`` entry being a
-      tombstone (the partition was deleted or superseded-to-absent by
-      the segment's commit). The chain length is bounded by
-      ``SEGMENT_CONSOLIDATE_AT``, so plan-time metadata I/O is a
-      handful of small objects regardless of commit count."""
+    - manifest list (r13): ``"segments"`` is a newest-first list of
+      bare segment ids; resolution walks them FIRST-WINS per partition
+      value, a ``null`` entry being a tombstone;
+    - typed manifest list (r14, VERDICT r13 #1): list elements are
+      descriptors ``{"i", "lo", "hi", "n"}`` carrying each segment's
+      partition-KEY range, which makes the resolve SCOPED: with
+      ``keys`` (a set of partition keys) or ``key_range`` (an
+      inclusive [lo, hi] key interval), segments whose range provably
+      misses the scope are never opened, and out-of-scope entries are
+      dropped from the result — plan-time metadata I/O is O(relevant
+      segments), not O(partitions_total). Correctness of first-wins
+      under skipping: a skipped segment cannot contain ANY in-scope
+      key, so the win order among segments that can is preserved.
+
+    A scoped result's ``"partitions"`` holds ONLY in-scope entries;
+    callers that need the live partition COUNT read the version file's
+    ``n_live`` instead of len()."""
     import json
 
+    global LAST_RESOLVE_SEGMENTS_READ, LAST_RESOLVE_META_BYTES
+
+    LAST_RESOLVE_SEGMENTS_READ = 0
+    LAST_RESOLVE_META_BYTES = 0
     if raw is None or "partitions" in raw:
         return raw
+    kmin = kmax = None
+    if keys is not None and keys:
+        kmin, kmax = min(keys), max(keys)
     parts: dict = {}
     seen: set[str] = set()
-    for sid in raw["segments"]:
+    segs_read = 0
+    nbytes = 0
+    for seg in raw["segments"]:
+        if isinstance(seg, dict):
+            lo, hi = seg["lo"], seg["hi"]
+            if keys is not None:
+                if not keys:
+                    continue
+                if hi < kmin or lo > kmax:
+                    continue
+                if len(keys) <= 64 and not any(
+                    lo <= k <= hi for k in keys
+                ):
+                    continue
+            elif key_range is not None and (
+                hi < key_range[0] or lo > key_range[1]
+            ):
+                continue
+        sid = _seg_id(seg)
         seg_raw = _meta_store().read(_segment_file(path, sid))
         if seg_raw is None:
             raise FileNotFoundError(
                 f"manifest segment seg_{sid} under {path} is missing — "
                 "metadata corrupted or gc raced a reader past retention"
             )
+        segs_read += 1
+        nbytes += len(seg_raw)
         for val, e in json.loads(seg_raw.decode("utf-8"))["entries"].items():
+            if keys is not None and val not in keys:
+                continue
+            if key_range is not None and not (
+                key_range[0] <= val <= key_range[1]
+            ):
+                continue
             if val in seen:
                 continue
             seen.add(val)
             if e is not None:
                 parts[val] = e
+    LAST_RESOLVE_SEGMENTS_READ = segs_read
+    LAST_RESOLVE_META_BYTES = nbytes
     out = dict(raw)
     out["partitions"] = parts
     return out
@@ -952,6 +1059,8 @@ def _stage_version(
     writer,
     base_version: int | None = None,
     schema_json: str | None = None,
+    base_partial: bool = False,
+    entry_extra=None,
 ) -> tuple[int, dict]:
     """Shared commit protocol for every snapshot writer: CLAIM the next
     version atomically (:func:`_allocate_version` — no two writers ever
@@ -962,13 +1071,17 @@ def _stage_version(
     - ONE new immutable segment holding just the touched partitions'
       entries (freshly-written dirs re-stated, full-partition deletes
       as tombstones) — O(touched) bytes;
-    - a version file whose ``segments`` list is the new segment
-      prepended to the base version's list — O(chain length) ids,
-      bounded by ``SEGMENT_CONSOLIDATE_AT``;
-    - when the chain would exceed that bound (or the base is a legacy
-      inline manifest), one CONSOLIDATED segment with every live entry
-      instead — the amortized rewrite that keeps both commit cost and
-      plan-time segment reads bounded.
+    - a version file whose ``segments`` list is the new segment's
+      typed descriptor (id + [lo, hi] partition-key range + entry
+      count — r14, the stats scoped resolves skip on) prepended to the
+      base version's list — the DELTA count bounded by
+      ``SEGMENT_CONSOLIDATE_AT``;
+    - when the delta chain would exceed that bound (or the base is a
+      legacy inline manifest / r13 untyped list), RANGE-SHARDED
+      consolidated segments with every live entry (at most
+      ``SEGMENT_SHARD_ENTRIES`` each, disjoint key ranges) — the
+      amortized rewrite that keeps commit cost O(touched) and scoped
+      plan-time reads O(one shard + deltas) at any partition count.
 
     Untouched partitions cost NOTHING per commit — not a dict copy
     into the version file, not a re-serialization; their entries stay
@@ -1000,6 +1113,13 @@ def _stage_version(
         key: _partition_entry(root_rel, leaf)
         for key, leaf in _discover_parts(snap, partition_col).items()
     }
+    if entry_extra is not None and fresh:
+        # caller-computed extra entry fields for the freshly-written
+        # partitions (r14: the per-partition key bloom) — merged into
+        # the entries before they land in the delta segment
+        for key, extra in entry_extra(snap, set(fresh)).items():
+            if key in fresh:
+                fresh[key].update(extra)
     parts = {
         val: entry
         for val, entry in base_partitions.items()
@@ -1009,29 +1129,63 @@ def _stage_version(
 
     seg_id = f"v{version}"
     base_segments = (base or {}).get("segments")
+    typed = base_segments is not None and all(
+        isinstance(s, dict) for s in base_segments
+    )
     meta_bytes = 0
-    if base is None or base_segments is None:
-        # fresh table OR legacy inline base: one consolidated segment
-        meta_bytes += _segment_write(path, seg_id, parts)
-        segments = [seg_id]
+    if base is None or not typed:
+        # fresh table, legacy inline base, or r13 untyped-id base:
+        # write range-sharded consolidated segments (the format
+        # upgrade is a one-commit O(table) rewrite; every commit after
+        # it is O(touched) again). These code paths always receive a
+        # FULL base resolve.
+        segments, nb = _write_consolidated(path, version, parts)
+        meta_bytes += nb
     else:
         delta = dict(fresh)
         for val in touched:
             if val not in fresh and val in base_partitions:
                 delta[val] = None  # tombstone: full-partition delete
         if delta:
-            segments = [seg_id] + list(base_segments)
+            segments = [_seg_meta(seg_id, delta)] + list(base_segments)
         else:
             segments = list(base_segments)  # pure re-referencing no-op
-        if len(segments) > SEGMENT_CONSOLIDATE_AT:
-            meta_bytes += _segment_write(path, seg_id, parts)
-            segments = [seg_id]
+        n_delta = sum(1 for s in segments if not s.get("c"))
+        if delta and n_delta > SEGMENT_CONSOLIDATE_AT:
+            full = parts
+            if base_partial:
+                # the caller planned against a SCOPED base resolve
+                # (merge's key-range path); consolidation is the one
+                # step that genuinely needs every live entry
+                full_base = _manifest_resolve(
+                    path, _manifest_read(path, base["version"])
+                )["partitions"]
+                full = {
+                    v: e
+                    for v, e in full_base.items()
+                    if v not in touched
+                }
+                full.update(fresh)
+            segments, nb = _write_consolidated(path, version, full)
+            meta_bytes += nb
         elif delta:
             meta_bytes += _segment_write(path, seg_id, delta)
+    if base is not None and base_partial and base.get("n_live") is not None:
+        # live-partition count maintained incrementally: the scoped
+        # base resolve covers every touched key, so membership tests
+        # below are exact
+        removed = sum(
+            1 for k in touched if k in base_partitions and k not in fresh
+        )
+        added = sum(1 for k in fresh if k not in base_partitions)
+        n_live = base["n_live"] - removed + added
+    else:
+        n_live = len(parts)
     manifest = {
         "version": version,
         "partition_col": _pc_store(partition_col),
         "segments": segments,
+        "n_live": n_live,
         # the base this writer planned against: lets a reader validate
         # "was THIS version committed?" in O(1) — committed iff the
         # base's succ token names it — instead of walking the chain
@@ -1062,16 +1216,12 @@ def snapshot_version(path: str) -> int:
     return committed
 
 
-def snapshot_manifest(path: str, version: int | None = None) -> dict:
-    """Resolve a version's manifest — the ONE metadata read a scan
-    performs at plan time. ``version=None`` resolves the committed
-    pointer. An explicit ``version`` is TIME TRAVEL: read the table as
-    of that commit — valid for any version at or below the committed
-    pointer that snapshot_gc has not reclaimed. Versions above the
-    pointer are a writer's uncommitted staging and raise ValueError;
-    reclaimed versions raise FileNotFoundError naming the retention
-    knob, so a reader pinned to an old version fails loudly instead of
-    silently reading the wrong data."""
+def _validated_raw(path: str, version: int | None) -> tuple[int, dict]:
+    """Resolve + validate a version number and return its RAW version
+    file (segments unresolved) — the shared front half of every plan:
+    commit-pointer default, time-travel bounds, orphaned-OCC-loser
+    rejection, gc-reclaimed error. Scoped readers (r14) take the raw
+    and resolve only the segments their key scope overlaps."""
     committed = snapshot_version(path)
     if version is None:
         version = committed
@@ -1093,14 +1243,33 @@ def snapshot_manifest(path: str, version: int | None = None) -> dict:
             "orphaned concurrent-writer staging, not history) — valid "
             f"time-travel versions are {_commit_chain(path)}"
         )
-    manifest = _manifest_resolve(path, _manifest_read(path, version))
-    if manifest is None:
+    raw = _manifest_read(path, version)
+    if raw is None:
         raise FileNotFoundError(
             f"snapshot v{version} under {path} was reclaimed by "
             "snapshot_gc — raise its `keep` retention to time-travel "
             "this far back"
         )
-    return manifest
+    return version, raw
+
+
+def snapshot_manifest(path: str, version: int | None = None) -> dict:
+    """Resolve a version's FULL manifest — every partition entry.
+    ``version=None`` resolves the committed pointer. An explicit
+    ``version`` is TIME TRAVEL: read the table as of that commit —
+    valid for any version at or below the committed pointer that
+    snapshot_gc has not reclaimed. Versions above the pointer are a
+    writer's uncommitted staging and raise ValueError; reclaimed
+    versions raise FileNotFoundError naming the retention knob, so a
+    reader pinned to an old version fails loudly instead of silently
+    reading the wrong data.
+
+    This is the EXPLICIT full-metadata surface (history, compaction
+    planning, operator inspection). The scan/merge/diff plan paths do
+    NOT call it anymore (r14, VERDICT r13 #1): they resolve scoped, so
+    a pruned read of one partition never parses a million entries."""
+    version, raw = _validated_raw(path, version)
+    return _manifest_resolve(path, raw)
 
 
 def _norm_prune(prune: dict[str, tuple] | None) -> dict | None:
@@ -1178,13 +1347,34 @@ def snapshot_scan_groups(
     only ever an optimization). The scan is a SUPERSET of the matching
     rows; the caller still applies its row filter. Bounds are compared
     after :func:`_stat_norm` (pass dates/timestamps as such or as
-    ISO-8601 strings)."""
+    ISO-8601 strings).
+
+    Plan-time metadata is O(relevant) (r14, VERDICT r13 #1): the
+    manifest resolve is SCOPED by ``partitions`` (or, for a prune on a
+    single partition column with string-normed bounds — the
+    date-partitioned hot path — by the key range itself), so segments
+    whose key range misses the scope are never opened or parsed."""
     import os
 
-    m = snapshot_manifest(path, version)
-    pc = m["partition_col"]
+    version, raw = _validated_raw(path, version)
+    pc = raw["partition_col"]
     pcols = _pcols(pc)
     norm_prune = _norm_prune(prune)
+    keys = set(partitions) if partitions is not None else None
+    key_range = None
+    if keys is None and norm_prune is not None and len(pcols) == 1:
+        # single-column partitioning: the manifest key IS the column
+        # value, so a string-bounded prune range on it is a key range
+        # (numeric bounds don't map to lexical key order — skip, the
+        # per-entry _key_passes_prune below still applies them)
+        rng = norm_prune.get(pcols[0])
+        if (
+            rng is not None
+            and isinstance(rng[0], str)
+            and isinstance(rng[1], str)
+        ):
+            key_range = (rng[0], rng[1])
+    m = _manifest_resolve(path, raw, keys=keys, key_range=key_range)
     groups: dict[str, list[str]] = {}
     for val in sorted(m["partitions"]):
         if partitions is not None and val not in partitions:
@@ -1248,8 +1438,11 @@ def snapshot_read(
     miss a ``{col: (lo, hi)}`` range (see :func:`snapshot_scan_groups`
     — the result is a SUPERSET of matching rows, apply your row filter
     on top). Both are manifest-level pruning: the dropped partitions
-    cost no directory listing, no footer read, no task."""
-    m = snapshot_manifest(path, version)
+    cost no directory listing, no footer read, no task — and since r14
+    no metadata parse either (the resolve inside scan_groups is scoped;
+    the schema comes from the version FILE, never a full resolve)."""
+    _v, raw = _validated_raw(path, version)
+    m = raw  # schema lives in the version file itself
     df = _read_groups(
         spark,
         snapshot_scan_groups(path, version, partitions, prune),
@@ -1421,19 +1614,69 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
     return out
 
 
-def _changed_partitions(path: str, from_version: int, to_version: int) -> list[str]:
-    """Partition values whose owning data directory differs between two
-    manifests — pure manifest compare, zero file-system work. A version
+def _diff_manifests(
+    path: str, from_version: int, to_version: int
+) -> tuple[set[str], dict, dict]:
+    """``(changed_keys, m_from, m_to)`` — the partition values whose
+    owning data directory differs between two versions, plus both
+    manifests resolved JUST far enough to compare them. A version
     never rewrites a directory in place, so same root => byte-identical
     partition; different root (or present in only one version) =>
-    possibly changed."""
-    a = snapshot_manifest(path, from_version)["partitions"]
-    b = snapshot_manifest(path, to_version)["partitions"]
-    return sorted(
-        v
-        for v in a.keys() | b.keys()
-        if (a.get(v) or {}).get("root") != (b.get(v) or {}).get("root")
+    possibly changed.
+
+    Scoped metadata (r14, VERDICT r13 #1): when the FROM version's
+    segment list is a SUFFIX of the TO version's — the normal forward
+    history, since commits prepend delta segments — every possible
+    change is named in the TO side's prefix segments (fresh entries or
+    tombstones; a consolidation in between breaks the suffix and falls
+    back to full resolves). Only the prefix segments and the segments
+    overlapping their keys are parsed, so diffing a 3-commit window on
+    a million-partition table reads a handful of small objects."""
+    import json
+
+    _, a_raw = _validated_raw(path, from_version)
+    _, b_raw = _validated_raw(path, to_version)
+    a_segs = a_raw.get("segments")
+    b_segs = b_raw.get("segments")
+    suffix = (
+        isinstance(a_segs, list)
+        and isinstance(b_segs, list)
+        and len(b_segs) >= len(a_segs)
+        and all(isinstance(s, dict) for s in b_segs)
+        and [_seg_id(s) for s in b_segs[len(b_segs) - len(a_segs):]]
+        == [_seg_id(s) for s in a_segs]
     )
+    if suffix:
+        cand: set[str] = set()
+        for s in b_segs[: len(b_segs) - len(a_segs)]:
+            sid = _seg_id(s)
+            seg_raw = _meta_store().read(_segment_file(path, sid))
+            if seg_raw is None:
+                raise FileNotFoundError(
+                    f"manifest segment seg_{sid} under {path} is "
+                    "missing — metadata corrupted or gc raced a "
+                    "reader past retention"
+                )
+            cand |= set(json.loads(seg_raw.decode("utf-8"))["entries"])
+        a_m = _manifest_resolve(path, a_raw, keys=cand)
+        b_m = _manifest_resolve(path, b_raw, keys=cand)
+    else:
+        a_m = _manifest_resolve(path, a_raw)
+        b_m = _manifest_resolve(path, b_raw)
+        cand = set(a_m["partitions"]) | set(b_m["partitions"])
+    a_p, b_p = a_m["partitions"], b_m["partitions"]
+    changed = {
+        v
+        for v in cand
+        if (a_p.get(v) or {}).get("root") != (b_p.get(v) or {}).get("root")
+    }
+    return changed, a_m, b_m
+
+
+def _changed_partitions(path: str, from_version: int, to_version: int) -> list[str]:
+    """Sorted list form of :func:`_diff_manifests`'s changed keys."""
+    changed, _a, _b = _diff_manifests(path, from_version, to_version)
+    return sorted(changed)
 
 
 #: Partitions the most recent snapshot_diff actually scanned — the
@@ -1477,9 +1720,7 @@ def snapshot_diff(
     The scanned-partition count is exposed via
     ``LAST_DIFF_SCAN_PARTITIONS`` for observability."""
     global LAST_DIFF_SCAN_PARTITIONS
-    changed = set(_changed_partitions(path, from_version, to_version))
-    m_from = snapshot_manifest(path, from_version)
-    m_to = snapshot_manifest(path, to_version)
+    changed, m_from, m_to = _diff_manifests(path, from_version, to_version)
     if prune:
         norm = _norm_prune(prune)
         pcols = _pcols(m_to["partition_col"])
@@ -1659,8 +1900,7 @@ def snapshot_backfill(
     reader can observe, and commit cost O(batch partitions) regardless
     of table size. Returns {"partitions_backfilled", "old_version",
     "new_version"}."""
-    m = snapshot_manifest(path)
-    committed = m["version"]
+    committed, raw = _validated_raw(path, None)
     pcols = _pcols(partition_col)
     touched = {
         r[0]
@@ -1674,6 +1914,19 @@ def snapshot_backfill(
             "old_version": committed,
             "new_version": committed,
         }
+    # a backfill replaces exactly its batch's partitions — the only
+    # manifest entries it needs are theirs (r14: scoped resolve; the
+    # typed format carries n_live, so the count stays maintained)
+    segs = raw.get("segments")
+    base_partial = (
+        isinstance(segs, list)
+        and bool(segs)
+        and all(isinstance(s, dict) for s in segs)
+        and raw.get("n_live") is not None
+    )
+    m = _manifest_resolve(
+        path, raw, keys=touched if base_partial else None
+    )
 
     def writer(snap: str) -> None:
         (
@@ -1687,6 +1940,7 @@ def snapshot_backfill(
         path, partition_col, m, touched, writer,
         base_version=committed,
         schema_json=m.get("schema") or df.schema.json(),
+        base_partial=base_partial,
     )
     return {
         "partitions_backfilled": len(touched),
@@ -1785,9 +2039,7 @@ def snapshot_merge(
     "new_version"}."""
     from pyspark.sql import Window
 
-    m = snapshot_manifest(path)
-    committed = m["version"]
-    parts = m["partitions"]
+    committed, raw = _validated_raw(path, None)
 
     if update_cols is not None:
         bad = sorted(set(update_cols) & {*key_cols, *_pcols(partition_col)})
@@ -1864,6 +2116,40 @@ def snapshot_merge(
         )
         for i in range(len(key_cols))
     ]
+
+    # Scoped metadata resolve (r14, VERDICT r13 #1): when the (single)
+    # partition column is itself a key column with string-normed batch
+    # bounds — the r13 partition-key probe case — the batch's key
+    # range IS a partition-key range, and every partition this merge
+    # can touch (matched homes AND upsert targets: the equality join
+    # pins the partition leg) lies inside it. Manifest segments whose
+    # key range misses it are never opened, so plan-time metadata is
+    # O(relevant), not O(partitions_total). Requires the typed r14
+    # version-file format (per-segment ranges + n_live + schema);
+    # anything else resolves fully, exactly as before.
+    scope_keys: set[str] | None = None
+    scope_range: tuple[str, str] | None = None
+    base_partial = False
+    segs = raw.get("segments")
+    typed = (
+        isinstance(segs, list)
+        and bool(segs)
+        and all(isinstance(s, dict) for s in segs)
+        and raw.get("n_live") is not None
+        and raw.get("schema") is not None
+    )
+    pcols_early = _pcols(partition_col)
+    if typed and any(r is None for r in raw_lo):
+        scope_keys = set()  # empty/all-NULL-key batch: nothing matches
+        base_partial = True
+    elif typed and len(pcols_early) == 1 and pcols_early[0] in key_cols:
+        p_lo, p_hi = bounds[key_cols.index(pcols_early[0])]
+        if isinstance(p_lo, str) and isinstance(p_hi, str):
+            scope_range = (p_lo, p_hi)
+            base_partial = True
+    m = _manifest_resolve(path, raw, keys=scope_keys, key_range=scope_range)
+    parts = m["partitions"]
+
     if any(r is None for r in raw_lo):
         # empty batch or an all-NULL key column: the equality semi-join
         # can never match -> probe nothing.
@@ -1911,19 +2197,28 @@ def snapshot_merge(
     )
     touched = {r[0] for r in touched_df.collect()}
 
-    # Table schema from the MANIFEST (union of per-entry column lists —
-    # partitions written before an evolution legitimately differ), so
-    # validation doesn't depend on WHICH partitions this batch happens
-    # to touch. Legacy manifests without "cols" fall back to the
-    # touched partitions' observed schema.
+    # Table schema from the MANIFEST, so validation doesn't depend on
+    # WHICH partitions this batch happens to touch. The persisted
+    # schema (every commit re-states it) is authoritative and costs no
+    # entry walk (r14 — required anyway under a scoped resolve, where
+    # `parts` holds only in-scope entries); manifests without it fall
+    # back to the union of per-entry column lists, then to the touched
+    # partitions' observed schema.
     known_cols: set[str] | None = set(pcols)  # stripped from files
-    for e in parts.values():
-        if "cols" not in e:
+    if m.get("schema") is not None:
+        import json as _json
+
+        known_cols |= {
+            f["name"] for f in _json.loads(m["schema"])["fields"]
+        }
+    else:
+        for e in parts.values():
+            if "cols" not in e:
+                known_cols = None
+                break
+            known_cols |= set(e["cols"])
+        if not parts:
             known_cols = None
-            break
-        known_cols |= set(e["cols"])
-    if not parts:
-        known_cols = None
 
     writer = None
     if touched:
@@ -2078,12 +2373,12 @@ def snapshot_merge(
         schema_json = merged.schema.json()
     version, _new_m = _stage_version(
         path, partition_col, m, touched, writer, base_version=committed,
-        schema_json=schema_json,
+        schema_json=schema_json, base_partial=base_partial,
     )
     return {
         "partitions_rewritten": len(touched),
         "probe_partitions": len(candidates),
-        "partitions_total": len(parts),
+        "partitions_total": raw.get("n_live", len(parts)),
         "old_version": committed,
         "new_version": version,
     }
@@ -2193,7 +2488,7 @@ def snapshot_gc(
         raw = _manifest_read(path, v)
         if raw is None:
             continue
-        live_segs |= set(raw.get("segments") or [])
+        live_segs |= {_seg_id(s) for s in raw.get("segments") or []}
         m = _manifest_resolve(path, raw)
         pc = m["partition_col"]
         for val, e in m["partitions"].items():
@@ -2211,10 +2506,10 @@ def snapshot_gc(
     import re as _re
 
     for f in _meta_store().list(os.path.join(path, "_manifests")):
-        sm = _re.fullmatch(r"seg_v(\d+)\.json", f)
-        if sm is None or f"v{sm.group(1)}" in live_segs:
+        sm = _re.fullmatch(r"seg_(v(\d+)(?:\.c\d+)?)\.json", f)
+        if sm is None or sm.group(1) in live_segs:
             continue
-        sv = int(sm.group(1))
+        sv = int(sm.group(2))
         if sv <= committed and (
             sv in dead or (orphans and _manifest_read(path, sv) is None)
         ):

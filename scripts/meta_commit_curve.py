@@ -36,8 +36,16 @@ def main() -> None:
     from datawarehouse_group10_spark.sources.layout import (
         snapshot_manifest,
         snapshot_merge,
+        snapshot_scan_groups,
         snapshot_write,
     )
+
+    # Small shards so the READ-side curve (r14, VERDICT r13 #1) is
+    # visible at these table sizes: with the production default (4096
+    # entries/shard) every N below fits one shard and a pruned read
+    # trivially equals a full one. 256 here makes the pruned read's
+    # bytes a ~256-entry constant while the full parse grows with N.
+    L.SEGMENT_SHARD_ENTRIES = 256
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     out = []
@@ -67,6 +75,13 @@ def main() -> None:
             t0 = time.time()
             st = snapshot_merge(spark, batch, path, "p", ["k"])
             secs = time.time() - t0
+            # read-side curve (r14): metadata bytes a 1-partition
+            # scoped plan parses vs the full manifest resolve
+            snapshot_manifest(path)
+            full_read = L.LAST_RESOLVE_META_BYTES
+            t0 = time.time()
+            snapshot_scan_groups(path, partitions={f"p{n // 2:05d}"})
+            pruned_plan_secs = time.time() - t0
             out.append(
                 {
                     "partitions": n,
@@ -74,6 +89,10 @@ def main() -> None:
                     "inline_equiv_bytes": inline,
                     "merge_secs": round(secs, 3),
                     "probe_partitions": st["probe_partitions"],
+                    "read_meta_bytes_full": full_read,
+                    "read_meta_bytes_pruned": L.LAST_RESOLVE_META_BYTES,
+                    "read_segments_pruned": L.LAST_RESOLVE_SEGMENTS_READ,
+                    "pruned_plan_secs": round(pruned_plan_secs, 4),
                 }
             )
     finally:

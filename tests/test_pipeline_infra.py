@@ -2569,7 +2569,10 @@ def test_snapshot_segment_chain_consolidates(spark, tmp_path, monkeypatch):
         )
         snapshot_backfill(fix, path, "p")
         m = snapshot_manifest(path)
-        assert len(m["segments"]) <= 4
+        # delta chain bounded; consolidation may add range shards
+        # (r14), but at 6 partitions they collapse to one segment
+        assert sum(1 for s in m["segments"] if not s.get("c")) <= 4
+        assert len(m["segments"]) <= 5
         assert len(m["partitions"]) == 6
     # final state = last write per partition
     got = {r["p"]: r["v"] for r in snapshot_read(spark, path).collect()}
@@ -2577,7 +2580,7 @@ def test_snapshot_segment_chain_consolidates(spark, tmp_path, monkeypatch):
     assert got["p3"] == 3.0  # never touched, carried through segments
     # gc(keep=1) drops old version files; orphan segments go with them
     snapshot_gc(path, keep=1)
-    live = set(snapshot_manifest(path)["segments"])
+    live = {s["i"] for s in snapshot_manifest(path)["segments"]}
     on_disk = {
         f[4:-5]
         for f in os.listdir(os.path.join(path, "_manifests"))
@@ -3399,3 +3402,109 @@ def test_snapshot_layout_rejects_null_partition_values(spark, tmp_path):
         snapshot_merge(spark, bad, path, "p", ["k"])
     with pytest.raises(Exception, match="NULL"):
         snapshot_backfill(bad, path, "p")
+
+
+def test_snapshot_scoped_resolve_reads_o1_metadata(spark, tmp_path, monkeypatch):
+    """Plan-time metadata is O(relevant), not O(partitions_total)
+    (r14, VERDICT r13 #1): on a 1,000-partition table whose
+    consolidated manifest is range-sharded (shard size forced to 64
+    entries here), a 1-partition pruned read opens only the one shard
+    whose key range covers the key (plus any overlapping delta
+    segments) and parses a small constant number of bytes — while the
+    explicit full snapshot_manifest parses everything. The same pin
+    covers a value-prune on the partition column, a single-key MERGE,
+    and a 2-version diff."""
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    monkeypatch.setattr(L, "SEGMENT_SHARD_ENTRIES", 64)
+    path = str(tmp_path / "wide")
+    n_parts = 1000
+    df = spark.createDataFrame(
+        [(f"p{i:04d}", i, float(i)) for i in range(n_parts)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    m = snapshot_manifest(path)
+    assert len(m["partitions"]) == n_parts
+    full_bytes = L.LAST_RESOLVE_META_BYTES
+    assert len(m["segments"]) == -(-n_parts // 64)  # 16 range shards
+
+    # a couple of single-partition merges leave tiny delta segments
+    for key in (311, 702):
+        batch = spark.createDataFrame(
+            [(f"p{key:04d}", key, 1000.0 + key)],
+            "p string, k int, v double",
+        )
+        snapshot_merge(spark, batch, path, "p", ["p", "k"])
+
+    # 1-partition read by VALUE: one shard (deltas out of range are
+    # skipped too); bytes a small fraction of the full manifest
+    got = snapshot_read(spark, path, partitions={"p0500"}).collect()
+    assert [r["v"] for r in got] == [500.0]
+    assert L.LAST_RESOLVE_SEGMENTS_READ <= 2
+    assert L.LAST_RESOLVE_META_BYTES < full_bytes / 8
+
+    # 1-partition read by partition-column PRUNE range
+    got = snapshot_read(
+        spark, path, prune={"p": ("p0311", "p0311")}
+    ).collect()
+    assert [r["v"] for r in got] == [1311.0]
+    assert L.LAST_RESOLVE_SEGMENTS_READ <= 3  # shard + its delta
+    assert L.LAST_RESOLVE_META_BYTES < full_bytes / 8
+
+    # MERGE keyed on the partition column: every metadata resolve in
+    # the merge (scope, probe, current read) is scoped — total bytes
+    # parsed stay a small fraction of the full manifest
+    resolves: list[tuple[int, int]] = []
+    orig = L._manifest_resolve
+
+    def spy(path_, raw, keys=None, key_range=None):
+        out = orig(path_, raw, keys=keys, key_range=key_range)
+        resolves.append(
+            (L.LAST_RESOLVE_SEGMENTS_READ, L.LAST_RESOLVE_META_BYTES)
+        )
+        return out
+
+    monkeypatch.setattr(L, "_manifest_resolve", spy)
+    batch = spark.createDataFrame(
+        [("p0500", 500, 9999.0)], "p string, k int, v double"
+    )
+    st = snapshot_merge(spark, batch, path, "p", ["p", "k"])
+    assert st["partitions_rewritten"] == 1
+    assert st["probe_partitions"] == 1
+    assert st["partitions_total"] == n_parts  # n_live, not scoped len
+    assert resolves, "merge resolved no metadata?"
+    # each of the merge's resolves (scope, probe plan, current read)
+    # opens ~one shard; the plan total stays far below a full parse
+    assert max(b for _s, b in resolves) < full_bytes / 8, resolves
+    assert sum(b for _s, b in resolves) < full_bytes / 4, resolves
+    assert max(s for s, _b in resolves) <= 3, resolves
+
+    # diff of the last commit: suffix-scoped — prefix delta + its shard
+    resolves.clear()
+    d = L.snapshot_diff(
+        spark, path, st["old_version"], st["new_version"], "p"
+    )
+    assert {(r["p"], r["_change"], r["v"]) for r in d.collect()} == {
+        ("p0500", "insert", 9999.0),
+        ("p0500", "delete", 500.0),
+    }
+    # four scoped resolves (both raws + both scan plans), each ~one
+    # shard (+ the 1-entry prefix delta) - still a small constant
+    assert sum(b for _s, b in resolves) < full_bytes / 3, resolves
+    assert max(s for s, _b in resolves) <= 3, resolves
+
+    # correctness backstop: the scoped layers changed nothing about
+    # the resolved view
+    monkeypatch.setattr(L, "_manifest_resolve", orig)
+    m2 = snapshot_manifest(path)
+    assert len(m2["partitions"]) == n_parts
+    assert m2["n_live"] == n_parts
+    total = snapshot_read(spark, path).count()
+    assert total == n_parts
