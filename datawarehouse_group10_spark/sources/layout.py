@@ -988,12 +988,28 @@ def _stat_norm(v):
     return None
 
 
+#: Per-FILE stats are recorded only up to this many files per
+#: partition (r14, VERDICT r13 #2): beyond it the entry bloat (O(files
+#: x cols) per touched partition) outweighs the skipping benefit, and
+#: compaction should be folding the partition anyway. Pruning degrades
+#: gracefully — a partition without ``fstats`` reads whole, exactly
+#: the pre-r14 behavior.
+FILE_STATS_MAX_FILES = 64
+
+
 def _partition_entry(root_rel: str, pdir: str) -> dict:
     """Manifest entry for one freshly-written partition directory:
     file count / bytes / rows plus per-column [min, max] from parquet
     footers — O(files in THIS partition) metadata reads, paid once at
     write time and carried forward verbatim while the partition is
-    untouched (the directory is immutable, so the stats stay true)."""
+    untouched (the directory is immutable, so the stats stay true).
+
+    Multi-file partitions additionally carry ``fstats`` — per-FILE
+    column [min, max] (r14, VERDICT r13 #2) — so a selective
+    ``snapshot_read(prune=...)`` can skip individual files of a hot
+    (sharded) partition without any parquet footer I/O at plan time:
+    the footers were read HERE, once, at write time. This is the
+    manifest-entry twin of Iceberg's per-data-file column bounds."""
     import os
 
     import pyarrow.parquet as pq
@@ -1001,6 +1017,7 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
     files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
     nbytes = rows = 0
     stats: dict[str, list] = {}
+    fstats: dict[str, dict[str, list]] = {}
     cols: set[str] = set()
     dropped: set[str] = set()
     for fname in files:
@@ -1008,11 +1025,10 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
         nbytes += os.path.getsize(full)
         md = pq.ParquetFile(full).metadata
         rows += md.num_rows
+        f_entry: dict[str, list] = {}
         for j in range(md.num_columns):
             name = md.schema.column(j).name
             cols.add(name)
-            if name in dropped:
-                continue
             fmin = fmax = None
             ok = md.num_row_groups > 0
             for rg in range(md.num_row_groups):
@@ -1030,12 +1046,16 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
                 dropped.add(name)
                 stats.pop(name, None)
                 continue
+            f_entry[name] = [fmin, fmax]
+            if name in dropped:
+                continue
             if name in stats:
                 stats[name][0] = min(stats[name][0], fmin)
                 stats[name][1] = max(stats[name][1], fmax)
             else:
                 stats[name] = [fmin, fmax]
-    return {
+        fstats[fname] = f_entry
+    out = {
         "root": root_rel,
         "files": len(files),
         "bytes": nbytes,
@@ -1043,6 +1063,9 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
         "cols": sorted(cols),
         "stats": stats,
     }
+    if 1 < len(files) <= FILE_STATS_MAX_FILES:
+        out["fstats"] = fstats
+    return out
 
 
 #: Metadata bytes the most recent _stage_version commit wrote (segment
@@ -1326,6 +1349,25 @@ def _entry_passes_prune(entry: dict, norm_prune: dict | None) -> bool:
     )
 
 
+def _file_passes_prune(f_stats: dict, norm_prune: dict) -> bool:
+    """Per-FILE twin of :func:`_entry_passes_prune` over one file's
+    ``fstats`` column map (r14) — same conservative contract."""
+    return all(
+        (rng := f_stats.get(c)) is None
+        or lo is None
+        or hi is None
+        or _ranges_overlap(rng[0], rng[1], lo, hi)
+        for c, (lo, hi) in norm_prune.items()
+    )
+
+
+#: Observability for the file-skipping pytest pin (r14): of the
+#: partitions the most recent snapshot_scan_groups applied per-file
+#: pruning to, how many files existed vs were planned for scanning.
+LAST_SCAN_FILES_TOTAL = 0
+LAST_SCAN_FILES_READ = 0
+
+
 def snapshot_scan_groups(
     path: str,
     version: int | None = None,
@@ -1374,7 +1416,11 @@ def snapshot_scan_groups(
             and isinstance(rng[1], str)
         ):
             key_range = (rng[0], rng[1])
+    global LAST_SCAN_FILES_TOTAL, LAST_SCAN_FILES_READ
+
     m = _manifest_resolve(path, raw, keys=keys, key_range=key_range)
+    LAST_SCAN_FILES_TOTAL = 0
+    LAST_SCAN_FILES_READ = 0
     groups: dict[str, list[str]] = {}
     for val in sorted(m["partitions"]):
         if partitions is not None and val not in partitions:
@@ -1384,9 +1430,27 @@ def snapshot_scan_groups(
             continue
         if not _entry_passes_prune(entry, norm_prune):
             continue
-        groups.setdefault(entry["root"], []).append(
-            os.path.join(path, entry["root"], _part_relpath(pc, val))
-        )
+        pdir = os.path.join(path, entry["root"], _part_relpath(pc, val))
+        if norm_prune is not None and "fstats" in entry:
+            # per-FILE skipping inside a surviving partition (r14,
+            # VERDICT r13 #2): the entry carries each file's column
+            # bounds, so a selective read of a sharded hot partition
+            # plans only the overlapping files — zero footer I/O, the
+            # stats were paid once at write time. An empty keep-list
+            # is a correct full skip (every file provably misses).
+            kept = [
+                f
+                for f, fs in sorted(entry["fstats"].items())
+                if _file_passes_prune(fs, norm_prune)
+            ]
+            LAST_SCAN_FILES_TOTAL += entry["files"]
+            LAST_SCAN_FILES_READ += len(kept)
+            if len(kept) < entry["files"]:
+                groups.setdefault(entry["root"], []).extend(
+                    os.path.join(pdir, f) for f in kept
+                )
+                continue
+        groups.setdefault(entry["root"], []).append(pdir)
     return [
         (os.path.join(path, root), dirs)
         for root, dirs in sorted(groups.items())

@@ -3508,3 +3508,54 @@ def test_snapshot_scoped_resolve_reads_o1_metadata(spark, tmp_path, monkeypatch)
     assert m2["n_live"] == n_parts
     total = snapshot_read(spark, path).count()
     assert total == n_parts
+
+
+def test_snapshot_read_file_level_stats_pruning(spark, tmp_path):
+    """Per-FILE column stats in manifest entries (r14, VERDICT r13
+    #2): a hot partition sharded by write_shards carries each file's
+    [min, max] key bounds in its entry, so a selective
+    snapshot_read(prune=...) plans a strict subset of the partition's
+    files — no parquet footer I/O at plan time — with identical
+    results to the unpruned read filtered row-wise."""
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(4000)]
+        + [("cold", i, float(i)) for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(base, path, "p")
+    # shard the hot partition: range-partitioned on (p, k) => files
+    # with tight, mostly-disjoint k ranges, each recorded in fstats
+    batch = spark.createDataFrame(
+        [("hot", 1, -1.0, False)], "p string, k int, v double, del boolean"
+    )
+    snapshot_merge(
+        spark, batch, path, "p", ["k"], delete_col="del", write_shards=8
+    )
+    entry = snapshot_manifest(path)["partitions"]["hot"]
+    assert entry["files"] >= 4
+    assert "fstats" in entry and len(entry["fstats"]) == entry["files"]
+
+    got = snapshot_read(spark, path, prune={"k": (3900, 3950)})
+    rows = got.filter("k between 3900 and 3950").collect()
+    assert len(rows) == 51
+    assert L.LAST_SCAN_FILES_TOTAL == entry["files"]
+    assert 0 < L.LAST_SCAN_FILES_READ < entry["files"]
+
+    # superset contract: the pruned scan may hold extra rows but never
+    # misses one; a range fully outside the stats reads zero files
+    full = {
+        (r["p"], r["k"]) for r in
+        snapshot_read(spark, path).filter("k between 3900 and 3950").collect()
+    }
+    assert {(r["p"], r["k"]) for r in rows} == full
+    none = snapshot_read(spark, path, prune={"k": (90000, 90001)})
+    assert none.count() == 0
