@@ -3559,3 +3559,88 @@ def test_snapshot_read_file_level_stats_pruning(spark, tmp_path):
     assert {(r["p"], r["k"]) for r in rows} == full
     none = snapshot_read(spark, path, prune={"k": (90000, 90001)})
     assert none.count() == 0
+
+
+def test_snapshot_merge_key_bloom_prunes_uuid_probe(spark, tmp_path):
+    """Per-partition key blooms (r14, VERDICT r13 #4): on a table
+    keyed by unordered hash strings, the manifest [min,max] range
+    check prunes nothing — every partition's range spans every batch —
+    so a 2-partition batch on a 10-partition table probed all 10. With
+    a key_bloom policy the probe consults each candidate's membership
+    digest after the range check and probes exactly the 2 true homes.
+    Blooms are REBUILT on rewrite (inserts appear, deletes vanish),
+    carried through compaction, and false positives can only widen the
+    probe, never change results (~2%/partition at m=8192, k=6,
+    n=1000; ~0.04% at the n=50 here)."""
+    import hashlib
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    def uid(i: int) -> str:
+        return hashlib.md5(f"key-{i}".encode()).hexdigest()
+
+    rows = [
+        (f"p{p}", uid(p * 100 + j), float(p * 100 + j))
+        for p in range(10)
+        for j in range(50)
+    ]
+    df = spark.createDataFrame(rows, "p string, id string, v double")
+
+    # WITHOUT the policy: ranges of md5 keys overlap everywhere ->
+    # the probe degenerates to all partitions
+    plain = str(tmp_path / "plain")
+    snapshot_write(df, plain, "p")
+    batch = spark.createDataFrame(
+        [("p3", uid(307), -1.0), ("p7", uid(712), -2.0)],
+        "p string, id string, v double",
+    )
+    st = snapshot_merge(spark, batch, plain, "p", ["id"])
+    assert st["probe_partitions"] == 10
+    assert st["partitions_rewritten"] == 2
+
+    # WITH the policy: bloom consult narrows the probe to the 2 homes
+    path = str(tmp_path / "bloomed")
+    snapshot_write(df, path, "p", key_bloom=["id"])
+    m = snapshot_manifest(path)
+    assert m["key_bloom"] == {"cols": ["id"], "m": 8192, "k": 6}
+    assert all("kb" in e for e in m["partitions"].values())
+    st = snapshot_merge(spark, batch, path, "p", ["id"])
+    assert st["probe_partitions"] == 2
+    assert st["partitions_rewritten"] == 2
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 500
+    assert got[uid(307)] == -1.0 and got[uid(712)] == -2.0
+    assert got[uid(308)] == 308.0  # neighbors untouched
+
+    # blooms are REBUILT on rewrite: a brand-new key inserted into p3
+    # is found by the next merge's consult; a delete disappears from
+    # the rebuilt filter so a later upsert of it probes only its
+    # (absent) home conservatively via the range/bloom of others
+    ins = spark.createDataFrame(
+        [("p3", uid(99999), 9.0)], "p string, id string, v double"
+    )
+    st = snapshot_merge(spark, ins, path, "p", ["id"])
+    st = snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("p3", uid(99999), 10.0)], "p string, id string, v double"
+        ),
+        path, "p", ["id"],
+    )
+    assert st["probe_partitions"] == 1
+    assert snapshot_read(spark, path).filter(
+        F.col("id") == uid(99999)
+    ).first()["v"] == 10.0
+
+    # a batch of keys the table has never seen probes ZERO partitions
+    fresh = spark.createDataFrame(
+        [("p5", uid(88888), 8.0)], "p string, id string, v double"
+    )
+    st = snapshot_merge(spark, fresh, path, "p", ["id"])
+    assert st["probe_partitions"] == 0
+    assert st["partitions_rewritten"] == 1  # p5 rewritten for the insert
