@@ -218,6 +218,13 @@ def main() -> None:
     secondary["snapshot_merge_pc_apply"] = contract.MERGE_PC_STATS.get(
         "seconds", 0.0
     )
+    # r14: hidden-transform (months x bucket) partition merge
+    t0 = time.time()
+    contract.merged_snapshot_orders_tf(spark, SF_DIR)
+    secondary["snapshot_merge_tf_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_merge_tf_apply"] = contract.MERGE_TF_STATS.get(
+        "seconds", 0.0
+    )
 
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 

