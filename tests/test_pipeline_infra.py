@@ -1845,6 +1845,7 @@ def test_snapshot_merge_all_verbs(spark, tmp_path):
         # disjoint case)
         "probe_partitions": 3,
         "partitions_total": 3,
+        "write_shards": 0,  # default one-task-per-partition write
         "old_version": 1,
         "new_version": 2,
     }
@@ -3727,3 +3728,62 @@ def test_snapshot_transform_partitioning(spark, tmp_path):
     d = L.snapshot_diff(spark, path, 1, st["new_version"], spec)
     kinds = {(x["id"], x["_change"]) for x in d.collect()}
     assert (11, "delete") in kinds and (200, "insert") in kinds
+
+
+def test_snapshot_merge_auto_shards_from_target_file_size(spark, tmp_path):
+    """write_shards="auto" (r14, VERDICT r13 #7): the shard count is
+    derived from the touched partitions' manifest rows/bytes against
+    target_file_bytes — snapshot_compact's exact file-sizing
+    arithmetic — so a skewed merge shards its hot partition without
+    operator tuning while a cold-partition merge stays one-task. The
+    cap doubles as maxRecordsPerFile, and a later compact at the same
+    target is a structural no-op (the files are already right-sized)."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("hot", i, float(i), "x" * 64) for i in range(5000)]
+        + [("cold", 100000 + i, float(i), "y") for i in range(10)],
+        "p string, k int, v double, pad string",
+    )
+    snapshot_write(base, path, "p")
+    hot = snapshot_manifest(path)["partitions"]["hot"]
+    target = max(1, hot["bytes"] // 4)  # aim for ~4 files of the hot data
+
+    batch = spark.createDataFrame(
+        [("hot", 1, -1.0, "z", False)],
+        "p string, k int, v double, pad string, del boolean",
+    )
+    st = snapshot_merge(
+        spark, batch, path, "p", ["k"], delete_col="del",
+        write_shards="auto", target_file_bytes=target,
+    )
+    assert 3 <= st["write_shards"] <= 6, st
+    m = snapshot_manifest(path)
+    assert m["partitions"]["hot"]["files"] >= 3
+    assert m["partitions"]["cold"]["root"] == "v1"  # untouched
+    assert snapshot_read(spark, path).count() == 5010
+
+    # same-target compact: already right-sized -> structural no-op
+    res = snapshot_compact(spark, path, "p", target_bytes=target, slack=2)
+    assert res["partitions_compacted"] == 0
+    assert res["old_version"] == res["new_version"]
+
+    # a cold-partition merge under the same policy stays one-task
+    st2 = snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("cold", 100003, -3.0, "z", False)],
+            "p string, k int, v double, pad string, del boolean",
+        ),
+        path, "p", ["k"], delete_col="del",
+        write_shards="auto", target_file_bytes=target,
+    )
+    assert st2["write_shards"] == 1
+    assert snapshot_manifest(path)["partitions"]["cold"]["files"] == 1
