@@ -3113,12 +3113,16 @@ def q_sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = q_sim_ivfpq_topk(spark, sf_dir).select(
         F.lit("ivfpq").alias("surface"), "vec_id", "cos5"
     )
+    ivfpq_res = q_sim_ivfpq_res_topk(spark, sf_dir).select(
+        F.lit("ivfpq_res").alias("surface"), "vec_id", "cos5"
+    )
     return (
         lsh.unionByName(ivf)
         .unionByName(knn)
         .unionByName(knn_ivf)
         .unionByName(pq)
         .unionByName(ivfpq)
+        .unionByName(ivfpq_res)
     )
 
 
@@ -3564,6 +3568,44 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivfpq_topk(
         emb, q, cents, _PQ_BOOKS_CACHE[sf_dir],
         k=10, n_probe=6, refine=50,
+    )
+    return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
+#: Residual-trained IVFPQ codebooks, one training pass per sf_dir.
+_PQ_RES_BOOKS_CACHE: dict[str, list] = {}
+
+
+def q_sim_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVFPQ top-10 (r14, VERDICT r13 #3) — FAISS's
+    ``by_residual=True`` default: codebooks are Lloyd-trained on the
+    IVF residuals ``x - centroid[cell]`` over the full corpus, codes
+    quantize the residuals, and the ADC table is computed per probed
+    cell against the query's residual ``q - centroid``. The DuckDB
+    oracle replays the WHOLE chain — coarse assignment, residual
+    derivation, the unrolled residual Lloyd iterations, per-cell ADC,
+    refine, exact rerank — closing the one oracle-coverage gap r13
+    left (the 'ivfpq' surface replays residual=False only). Rides
+    sim_ann_suite as the 'ivfpq_res' surface."""
+    _utc(spark)
+    from .functions.similarity import (
+        deterministic_centroids,
+        ivfpq_topk,
+        ivfpq_train_residual_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    cents = deterministic_centroids(emb, k=16)
+    if sf_dir not in _PQ_RES_BOOKS_CACHE:
+        t0 = time.time()
+        _PQ_RES_BOOKS_CACHE[sf_dir] = ivfpq_train_residual_codebooks(
+            emb, cents, m=4, k=16, n_iter=2
+        )
+        PQ_TRAIN_STATS["res_seconds"] = round(time.time() - t0, 3)
+    out = ivfpq_topk(
+        emb, q, cents, _PQ_RES_BOOKS_CACHE[sf_dir],
+        k=10, n_probe=6, refine=50, residual=True,
     )
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
@@ -7406,11 +7448,17 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
 #: SUM() would add in arbitrary order and flip refine-boundary ties).
 
 
-def _pq_trained_cb_sql(n_iter: int = 2) -> str:
+def _pq_trained_cb_sql(
+    n_iter: int = 2,
+    src: str = "embeddings",
+    vec: str = "CAST(e.embedding AS DOUBLE[])",
+) -> str:
     """The unrolled-Lloyd codebook CTE chain ending in ``cb`` — the SQL
     replay of functions/similarity.py::pq_train_codebooks (same init,
     same assignment tie-break, same quantized-integer means, same
-    empty-cell carry-forward)."""
+    empty-cell carry-forward). ``src``/``vec`` point it at a different
+    training relation (r14: the ``resvec`` IVF-residual CTE for
+    residual IVFPQ)."""
     ctes = [
         """cb_t0 AS (
   SELECT s.s,
@@ -7424,12 +7472,12 @@ def _pq_trained_cb_sql(n_iter: int = 2) -> str:
         p = t - 1
         ctes.append(f"""asg_t{t} AS (
   SELECT e.vec_id, c.s, c.j
-  FROM embeddings e CROSS JOIN cb_t{p} c
+  FROM {src} e CROSS JOIN cb_t{p} c
   QUALIFY ROW_NUMBER() OVER (
     PARTITION BY e.vec_id, c.s
     ORDER BY list_dot_product(c.cv, c.cv)
              - 2 * list_dot_product(
-                 CAST(e.embedding AS DOUBLE[])[(c.s*16+1):(c.s*16+16)],
+                 {vec}[(c.s*16+1):(c.s*16+16)],
                  c.cv),
              c.j
   ) = 1
@@ -7437,11 +7485,11 @@ def _pq_trained_cb_sql(n_iter: int = 2) -> str:
 sums_t{t} AS (
   SELECT k.s, k.j, d.d,
          SUM(CAST(round(
-           CAST(e.embedding AS DOUBLE[])[k.s*16 + d.d] * 1000000
+           {vec}[k.s*16 + d.d] * 1000000
          ) AS BIGINT)) AS sq,
          COUNT(*) AS n
   FROM asg_t{t} k
-  JOIN embeddings e USING (vec_id)
+  JOIN {src} e USING (vec_id)
   CROSS JOIN (SELECT unnest(range(1, 17)) AS d) d
   GROUP BY 1, 2, 3
 ),
@@ -7583,6 +7631,92 @@ LIMIT 10
 ORACLES["sim_ann_suite"] += f"""
 UNION ALL
 SELECT 'ivfpq' AS surface, t.* FROM ({_IVFPQ_TOPK_SQL}) t
+"""
+
+#: RESIDUAL IVFPQ (r14, VERDICT r13 #3 — FAISS by_residual=True):
+#: residuals x - centroid[cell] are derived for the whole corpus, the
+#: Lloyd codebook training runs over THEM (same unrolled CTE chain,
+#: pointed at resvec), codes quantize residuals of probed cells only,
+#: and each row's ADC terms use the query residual against ITS cell's
+#: centroid — the SQL replay of
+#: functions/similarity.py::ivfpq_topk(residual=True) +
+#: ivfpq_train_residual_codebooks.
+_IVFPQ_RES_TOPK_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+acell AS (
+  SELECT vec_id, cid, cv FROM (
+    SELECT e.vec_id, c.cid, c.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv),
+                      c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+resvec AS (
+  SELECT e.vec_id, a.cid,
+         list_transform(range(1, 65),
+                        i -> CAST(e.embedding AS DOUBLE[])[i] - a.cv[i]) AS rv
+  FROM embeddings e JOIN acell a USING (vec_id)
+),
+probe AS (
+  SELECT c.cid FROM cents c CROSS JOIN q
+  ORDER BY list_distance(q.qv, c.cv), c.cid LIMIT 6
+),
+base AS (
+  SELECT vec_id, rv AS bv FROM resvec ORDER BY vec_id LIMIT 16
+),
+{_pq_trained_cb_sql(n_iter=2, src="resvec", vec="e.rv")},
+codes AS (
+  SELECT r.vec_id, r.cid, c.s, c.cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY r.vec_id, c.s
+           ORDER BY list_dot_product(c.cv, c.cv)
+                    - 2 * list_dot_product(
+                        r.rv[(c.s*16+1):(c.s*16+16)], c.cv),
+                    c.j
+         ) AS rn
+  FROM resvec r CROSS JOIN cb c
+  WHERE r.cid IN (SELECT cid FROM probe)
+),
+terms AS (
+  SELECT k.vec_id, k.s,
+         list_dot_product(k.cv, k.cv)
+         - 2 * list_dot_product(
+             list_transform(range(k.s*16 + 1, k.s*16 + 17),
+                            i -> q.qv[i] - ct.cv[i]),
+             k.cv) AS t
+  FROM codes k
+  JOIN acell a ON a.vec_id = k.vec_id
+  JOIN cents ct ON ct.cid = a.cid
+  CROSS JOIN q
+  WHERE k.rn = 1
+),
+adc AS (
+  SELECT vec_id,
+         ((MAX(CASE WHEN s = 0 THEN t END)
+           + MAX(CASE WHEN s = 1 THEN t END))
+          + MAX(CASE WHEN s = 2 THEN t END))
+         + MAX(CASE WHEN s = 3 THEN t END) AS d
+  FROM terms GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY d, vec_id LIMIT 50)
+SELECT e.vec_id, round({_COS_Q}, 5) AS cos5
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY {_COS_Q} DESC, e.vec_id
+LIMIT 10
+"""
+
+ORACLES["sim_ann_suite"] += f"""
+UNION ALL
+SELECT 'ivfpq_res' AS surface, t.* FROM ({_IVFPQ_RES_TOPK_SQL}) t
 """
 
 ORACLES["dedup_minhash_incremental"] = (
