@@ -1688,8 +1688,7 @@ def test_stream_cdc_apply_retries_lost_occ_race_in_stream(
     real_stage = L._stage_version
     state = {"armed": 1, "inside": False}
 
-    def hijack(path, pc, b, touched, writer, base_version=None,
-               schema_json=None):
+    def hijack(path, pc, b, touched, writer, *args, **kwargs):
         if state["armed"] and not state["inside"]:
             state["armed"] -= 1
             state["inside"] = True
@@ -1697,10 +1696,7 @@ def test_stream_cdc_apply_retries_lost_occ_race_in_stream(
                 L.snapshot_backfill(external, table, "p")
             finally:
                 state["inside"] = False
-        return real_stage(
-            path, pc, b, touched, writer,
-            base_version=base_version, schema_json=schema_json,
-        )
+        return real_stage(path, pc, b, touched, writer, *args, **kwargs)
 
     monkeypatch.setattr(L, "_stage_version", hijack)
 
