@@ -1642,6 +1642,76 @@ def merged_snapshot_orders_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, path)
 
 
+#: Filled by mor_snapshot_orders's one-time delete/merge lifecycle
+#: (observability only; correctness rides the 'mor' section hash).
+MOR_STATS: dict[str, float] = {}
+
+
+def mor_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete round trip (r14): the month-partitioned
+    orders snapshot takes two ``snapshot_delete`` commits — Iceberg's
+    equality-delete shape, where each commit writes per-partition
+    DELETE FILES and re-references every data directory unchanged
+    (``sources/layout.py: snapshot_delete``; zero data rewritten,
+    asserted into MOR_STATS) — then one copy-on-write
+    ``snapshot_merge`` re-inserts a subset of the deleted keys, which
+    rewrites THEIR months (reconciling those partitions' delete files)
+    while every other month still carries outstanding deletes the
+    read-time anti-join must apply:
+
+    - MOR DELETE #1: keys % 97 == 0;
+    - MOR DELETE #2: keys % 89 == 0 (a second delete-file generation
+      appended onto partitions the first already touched);
+    - COW RE-INSERT: keys % 291 == 0 (a subset of the %97 deletes)
+      come back with o_totalprice + 10.0.
+
+    The ``a_extended`` 'mor' section aggregates the committed snapshot
+    per month against the SQL-reconstructed final state: a delete row
+    leaking through the anti-join, a re-inserted row shadowed by a
+    stale delete file, or a reconciled partition still dropping rows
+    all break the driver hash."""
+    from .sources.layout import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_mor"
+    )
+    if _snapshot_stale(path, expect_version=4):
+        po = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        snapshot_write(po, path, "o_month", key_bloom=["o_orderkey"])
+        k = F.col("o_orderkey")
+        t0 = time.time()
+        st1 = snapshot_delete(
+            spark,
+            po.filter(k % 97 == 0).select("o_orderkey"),
+            path, "o_month", ["o_orderkey"],
+        )
+        st2 = snapshot_delete(
+            spark,
+            po.filter(k % 89 == 0).select("o_orderkey"),
+            path, "o_month", ["o_orderkey"],
+        )
+        reins = po.filter(k % 291 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+        )
+        st3 = snapshot_merge(
+            spark, reins, path, "o_month", ["o_orderkey"]
+        )
+        MOR_STATS.update(
+            {f"d1_{a}": b for a, b in st1.items()}
+            | {f"d2_{a}": b for a, b in st2.items()}
+            | {f"reins_{a}": b for a, b in st3.items()}
+        )
+        MOR_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read(spark, path)
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -4842,6 +4912,33 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Merge-on-read delete round trip (r14): two equality-delete
+    # commits (per-partition delete files, zero data rewritten) plus a
+    # copy-on-write re-insert of a deleted-key subset; the read path's
+    # partition-scoped anti-join and the rewrite's reconciliation both
+    # sit inside this hash (mor_snapshot_orders).
+    mg5 = (
+        mor_snapshot_orders(spark, sf_dir)
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("mor").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -4872,6 +4969,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mg2)
         .unionByName(mg3)
         .unionByName(mg4)
+        .unionByName(mg5)
         .unionByName(zo)
     )
 
@@ -7101,6 +7199,27 @@ FROM (
     UNION ALL
     SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice
     FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey <> 0
+  ) GROUP BY m
+) UNPIVOT (val FOR metric IN (n, sum_price))
+UNION ALL
+-- merge-on-read delete round trip (r14): reconstruct the final state
+-- of two equality-delete commits (%97, then %89) plus a copy-on-write
+-- re-insert of the %291 (= %97 subset) keys at price+10.0 — the
+-- partitions the re-insert rewrote reconciled their delete files,
+-- every other month's deletes apply at read time.
+SELECT 'mor' AS section, m AS k1, '' AS k2, metric,
+       val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT m,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m, o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice + 10.0
+    FROM orders WHERE o_orderkey % 291 = 0
   ) GROUP BY m
 ) UNPIVOT (val FOR metric IN (n, sum_price))
 UNION ALL

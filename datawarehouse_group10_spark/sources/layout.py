@@ -47,6 +47,7 @@ __all__ = [
     "snapshot_compact",
     "snapshot_backfill",
     "snapshot_merge",
+    "snapshot_delete",
     "snapshot_restore",
     "snapshot_gc",
 ]
@@ -1307,6 +1308,8 @@ def _stage_version(
     base_partial: bool = False,
     entry_extra=None,
     key_bloom_spec: dict | None = None,
+    synth_entries=None,
+    extra_meta: dict | None = None,
 ) -> tuple[int, dict]:
     """Shared commit protocol for every snapshot writer: CLAIM the next
     version atomically (:func:`_allocate_version` — no two writers ever
@@ -1366,6 +1369,13 @@ def _stage_version(
         for key, extra in entry_extra(snap, set(fresh)).items():
             if key in fresh:
                 fresh[key].update(extra)
+    if synth_entries is not None:
+        # caller-SYNTHESIZED whole entries (r14, merge-on-read delete):
+        # touched partitions whose DATA directory is re-referenced
+        # unchanged but whose entry gains metadata (a delete-file
+        # list). They ride the delta segment exactly like rewritten
+        # partitions — O(touched) metadata, zero data work.
+        fresh.update(synth_entries(snap))
     parts = {
         val: entry
         for val, entry in base_partitions.items()
@@ -1444,6 +1454,13 @@ def _stage_version(
         # like the schema, so merges keep maintaining per-partition
         # blooms no matter which writer touches the table
         manifest["key_bloom"] = key_bloom_spec
+    for mk, mv in (extra_meta or {}).items():
+        manifest[mk] = mv
+    if "dv_key" not in manifest and base is not None and base.get("dv_key"):
+        # the table's merge-on-read delete key set (r14): carried
+        # commit-to-commit like the schema so later deletes validate
+        # against it in O(1)
+        manifest["dv_key"] = base["dv_key"]
     if schema_json is None and base is not None:
         schema_json = base.get("schema")
     if schema_json is not None:
@@ -1598,6 +1615,90 @@ LAST_SCAN_FILES_TOTAL = 0
 LAST_SCAN_FILES_READ = 0
 
 
+def _scan_plan(
+    path: str,
+    version: int | None = None,
+    partitions: set[str] | None = None,
+    prune: dict[str, tuple] | None = None,
+) -> tuple[list[tuple[str, list[str]]], list[dict], object]:
+    """``(scan_groups, dv_refs, partition_col)`` — the full scan plan:
+    the data-directory groups :func:`snapshot_scan_groups` returns,
+    plus the merge-on-read delete-file descriptors (r14) of every
+    SCANNED partition that carries outstanding deletes, plus the
+    manifest's partition-col spec (needed to derive the partition key
+    the delete anti-join scopes on). See the public wrapper for the
+    group semantics."""
+    import os
+
+    version, raw = _validated_raw(path, version)
+    pc = raw["partition_col"]
+    pcols = _pcols(pc)
+    norm_prune = _norm_prune(prune)
+    keys = set(partitions) if partitions is not None else None
+    key_range = None
+    if keys is None and norm_prune is not None and len(pcols) == 1:
+        # single-column partitioning: the manifest key IS the column
+        # value, so a string-bounded prune range on it is a key range
+        # (numeric bounds don't map to lexical key order — skip, the
+        # per-entry _key_passes_prune below still applies them)
+        rng = norm_prune.get(pcols[0])
+        if (
+            rng is not None
+            and isinstance(rng[0], str)
+            and isinstance(rng[1], str)
+        ):
+            key_range = (rng[0], rng[1])
+    global LAST_SCAN_FILES_TOTAL, LAST_SCAN_FILES_READ
+
+    m = _manifest_resolve(path, raw, keys=keys, key_range=key_range)
+    LAST_SCAN_FILES_TOTAL = 0
+    LAST_SCAN_FILES_READ = 0
+    groups: dict[str, list[str]] = {}
+    dvs: list[dict] = []
+    for val in sorted(m["partitions"]):
+        if partitions is not None and val not in partitions:
+            continue
+        entry = m["partitions"][val]
+        if not _key_passes_prune(pcols, val, norm_prune):
+            continue
+        if not _entry_passes_prune(entry, norm_prune):
+            continue
+        if "dv" in entry:
+            # outstanding merge-on-read deletes (r14): collected for
+            # every partition the plan scans, applied by
+            # _read_version's scoped anti-join
+            dvs.append(entry["dv"])
+        pdir = os.path.join(path, entry["root"], _part_relpath(pc, val))
+        if norm_prune is not None and "fstats" in entry:
+            # per-FILE skipping inside a surviving partition (r14,
+            # VERDICT r13 #2): the entry carries each file's column
+            # bounds, so a selective read of a sharded hot partition
+            # plans only the overlapping files — zero footer I/O, the
+            # stats were paid once at write time. An empty keep-list
+            # is a correct full skip (every file provably misses).
+            kept = [
+                f
+                for f, fs in sorted(entry["fstats"].items())
+                if _file_passes_prune(fs, norm_prune)
+            ]
+            LAST_SCAN_FILES_TOTAL += entry["files"]
+            LAST_SCAN_FILES_READ += len(kept)
+            if len(kept) < entry["files"]:
+                groups.setdefault(entry["root"], []).extend(
+                    os.path.join(pdir, f) for f in kept
+                )
+                continue
+        groups.setdefault(entry["root"], []).append(pdir)
+    return (
+        [
+            (os.path.join(path, root), dirs)
+            for root, dirs in sorted(groups.items())
+        ],
+        dvs,
+        pc,
+    )
+
+
 def snapshot_scan_groups(
     path: str,
     version: int | None = None,
@@ -1625,66 +1726,57 @@ def snapshot_scan_groups(
     manifest resolve is SCOPED by ``partitions`` (or, for a prune on a
     single partition column with string-normed bounds — the
     date-partitioned hot path — by the key range itself), so segments
-    whose key range misses the scope are never opened or parsed."""
+    whose key range misses the scope are never opened or parsed.
+
+    DATA directories only: a partition's outstanding merge-on-read
+    delete files (r14) are NOT reflected here — external single-dir
+    consumers get a superset scan. In-engine readers go through
+    :func:`snapshot_read` / :func:`_read_version`, which apply them."""
+    return _scan_plan(path, version, partitions, prune)[0]
+
+
+def _read_version(
+    spark,
+    path: str,
+    version: int | None = None,
+    partitions: set[str] | None = None,
+    prune: dict[str, tuple] | None = None,
+    schema_json: str | None = None,
+) -> DataFrame | None:
+    """Scan a snapshot version AND apply its outstanding merge-on-read
+    delete files (r14) — the internal read every in-engine consumer
+    (snapshot_read, snapshot_diff, the MERGE probe) goes through.
+
+    Delete application is ONE broadcast anti-join whose condition
+    carries the PARTITION-KEY leg: a delete row (written with the
+    partition key it was matched in) only ever eliminates rows of THAT
+    partition. This is what makes the global union of scanned delete
+    files correct — a key re-inserted after a delete lands in a
+    REWRITTEN partition (rewrites drop delete refs), whose partition
+    key no surviving delete row carries. Scanned partitions without
+    delete refs pass through the join untouched (their partition key
+    matches no delete row), so the plan stays a single scan + one
+    broadcast hash anti-join — no split, no shuffle."""
     import os
 
-    version, raw = _validated_raw(path, version)
-    pc = raw["partition_col"]
-    pcols = _pcols(pc)
-    norm_prune = _norm_prune(prune)
-    keys = set(partitions) if partitions is not None else None
-    key_range = None
-    if keys is None and norm_prune is not None and len(pcols) == 1:
-        # single-column partitioning: the manifest key IS the column
-        # value, so a string-bounded prune range on it is a key range
-        # (numeric bounds don't map to lexical key order — skip, the
-        # per-entry _key_passes_prune below still applies them)
-        rng = norm_prune.get(pcols[0])
-        if (
-            rng is not None
-            and isinstance(rng[0], str)
-            and isinstance(rng[1], str)
-        ):
-            key_range = (rng[0], rng[1])
-    global LAST_SCAN_FILES_TOTAL, LAST_SCAN_FILES_READ
-
-    m = _manifest_resolve(path, raw, keys=keys, key_range=key_range)
-    LAST_SCAN_FILES_TOTAL = 0
-    LAST_SCAN_FILES_READ = 0
-    groups: dict[str, list[str]] = {}
-    for val in sorted(m["partitions"]):
-        if partitions is not None and val not in partitions:
-            continue
-        entry = m["partitions"][val]
-        if not _key_passes_prune(pcols, val, norm_prune):
-            continue
-        if not _entry_passes_prune(entry, norm_prune):
-            continue
-        pdir = os.path.join(path, entry["root"], _part_relpath(pc, val))
-        if norm_prune is not None and "fstats" in entry:
-            # per-FILE skipping inside a surviving partition (r14,
-            # VERDICT r13 #2): the entry carries each file's column
-            # bounds, so a selective read of a sharded hot partition
-            # plans only the overlapping files — zero footer I/O, the
-            # stats were paid once at write time. An empty keep-list
-            # is a correct full skip (every file provably misses).
-            kept = [
-                f
-                for f, fs in sorted(entry["fstats"].items())
-                if _file_passes_prune(fs, norm_prune)
-            ]
-            LAST_SCAN_FILES_TOTAL += entry["files"]
-            LAST_SCAN_FILES_READ += len(kept)
-            if len(kept) < entry["files"]:
-                groups.setdefault(entry["root"], []).extend(
-                    os.path.join(pdir, f) for f in kept
-                )
-                continue
-        groups.setdefault(entry["root"], []).append(pdir)
-    return [
-        (os.path.join(path, root), dirs)
-        for root, dirs in sorted(groups.items())
+    groups, dvs, pc = _scan_plan(path, version, partitions, prune)
+    df = _read_groups(spark, groups, schema_json)
+    if df is None or not dvs:
+        return df
+    key = list(dvs[0]["key"])
+    files = sorted({f for d in dvs for f in d["files"]})
+    dk = (
+        spark.read.parquet(*[os.path.join(path, f) for f in files])
+        .select("_dv_pkey", *[f"_dv_k{i}" for i in range(len(key))])
+        .distinct()
+    )
+    keyed = df.withColumn("_dv_read_pk", _part_key_col(pc))
+    cond = [keyed["_dv_read_pk"] == dk["_dv_pkey"]] + [
+        keyed[c] == dk[f"_dv_k{i}"] for i, c in enumerate(key)
     ]
+    return keyed.join(F.broadcast(dk), cond, "left_anti").drop(
+        "_dv_read_pk"
+    )
 
 
 def _read_groups(spark, groups, schema_json: str | None = None) -> DataFrame | None:
@@ -1745,18 +1837,16 @@ def snapshot_read(
     the schema comes from the version FILE, never a full resolve)."""
     _v, raw = _validated_raw(path, version)
     m = raw  # schema lives in the version file itself
-    df = _read_groups(
-        spark,
-        snapshot_scan_groups(path, version, partitions, prune),
+    df = _read_version(
+        spark, path, version, partitions, prune,
         schema_json=m.get("schema"),
     )
     if df is None:
         if partitions is not None or prune is not None:
             # everything pruned: a valid EMPTY result — take the schema
             # from the unfiltered snapshot without scanning data
-            full = _read_groups(
-                spark,
-                snapshot_scan_groups(path, version),
+            full = _read_version(
+                spark, path, version,
                 schema_json=m.get("schema"),
             )
             if full is not None:
@@ -1789,7 +1879,14 @@ def snapshot_read_path(path: str, version: int | None = None) -> str:
     one path); in-engine readers use :func:`snapshot_read`."""
     import os
 
-    groups = snapshot_scan_groups(path, version)
+    groups, dvs, _pc = _scan_plan(path, version)
+    if dvs:
+        raise ValueError(
+            f"snapshot under {path} carries outstanding merge-on-read "
+            "delete files — no directory scan alone is the table; "
+            "read it with snapshot_read(), or fold the deletes with "
+            "snapshot_compact() first"
+        )
     roots = {base for base, _dirs in groups}
     if len(roots) != 1:
         raise ValueError(
@@ -1922,24 +2019,34 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
     for v in _snapshot_versions(path):
         m = _manifest_resolve(path, _manifest_read(path, v))
         if m is not None:
-            out.append(
-                {
-                    "version": v,
-                    "committed": v == committed,
-                    "lineage": v == committed
-                    or _version_is_committed(path, v),
-                    "files": sum(e["files"] for e in m["partitions"].values()),
-                    "rows": sum(e["rows"] for e in m["partitions"].values()),
-                    "bytes": sum(e["bytes"] for e in m["partitions"].values()),
-                }
+            h = {
+                "version": v,
+                "committed": v == committed,
+                "lineage": v == committed
+                or _version_is_committed(path, v),
+                "files": sum(e["files"] for e in m["partitions"].values()),
+                "rows": sum(e["rows"] for e in m["partitions"].values()),
+                "bytes": sum(e["bytes"] for e in m["partitions"].values()),
+            }
+            dv_rows = sum(
+                (e.get("dv") or {}).get("rows", 0)
+                for e in m["partitions"].values()
             )
+            if dv_rows:
+                # physical rows minus outstanding merge-on-read
+                # deletes = the logical row count readers see (an
+                # upper bound: a delete key can match several rows)
+                h["dv_rows"] = dv_rows
+            out.append(h)
             continue
         if committed is not None and v <= committed:
             # manifest reclaimed by gc -> not a readable commit anymore
             continue
         snap = os.path.join(path, f"v{v}")
         files = rows = nbytes = 0
-        for dirpath, _dirs, names in os.walk(snap):
+        for dirpath, dirnames, names in os.walk(snap):
+            # delete files are not data files
+            dirnames[:] = [d for d in dirnames if d != "_dv"]
             for f in names:
                 if not f.endswith(".parquet"):
                     continue
@@ -2011,10 +2118,20 @@ def _diff_manifests(
         b_m = _manifest_resolve(path, b_raw)
         cand = set(a_m["partitions"]) | set(b_m["partitions"])
     a_p, b_p = a_m["partitions"], b_m["partitions"]
+
+    def _sig(e: dict) -> tuple:
+        # a partition's logical content is (data root, delete files):
+        # a merge-on-read delete (r14) changes rows without moving the
+        # root, so the dv file list is part of the change signature
+        return (
+            e.get("root"),
+            tuple((e.get("dv") or {}).get("files", ())),
+        )
+
     changed = {
         v
         for v in cand
-        if (a_p.get(v) or {}).get("root") != (b_p.get(v) or {}).get("root")
+        if _sig(a_p.get(v) or {}) != _sig(b_p.get(v) or {})
     }
     return changed, a_m, b_m
 
@@ -2089,14 +2206,12 @@ def snapshot_diff(
     # exceptAll compares aligned rows); legacy manifests without a
     # persisted schema fall back to inference + name alignment.
     schema_json = m_to.get("schema") or m_from.get("schema")
-    a_df = _read_groups(
-        spark,
-        snapshot_scan_groups(path, from_version, changed),
+    a_df = _read_version(
+        spark, path, from_version, partitions=changed,
         schema_json=schema_json,
     )
-    b_df = _read_groups(
-        spark,
-        snapshot_scan_groups(path, to_version, changed),
+    b_df = _read_version(
+        spark, path, to_version, partitions=changed,
         schema_json=schema_json,
     )
     if a_df is None:
@@ -2182,6 +2297,12 @@ def snapshot_compact(
         v
         for v, e in parts.items()
         if e["files"] > max(1, -(-e["rows"] // rows_per_file)) + slack
+        # a partition carrying merge-on-read delete files (r14) is
+        # fragmented by definition: compaction is the designated
+        # fold-back — the rewrite reads THROUGH the deletes
+        # (snapshot_read applies them) and the fresh entry drops the
+        # references, returning the partition to plain-scan cost
+        or "dv" in e
     }
     if not frag:
         return {
@@ -2216,15 +2337,33 @@ def snapshot_compact(
             .parquet(snap)
         )
 
-    def carry_blooms(_snap: str, fresh_keys: set[str]) -> dict:
+    def carry_blooms(snap: str, fresh_keys: set[str]) -> dict:
         # compaction rewrites FILES, not rows: every rewritten
         # partition's key bloom is still exact — carry it forward
-        # instead of recomputing (r14)
-        return {
+        # instead of recomputing (r14). The exception is a partition
+        # whose merge-on-read deletes this rewrite just folded: rows
+        # WERE removed, so its bloom is recomputed from the fresh
+        # files (carrying the superset would stay correct — blooms
+        # never false-negative — but would never tighten)
+        out = {
             k: {"kb": parts[k]["kb"]}
             for k in fresh_keys
-            if k in parts and "kb" in parts[k]
+            if k in parts and "kb" in parts[k] and "dv" not in parts[k]
         }
+        dv_keys = {
+            k
+            for k in fresh_keys
+            if k in parts and "dv" in parts[k] and "kb" in parts[k]
+        }
+        if dv_keys and m.get("key_bloom") is not None:
+            recomputed = _key_bloom_extra(
+                spark, snap, partition_col, m["key_bloom"],
+                m.get("schema") or df.schema.json(),
+            )
+            out.update(
+                {k: v for k, v in recomputed.items() if k in dv_keys}
+            )
+        return out
 
     version, new_m = _stage_version(
         path, partition_col, m, frag, writer, base_version=committed,
@@ -2351,6 +2490,122 @@ def _ranges_overlap(a_lo, a_hi, b_lo, b_hi) -> bool:
     if num != isinstance(b_lo, (int, float)):
         return True
     return not (a_hi < b_lo or a_lo > b_hi)
+
+
+def _probe_scope(
+    path: str,
+    raw: dict,
+    partition_col,
+    key_cols: list[str],
+    batch: DataFrame,
+    keys: DataFrame,
+) -> tuple[dict, dict, set[str], bool]:
+    """Scoped metadata resolve + candidate selection for a key-equality
+    probe — the shared front half of :func:`snapshot_merge` and
+    :func:`snapshot_delete` (r14). Returns ``(m, parts, candidates,
+    base_partial)``:
+
+    - the resolve is SCOPED to the partitions the probe can possibly
+      match: the batch's exact derived partition keys when every
+      partition leg derives from a key column, the batch's key range
+      when the single partition column IS a key column with
+      string-normed bounds, full otherwise (``base_partial`` reports
+      whether ``parts`` holds only the in-scope entries);
+    - ``candidates`` then drops every in-scope partition whose
+      manifest key-column [min, max] stats provably miss the batch's
+      key bounds (partition-column key legs compare against the
+      manifest KEY itself — partition values carry no footer stats),
+      and finally consults the per-partition key blooms when the table
+      declares a bloom policy. Pruning is only ever an optimization:
+      missing stats / blooms keep the partition a candidate."""
+    bounds_row = batch.agg(
+        *[
+            f(c).alias(f"{tag}_{i}")
+            for i, c in enumerate(key_cols)
+            for tag, f in (("lo", F.min), ("hi", F.max))
+        ]
+    ).first()
+    raw_lo = [bounds_row[f"lo_{i}"] for i in range(len(key_cols))]
+    bounds = [
+        (
+            _stat_norm(bounds_row[f"lo_{i}"]),
+            _stat_norm(bounds_row[f"hi_{i}"]),
+        )
+        for i in range(len(key_cols))
+    ]
+
+    scope_keys: set[str] | None = None
+    scope_range: tuple[str, str] | None = None
+    base_partial = False
+    segs = raw.get("segments")
+    typed = (
+        isinstance(segs, list)
+        and bool(segs)
+        and all(isinstance(s, dict) for s in segs)
+        and raw.get("n_live") is not None
+        and raw.get("schema") is not None
+    )
+    pcols_early = _pcols(partition_col)
+    psrc = _psrc_cols(partition_col)
+    if typed and any(r is None for r in raw_lo):
+        scope_keys = set()  # empty/all-NULL-key batch: nothing matches
+        base_partial = True
+    elif typed and all(s in key_cols for s in psrc):
+        # EXACT partition scope (r14): every partition-key leg derives
+        # from a key column, and the probe is an equality join on the
+        # key columns — so a matched row's partition key necessarily
+        # equals some batch row's derived key. One tiny distinct
+        # collect (O(batch partitions)) gives the exact candidate set,
+        # through any transform (days/bucket/...), no monotonicity or
+        # stats needed. Upsert targets are by definition in the same
+        # set.
+        scope_keys = {
+            r[0]
+            for r in batch.select(
+                _part_key_col(partition_col).alias("_pk")
+            )
+            .distinct()
+            .collect()
+        }
+        base_partial = True
+    elif typed and len(pcols_early) == 1 and pcols_early[0] in key_cols:
+        p_lo, p_hi = bounds[key_cols.index(pcols_early[0])]
+        if isinstance(p_lo, str) and isinstance(p_hi, str):
+            scope_range = (p_lo, p_hi)
+            base_partial = True
+    m = _manifest_resolve(path, raw, keys=scope_keys, key_range=scope_range)
+    parts = m["partitions"]
+
+    if any(r is None for r in raw_lo):
+        # empty batch or an all-NULL key column: the equality semi-join
+        # can never match -> probe nothing.
+        candidates: set[str] = set()
+    elif any(lo is None for lo, _hi in bounds):
+        # a key type _stat_norm can't order: pruning is only ever an
+        # optimization, degrade to probing every partition.
+        candidates = set(parts)
+    else:
+        key_norm = {c: bounds[i] for i, c in enumerate(key_cols)}
+        candidates = {
+            val
+            for val, e in parts.items()
+            if _key_passes_prune(_pcols(partition_col), val, key_norm)
+            and all(
+                (rng := e.get("stats", {}).get(c)) is None
+                or _ranges_overlap(rng[0], rng[1], bounds[i][0], bounds[i][1])
+                for i, c in enumerate(key_cols)
+            )
+        }
+    # Key-bloom consult AFTER the range check (r14, VERDICT r13 #4):
+    # on unordered high-cardinality keys (uuids) the range stats prune
+    # nothing — membership digests do. False positives only add probe
+    # partitions; a candidate without a bloom is kept.
+    bloom_spec = m.get("key_bloom")
+    if bloom_spec is not None and candidates:
+        candidates = _key_bloom_probe(
+            keys, key_cols, parts, candidates, bloom_spec
+        )
+    return m, parts, candidates, base_partial
 
 
 def snapshot_merge(
@@ -2489,125 +2744,29 @@ def snapshot_merge(
         upserts = batch
     keys = batch.select(*key_cols).distinct()
 
-    # Manifest-stat key-range pruning of the matched-home probe: one
-    # tiny agg on the batch for its key bounds, then a driver-side
-    # overlap test per manifest entry. A key column with no stats in a
-    # partition (unsupported type, truncated footer) keeps that
-    # partition a candidate — pruning is only ever an optimization.
-    # Key columns that ARE partition columns carry no footer stats at
-    # all (stripped from the files), so they additionally prune by the
-    # manifest KEY itself (_key_passes_prune, r13) — without this, the
-    # common CDC shape "keyed on (partition_date, id)" probed every
-    # partition.
-    bounds_row = batch.agg(
-        *[
-            f(c).alias(f"{tag}_{i}")
-            for i, c in enumerate(key_cols)
-            for tag, f in (("lo", F.min), ("hi", F.max))
-        ]
-    ).first()
-    raw_lo = [bounds_row[f"lo_{i}"] for i in range(len(key_cols))]
-    bounds = [
-        (
-            _stat_norm(bounds_row[f"lo_{i}"]),
-            _stat_norm(bounds_row[f"hi_{i}"]),
-        )
-        for i in range(len(key_cols))
-    ]
-
-    # Scoped metadata resolve (r14, VERDICT r13 #1): when the (single)
-    # partition column is itself a key column with string-normed batch
-    # bounds — the r13 partition-key probe case — the batch's key
-    # range IS a partition-key range, and every partition this merge
-    # can touch (matched homes AND upsert targets: the equality join
-    # pins the partition leg) lies inside it. Manifest segments whose
-    # key range misses it are never opened, so plan-time metadata is
-    # O(relevant), not O(partitions_total). Requires the typed r14
-    # version-file format (per-segment ranges + n_live + schema);
-    # anything else resolves fully, exactly as before.
-    scope_keys: set[str] | None = None
-    scope_range: tuple[str, str] | None = None
-    base_partial = False
-    segs = raw.get("segments")
-    typed = (
-        isinstance(segs, list)
-        and bool(segs)
-        and all(isinstance(s, dict) for s in segs)
-        and raw.get("n_live") is not None
-        and raw.get("schema") is not None
+    # Manifest-stat key-range pruning of the matched-home probe
+    # (shared with snapshot_delete since r14 — see _probe_scope): one
+    # tiny agg on the batch for its key bounds, a SCOPED metadata
+    # resolve (exact derived keys / key range when the partition legs
+    # derive from key columns — VERDICT r13 #1), then a driver-side
+    # stats overlap test + key-bloom consult per in-scope entry.
+    m, parts, candidates, base_partial = _probe_scope(
+        path, raw, partition_col, key_cols, batch, keys
     )
-    pcols_early = _pcols(partition_col)
-    psrc = _psrc_cols(partition_col)
-    exact_scope = False
-    if typed and any(r is None for r in raw_lo):
-        scope_keys = set()  # empty/all-NULL-key batch: nothing matches
-        base_partial = True
-    elif typed and all(s in key_cols for s in psrc):
-        # EXACT partition scope (r14): every partition-key leg derives
-        # from a key column, and the probe is an equality join on the
-        # key columns — so a matched row's partition key necessarily
-        # equals some batch row's derived key. One tiny distinct
-        # collect (O(batch partitions)) gives the exact candidate set,
-        # through any transform (days/bucket/...), no monotonicity or
-        # stats needed. Upsert targets are by definition in the same
-        # set.
-        scope_keys = {
-            r[0]
-            for r in batch.select(
-                _part_key_col(partition_col).alias("_pk")
-            )
-            .distinct()
-            .collect()
-        }
-        base_partial = True
-        exact_scope = True
-    elif typed and len(pcols_early) == 1 and pcols_early[0] in key_cols:
-        p_lo, p_hi = bounds[key_cols.index(pcols_early[0])]
-        if isinstance(p_lo, str) and isinstance(p_hi, str):
-            scope_range = (p_lo, p_hi)
-            base_partial = True
-    m = _manifest_resolve(path, raw, keys=scope_keys, key_range=scope_range)
-    parts = m["partitions"]
-
-    if any(r is None for r in raw_lo):
-        # empty batch or an all-NULL key column: the equality semi-join
-        # can never match -> probe nothing.
-        candidates = set()
-    elif any(lo is None for lo, _hi in bounds):
-        # a key type _stat_norm can't order: pruning is only ever an
-        # optimization, degrade to probing every partition.
-        candidates = set(parts)
-    else:
-        key_norm = {c: bounds[i] for i, c in enumerate(key_cols)}
-        candidates = {
-            val
-            for val, e in parts.items()
-            if _key_passes_prune(_pcols(partition_col), val, key_norm)
-            and all(
-                (rng := e.get("stats", {}).get(c)) is None
-                or _ranges_overlap(rng[0], rng[1], bounds[i][0], bounds[i][1])
-                for i, c in enumerate(key_cols)
-            )
-        }
-    # Key-bloom consult AFTER the range check (r14, VERDICT r13 #4):
-    # on unordered high-cardinality keys (uuids) the range stats prune
-    # nothing — membership digests do. False positives only add probe
-    # partitions; a candidate without a bloom is kept.
     bloom_spec = m.get("key_bloom")
-    if bloom_spec is not None and candidates:
-        candidates = _key_bloom_probe(
-            keys, key_cols, parts, candidates, bloom_spec
-        )
     probe = (
-        _read_groups(
-            spark,
-            snapshot_scan_groups(path, partitions=candidates),
+        # dv-aware read (r14): a key removed by an outstanding
+        # merge-on-read delete must not re-match — it would force a
+        # pointless partition rewrite
+        _read_version(
+            spark, path, partitions=candidates,
             schema_json=m.get("schema"),
         )
         if candidates
         else None
     )
     pcols = _pcols(partition_col)
+    psrc = _psrc_cols(partition_col)
     pkey = _part_key_col(partition_col).alias("_pkey")
     matched_vals = (
         # partition keys recompute from the transform SOURCE columns
@@ -2853,6 +3012,171 @@ def snapshot_merge(
     }
 
 
+def snapshot_delete(
+    spark,
+    batch: DataFrame,
+    path: str,
+    partition_col,
+    key_cols: list[str],
+) -> dict[str, int]:
+    """Row-level DELETE with MERGE-ON-READ granularity (r14) — the
+    Iceberg equality-delete shape, where :func:`snapshot_merge`
+    (copy-on-write) would rewrite every touched partition.
+
+    ``batch`` carries the key columns of the rows to remove. For each
+    partition the keys actually match, the commit writes a tiny
+    per-partition DELETE FILE (parquet: the matched key values + the
+    partition key) under the new version root's ``_dv/`` tree and
+    re-states the partition's manifest entry with the SAME data root
+    plus the delete-file reference — the data is never rewritten. A
+    3-key GDPR delete against a 1 TB partition costs three rows of
+    parquet and one O(touched) metadata commit, not a 1 TB rewrite.
+
+    Readers (:func:`_read_version` — snapshot_read, snapshot_diff, the
+    MERGE probe) apply outstanding delete files as ONE broadcast
+    anti-join on (partition key, business key). The partition-key leg
+    is what makes a global union of delete files correct: a delete
+    file is referenced by the entry of the partition it was matched
+    in, that partition's data directory is immutable while the
+    reference exists (any data rewrite — merge upsert, backfill,
+    compaction — reads THROUGH the deletes and drops the reference),
+    and a key re-inserted later lands in a rewritten, reference-free
+    partition whose key no surviving delete row carries.
+
+    Read cost grows with outstanding delete rows; maintenance folds
+    them back: :func:`snapshot_compact` treats a delete-carrying
+    partition as fragmented and reconciles it. All merge-on-read
+    deletes on one table must use ONE key set (persisted as
+    ``dv_key`` and validated O(1) per commit); deleting keys that
+    match nothing publishes a pure re-referencing commit. Probe cost
+    parity with merge: the same scoped resolve + manifest key-range
+    stats + per-partition key blooms (:func:`_probe_scope`) bound the
+    candidate read, then one key semi-join finds the matched
+    partitions. Returns {"partitions_touched", "probe_partitions",
+    "partitions_total", "dv_rows", "old_version", "new_version"}."""
+    import os
+
+    committed, raw = _validated_raw(path, None)
+    dv_key = raw.get("dv_key")
+    if dv_key is not None and list(dv_key) != list(key_cols):
+        raise ValueError(
+            f"snapshot_delete: table already carries delete files "
+            f"keyed on {dv_key} — one key set per table; fold them "
+            "with snapshot_compact() before re-keying"
+        )
+    missing = sorted(set(key_cols) - set(batch.columns))
+    if missing:
+        raise ValueError(
+            f"snapshot_delete: batch is missing key column(s) {missing}"
+        )
+    keys = batch.select(*key_cols).distinct()
+    m, parts, candidates, base_partial = _probe_scope(
+        path, raw, partition_col, key_cols, keys, keys
+    )
+    schema_json = m.get("schema")
+    probe = (
+        _read_version(
+            spark, path, partitions=candidates, schema_json=schema_json
+        )
+        if candidates
+        else None
+    )
+    pcols = _pcols(partition_col)
+    psrc = _psrc_cols(partition_col)
+    touched: set[str] = set()
+    matched = None
+    if probe is not None:
+        matched = (
+            probe.select(*dict.fromkeys([*psrc, *key_cols]))
+            .join(keys, key_cols, "left_semi")
+            .distinct()
+        )
+        touched = {
+            r[0]
+            for r in matched.select(
+                _part_key_col(partition_col).alias("_pk")
+            )
+            .distinct()
+            .collect()
+        }
+
+    writer = None
+    synth = None
+    if touched:
+        keyed = _derive_pcols(
+            matched.withColumn(
+                "_dv_pkey", _part_key_col(partition_col)
+            ),
+            partition_col,
+        )
+        # key values ride under positional aliases (_dv_k0, ...): a
+        # key column that IS a partition column would otherwise be
+        # stripped into the hive directory and lost to the reader,
+        # which reads delete files by explicit path (no basePath, no
+        # lossy partition-type inference)
+        shaped = keyed.select(
+            *[
+                F.col(c).alias(f"_dv_k{i}")
+                for i, c in enumerate(key_cols)
+            ],
+            "_dv_pkey",
+            *[F.col(c) for c in pcols],
+        ).repartition(*[F.col(c) for c in pcols])
+
+        def writer(snap: str) -> None:
+            (
+                shaped.write.mode("append")
+                .partitionBy(*pcols)
+                .parquet(os.path.join(snap, "_dv"))
+            )
+
+        def synth(snap: str) -> dict:
+            import pyarrow.parquet as pq
+
+            out: dict[str, dict] = {}
+            dvroot = os.path.join(snap, "_dv")
+            for key, leaf in _discover_parts(
+                dvroot, partition_col
+            ).items():
+                files: list[str] = []
+                rows = 0
+                for fname in sorted(os.listdir(leaf)):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    full = os.path.join(leaf, fname)
+                    rows += pq.ParquetFile(full).metadata.num_rows
+                    files.append(os.path.relpath(full, path))
+                e = dict(parts[key])
+                old = e.get("dv") or {"files": [], "rows": 0}
+                e["dv"] = {
+                    "key": list(key_cols),
+                    "files": [*old["files"], *files],
+                    "rows": old["rows"] + rows,
+                }
+                out[key] = e
+            return out
+
+    version, new_m = _stage_version(
+        path, partition_col, m, touched, writer,
+        base_version=committed, schema_json=schema_json,
+        base_partial=base_partial, synth_entries=synth,
+        extra_meta={"dv_key": list(key_cols)} if touched else None,
+    )
+    dv_rows = sum(
+        (new_m["partitions"][k].get("dv") or {}).get("rows", 0)
+        - ((parts.get(k) or {}).get("dv") or {}).get("rows", 0)
+        for k in touched
+    )
+    return {
+        "partitions_touched": len(touched),
+        "probe_partitions": len(candidates),
+        "partitions_total": raw.get("n_live", len(parts)),
+        "dv_rows": dv_rows,
+        "old_version": committed,
+        "new_version": version,
+    }
+
+
 def snapshot_restore(path: str, version: int) -> dict[str, int]:
     """RESTORE the table to a retained earlier version — as a NEW
     commit (Delta's ``RESTORE TABLE ... TO VERSION AS OF``), never by
@@ -2947,9 +3271,12 @@ def snapshot_gc(
         else set()
     )
     dead = doomed_set | orphan_set
-    # every (root, partition relpath) and every manifest SEGMENT any
-    # surviving version file references
+    # every (root, partition relpath), every merge-on-read delete FILE
+    # (r14 — dv files live under the root of the version that wrote
+    # them while being referenced by LATER versions' entries), and
+    # every manifest SEGMENT any surviving version file references
     referenced: set[tuple[str, str]] = set()
+    referenced_dv: set[str] = set()
     live_segs: set[str] = set()
     for v in versions:
         if v in dead:
@@ -2962,6 +3289,7 @@ def snapshot_gc(
         pc = m["partition_col"]
         for val, e in m["partitions"].items():
             referenced.add((e["root"], _part_relpath(pc, val)))
+            referenced_dv.update((e.get("dv") or {}).get("files", ()))
     for v in dead:
         _meta_store().delete(_manifest_file(path, v))
         _meta_store().delete(_manifest_file(path, v) + ".claim")
@@ -3014,6 +3342,17 @@ def snapshot_gc(
         for rel in _leaves(root, ""):
             if (f"v{v}", rel) not in referenced:
                 shutil.rmtree(os.path.join(root, rel))
+        # merge-on-read delete files (r14): reclaim the ones no
+        # retained manifest entry references anymore (the partition
+        # was rewritten, or every referencing version was reclaimed);
+        # the empty-dir sweep below folds the emptied _dv tree
+        dvroot = os.path.join(root, "_dv")
+        if os.path.isdir(dvroot):
+            for dirpath, _dvdirs, names in os.walk(dvroot):
+                for fname in names:
+                    full = os.path.join(dirpath, fname)
+                    if os.path.relpath(full, path) not in referenced_dv:
+                        os.remove(full)
         for d in os.listdir(root):
             full = os.path.join(root, d)
             if v in dead and not os.path.isdir(full):

@@ -3787,3 +3787,239 @@ def test_snapshot_merge_auto_shards_from_target_file_size(spark, tmp_path):
     )
     assert st2["write_shards"] == 1
     assert snapshot_manifest(path)["partitions"]["cold"]["files"] == 1
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read deletes (r14): per-partition delete files, read-time
+# anti-join, reconciliation by every rewrite path
+# ---------------------------------------------------------------------------
+
+
+def _stage_mor_table(spark, tmp_path, name="mor"):
+    from datawarehouse_group10_spark.sources.layout import snapshot_write
+
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(p, i, float(i)) for p in ("a", "b", "c") for i in range(10)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p", key_bloom=["k"])
+    return path
+
+
+def test_snapshot_delete_is_metadata_plus_delete_files(spark, tmp_path):
+    """A MOR delete rewrites NOTHING: the new version root holds only
+    the _dv tree, every data entry re-references its old directory,
+    and the commit stays O(touched) metadata."""
+    import glob
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    path = _stage_mor_table(spark, tmp_path)
+    v1 = snapshot_version(path)
+    dels = spark.createDataFrame([(3,), (7,)], "k int")
+    st = snapshot_delete(spark, dels, path, "p", ["k"])
+    assert st["partitions_touched"] == 3
+    assert st["dv_rows"] == 6
+    root = os.path.join(path, f"v{st['new_version']}")
+    data_files = [
+        f
+        for f in glob.glob(f"{root}/**/*.parquet", recursive=True)
+        if f"{os.sep}_dv{os.sep}" not in f
+    ]
+    assert data_files == []  # zero data rewritten
+    m = snapshot_manifest(path)
+    assert all(e["root"] == "v1" for e in m["partitions"].values())
+    assert all(
+        e["dv"]["key"] == ["k"] and e["dv"]["rows"] == 2
+        for e in m["partitions"].values()
+    )
+    got = snapshot_read(spark, path)
+    assert got.count() == 24
+    assert got.filter(F.col("k").isin(3, 7)).count() == 0
+    # time travel to the pre-delete version is unaffected
+    assert snapshot_read(spark, path, version=v1).count() == 30
+
+
+def test_snapshot_delete_scoping_survives_reinsert(spark, tmp_path):
+    """THE correctness trap of global delete-key unions: after a key is
+    deleted table-wide and then re-inserted into one partition (whose
+    rewrite drops its delete refs), the other partitions' still-
+    referenced delete rows must not shadow the new row — the
+    anti-join's partition-key leg scopes them."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = _stage_mor_table(spark, tmp_path)
+    snapshot_delete(
+        spark, spark.createDataFrame([(3,)], "k int"), path, "p", ["k"]
+    )
+    # re-insert k=3 into partition 'a' (copy-on-write rewrite of 'a')
+    batch = spark.createDataFrame(
+        [("a", 3, 33.0, False)], "p string, k int, v double, del boolean"
+    )
+    snapshot_merge(spark, batch, path, "p", ["p", "k"], delete_col="del")
+    m = snapshot_manifest(path)
+    assert "dv" not in m["partitions"]["a"]  # rewrite reconciled
+    assert "dv" in m["partitions"]["b"]  # still outstanding
+    got = snapshot_read(spark, path)
+    a3 = got.filter((F.col("p") == "a") & (F.col("k") == 3)).collect()
+    assert [(r["v"]) for r in a3] == [33.0]
+    assert got.filter((F.col("p") == "b") & (F.col("k") == 3)).count() == 0
+    assert got.count() == 28
+
+
+def test_snapshot_delete_probe_pruning_and_noop(spark, tmp_path):
+    """Probe parity with merge: key-range stats bound the candidate
+    read on a key-clustered table, blooms kill absent-key probes
+    entirely, and a no-match delete publishes a pure re-referencing
+    commit (no delete files, dv_key untouched)."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "clustered")
+    # k clustered by partition: p0 holds 0-99, p1 100-199, ...
+    df = spark.createDataFrame(
+        [(f"p{i // 100}", i, float(i)) for i in range(500)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p", key_bloom=["k"])
+    st = snapshot_delete(
+        spark,
+        spark.createDataFrame([(120,), (150,)], "k int"),
+        path, "p", ["k"],
+    )
+    assert st["probe_partitions"] == 1  # range stats prune 4 of 5
+    assert st["partitions_touched"] == 1
+    # absent keys INSIDE a partition's range: the bloom kills the probe
+    st2 = snapshot_delete(
+        spark,
+        spark.createDataFrame([(100000,)], "k int"),
+        path, "p", ["k"],
+    )
+    assert st2["probe_partitions"] == 0
+    assert st2["partitions_touched"] == 0
+    assert st2["new_version"] > st2["old_version"]  # still a commit
+    assert snapshot_read(spark, path).count() == 498
+    m = snapshot_manifest(path)
+    assert m["dv_key"] == ["k"]
+
+
+def test_snapshot_delete_key_set_is_table_level(spark, tmp_path):
+    from datawarehouse_group10_spark.sources.layout import snapshot_delete
+
+    path = _stage_mor_table(spark, tmp_path)
+    snapshot_delete(
+        spark, spark.createDataFrame([(3,)], "k int"), path, "p", ["k"]
+    )
+    with pytest.raises(ValueError, match="one key set"):
+        snapshot_delete(
+            spark,
+            spark.createDataFrame([("a", 4)], "p string, k int"),
+            path, "p", ["p", "k"],
+        )
+
+
+def test_snapshot_delete_compact_folds_and_gc_reclaims(spark, tmp_path):
+    """snapshot_compact treats dv-carrying partitions as fragmented:
+    the rewrite reads through the deletes, drops the refs, recomputes
+    the touched blooms; gc then reclaims the unreferenced delete
+    files; the no-op property holds on the folded table; and
+    snapshot_read_path refuses a dv-carrying snapshot."""
+    import glob
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_gc,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_read_path,
+    )
+
+    path = _stage_mor_table(spark, tmp_path)
+    snapshot_delete(
+        spark, spark.createDataFrame([(3,), (7,)], "k int"), path, "p", ["k"]
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        snapshot_read_path(path)
+    kb_before = snapshot_manifest(path)["partitions"]["a"]["kb"]
+    st = snapshot_compact(spark, path, "p")
+    assert st["partitions_compacted"] == 3  # all dv-carrying
+    m = snapshot_manifest(path)
+    assert all("dv" not in e for e in m["partitions"].values())
+    assert m["partitions"]["a"]["kb"] != kb_before  # recomputed, tighter
+    assert snapshot_read(spark, path).count() == 24
+    snapshot_read_path(path)  # single-root again after the fold
+    # clean-table no-op property preserved
+    st2 = snapshot_compact(spark, path, "p")
+    assert st2["old_version"] == st2["new_version"]
+    snapshot_gc(path, keep=1)
+    assert glob.glob(f"{path}/v*/_dv/**/*.parquet", recursive=True) == []
+    assert snapshot_read(spark, path).count() == 24
+
+
+def test_snapshot_delete_diff_sees_dv_only_change(spark, tmp_path):
+    """A delete changes a partition's logical content without moving
+    its data root: snapshot_diff must treat the dv list as part of the
+    change signature and emit the removed rows."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_diff,
+        snapshot_version,
+    )
+
+    path = _stage_mor_table(spark, tmp_path)
+    v1 = snapshot_version(path)
+    st = snapshot_delete(
+        spark, spark.createDataFrame([(3,)], "k int"), path, "p", ["k"]
+    )
+    d = snapshot_diff(spark, path, v1, st["new_version"], "p").collect()
+    assert {(r["_change"], r["p"], r["k"]) for r in d} == {
+        ("delete", p, 3) for p in ("a", "b", "c")
+    }
+
+
+def test_snapshot_delete_transform_partitioned(spark, tmp_path):
+    """Hidden-transform partitioning composes with MOR deletes: the
+    probe scopes to the batch's exact derived bucket keys, delete
+    files land under the derived hive dirs, and the read-side
+    anti-join re-derives the partition key from the source column."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "mor_bucketed")
+    spec = {"b": ("bucket", 4, "k")}
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k int, v double"
+    )
+    snapshot_write(df, path, spec)
+    st = snapshot_delete(
+        spark,
+        spark.createDataFrame([(5,), (6,)], "k int"),
+        path, spec, ["k"],
+    )
+    # exact derived-key scope: at most the batch's distinct buckets
+    assert st["probe_partitions"] <= 2
+    assert st["dv_rows"] == 2
+    got = snapshot_read(spark, path)
+    assert got.count() == 198
+    assert got.filter(F.col("k").isin(5, 6)).count() == 0
+    assert got.columns == ["k", "v"]  # derived col stays hidden
