@@ -3463,13 +3463,48 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing into 7-token windows (small window so every doc
-    produces several ragged-tail chunks at test scale)."""
+    """Two packing surfaces over the documents corpus, one schema
+    (surface, doc_id, i1, i2, i3, i4, n_tokens, chunk_text):
+
+    - 'chunks': per-document 7-token windows (small window so every
+      doc produces several ragged-tail chunks at test scale) —
+      i1=chunk_idx, content in chunk_text;
+    - 'pack' (r14): CROSS-document GPT-style concat-and-chunk packing
+      (functions/packing.py: hash-sharded, hash-ordered prefix sum,
+      cut every 31 tokens, straddling documents split with boundaries
+      recorded) — i1=shard, i2=seq_id, i3=doc_offset, i4=seq_offset.
+      The DuckDB oracle replays the whole layout: same md5 shard and
+      order, same window prefix sum, same segment arithmetic — any
+      drift in ordering, cumulative sums, or boundary math breaks the
+      hash. seq_len=31 (prime, ≪ doc length) forces straddles."""
     _utc(spark)
+    from .functions.packing import pack_sequences
     from .functions.text import chunk_token_windows
 
     docs = _t(spark, sf_dir, "documents")
-    return chunk_token_windows(docs, window=7)
+    nul_s = F.lit(None).cast("string")
+    z = F.lit(0).cast("int")
+    ch = chunk_token_windows(docs, window=7).select(
+        F.lit("chunks").alias("surface"),
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("i1"),
+        z.alias("i2"),
+        z.alias("i3"),
+        z.alias("i4"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk_text",
+    )
+    pk = pack_sequences(docs, seq_len=31, shards=4).select(
+        F.lit("pack").alias("surface"),
+        "doc_id",
+        F.col("shard").alias("i1"),
+        F.col("seq_id").cast("int").alias("i2"),
+        F.col("doc_offset").cast("int").alias("i3"),
+        F.col("seq_offset").alias("i4"),
+        "n_tokens",
+        nul_s.alias("chunk_text"),
+    )
+    return ch.unionByName(pk)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8134,12 +8169,44 @@ idx AS (
   SELECT doc_id, t,
          unnest(range(CAST(ceil(len(t) / 7.0) AS BIGINT))) AS chunk_idx
   FROM toks
+),
+-- 'pack' surface (r14): replay the GPT-style concat-and-chunk layout
+-- exactly — md5 shard + order, per-shard token prefix sum, cut every
+-- 31 tokens, straddling docs split across sequences.
+ptoks AS (
+  SELECT doc_id, len(t) AS n,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8))::BIGINT
+           % 4 AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':pack') AS ord
+  FROM toks WHERE len(t) > 0
+),
+cum AS (
+  SELECT doc_id, shard, n,
+         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+  FROM ptoks
+),
+seg AS (
+  SELECT doc_id, shard, cend - n AS cstart, cend,
+         unnest(range((cend - n) // 31, (cend - 1) // 31 + 1)) AS seq
+  FROM cum
 )
-SELECT doc_id,
-       CAST(chunk_idx AS INT) AS chunk_idx,
-       array_to_string(t[chunk_idx * 7 + 1 : chunk_idx * 7 + 7], ' ') AS chunk_text,
-       CAST(LEAST(7, len(t) - chunk_idx * 7) AS INT) AS n_tokens
+SELECT 'chunks' AS surface, doc_id,
+       CAST(chunk_idx AS INT) AS i1,
+       0 AS i2, 0 AS i3, 0 AS i4,
+       CAST(LEAST(7, len(t) - chunk_idx * 7) AS INT) AS n_tokens,
+       array_to_string(t[chunk_idx * 7 + 1 : chunk_idx * 7 + 7], ' ') AS chunk_text
 FROM idx
+UNION ALL
+SELECT 'pack' AS surface, doc_id,
+       CAST(shard AS INT) AS i1,
+       CAST(seq AS INT) AS i2,
+       CAST(GREATEST(cstart, seq * 31) - cstart AS INT) AS i3,
+       CAST(GREATEST(cstart, seq * 31) - seq * 31 AS INT) AS i4,
+       CAST(LEAST(cend, (seq + 1) * 31)
+            - GREATEST(cstart, seq * 31) AS INT) AS n_tokens,
+       CAST(NULL AS VARCHAR) AS chunk_text
+FROM seg
 """
 
 # Connected components of the exact-Jaccard pair graph via recursive

@@ -1991,3 +1991,136 @@ def test_stream_cdc_apply_partial_columns(spark, tmp_path):
         for r in snapshot_read(spark, table).collect()
     }
     assert got == {1: (111.0, "one"), 2: (20.0, "two"), 7: (70.0, None)}
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (r14): GPT-style concat-and-chunk into fixed-length
+# training sequences, closed-form from one prefix sum
+# ---------------------------------------------------------------------------
+
+
+def _pack_corpus(spark, n_docs=60):
+    # token counts 1..12 words, deterministic content
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(i % 12 + 1)))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_pack_sequences_tiles_exactly(spark):
+    """Per document: segments contiguous from 0 and summing to the doc's
+    token count. Per (shard, sequence): segments tile [0, seq_len)
+    exactly, except each shard's last (ragged) sequence. Zero padding
+    waste by construction."""
+    from datawarehouse_group10_spark.functions.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+    from datawarehouse_group10_spark.functions.text import token_count
+
+    docs = _pack_corpus(spark)
+    L = 17
+    packed = pack_sequences(docs, seq_len=L, shards=3).collect()
+
+    by_doc: dict[int, list] = {}
+    by_seq: dict[tuple, list] = {}
+    for r in packed:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", token_count("text").alias("n")
+        ).collect()
+    }
+    for d, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_offset"])
+        assert segs[0]["doc_offset"] == 0
+        pos = 0
+        for s in segs:
+            assert s["doc_offset"] == pos
+            pos += s["n_tokens"]
+        assert pos == toks[d]
+    assert set(by_doc) == {d for d, n in toks.items() if n > 0}
+
+    last_seq = {}
+    for (sh, sq) in by_seq:
+        last_seq[sh] = max(last_seq.get(sh, -1), sq)
+    for (sh, sq), segs in by_seq.items():
+        segs.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in segs:
+            assert s["seq_offset"] == pos
+            pos += s["n_tokens"]
+        if sq < last_seq[sh]:
+            assert pos == L  # full tile — no padding waste
+        else:
+            assert 0 < pos <= L  # the one ragged tail per shard
+    # every shard's sequence ids are dense from 0
+    for sh, mx in last_seq.items():
+        assert {q for s, q in by_seq if s == sh} == set(range(mx + 1))
+
+    stats = {r["shard"]: r for r in packing_stats(
+        pack_sequences(docs, seq_len=L, shards=3), seq_len=L
+    ).collect()}
+    for sh, r in stats.items():
+        assert r["n_seqs"] == last_seq[sh] + 1
+        assert 0.0 < r["fill_ratio"] <= 1.0
+        # fill only falls short by the single ragged tail
+        assert r["n_tokens"] > (r["n_seqs"] - 1) * L
+
+
+def test_pack_sequences_is_stable_under_corpus_growth(spark):
+    """Hash ordering: re-running is bit-identical, and growing the
+    corpus never swaps the relative order of pre-existing documents
+    within a shard (their hashes don't move)."""
+    from datawarehouse_group10_spark.functions.packing import pack_sequences
+
+    docs = _pack_corpus(spark, 40)
+    a = sorted(
+        map(tuple, pack_sequences(docs, seq_len=17, shards=3).collect())
+    )
+    b = sorted(
+        map(tuple, pack_sequences(docs, seq_len=17, shards=3).collect())
+    )
+    assert a == b
+
+    def order_key(packed):
+        # (shard, first seq, seq_offset) sorts docs by stream position
+        first = {}
+        for r in packed:
+            k = (r["shard"], r["seq_id"], r["seq_offset"])
+            if r["doc_id"] not in first or k < first[r["doc_id"]]:
+                first[r["doc_id"]] = k
+        return first
+
+    small = order_key(pack_sequences(docs, seq_len=17, shards=3).collect())
+    grown = order_key(
+        pack_sequences(_pack_corpus(spark, 80), seq_len=17, shards=3).collect()
+    )
+    for shard in range(3):
+        old = sorted(
+            (k, d) for d, k in small.items() if k[0] == shard
+        )
+        new_rank = {
+            d: k for d, k in grown.items() if k[0] == shard
+        }
+        old_docs = [d for _k, d in old]
+        assert old_docs == sorted(
+            old_docs, key=lambda d: new_rank[d]
+        )  # relative order preserved after growth
+
+
+def test_pack_sequences_plan_is_one_shuffle(spark):
+    """The packing layout costs ONE exchange (the per-shard window);
+    the segment explode and all offset arithmetic stay in the same
+    stage — the property that keeps it linear at 100 TB."""
+    from datawarehouse_group10_spark.functions.packing import pack_sequences
+
+    packed = pack_sequences(_pack_corpus(spark), seq_len=17, shards=3)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 1, plan
+    assert "PythonUDF" not in plan
