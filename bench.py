@@ -142,6 +142,10 @@ SECONDARY = [
     "sim_ivfpq_topk",
     "dedup_semantic",
     "text_lm_scores",
+    # r14: cross-document sequence packing at production shape
+    # (seq_len=2048, shards=32); the registry rides text_chunks'
+    # 'pack' surface at oracle-friendly parameters.
+    "text_pack",
 ]
 
 
@@ -225,6 +229,13 @@ def main() -> None:
     secondary["snapshot_merge_tf_apply"] = contract.MERGE_TF_STATS.get(
         "seconds", 0.0
     )
+    # r14: merge-on-read delete lifecycle (two equality-delete commits
+    # + a COW re-insert of a deleted-key subset); the apply entry is
+    # the deletes+merge alone, the stage entry includes the base load
+    t0 = time.time()
+    contract.mor_snapshot_orders(spark, SF_DIR)
+    secondary["snapshot_mor_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_mor_apply"] = contract.MOR_STATS.get("seconds", 0.0)
 
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 

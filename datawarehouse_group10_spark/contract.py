@@ -3507,6 +3507,18 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.unionByName(pk)
 
 
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench body (not registered — the registry rides text_chunks'
+    'pack' surface): cross-document sequence packing at production
+    shape, seq_len=2048 and one shard per core."""
+    _utc(spark)
+    from .functions.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=2048, shards=32
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component resolution of exact-Jaccard near-dup pairs into
     (doc_id, canonical_id) keep decisions. The Spark side iterates
