@@ -42,6 +42,7 @@ __all__ = [
     "snapshot_scan_groups",
     "snapshot_manifest",
     "snapshot_version",
+    "snapshot_version_at",
     "snapshot_history",
     "snapshot_diff",
     "snapshot_compact",
@@ -1469,6 +1470,14 @@ def _stage_version(
         # valid zero-partition snapshot, and reading it back needs a
         # schema no data file can provide anymore (ADVICE r12 #5).
         manifest["schema"] = schema_json
+    import time as _time
+
+    # commit wall-clock time (r14): the AS-OF-timestamp time-travel
+    # anchor (snapshot_version_at). Informational, never part of the
+    # OCC protocol — version ORDER is what CAS serializes; a stepped
+    # clock only blurs which version an as-of query lands on, exactly
+    # as in Delta/Iceberg.
+    manifest["ts"] = round(_time.time(), 6)
     meta_bytes += len(json.dumps(manifest, separators=(",", ":")))
     LAST_COMMIT_META_BYTES = meta_bytes
     _manifest_write(path, manifest)
@@ -1484,6 +1493,57 @@ def snapshot_version(path: str) -> int:
     if committed is None:
         raise FileNotFoundError(f"no _COMMITTED pointer under {path}")
     return committed
+
+
+def _ts_norm(ts) -> float:
+    """Normalize an as-of timestamp: epoch seconds pass through,
+    datetimes take .timestamp(), ISO-8601 strings parse — NAIVE
+    strings/datetimes are interpreted as UTC (the engine's session
+    timezone), never the host's locale."""
+    import datetime
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"as_of must be epoch seconds, datetime, or ISO string, got {type(ts)}")
+
+
+def snapshot_version_at(path: str, ts) -> int:
+    """AS-OF-TIMESTAMP time travel resolution (r14 — Delta's
+    ``TIMESTAMP AS OF``): the latest committed, still-retained version
+    whose commit wall-clock time is <= ``ts`` (epoch seconds, datetime,
+    or ISO-8601 string; naive values read as UTC). Commit times are
+    stamped into every version file by the shared staging protocol;
+    resolution walks the commit chain's version files — O(retention
+    depth) tiny reads, explicit-time-travel only, never the
+    committed-pointer hot path. Versions predating the timestamp
+    feature carry no stamp and count as arbitrarily old (eligible
+    under any ``ts``). Raises when ``ts`` predates every retained
+    commit — including a table gc'd past it: retention is the visible
+    knob bounding how far back an as-of query can reach."""
+    norm = _ts_norm(ts)
+    committed = snapshot_version(path)
+    best = None
+    for v in _commit_chain(path):
+        if v > committed:
+            break
+        raw = _manifest_read(path, v)
+        if raw is None:
+            continue  # gc-reclaimed: not readable history anymore
+        cts = raw.get("ts")
+        if cts is None or cts <= norm:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"no retained commit under {path} at or before {ts!r} — "
+            "the timestamp predates the table or its retention window"
+        )
+    return best
 
 
 def _validated_raw(path: str, version: int | None) -> tuple[int, dict]:
@@ -1823,6 +1883,7 @@ def snapshot_read(
     version: int | None = None,
     partitions: set[str] | None = None,
     prune: dict[str, tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Read a snapshot version as a DataFrame — the canonical reader:
     resolve the manifest once, scan exactly the partition directories
@@ -1834,7 +1895,19 @@ def snapshot_read(
     on top). Both are manifest-level pruning: the dropped partitions
     cost no directory listing, no footer read, no task — and since r14
     no metadata parse either (the resolve inside scan_groups is scoped;
-    the schema comes from the version FILE, never a full resolve)."""
+    the schema comes from the version FILE, never a full resolve).
+
+    ``as_of`` (r14) is TIMESTAMP time travel — epoch seconds,
+    datetime, or ISO-8601 string (naive = UTC), resolved to the latest
+    retained commit at or before that instant
+    (:func:`snapshot_version_at`); mutually exclusive with
+    ``version``."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "snapshot_read: pass version= or as_of=, not both"
+            )
+        version = snapshot_version_at(path, as_of)
     _v, raw = _validated_raw(path, version)
     m = raw  # schema lives in the version file itself
     df = _read_version(
@@ -2028,6 +2101,8 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
                 "rows": sum(e["rows"] for e in m["partitions"].values()),
                 "bytes": sum(e["bytes"] for e in m["partitions"].values()),
             }
+            if m.get("ts") is not None:
+                h["ts"] = m["ts"]  # commit wall time (r14, as-of anchor)
             dv_rows = sum(
                 (e.get("dv") or {}).get("rows", 0)
                 for e in m["partitions"].values()

@@ -2876,9 +2876,10 @@ def test_snapshot_commit_validation_is_o1(spark, tmp_path):
 def test_snapshot_layout_randomized_against_model(
     spark, tmp_path, meta_store
 ):
-    """Model-based fuzz of the snapshot layout (r13): a seeded-random
-    sequence of full-row merges, partial (update_cols) merges,
-    backfills, and compactions is mirrored into a plain Python dict
+    """Model-based fuzz of the snapshot layout (r13; merge-on-read
+    deletes joined r14): a seeded-random sequence of full-row merges,
+    partial (update_cols) merges, MOR deletes, backfills, and
+    compactions is mirrored into a plain Python dict
     model; after EVERY commit the committed snapshot must equal the
     model exactly, every retained version must time-travel to its
     recorded model state, and a final gc keeps the live state intact.
@@ -2920,7 +2921,9 @@ def test_snapshot_layout_randomized_against_model(
     version = 1
 
     for step in range(10):
-        op = rng.choice(["merge", "merge", "merge_pc", "backfill", "compact"])
+        op = rng.choice(
+            ["merge", "merge", "merge_pc", "mor_delete", "backfill", "compact"]
+        )
         if op == "merge":
             ops: dict[int, tuple] = {}
             for _ in range(rng.randint(1, 5)):
@@ -2960,6 +2963,20 @@ def test_snapshot_layout_randomized_against_model(
             batch = spark.createDataFrame(rows, "k int, p string, v double")
             st = snapshot_merge(
                 spark, batch, path, "p", ["k"], update_cols=["v"]
+            )
+            version = st["new_version"]
+        elif op == "mor_delete":
+            from datawarehouse_group10_spark.sources.layout import (
+                snapshot_delete,
+            )
+
+            ks = sorted(rng.sample(range(0, 25), rng.randint(1, 4)))
+            for k in ks:
+                model.pop(k, None)
+            st = snapshot_delete(
+                spark,
+                spark.createDataFrame([(k,) for k in ks], "k int"),
+                path, "p", ["k"],
             )
             version = st["new_version"]
         elif op == "backfill":
@@ -4023,3 +4040,69 @@ def test_snapshot_delete_transform_partitioned(spark, tmp_path):
     assert got.count() == 198
     assert got.filter(F.col("k").isin(5, 6)).count() == 0
     assert got.columns == ["k", "v"]  # derived col stays hidden
+
+
+def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (r14): every commit stamps its wall time; an
+    as-of read resolves to the latest retained commit at or before
+    the instant (ISO strings and naive datetimes read as UTC);
+    pre-first-commit instants raise; gc'ing a version past retention
+    removes it from as-of reach (the next-older RETAINED commit
+    wins... and if none is retained at that instant, it raises)."""
+    import datetime
+    import time as _t
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_history,
+        snapshot_read,
+        snapshot_version_at,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    t0 = _t.time()
+    _t.sleep(0.02)
+    snapshot_write(
+        spark.createDataFrame(
+            [("a", 1, 1.0)], "p string, k int, v double"
+        ),
+        path, "p",
+    )
+    _t.sleep(0.02)
+    t1 = _t.time()
+    _t.sleep(0.02)
+    snapshot_backfill(
+        spark.createDataFrame(
+            [("a", 2, 2.0)], "p string, k int, v double"
+        ),
+        path, "p",
+    )
+    _t.sleep(0.02)
+    t2 = _t.time()
+
+    assert snapshot_version_at(path, t1) == 1
+    assert snapshot_version_at(path, t2) == 2
+    # ISO string / naive datetime are read as UTC
+    iso = datetime.datetime.fromtimestamp(
+        t1, tz=datetime.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+    assert snapshot_version_at(path, iso) == 1
+    got = {r["k"] for r in snapshot_read(spark, path, as_of=t1).collect()}
+    assert got == {1}
+    assert {
+        r["k"] for r in snapshot_read(spark, path, as_of=t2).collect()
+    } == {2}
+    with pytest.raises(ValueError, match="predates"):
+        snapshot_version_at(path, t0)
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, path, version=1, as_of=t1)
+    # history exposes the anchors
+    hs = {h["version"]: h for h in snapshot_history(path)}
+    assert hs[1]["ts"] < hs[2]["ts"]
+    # past retention, v1 leaves as-of reach
+    snapshot_gc(path, keep=1)
+    with pytest.raises(ValueError, match="predates"):
+        snapshot_version_at(path, t1)
+    assert snapshot_version_at(path, t2) == 2
