@@ -49,6 +49,7 @@ __all__ = [
     "snapshot_backfill",
     "snapshot_merge",
     "snapshot_delete",
+    "snapshot_delete_where",
     "snapshot_restore",
     "snapshot_gc",
 ]
@@ -3250,6 +3251,37 @@ def snapshot_delete(
         "old_version": committed,
         "new_version": version,
     }
+
+
+def snapshot_delete_where(
+    spark,
+    path: str,
+    partition_col,
+    key_cols: list[str],
+    predicate,
+    prune: dict[str, tuple] | None = None,
+) -> dict[str, int]:
+    """DELETE ... WHERE sugar over merge-on-read (r14): read the
+    committed snapshot (optionally manifest-pruned with the same
+    ``{col: (lo, hi)}`` contract as :func:`snapshot_read` — pass the
+    predicate's range so untouched partitions cost nothing), filter
+    with ``predicate`` (a Column or a SQL string), project the key
+    columns, and hand the matched keys to :func:`snapshot_delete`.
+
+    Scale shape: the scan is column-pruned to the key + predicate
+    columns of the prune-surviving partitions; the commit is the MOR
+    delete's — per-partition delete files, zero data rewritten. The
+    degenerate full-partition case (predicate = the partition key) is
+    better served by a backfill/merge that tombstones the partition
+    outright; this is the surgical shape."""
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    keys = (
+        snapshot_read(spark, path, prune=prune)
+        .filter(cond)
+        .select(*key_cols)
+        .distinct()
+    )
+    return snapshot_delete(spark, keys, path, partition_col, key_cols)
 
 
 def snapshot_restore(path: str, version: int) -> dict[str, int]:

@@ -945,6 +945,7 @@ def run_stream_cdc_apply(
     timeout_sec: int = 300,
     occ_retries: int = 3,
     update_cols: list[str] | None = None,
+    delete_mode: str = "cow",
 ) -> None:
     """Streaming CDC apply: each microbatch of change rows (upserts +
     optionally delete-flagged rows) lands as ONE
@@ -994,29 +995,64 @@ def run_stream_cdc_apply(
     and OCC-retry arguments hold unchanged (replaying "set v=x" over a
     row whose v is already x rewrites identical bytes).
 
+    ``delete_mode="mor"`` (r14) routes a microbatch whose rows are ALL
+    delete-flagged through :func:`sources.layout.snapshot_delete`
+    instead of the copy-on-write merge: one equality-delete-file
+    commit, zero data rewritten — the tombstone-stream shape (GDPR /
+    retention feeds), where COW would rewrite a partition per handful
+    of keys. Mixed batches still merge copy-on-write (one atomic
+    commit; the rewrite folds any outstanding delete files of the
+    partitions it touches). Still one commit per batch, still
+    value-idempotent (a replayed delete batch matches nothing and
+    publishes a re-referencing no-op), so the crash-replay and
+    OCC-retry arguments hold unchanged.
+
     Scale shape per batch: one manifest-stat-pruned key semi-join + a
     rewrite of the touched partitions + ONE manifest/pointer commit
     (cost ∝ batch-touched data, never table size); hot tables want
     batches grouped by partition so the touched set stays narrow.
     """
+    if delete_mode not in ("cow", "mor"):
+        raise ValueError(
+            f"delete_mode must be 'cow' or 'mor', got {delete_mode!r}"
+        )
 
-    from ..sources.layout import ConcurrentWriteError, snapshot_merge
+    from ..sources.layout import (
+        ConcurrentWriteError,
+        snapshot_delete,
+        snapshot_merge,
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        as_mor_delete = False
+        if delete_mode == "mor" and delete_col is not None:
+            flag = F.coalesce(
+                F.col(delete_col).cast("boolean"), F.lit(False)
+            )
+            as_mor_delete = batch_df.filter(~flag).isEmpty()
         for attempt in range(occ_retries + 1):
             try:
-                snapshot_merge(
-                    batch_df.sparkSession,
-                    batch_df,
-                    table_path,
-                    partition_col,
-                    key_cols,
-                    delete_col=delete_col,
-                    seq_col=seq_col,
-                    update_cols=update_cols,
-                )
+                if as_mor_delete:
+                    snapshot_delete(
+                        batch_df.sparkSession,
+                        batch_df.select(*key_cols).distinct(),
+                        table_path,
+                        partition_col,
+                        key_cols,
+                    )
+                else:
+                    snapshot_merge(
+                        batch_df.sparkSession,
+                        batch_df,
+                        table_path,
+                        partition_col,
+                        key_cols,
+                        delete_col=delete_col,
+                        seq_col=seq_col,
+                        update_cols=update_cols,
+                    )
                 return
             except ConcurrentWriteError:
                 # replan against the new committed version: the merge

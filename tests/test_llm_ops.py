@@ -2124,3 +2124,108 @@ def test_pack_sequences_plan_is_one_shuffle(spark):
     n_ex = plan.count("Exchange")
     assert n_ex <= 1, plan
     assert "PythonUDF" not in plan
+
+
+def test_stream_cdc_apply_mor_tombstone_batches(spark, tmp_path):
+    """delete_mode='mor' (r14): an all-delete microbatch lands as ONE
+    equality-delete-file commit (data roots re-referenced unchanged);
+    a later mixed batch merges copy-on-write and folds the delete
+    files of the partitions it touches. Stream order and one commit
+    per batch preserved."""
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import run_stream_cdc_apply
+
+    table = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b", float(i)) for i in range(12)],
+        "k int, p string, v double",
+    )
+    snapshot_write(base, table, "p", key_bloom=["k"])
+
+    src = str(tmp_path / "cdc_in")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(  # pure tombstones: k=2 (a), k=7 (b)
+        [(2, "a", 0.0, True), (7, "b", 0.0, True)],
+        "k int, p string, v double, del boolean",
+    )
+    b2 = spark.createDataFrame(  # mixed: upsert into 'a', delete in 'a'
+        [(3, "a", 33.0, False), (4, "a", 0.0, True)],
+        "k int, p string, v double, del boolean",
+    )
+    for i, b in enumerate((b1, b2)):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("k int, p string, v double, del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_cdc_apply(
+        stream, table, "p", ["k"], delete_col="del",
+        checkpoint_dir=str(tmp_path / "ckpt"), delete_mode="mor",
+    )
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got == {
+        0: 0.0, 1: 1.0, 3: 33.0, 5: 5.0,          # 'a' minus 2,4; 3 upserted
+        6: 6.0, 8: 8.0, 9: 9.0, 10: 10.0, 11: 11.0,  # 'b' minus 7
+    }
+    assert snapshot_version(table) == 3  # base + tombstone commit + merge
+    m = snapshot_manifest(table)
+    # b1's MOR commit re-referenced both data roots; b2's COW merge
+    # rewrote 'a' (folding its delete file); 'b' still carries its dv
+    assert m["partitions"]["a"]["root"] == "v3"
+    assert "dv" not in m["partitions"]["a"]
+    assert m["partitions"]["b"]["root"] == "v1"
+    assert m["partitions"]["b"]["dv"]["rows"] == 1
+    # the tombstone version wrote NO data files
+    import glob
+
+    v2_files = [
+        f
+        for f in glob.glob(f"{table}/v2/**/*.parquet", recursive=True)
+        if f"{os.sep}_dv{os.sep}" not in f
+    ]
+    assert v2_files == []
+
+
+def test_snapshot_delete_where_predicate(spark, tmp_path):
+    """DELETE WHERE sugar: predicate + prune -> matched keys -> the MOR
+    delete; untouched partitions' data re-referenced."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"p{i // 100}", i, float(i % 7)) for i in range(500)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p", key_bloom=["k"])
+    st = snapshot_delete_where(
+        spark, path, "p", ["k"],
+        "v = 3.0 and k between 100 and 299",
+        prune={"k": (100, 299)},
+    )
+    assert st["partitions_touched"] == 2
+    got = snapshot_read(spark, path)
+    assert got.filter(
+        (F.col("v") == 3.0)
+        & F.col("k").between(100, 299)
+    ).count() == 0
+    assert got.count() == 500 - df.filter(
+        (F.col("v") == 3.0) & F.col("k").between(100, 299)
+    ).count()
