@@ -154,6 +154,29 @@ def main(argv: list[str] | None = None) -> int:
                     "read back NULL (without this flag unknown columns "
                     "raise)")
 
+    sd = sub.add_parser(
+        "snapshot-delete",
+        help="row-level DELETE with merge-on-read granularity: write "
+        "per-partition equality-delete files for the matched keys "
+        "(zero data rewritten; reads apply them until "
+        "snapshot-optimize folds them back)",
+    )
+    sd.add_argument("--table", required=True)
+    sd.add_argument("--partition-col", required=True,
+                    help="partition column, or comma-separated list")
+    sd.add_argument("--key-cols", required=True,
+                    help="comma-separated key column(s) — one delete key "
+                    "set per table")
+    sdg = sd.add_mutually_exclusive_group(required=True)
+    sdg.add_argument("--input",
+                     help="parquet of key rows naming what to delete")
+    sdg.add_argument("--where",
+                     help="SQL predicate over the table; matched rows' "
+                     "keys delete (DELETE WHERE)")
+    sd.add_argument("--prune", default=None,
+                    help="optional col:lo:hi manifest prune range "
+                    "narrowing the --where scan")
+
     sr = sub.add_parser(
         "snapshot-restore",
         help="restore a snapshot table to a retained earlier version as "
@@ -405,6 +428,41 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
 
+        if args.cmd == "snapshot-delete":
+            from .sources.layout import (
+                snapshot_delete,
+                snapshot_delete_where,
+                snapshot_version,
+            )
+
+            keys_cols = [
+                c.strip() for c in args.key_cols.split(",") if c.strip()
+            ]
+            pcols = _snap_pcols(args.partition_col)
+            if args.input:
+                st = snapshot_delete(
+                    spark, spark.read.parquet(args.input), args.table,
+                    pcols, keys_cols,
+                )
+            else:
+                prune = None
+                if args.prune:
+                    col, lo, hi = args.prune.split(":", 2)
+                    prune = {col: (lo, hi)}
+                st = snapshot_delete_where(
+                    spark, args.table, pcols, keys_cols, args.where,
+                    prune=prune,
+                )
+            print(
+                f"snapshot-deleted from {args.table}: "
+                f"{st['dv_rows']} key(s) across "
+                f"{st['partitions_touched']} partition(s), "
+                f"{st['probe_partitions']}/{st['partitions_total']} "
+                f"probed, v{st['old_version']} -> v{st['new_version']} "
+                f"(readers resolve v{snapshot_version(args.table)})"
+            )
+            return 0
+
         if args.cmd == "snapshot-restore":
             from .sources.layout import snapshot_restore
 
@@ -425,9 +483,21 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             for h in hist:
                 mark = " <- committed" if h["committed"] else ""
+                dv = (
+                    f", {h['dv_rows']} outstanding delete key(s)"
+                    if h.get("dv_rows")
+                    else ""
+                )
+                ts = ""
+                if h.get("ts"):
+                    import datetime as _dt
+
+                    ts = " @" + _dt.datetime.fromtimestamp(
+                        h["ts"], tz=_dt.timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ")
                 print(
-                    f"v{h['version']}: {h['files']} file(s), "
-                    f"{h['rows']} row(s), {h['bytes']} byte(s){mark}"
+                    f"v{h['version']}{ts}: {h['files']} file(s), "
+                    f"{h['rows']} row(s), {h['bytes']} byte(s){dv}{mark}"
                 )
             return 0
 
