@@ -50,6 +50,7 @@ __all__ = [
     "snapshot_merge",
     "snapshot_delete",
     "snapshot_delete_where",
+    "snapshot_publish",
     "snapshot_restore",
     "snapshot_gc",
 ]
@@ -1312,6 +1313,7 @@ def _stage_version(
     key_bloom_spec: dict | None = None,
     synth_entries=None,
     extra_meta: dict | None = None,
+    publish: bool = True,
 ) -> tuple[int, dict]:
     """Shared commit protocol for every snapshot writer: CLAIM the next
     version atomically (:func:`_allocate_version` — no two writers ever
@@ -1482,7 +1484,13 @@ def _stage_version(
     meta_bytes += len(json.dumps(manifest, separators=(",", ":")))
     LAST_COMMIT_META_BYTES = meta_bytes
     _manifest_write(path, manifest)
-    _snapshot_commit_cas(path, base_version, version)
+    if publish:
+        _snapshot_commit_cas(path, base_version, version)
+    # publish=False (r14, write-audit-publish): everything is staged —
+    # data root, segments, version file — but no commit token and no
+    # pointer swap. Readers can't see it (the version file records its
+    # base for the later snapshot_publish CAS); an abandoned staging
+    # is exactly the orphan shape gc(orphans=True) reclaims.
     manifest = dict(manifest)
     manifest["partitions"] = parts
     return version, manifest
@@ -1547,12 +1555,29 @@ def snapshot_version_at(path: str, ts) -> int:
     return best
 
 
-def _validated_raw(path: str, version: int | None) -> tuple[int, dict]:
+def _validated_raw(
+    path: str, version: int | None, staged: bool = False
+) -> tuple[int, dict]:
     """Resolve + validate a version number and return its RAW version
     file (segments unresolved) — the shared front half of every plan:
     commit-pointer default, time-travel bounds, orphaned-OCC-loser
     rejection, gc-reclaimed error. Scoped readers (r14) take the raw
-    and resolve only the segments their key scope overlaps."""
+    and resolve only the segments their key scope overlaps.
+
+    ``staged=True`` (r14, write-audit-publish) is the AUDIT read: the
+    explicit ``version`` is accepted purely on its version file
+    existing — no pointer bound, no lineage check — because the whole
+    point is reading a staged-not-yet-published commit. Callers opt in
+    per read; nothing on the default path changes."""
+    if staged:
+        if version is None:
+            raise ValueError("staged=True needs an explicit version")
+        raw = _manifest_read(path, version)
+        if raw is None:
+            raise FileNotFoundError(
+                f"no staged version file v{version} under {path}"
+            )
+        return version, raw
     committed = snapshot_version(path)
     if version is None:
         version = committed
@@ -1681,6 +1706,7 @@ def _scan_plan(
     version: int | None = None,
     partitions: set[str] | None = None,
     prune: dict[str, tuple] | None = None,
+    staged: bool = False,
 ) -> tuple[list[tuple[str, list[str]]], list[dict], object]:
     """``(scan_groups, dv_refs, partition_col)`` — the full scan plan:
     the data-directory groups :func:`snapshot_scan_groups` returns,
@@ -1691,7 +1717,7 @@ def _scan_plan(
     group semantics."""
     import os
 
-    version, raw = _validated_raw(path, version)
+    version, raw = _validated_raw(path, version, staged=staged)
     pc = raw["partition_col"]
     pcols = _pcols(pc)
     norm_prune = _norm_prune(prune)
@@ -1803,6 +1829,7 @@ def _read_version(
     partitions: set[str] | None = None,
     prune: dict[str, tuple] | None = None,
     schema_json: str | None = None,
+    staged: bool = False,
 ) -> DataFrame | None:
     """Scan a snapshot version AND apply its outstanding merge-on-read
     delete files (r14) — the internal read every in-engine consumer
@@ -1820,7 +1847,7 @@ def _read_version(
     broadcast hash anti-join — no split, no shuffle."""
     import os
 
-    groups, dvs, pc = _scan_plan(path, version, partitions, prune)
+    groups, dvs, pc = _scan_plan(path, version, partitions, prune, staged)
     df = _read_groups(spark, groups, schema_json)
     if df is None or not dvs:
         return df
@@ -1885,6 +1912,7 @@ def snapshot_read(
     partitions: set[str] | None = None,
     prune: dict[str, tuple] | None = None,
     as_of=None,
+    staged: bool = False,
 ) -> DataFrame:
     """Read a snapshot version as a DataFrame — the canonical reader:
     resolve the manifest once, scan exactly the partition directories
@@ -1902,18 +1930,24 @@ def snapshot_read(
     datetime, or ISO-8601 string (naive = UTC), resolved to the latest
     retained commit at or before that instant
     (:func:`snapshot_version_at`); mutually exclusive with
-    ``version``."""
+    ``version``.
+
+    ``staged=True`` (r14) is the WRITE-AUDIT-PUBLISH audit read: an
+    explicit ``version`` staged with ``publish=False`` reads without
+    pointer/lineage validation (the version file alone vouches for
+    it), so a quality gate can inspect the would-be commit before
+    :func:`snapshot_publish` makes it visible to everyone else."""
     if as_of is not None:
-        if version is not None:
+        if version is not None or staged:
             raise ValueError(
-                "snapshot_read: pass version= or as_of=, not both"
+                "snapshot_read: as_of is exclusive with version/staged"
             )
         version = snapshot_version_at(path, as_of)
-    _v, raw = _validated_raw(path, version)
+    _v, raw = _validated_raw(path, version, staged=staged)
     m = raw  # schema lives in the version file itself
     df = _read_version(
         spark, path, version, partitions, prune,
-        schema_json=m.get("schema"),
+        schema_json=m.get("schema"), staged=staged,
     )
     if df is None:
         if partitions is not None or prune is not None:
@@ -2696,6 +2730,7 @@ def snapshot_merge(
     update_cols: list[str] | None = None,
     write_shards: int | str | None = None,
     target_file_bytes: int = 128 << 20,
+    publish: bool = True,
 ) -> dict[str, int]:
     """Row-level MERGE INTO the snapshot-pointer table with
     partition-level copy-on-write — upsert (update matched keys, insert
@@ -3076,7 +3111,7 @@ def snapshot_merge(
     version, _new_m = _stage_version(
         path, partition_col, m, touched, writer, base_version=committed,
         schema_json=schema_json, base_partial=base_partial,
-        entry_extra=bloom_extra,
+        entry_extra=bloom_extra, publish=publish,
     )
     return {
         "partitions_rewritten": len(touched),
@@ -3084,6 +3119,9 @@ def snapshot_merge(
         "partitions_total": raw.get("n_live", len(parts)),
         "write_shards": auto_shards,
         "old_version": committed,
+        # publish=False (r14 WAP): this is the STAGED version — audit
+        # it with snapshot_read(version=..., staged=True), then
+        # snapshot_publish() it (or abandon it to gc)
         "new_version": version,
     }
 
@@ -3251,6 +3289,45 @@ def snapshot_delete(
         "old_version": committed,
         "new_version": version,
     }
+
+
+def snapshot_publish(path: str, version: int) -> dict[str, int]:
+    """PUBLISH a staged commit (r14 — Iceberg's write-audit-publish):
+    make a version staged with ``publish=False`` the committed
+    snapshot, through exactly the protocol a direct commit uses — the
+    single-successor token CAS on the base the writer planned against,
+    then the monotonic pointer swap. The WAP flow::
+
+        st = snapshot_merge(..., publish=False)        # stage
+        audit = snapshot_read(spark, path,             # audit
+                              version=st["new_version"], staged=True)
+        ... quality gate over `audit` ...
+        snapshot_publish(path, st["new_version"])      # publish
+
+    Conflict semantics are the layout's normal OCC: if anything else
+    committed on the same base while the audit ran, publishing raises
+    :class:`ConcurrentWriteError` — re-stage against the new committed
+    version (the data may now be stale); nothing of the loser was ever
+    visible. Re-publishing an already-published version is an
+    idempotent no-op (the crash-recovery shape: died between token and
+    pointer swap — the roll-forward inside the CAS finishes it).
+    An ABANDONED staging (audit failed) is exactly the orphan shape
+    ``snapshot_gc(orphans=True)`` reclaims — but note gc's contract:
+    run ``orphans=True`` only when no stage-audit window is open, or
+    it will reclaim the staging under the auditor."""
+    raw = _manifest_read(path, version)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no staged version file v{version} under {path}"
+        )
+    base = raw.get("base") or 0
+    if _succ_read(path, base) == version:
+        # already published (or died between token and pointer swap):
+        # finish/no-op the monotonic pointer advance
+        _snapshot_commit(path, version)
+        return {"published": version, "base": base, "already": 1}
+    _snapshot_commit_cas(path, base, version)
+    return {"published": version, "base": base, "already": 0}
 
 
 def snapshot_delete_where(

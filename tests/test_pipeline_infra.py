@@ -1611,8 +1611,9 @@ def test_cli_snapshot_subcommands(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     hist_out = capsys.readouterr().out.strip().splitlines()
     assert len(hist_out) == 2
-    assert hist_out[0].startswith("v1:") and "committed" not in hist_out[0]
-    assert hist_out[1].startswith("v2:") and hist_out[1].endswith("<- committed")
+    # r14: each line carries the commit wall time (the as-of anchor)
+    assert hist_out[0].startswith("v1 @") and "committed" not in hist_out[0]
+    assert hist_out[1].startswith("v2 @") and hist_out[1].endswith("<- committed")
     assert "400 row(s)" in hist_out[1]
 
     rc = main(["snapshot-gc", "--table", table, "--keep", "1"])
@@ -4096,7 +4097,7 @@ def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
     } == {2}
     with pytest.raises(ValueError, match="predates"):
         snapshot_version_at(path, t0)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="exclusive"):
         snapshot_read(spark, path, version=1, as_of=t1)
     # history exposes the anchors
     hs = {h["version"]: h for h in snapshot_history(path)}
@@ -4106,3 +4107,84 @@ def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="predates"):
         snapshot_version_at(path, t1)
     assert snapshot_version_at(path, t2) == 2
+
+
+def test_snapshot_write_audit_publish(spark, tmp_path):
+    """WAP (r14): a merge staged with publish=False is invisible to
+    every normal read; snapshot_read(staged=True) audits it;
+    snapshot_publish commits it through the normal token CAS
+    (idempotent on republish); a base that moved during the audit
+    fails the publish with ConcurrentWriteError and the abandoned
+    staging is gc(orphans=True) food."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        ConcurrentWriteError,
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_merge,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame(
+            [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+        ),
+        path, "p",
+    )
+    batch = spark.createDataFrame(
+        [("a", 1, 11.0, False), ("a", 3, 3.0, False)],
+        "p string, k int, v double, del boolean",
+    )
+    st = snapshot_merge(
+        spark, batch, path, "p", ["k"], delete_col="del", publish=False
+    )
+    staged_v = st["new_version"]
+    assert snapshot_version(path) == 1  # pointer untouched
+    # normal reads can't see the staging (explicitly or by default)
+    assert {r["k"] for r in snapshot_read(spark, path).collect()} == {1, 2}
+    with _pytest.raises(ValueError, match="above the committed"):
+        snapshot_read(spark, path, version=staged_v)
+    # the audit read sees the would-be commit
+    audit = {
+        r["k"]: r["v"]
+        for r in snapshot_read(
+            spark, path, version=staged_v, staged=True
+        ).collect()
+    }
+    assert audit == {1: 11.0, 2: 2.0, 3: 3.0}
+    # publish -> visible; republish -> idempotent
+    assert snapshot_publish(path, staged_v)["already"] == 0
+    assert snapshot_version(path) == staged_v
+    assert {
+        r["k"]: r["v"] for r in snapshot_read(spark, path).collect()
+    } == audit
+    assert snapshot_publish(path, staged_v)["already"] == 1
+    assert snapshot_version(path) == staged_v
+
+    # conflict: stage, let a backfill win the base, publish loses
+    st2 = snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("a", 1, 99.0, False)], "p string, k int, v double, del boolean"
+        ),
+        path, "p", ["k"], delete_col="del", publish=False,
+    )
+    bf = snapshot_backfill(
+        spark.createDataFrame(
+            [("c", 7, 7.0)], "p string, k int, v double"
+        ),
+        path, "p",
+    )
+    with _pytest.raises(ConcurrentWriteError):
+        snapshot_publish(path, st2["new_version"])
+    # the loser's staging never became visible; orphan gc reclaims it
+    assert snapshot_version(path) == bf["new_version"]
+    reclaimed = snapshot_gc(path, keep=1, orphans=True)
+    assert st2["new_version"] in reclaimed
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1: 11.0, 2: 2.0, 3: 3.0, 7: 7.0}
