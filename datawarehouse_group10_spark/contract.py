@@ -1642,6 +1642,74 @@ def merged_snapshot_orders_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, path)
 
 
+#: Filled by respec_snapshot_orders's one-time evolve/merge lifecycle
+#: (observability only; correctness rides the 'respec' section hash).
+RESPEC_STATS: dict[str, float] = {}
+
+
+def respec_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION round trip (r14): the orders snapshot
+    loads month-partitioned, then ``snapshot_evolve_partitioning``
+    switches it to ``bucket(8, o_orderkey)`` hidden partitioning as a
+    pure-metadata commit (zero data moved — asserted into
+    RESPEC_STATS), and one every-verb MERGE lands on the MIXED-spec
+    table: its probe must find matched homes in the OLD month layout
+    (scoped resolves are disabled mid-migration), rewrite them under
+    the NEW bucket layout (lazy migration), and land inserts in their
+    bucket homes:
+
+    - DELETE: keys % 137 == 0;
+    - UPDATE: keys % 139 == 0 (not deleted) get o_totalprice + 4.0;
+    - INSERT: keys % 149 == 0 (excluding 0) copied with key -k.
+
+    The ``a_extended`` 'respec' section aggregates the committed
+    snapshot per o_orderdate month — from the DATA column, since after
+    evolution the partition layout is hidden — against the
+    SQL-reconstructed final state. A matched home missed in the old
+    layout (duplicate rows), a dropped old-spec partition, or a
+    mis-derived bucket directory all break the hash."""
+    from .sources.layout import (
+        snapshot_evolve_partitioning,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_respec"
+    )
+    spec = {"okb": ("bucket", 8, "o_orderkey")}
+    if _snapshot_stale(path, expect_version=3):
+        po = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        snapshot_write(po, path, "o_month")
+        t0 = time.time()
+        ev = snapshot_evolve_partitioning(path, spec)
+        k = F.col("o_orderkey")
+        dele = po.filter(k % 137 == 0).withColumn("_del", F.lit(True))
+        upd = (
+            po.filter((k % 139 == 0) & (k % 137 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(4.0))
+            .withColumn("_del", F.lit(False))
+        )
+        ins = (
+            po.filter((k % 149 == 0) & (k != 0))
+            .withColumn("o_orderkey", -k)
+            .withColumn("_del", F.lit(False))
+        )
+        st = snapshot_merge(
+            spark, upd.unionByName(dele).unionByName(ins),
+            path, spec, ["o_orderkey"], delete_col="_del",
+        )
+        RESPEC_STATS.update(
+            {f"evolve_{a}": b for a, b in ev.items()}
+            | {f"merge_{a}": b for a, b in st.items()}
+        )
+        RESPEC_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read(spark, path)
+
+
 #: Filled by mor_snapshot_orders's one-time delete/merge lifecycle
 #: (observability only; correctness rides the 'mor' section hash).
 MOR_STATS: dict[str, float] = {}
@@ -4959,6 +5027,33 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Partition-spec evolution round trip (r14): month -> bucket(8)
+    # hidden partitioning as a metadata-only commit, then an
+    # every-verb MERGE on the mixed-spec table (old-layout probe, new-
+    # layout rewrite — lazy migration); per-month aggregate vs the SQL
+    # final state.
+    mg6 = (
+        respec_snapshot_orders(spark, sf_dir)
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(2, 'n', _n, 'sum_price', _s) as (metric, val)",
+        )
+        .select(
+            F.lit("respec").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Merge-on-read delete round trip (r14): two equality-delete
     # commits (per-partition delete files, zero data rewritten) plus a
     # copy-on-write re-insert of a deleted-key subset; the read path's
@@ -5017,6 +5112,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mg3)
         .unionByName(mg4)
         .unionByName(mg5)
+        .unionByName(mg6)
         .unionByName(zo)
     )
 
@@ -7246,6 +7342,27 @@ FROM (
     UNION ALL
     SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice
     FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey <> 0
+  ) GROUP BY m
+) UNPIVOT (val FOR metric IN (n, sum_price))
+UNION ALL
+-- partition-spec evolution round trip (r14): the month->bucket(8)
+-- re-spec is metadata-only, so the final state is plain MERGE-verb
+-- semantics (delete %137, update %139 price+4.0, insert %149 as -key)
+-- aggregated per month; the layout change itself must be invisible.
+SELECT 'respec' AS section, m AS k1, '' AS k2, metric,
+       val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT m,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           CASE WHEN o_orderkey % 139 = 0 THEN o_totalprice + 4.0
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 137 <> 0
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m'), o_totalprice
+    FROM orders WHERE o_orderkey % 149 = 0 AND o_orderkey <> 0
   ) GROUP BY m
 ) UNPIVOT (val FOR metric IN (n, sum_price))
 UNION ALL

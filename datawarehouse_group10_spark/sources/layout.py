@@ -51,6 +51,7 @@ __all__ = [
     "snapshot_delete",
     "snapshot_delete_where",
     "snapshot_publish",
+    "snapshot_evolve_partitioning",
     "snapshot_restore",
     "snapshot_gc",
 ]
@@ -990,6 +991,25 @@ def _pc_store(partition_col):
     return cols[0] if len(cols) == 1 else cols
 
 
+def _entry_pc(raw: dict, entry: dict):
+    """The partition spec an entry's data directory was WRITTEN under
+    (r14, partition-spec evolution). Entries carry no per-entry bytes:
+    the spec is derived from the entry's ``root`` version against the
+    version file's ``pc_history`` — a list of ``{"before": V, "pc":
+    spec}`` records appended by :func:`snapshot_evolve_partitioning`,
+    meaning "roots numbered < V were written under ``spec``". Tables
+    that never evolved have no history: every entry uses the current
+    spec, zero overhead."""
+    hist = raw.get("pc_history")
+    if not hist:
+        return raw["partition_col"]
+    n = int(entry["root"][1:])
+    for rec in hist:  # oldest evolution first
+        if n < rec["before"]:
+            return rec["pc"]
+    return raw["partition_col"]
+
+
 def _part_relpath(partition_col, key: str) -> str:
     """Hive relpath of a partition key: ``a=x/b=y`` for key ``x/y``."""
     cols = _pcols(partition_col)
@@ -1385,6 +1405,23 @@ def _stage_version(
         for val, entry in base_partitions.items()
         if val not in touched
     }
+    if base is not None and base.get("pc_history"):
+        clash = {
+            k
+            for k in fresh
+            if k in parts
+            and _entry_pc(base, parts[k]) != base["partition_col"]
+        }
+        if clash:
+            # a freshly-written current-spec key equal to an untouched
+            # OLD-spec entry's key would silently shadow that entry's
+            # data in the first-wins resolve — refuse; migrate first
+            raise ValueError(
+                "snapshot layout: partition key(s) "
+                f"{sorted(clash)} collide across partition specs — "
+                "run snapshot_compact() to finish the spec migration "
+                "before writing these keys"
+            )
     parts.update(fresh)
 
     seg_id = f"v{version}"
@@ -1459,7 +1496,23 @@ def _stage_version(
         # blooms no matter which writer touches the table
         manifest["key_bloom"] = key_bloom_spec
     for mk, mv in (extra_meta or {}).items():
-        manifest[mk] = mv
+        if callable(mv):
+            mv = mv(version)  # version-dependent metadata (pc_history)
+        if mv is None:
+            manifest.pop(mk, None)  # explicit clear (e.g. pc_history
+            # once a compact migrated the last old-spec entry)
+        else:
+            manifest[mk] = mv
+    if (
+        "pc_history" not in manifest
+        and (extra_meta or {}).get("pc_history", ()) is not None
+        and base is not None
+        and base.get("pc_history")
+    ):
+        # spec-evolution history carried commit-to-commit (r14): every
+        # entry's directory layout resolves through it until migration
+        # completes
+        manifest["pc_history"] = base["pc_history"]
     if "dv_key" not in manifest and base is not None and base.get("dv_key"):
         # the table's merge-on-read delete key set (r14): carried
         # commit-to-commit like the schema so later deletes validate
@@ -1723,7 +1776,16 @@ def _scan_plan(
     norm_prune = _norm_prune(prune)
     keys = set(partitions) if partitions is not None else None
     key_range = None
-    if keys is None and norm_prune is not None and len(pcols) == 1:
+    mixed = bool(raw.get("pc_history"))
+    if (
+        keys is None
+        and norm_prune is not None
+        and len(pcols) == 1
+        # mid-spec-migration (r14): old-spec keys live in a different
+        # key space, so a prune-derived KEY range could skip their
+        # segments — explicit key sets stay fine (they are literal)
+        and not mixed
+    ):
         # single-column partitioning: the manifest key IS the column
         # value, so a string-bounded prune range on it is a key range
         # (numeric bounds don't map to lexical key order — skip, the
@@ -1746,7 +1808,12 @@ def _scan_plan(
         if partitions is not None and val not in partitions:
             continue
         entry = m["partitions"][val]
-        if not _key_passes_prune(pcols, val, norm_prune):
+        # the key-leg prune reads the key under the spec the entry was
+        # WRITTEN with (r14) — identical to the table spec except mid
+        # spec migration, where current-spec column semantics must not
+        # drop old-spec keys
+        e_pcols = pcols if not mixed else _pcols(_entry_pc(raw, entry))
+        if not _key_passes_prune(e_pcols, val, norm_prune):
             continue
         if not _entry_passes_prune(entry, norm_prune):
             continue
@@ -1755,7 +1822,12 @@ def _scan_plan(
             # every partition the plan scans, applied by
             # _read_version's scoped anti-join
             dvs.append(entry["dv"])
-        pdir = os.path.join(path, entry["root"], _part_relpath(pc, val))
+        pdir = os.path.join(
+            path, entry["root"],
+            # the entry's directory layout follows the spec it was
+            # WRITTEN under (r14, partition-spec evolution)
+            _part_relpath(_entry_pc(raw, entry), val),
+        )
         if norm_prune is not None and "fstats" in entry:
             # per-FILE skipping inside a surviving partition (r14,
             # VERDICT r13 #2): the entry carries each file's column
@@ -2413,6 +2485,13 @@ def snapshot_compact(
         # (snapshot_read applies them) and the fresh entry drops the
         # references, returning the partition to plain-scan cost
         or "dv" in e
+        # an entry still laid out under an OLD partition spec (r14) is
+        # fragmented by definition too: OPTIMIZE is the bulk-migration
+        # path, and this commit clears pc_history once none remain
+        or (
+            m.get("pc_history")
+            and _entry_pc(m, e) != m["partition_col"]
+        )
     }
     if not frag:
         return {
@@ -2479,6 +2558,11 @@ def snapshot_compact(
         path, partition_col, m, frag, writer, base_version=committed,
         schema_json=m.get("schema") or df.schema.json(),
         entry_extra=carry_blooms,
+        # every old-spec entry is in frag, so after this rewrite the
+        # table is single-spec again: drop the history (time travel to
+        # pre-migration versions reads THEIR version files, which keep
+        # their own copies)
+        extra_meta={"pc_history": None} if m.get("pc_history") else None,
     )
     return {
         "partitions_compacted": len(frag),
@@ -2648,12 +2732,18 @@ def _probe_scope(
     scope_range: tuple[str, str] | None = None
     base_partial = False
     segs = raw.get("segments")
+    mixed = bool(raw.get("pc_history"))
     typed = (
         isinstance(segs, list)
         and bool(segs)
         and all(isinstance(s, dict) for s in segs)
         and raw.get("n_live") is not None
         and raw.get("schema") is not None
+        # mid-spec-migration tables (r14) resolve FULLY: old-spec
+        # entries' keys live in a different key space, so an exact or
+        # range scope derived from the CURRENT spec would skip their
+        # segments and miss matched homes
+        and not mixed
     )
     pcols_early = _pcols(partition_col)
     psrc = _psrc_cols(partition_col)
@@ -2699,7 +2789,13 @@ def _probe_scope(
         candidates = {
             val
             for val, e in parts.items()
-            if _key_passes_prune(_pcols(partition_col), val, key_norm)
+            # the manifest-KEY leg of the prune reads the key under the
+            # CURRENT spec's column semantics — valid only for entries
+            # written under it; old-spec entries keep stats-only pruning
+            if (
+                (mixed and _entry_pc(raw, e) != raw["partition_col"])
+                or _key_passes_prune(_pcols(partition_col), val, key_norm)
+            )
             and all(
                 (rng := e.get("stats", {}).get(c)) is None
                 or _ranges_overlap(rng[0], rng[1], bounds[i][0], bounds[i][1])
@@ -2896,6 +2992,19 @@ def snapshot_merge(
         else upsert_vals
     )
     touched = {r[0] for r in touched_df.collect()}
+    if raw.get("pc_history"):
+        # lazy spec migration (r14): every candidate still laid out
+        # under an OLD partition spec is rewritten by this merge under
+        # the current one (its key semi-join already read the rows, so
+        # the extra cost is bounded by the probe set). Untouched
+        # old-spec partitions stay as-is; snapshot_compact is the bulk
+        # migration path.
+        touched |= {
+            val
+            for val in candidates
+            if val in parts
+            and _entry_pc(raw, parts[val]) != raw["partition_col"]
+        }
 
     # Table schema from the MANIFEST, so validation doesn't depend on
     # WHICH partitions this batch happens to touch. The persisted
@@ -3171,6 +3280,13 @@ def snapshot_delete(
     import os
 
     committed, raw = _validated_raw(path, None)
+    if raw.get("pc_history"):
+        raise ValueError(
+            "snapshot_delete: table is mid partition-spec migration — "
+            "delete files scope by the CURRENT spec's partition key "
+            "and cannot annotate old-spec entries; run "
+            "snapshot_compact() to finish the migration first"
+        )
     dv_key = raw.get("dv_key")
     if dv_key is not None and list(dv_key) != list(key_cols):
         raise ValueError(
@@ -3288,6 +3404,82 @@ def snapshot_delete(
         "dv_rows": dv_rows,
         "old_version": committed,
         "new_version": version,
+    }
+
+
+def snapshot_evolve_partitioning(
+    path: str, new_partition_col
+) -> dict[str, int]:
+    """PARTITION-SPEC EVOLUTION (r14 — Iceberg's shape): switch the
+    table's partitioning for FUTURE writes with a pure-metadata commit;
+    no data directory moves. A 100 TB table partitioned by month can
+    become (day × bucket) without a 100 TB rewrite: the new version
+    file carries the new spec plus a ``pc_history`` record ("roots
+    numbered below this version were written under the old spec"), and
+    every reader/writer resolves each entry's directory layout through
+    :func:`_entry_pc` — zero per-entry metadata.
+
+    Migration is incremental: a MERGE that probes an old-spec
+    partition rewrites it under the current spec as a side effect
+    (lazy migration on write); :func:`snapshot_compact` treats every
+    old-spec entry as fragmented, so ONE OPTIMIZE is the bulk
+    migration, after which the history is dropped and all fast paths
+    return. While specs are mixed, the table stays fully correct but
+    conservatively planned: scoped metadata resolves and
+    partition-key probe pruning are disabled (old-spec keys live in a
+    different key space), and :func:`snapshot_delete` refuses
+    (delete-file scoping is per CURRENT-spec partition key) —
+    constraints that vanish once migration completes. Time travel to
+    pre-evolution versions keeps reading through THEIR version files.
+
+    Preconditions: the new spec's source columns must exist in the
+    table schema; outstanding merge-on-read delete files must be
+    folded first (``snapshot_compact``); the new spec must differ from
+    the current one."""
+    import json
+
+    committed, raw = _validated_raw(path, None)
+    new_store = _pc_store(new_partition_col)
+    if new_store == raw["partition_col"]:
+        raise ValueError(
+            "snapshot_evolve_partitioning: new spec equals the "
+            "current one"
+        )
+    m = _manifest_resolve(path, raw)
+    if any("dv" in e for e in m["partitions"].values()):
+        raise ValueError(
+            "snapshot_evolve_partitioning: table carries outstanding "
+            "merge-on-read delete files — fold them with "
+            "snapshot_compact() first (delete scoping is per-spec)"
+        )
+    if m.get("schema") is not None:
+        fields = {
+            f["name"] for f in json.loads(m["schema"])["fields"]
+        }
+        missing = sorted(
+            set(_psrc_cols(new_partition_col)) - fields
+        )
+        if missing:
+            raise ValueError(
+                "snapshot_evolve_partitioning: new spec derives from "
+                f"column(s) {missing} the table schema lacks"
+            )
+
+    def hist(version: int) -> list[dict]:
+        return [
+            *(raw.get("pc_history") or []),
+            {"before": version, "pc": raw["partition_col"]},
+        ]
+
+    version, _m = _stage_version(
+        path, new_partition_col, m, set(), None,
+        base_version=committed, schema_json=m.get("schema"),
+        extra_meta={"pc_history": hist},
+    )
+    return {
+        "old_version": committed,
+        "new_version": version,
+        "specs_live": len(hist(version)) + 1,
     }
 
 
@@ -3470,9 +3662,10 @@ def snapshot_gc(
             continue
         live_segs |= {_seg_id(s) for s in raw.get("segments") or []}
         m = _manifest_resolve(path, raw)
-        pc = m["partition_col"]
         for val, e in m["partitions"].items():
-            referenced.add((e["root"], _part_relpath(pc, val)))
+            referenced.add(
+                (e["root"], _part_relpath(_entry_pc(m, e), val))
+            )
             referenced_dv.update((e.get("dv") or {}).get("files", ()))
     for v in dead:
         _meta_store().delete(_manifest_file(path, v))

@@ -4188,3 +4188,153 @@ def test_snapshot_write_audit_publish(spark, tmp_path):
     assert st2["new_version"] in reclaimed
     got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
     assert got == {1: 11.0, 2: 2.0, 3: 3.0, 7: 7.0}
+
+
+def test_snapshot_partition_spec_evolution(spark, tmp_path):
+    """Spec evolution (r14): switching a month-partitioned table to
+    bucket partitioning is a pure-metadata commit; old entries keep
+    their directory layout (read through pc_history), a MERGE lazily
+    migrates the partitions it probes, OPTIMIZE bulk-migrates the
+    rest and drops the history, time travel to pre-evolution versions
+    keeps working, and gc after migration keeps the live state."""
+    import glob
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_evolve_partitioning,
+        snapshot_gc,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"m{i % 3}", i, float(i)) for i in range(30)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    v1 = snapshot_version(path)
+
+    spec = {"b": ("bucket", 2, "k")}
+    st = snapshot_evolve_partitioning(path, spec)
+    assert st["new_version"] > v1
+    # pure metadata: no new data directories
+    assert glob.glob(f"{path}/v{st['new_version']}/**/*.parquet",
+                     recursive=True) == []
+    m = snapshot_manifest(path)
+    assert m["pc_history"][0]["pc"] == "p"
+    assert all(e["root"] == "v1" for e in m["partitions"].values())
+    # reads resolve old-spec directories through the history
+    got = snapshot_read(spark, path)
+    assert got.count() == 30
+    assert set(got.columns) == {"p", "k", "v"}  # derived col hidden
+
+    # a merge migrates the old-spec partitions it probes (all of them
+    # here: no scoped probe mid-migration) and lands new rows under
+    # the bucket layout
+    batch = spark.createDataFrame(
+        [("m0", 3, 33.0, False), ("m1", 100, 100.0, False),
+         ("m2", 5, 0.0, True)],
+        "p string, k int, v double, del boolean",
+    )
+    ms = snapshot_merge(spark, batch, path, spec, ["k"],
+                        delete_col="del")
+    m2 = snapshot_manifest(path)
+    # every entry rewritten under the bucket spec: keys are bucket ids
+    assert set(m2["partitions"]) <= {"0", "1"}
+    got2 = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got2[3] == 33.0 and got2[100] == 100.0 and 5 not in got2
+    assert len(got2) == 30  # 30 - 1 delete + 1 insert
+    # bucket dirs physically exist under the merge's root
+    assert glob.glob(
+        f"{path}/v{ms['new_version']}/b=*/*.parquet"
+    )
+
+    # migration complete -> compact clears the history (even as a
+    # structural no-op on right-sized partitions it still commits the
+    # metadata fix once something is fragmented; force one rewrite)
+    cs = snapshot_compact(spark, path, spec)
+    mc = snapshot_manifest(path)
+    if cs["new_version"] != cs["old_version"]:
+        assert "pc_history" not in mc
+
+    # time travel: pre-evolution version still reads its month layout
+    tt = snapshot_read(spark, path, version=v1)
+    assert tt.count() == 30
+    assert {r["p"] for r in tt.select("p").distinct().collect()} == {
+        "m0", "m1", "m2"
+    }
+    snapshot_gc(path, keep=1)
+    assert snapshot_read(spark, path).count() == 30
+
+
+def test_snapshot_spec_evolution_bulk_migration_via_compact(
+    spark, tmp_path
+):
+    """OPTIMIZE as the bulk migration: with NO intervening merge, one
+    compact rewrites every old-spec entry under the new spec and drops
+    pc_history; delete (refused mid-migration) works again after."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_evolve_partitioning,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"m{i % 3}", i, float(i)) for i in range(30)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p", key_bloom=["k"])
+    spec = {"b": ("bucket", 2, "k")}
+    snapshot_evolve_partitioning(path, spec)
+    with _pytest.raises(ValueError, match="mid partition-spec"):
+        snapshot_delete(
+            spark, spark.createDataFrame([(3,)], "k int"), path, spec,
+            ["k"],
+        )
+    st = snapshot_compact(spark, path, spec)
+    assert st["partitions_compacted"] == 3  # all old-spec entries
+    m = snapshot_manifest(path)
+    assert "pc_history" not in m
+    assert set(m["partitions"]) == {"0", "1"}
+    # single-spec again: MOR delete allowed, blooms maintained
+    st2 = snapshot_delete(
+        spark, spark.createDataFrame([(3,)], "k int"), path, spec, ["k"]
+    )
+    assert st2["partitions_touched"] == 1
+    assert snapshot_read(spark, path).count() == 29
+
+
+def test_snapshot_spec_evolution_guards(spark, tmp_path):
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_evolve_partitioning,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+    )
+    snapshot_write(df, path, "p")
+    with pytest.raises(ValueError, match="equals the current"):
+        snapshot_evolve_partitioning(path, "p")
+    with pytest.raises(ValueError, match="schema lacks"):
+        snapshot_evolve_partitioning(
+            path, {"d": ("days", "nope_col")}
+        )
+    snapshot_delete(
+        spark, spark.createDataFrame([(1,)], "k int"), path, "p", ["k"]
+    )
+    with pytest.raises(ValueError, match="fold them"):
+        snapshot_evolve_partitioning(path, {"b": ("bucket", 2, "k")})
