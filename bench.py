@@ -236,6 +236,14 @@ def main() -> None:
     contract.mor_snapshot_orders(spark, SF_DIR)
     secondary["snapshot_mor_stage"] = round(time.time() - t0, 3)
     secondary["snapshot_mor_apply"] = contract.MOR_STATS.get("seconds", 0.0)
+    # r14: partition-spec evolution (metadata-only re-spec + the lazy-
+    # migration merge); the apply entry is evolve+merge alone
+    t0 = time.time()
+    contract.respec_snapshot_orders(spark, SF_DIR)
+    secondary["snapshot_respec_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_respec_apply"] = contract.RESPEC_STATS.get(
+        "seconds", 0.0
+    )
 
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 

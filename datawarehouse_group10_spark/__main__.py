@@ -29,12 +29,26 @@ import argparse
 import sys
 
 
-def _snap_pcols(arg: str) -> str | list[str]:
-    """Snapshot partition-col CLI form: a single column name, or a
+def _snap_pcols(arg: str):
+    """Snapshot partition-col CLI form: a single column name, a
     comma-separated ordered list for composite partitioning (r13) —
-    'region,month' -> ['region', 'month']."""
-    cols = [c.strip() for c in arg.split(",") if c.strip()]
-    return cols[0] if len(cols) == 1 else cols
+    'region,month' -> ['region', 'month'] — or comma-separated
+    TRANSFORM items 'name=transform:args' for hidden partitioning
+    (r14): 'day=days:ts,b=bucket:16:id' ->
+    {'day': ('days', 'ts'), 'b': ('bucket', 16, 'id')}."""
+    items = [c.strip() for c in arg.split(",") if c.strip()]
+    if any("=" in c for c in items):
+        spec: dict[str, tuple] = {}
+        for item in items:
+            name, _, rhs = item.partition("=")
+            parts = rhs.split(":")
+            t = parts[0]
+            if t in ("bucket", "truncate"):
+                spec[name] = (t, int(parts[1]), parts[2])
+            else:
+                spec[name] = (t, parts[1])
+        return spec
+    return items[0] if len(items) == 1 else items
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -176,6 +190,25 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--prune", default=None,
                     help="optional col:lo:hi manifest prune range "
                     "narrowing the --where scan")
+
+    se = sub.add_parser(
+        "snapshot-evolve",
+        help="switch the table's partitioning for FUTURE writes as a "
+        "metadata-only commit (old data keeps its layout; merges "
+        "migrate lazily; snapshot-optimize bulk-migrates)",
+    )
+    se.add_argument("--table", required=True)
+    se.add_argument("--partition-col", required=True,
+                    help="new spec: column, comma list, or transform "
+                    "items like 'day=days:ts,b=bucket:16:id'")
+
+    sp2 = sub.add_parser(
+        "snapshot-publish",
+        help="publish a version staged with publish=False "
+        "(write-audit-publish) through the normal commit CAS",
+    )
+    sp2.add_argument("--table", required=True)
+    sp2.add_argument("--version", type=int, required=True)
 
     sr = sub.add_parser(
         "snapshot-restore",
@@ -386,7 +419,14 @@ def main(argv: list[str] | None = None) -> int:
             batch = spark.read.parquet(args.input)
             keys = [c.strip() for c in args.key_cols.split(",") if c.strip()]
             pcols = _snap_pcols(args.partition_col)
-            pc_list = [pcols] if isinstance(pcols, str) else pcols
+            if isinstance(pcols, str):
+                pc_list = [pcols]
+            elif isinstance(pcols, dict):
+                # transform spec (r14): the batch carries the SOURCE
+                # columns, not the derived partition names
+                pc_list = [s[-1] for s in pcols.values()]
+            else:
+                pc_list = pcols
             upd = (
                 [c.strip() for c in args.update_cols.split(",") if c.strip()]
                 if args.update_cols
@@ -460,6 +500,31 @@ def main(argv: list[str] | None = None) -> int:
                 f"{st['probe_partitions']}/{st['partitions_total']} "
                 f"probed, v{st['old_version']} -> v{st['new_version']} "
                 f"(readers resolve v{snapshot_version(args.table)})"
+            )
+            return 0
+
+        if args.cmd == "snapshot-evolve":
+            from .sources.layout import snapshot_evolve_partitioning
+
+            st = snapshot_evolve_partitioning(
+                args.table, _snap_pcols(args.partition_col)
+            )
+            print(
+                f"snapshot-evolved {args.table}: "
+                f"v{st['old_version']} -> v{st['new_version']} "
+                f"(metadata-only; {st['specs_live']} spec(s) live — "
+                "run snapshot-optimize to bulk-migrate)"
+            )
+            return 0
+
+        if args.cmd == "snapshot-publish":
+            from .sources.layout import snapshot_publish
+
+            st = snapshot_publish(args.table, args.version)
+            word = "already published" if st["already"] else "published"
+            print(
+                f"snapshot-publish {args.table}: v{st['published']} "
+                f"{word} (base v{st['base']})"
             )
             return 0
 
