@@ -45,6 +45,7 @@ __all__ = [
     "read_cms_state",
     "compact_cms_ledger",
     "run_stream_count_min",
+    "run_snapshot_cdf_consume",
 ]
 
 #: Plan-capture hook (r12, VERDICT r11 #3): scripts/plan_audit.py sets
@@ -1070,3 +1071,87 @@ def run_stream_cdc_apply(
     finally:
         if q.isActive:
             q.stop()
+
+
+def run_snapshot_cdf_consume(
+    spark: SparkSession,
+    table_path: str,
+    process,
+    cursor_path: str,
+    max_versions: int | None = None,
+) -> dict[str, int]:
+    """CHANGE DATA FEED consumer (r14) — the read-side complement of
+    :func:`run_stream_cdc_apply`: incrementally deliver a snapshot
+    table's row-level changes downstream, one COMMIT WINDOW at a time.
+
+    Each call walks the table's commit chain from the persisted cursor
+    (a tiny file under ``cursor_path``, written through the layout's
+    MetaStore so the consumer state lives wherever the table metadata
+    does) and, for every not-yet-delivered commit ``v_prev -> v_next``,
+    calls ``process(changes_df, v_prev, v_next)`` with
+    :func:`sources.layout.snapshot_diff`'s output (rows tagged
+    ``_change`` 'insert'/'delete'; manifest-compare pruning means an
+    untouched partition costs nothing to diff). The cursor advances
+    AFTER ``process`` returns — AT-LEAST-ONCE delivery: a consumer that
+    crashes mid-window re-receives exactly that window on restart, so
+    ``process`` should be idempotent per (from, to) pair (e.g. a MERGE
+    keyed on the row identity, or an append tagged with ``to_version``
+    that downstream dedups).
+
+    First call with no cursor starts at the CURRENT committed version
+    (CDC semantics: consume changes from now on) — pass an explicit
+    initial cursor file to start earlier. If retention reclaimed the
+    cursor's version, this fails loudly naming the gc knob instead of
+    silently skipping windows: the retention window IS the maximum
+    consumer lag, exactly the reader contract the layout documents.
+
+    One consumer per cursor: the cursor write is last-wins, so run
+    competing consumers on separate cursors. Returns
+    {"delivered", "cursor"}. ``max_versions`` bounds one call's work
+    (catch-up batching)."""
+    import os
+
+    from ..sources.layout import (
+        _commit_chain,
+        _manifest_read,
+        _meta_store,
+        snapshot_diff,
+        snapshot_version,
+    )
+
+    committed = snapshot_version(table_path)
+    key = os.path.join(cursor_path, "_CDF_CURSOR")
+    raw = _meta_store().read(key)
+    if raw is None:
+        cursor = committed
+        _meta_store().put_atomic(key, str(cursor).encode("utf-8"))
+    else:
+        cursor = int(raw.decode("utf-8").strip())
+    if cursor > committed:
+        raise ValueError(
+            f"CDF cursor v{cursor} is above the committed pointer "
+            f"v{committed} of {table_path} — wrong table or cursor?"
+        )
+    # lineage tokens live forever, but the diff needs the cursor
+    # version's MANIFEST — gone means retention lapped this consumer
+    if _manifest_read(table_path, cursor) is None:
+        raise ValueError(
+            f"CDF cursor v{cursor} of {table_path} was reclaimed by "
+            "snapshot_gc — the retention window bounds consumer lag; "
+            "raise `keep` or re-seed the cursor"
+        )
+    chain = [v for v in _commit_chain(table_path) if v >= cursor]
+    todo = [v for v in chain if v > cursor and v <= committed]
+    if max_versions is not None:
+        todo = todo[:max_versions]
+    delivered = 0
+    prev = cursor
+    for v in todo:
+        changes = snapshot_diff(spark, table_path, prev, v, None)
+        process(changes, prev, v)
+        # advance AFTER the consumer finished the window: a crash
+        # between process() and this write re-delivers the window
+        _meta_store().put_atomic(key, str(v).encode("utf-8"))
+        delivered += 1
+        prev = v
+    return {"delivered": delivered, "cursor": prev}
