@@ -2319,3 +2319,46 @@ def test_snapshot_cdf_consume_delivers_per_commit_windows(spark, tmp_path):
     snapshot_gc(table, keep=1)
     with pytest.raises(ValueError, match="reclaimed by snapshot_gc"):
         run_snapshot_cdf_consume(spark, table, collect, cursor)
+
+
+def test_snapshot_cdf_metadata_only_commits_deliver_empty_windows(
+    spark, tmp_path
+):
+    """Metadata-only commits (spec evolution, no-match deletes) change
+    no rows: the CDF consumer must deliver them as EMPTY windows —
+    staying in lockstep with the version line without inventing
+    changes."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_evolve_partitioning,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import (
+        run_snapshot_cdf_consume,
+    )
+
+    table = str(tmp_path / "tbl")
+    cursor = str(tmp_path / "cur")
+    snapshot_write(
+        spark.createDataFrame(
+            [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+        ),
+        table, "p",
+    )
+    got = []
+    run_snapshot_cdf_consume(
+        spark, table, lambda df, a, b: got.append((a, b, df.count())),
+        cursor,
+    )
+    snapshot_delete(  # v2: no key matches -> re-referencing commit
+        spark, spark.createDataFrame([(99,)], "k int"), table, "p", ["k"]
+    )
+    snapshot_evolve_partitioning(  # v3: metadata-only re-spec
+        table, {"kb": ("bucket", 2, "k")}
+    )
+    st = run_snapshot_cdf_consume(
+        spark, table, lambda df, a, b: got.append((a, b, df.count())),
+        cursor,
+    )
+    assert st == {"delivered": 2, "cursor": 3}
+    assert got == [(1, 2, 0), (2, 3, 0)]
