@@ -2362,3 +2362,49 @@ def test_snapshot_cdf_metadata_only_commits_deliver_empty_windows(
     )
     assert st == {"delivered": 2, "cursor": 3}
     assert got == [(1, 2, 0), (2, 3, 0)]
+
+
+def test_snapshot_cdf_delivers_wap_published_commits(spark, tmp_path):
+    """A merge staged with publish=False is invisible to the CDF
+    consumer until snapshot_publish — then it arrives as one ordinary
+    commit window."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_publish,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import (
+        run_snapshot_cdf_consume,
+    )
+
+    table = str(tmp_path / "tbl")
+    cursor = str(tmp_path / "cur")
+    snapshot_write(
+        spark.createDataFrame(
+            [("a", 1, 1.0)], "p string, k int, v double"
+        ),
+        table, "p",
+    )
+    got = []
+
+    def sink(df, a, b):
+        got.append((a, b, {(r["_change"], r["k"], r["v"]) for r in df.collect()}))
+
+    run_snapshot_cdf_consume(spark, table, sink, cursor)
+    st = snapshot_merge(
+        spark,
+        spark.createDataFrame([("a", 1, 9.0)], "p string, k int, v double"),
+        table, "p", ["k"], publish=False,
+    )
+    # staged-not-published: nothing to consume
+    assert run_snapshot_cdf_consume(spark, table, sink, cursor)[
+        "delivered"
+    ] == 0
+    snapshot_publish(table, st["new_version"])
+    assert run_snapshot_cdf_consume(spark, table, sink, cursor)[
+        "delivered"
+    ] == 1
+    assert got[-1] == (
+        1, st["new_version"],
+        {("insert", 1, 9.0), ("delete", 1, 1.0)},
+    )
