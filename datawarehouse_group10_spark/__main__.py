@@ -51,6 +51,31 @@ def _snap_pcols(arg: str):
     return items[0] if len(items) == 1 else items
 
 
+def _parse_prune(arg: str) -> tuple[str, str, str]:
+    """Parse a --prune range. Preferred form is ``col=lo..hi`` —
+    unambiguous for bound values that themselves carry colons (ISO
+    timestamps like 2020-01-01T00:00:00, which the legacy colon form
+    mis-split: ADVICE r14 #4). The legacy ``col:lo:hi`` is accepted
+    only when it splits into exactly three colon-free pieces;
+    anything else (extra colons = a timestamp bound) must use the
+    ``=``/``..`` form."""
+    if "=" in arg:
+        col, _, rng = arg.partition("=")
+        lo, sep, hi = rng.partition("..")
+        if not sep or not col:
+            raise SystemExit(
+                f"--prune: expected col=lo..hi, got {arg!r}"
+            )
+        return col, lo, hi
+    pieces = arg.split(":")
+    if len(pieces) != 3:
+        raise SystemExit(
+            f"--prune: bounds with colons (timestamps) need the "
+            f"col=lo..hi form, got {arg!r}"
+        )
+    return pieces[0], pieces[1], pieces[2]
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datawarehouse_group10_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -188,8 +213,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="SQL predicate over the table; matched rows' "
                      "keys delete (DELETE WHERE)")
     sd.add_argument("--prune", default=None,
-                    help="optional col:lo:hi manifest prune range "
-                    "narrowing the --where scan")
+                    help="optional col=lo..hi manifest prune range "
+                    "narrowing the --where scan (legacy col:lo:hi "
+                    "accepted only when the bounds carry no colon — "
+                    "use = .. for ISO timestamps)")
 
     se = sub.add_parser(
         "snapshot-evolve",
@@ -487,8 +514,9 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 prune = None
                 if args.prune:
-                    col, lo, hi = args.prune.split(":", 2)
-                    prune = {col: (lo, hi)}
+                    prune = {
+                        (p := _parse_prune(args.prune))[0]: (p[1], p[2])
+                    }
                 st = snapshot_delete_where(
                     spark, args.table, pcols, keys_cols, args.where,
                     prune=prune,

@@ -782,11 +782,27 @@ def _write_consolidated(path: str, version: int, parts: dict) -> tuple[list[dict
     return descs, nbytes
 
 
+def _scope_contains(comps, val: str) -> bool:
+    """Membership of a partition key in a scope: a list of
+    ``("keys", set)`` / ``("range", (lo, hi))`` components, matching
+    any component. Components are LITERAL — they test key strings, so
+    a scope may mix components derived under different partition specs
+    (r15, per-spec scoped resolves mid spec-migration)."""
+    for kind, v in comps:
+        if kind == "keys":
+            if val in v:
+                return True
+        elif v[0] <= val <= v[1]:
+            return True
+    return False
+
+
 def _manifest_resolve(
     path: str,
     raw: dict | None,
     keys: set[str] | None = None,
     key_range: tuple[str, str] | None = None,
+    scopes: list[tuple] | None = None,
 ) -> dict | None:
     """Resolve a version file to the flat ``{"partitions": {...}}``
     manifest consumers see. Three formats:
@@ -807,6 +823,17 @@ def _manifest_resolve(
       under skipping: a skipped segment cannot contain ANY in-scope
       key, so the win order among segments that can is preserved.
 
+    ``scopes`` (r15, VERDICT r14 #1) generalizes both: a list of
+    ``("keys", set)`` / ``("range", (lo, hi))`` components kept by
+    UNION. Mid partition-spec migration, callers derive one component
+    per live spec IN THAT SPEC'S OWN KEY SPACE (the transforms are
+    pure functions of the batch rows), so scoped plan-time metadata
+    stays O(relevant) instead of reverting to a full resolve while
+    old-spec entries remain. Sound because every test is literal:
+    segment [lo, hi] ranges and component bounds compare key STRINGS,
+    so a component derived under one spec can only ever ADD entries of
+    another spec (a conservative superset), never drop one.
+
     A scoped result's ``"partitions"`` holds ONLY in-scope entries;
     callers that need the live partition COUNT read the version file's
     ``n_live`` instead of len()."""
@@ -818,28 +845,44 @@ def _manifest_resolve(
     LAST_RESOLVE_META_BYTES = 0
     if raw is None or "partitions" in raw:
         return raw
-    kmin = kmax = None
-    if keys is not None and keys:
-        kmin, kmax = min(keys), max(keys)
+    comps = scopes
+    if comps is None:
+        if keys is not None:
+            comps = [("keys", keys)]
+        elif key_range is not None:
+            comps = [("range", key_range)]
+    norm = []
+    for kind, v in comps or ():
+        if kind == "keys":
+            norm.append(
+                ("keys", v, min(v) if v else None, max(v) if v else None)
+            )
+        else:
+            norm.append(("range", v, v[0], v[1]))
     parts: dict = {}
     seen: set[str] = set()
     segs_read = 0
     nbytes = 0
     for seg in raw["segments"]:
-        if isinstance(seg, dict):
+        if isinstance(seg, dict) and comps is not None:
             lo, hi = seg["lo"], seg["hi"]
-            if keys is not None:
-                if not keys:
-                    continue
-                if hi < kmin or lo > kmax:
-                    continue
-                if len(keys) <= 64 and not any(
-                    lo <= k <= hi for k in keys
-                ):
-                    continue
-            elif key_range is not None and (
-                hi < key_range[0] or lo > key_range[1]
-            ):
+            keep = False
+            for kind, v, kmin, kmax in norm:
+                if kind == "keys":
+                    if not v:
+                        continue
+                    if hi < kmin or lo > kmax:
+                        continue
+                    if len(v) <= 64 and not any(
+                        lo <= k <= hi for k in v
+                    ):
+                        continue
+                else:
+                    if hi < kmin or lo > kmax:
+                        continue
+                keep = True
+                break
+            if not keep:
                 continue
         sid = _seg_id(seg)
         seg_raw = _meta_store().read(_segment_file(path, sid))
@@ -851,11 +894,7 @@ def _manifest_resolve(
         segs_read += 1
         nbytes += len(seg_raw)
         for val, e in json.loads(seg_raw.decode("utf-8"))["entries"].items():
-            if keys is not None and val not in keys:
-                continue
-            if key_range is not None and not (
-                key_range[0] <= val <= key_range[1]
-            ):
+            if comps is not None and not _scope_contains(comps, val):
                 continue
             if val in seen:
                 continue
@@ -1406,6 +1445,13 @@ def _stage_version(
         if val not in touched
     }
     if base is not None and base.get("pc_history"):
+        # mid-migration, ANY freshly-written key equal to an untouched
+        # entry's key would silently shadow that entry's data in the
+        # first-wins resolve (ADVICE r14 #1). Cross-spec collisions
+        # are a user-resolvable layout limit (migrate first); a
+        # same-spec collision means the WRITER failed to pull a
+        # migration-collision entry into its rewrite set — an internal
+        # invariant violation, never data loss, always loud.
         clash = {
             k
             for k in fresh
@@ -1413,14 +1459,20 @@ def _stage_version(
             and _entry_pc(base, parts[k]) != base["partition_col"]
         }
         if clash:
-            # a freshly-written current-spec key equal to an untouched
-            # OLD-spec entry's key would silently shadow that entry's
-            # data in the first-wins resolve — refuse; migrate first
             raise ValueError(
                 "snapshot layout: partition key(s) "
                 f"{sorted(clash)} collide across partition specs — "
                 "run snapshot_compact() to finish the spec migration "
                 "before writing these keys"
+            )
+        same = set(fresh) & set(parts)
+        if same:
+            raise AssertionError(
+                "snapshot layout internal invariant: freshly-written "
+                f"partition key(s) {sorted(same)} would shadow "
+                "untouched current-spec entries mid-migration — the "
+                "writer must include migration-collision entries in "
+                "its rewrite set (_migration_collisions)"
             )
     parts.update(fresh)
 
@@ -1513,10 +1565,16 @@ def _stage_version(
         # entry's directory layout resolves through it until migration
         # completes
         manifest["pc_history"] = base["pc_history"]
-    if "dv_key" not in manifest and base is not None and base.get("dv_key"):
+    if (
+        "dv_key" not in manifest
+        and (extra_meta or {}).get("dv_key", ()) is not None
+        and base is not None
+        and base.get("dv_key")
+    ):
         # the table's merge-on-read delete key set (r14): carried
         # commit-to-commit like the schema so later deletes validate
-        # against it in O(1)
+        # against it in O(1) — unless the caller explicitly cleared it
+        # (snapshot_compact folding the last delete file, ADVICE r14 #2)
         manifest["dv_key"] = base["dv_key"]
     if schema_json is None and base is not None:
         schema_json = base.get("schema")
@@ -1774,32 +1832,45 @@ def _scan_plan(
     pc = raw["partition_col"]
     pcols = _pcols(pc)
     norm_prune = _norm_prune(prune)
-    keys = set(partitions) if partitions is not None else None
-    key_range = None
     mixed = bool(raw.get("pc_history"))
-    if (
-        keys is None
-        and norm_prune is not None
-        and len(pcols) == 1
-        # mid-spec-migration (r14): old-spec keys live in a different
-        # key space, so a prune-derived KEY range could skip their
-        # segments — explicit key sets stay fine (they are literal)
-        and not mixed
-    ):
-        # single-column partitioning: the manifest key IS the column
-        # value, so a string-bounded prune range on it is a key range
-        # (numeric bounds don't map to lexical key order — skip, the
-        # per-entry _key_passes_prune below still applies them)
-        rng = norm_prune.get(pcols[0])
-        if (
-            rng is not None
-            and isinstance(rng[0], str)
-            and isinstance(rng[1], str)
-        ):
-            key_range = (rng[0], rng[1])
+    scopes: list[tuple] | None = None
+    if partitions is not None:
+        # explicit key sets are LITERAL — spec-agnostic, valid even
+        # mid spec-migration (a key string names one entry whatever
+        # spec wrote it)
+        scopes = [("keys", set(partitions))]
+    elif norm_prune is not None:
+        # single-column identity partitioning: the manifest key IS the
+        # column value, so a string-bounded prune range on it is a key
+        # range (numeric bounds don't map to lexical key order — skip,
+        # the per-entry _key_passes_prune below still applies them).
+        # Mid spec-migration (r15, VERDICT r14 #1): one range
+        # component PER live spec, each in its own key space — scoping
+        # stays live iff every spec's entries can be bounded.
+        comps: list[tuple] | None = []
+        for spec in [
+            pc,
+            *(rec["pc"] for rec in (raw.get("pc_history") or [])),
+        ]:
+            pcols_s = _pcols(spec)
+            rng = (
+                norm_prune.get(pcols_s[0])
+                if len(pcols_s) == 1 and _pspec(spec) is None
+                else None
+            )
+            if (
+                rng is not None
+                and isinstance(rng[0], str)
+                and isinstance(rng[1], str)
+            ):
+                comps.append(("range", (rng[0], rng[1])))
+            else:
+                comps = None  # this spec's entries can't be bounded
+                break
+        scopes = comps
     global LAST_SCAN_FILES_TOTAL, LAST_SCAN_FILES_READ
 
-    m = _manifest_resolve(path, raw, keys=keys, key_range=key_range)
+    m = _manifest_resolve(path, raw, scopes=scopes)
     LAST_SCAN_FILES_TOTAL = 0
     LAST_SCAN_FILES_READ = 0
     groups: dict[str, list[str]] = {}
@@ -2493,6 +2564,26 @@ def snapshot_compact(
             and _entry_pc(m, e) != m["partition_col"]
         )
     }
+    if m.get("pc_history"):
+        # bulk migration (ADVICE r14 #1): rows migrating out of
+        # old-spec entries land on current-spec keys — any existing
+        # current-spec entry on such a key joins the rewrite, else
+        # the fresh migration entry would shadow its data root
+        migrating = {
+            v
+            for v in frag
+            if _entry_pc(m, parts[v]) != m["partition_col"]
+        }
+        if migrating:
+            frag |= {
+                k
+                for k in _migration_targets(
+                    spark, path, migrating, partition_col,
+                    m.get("schema"),
+                )
+                if k in parts
+                and _entry_pc(m, parts[k]) == m["partition_col"]
+            }
     if not frag:
         return {
             "partitions_compacted": 0,
@@ -2561,8 +2652,21 @@ def snapshot_compact(
         # every old-spec entry is in frag, so after this rewrite the
         # table is single-spec again: drop the history (time travel to
         # pre-migration versions reads THEIR version files, which keep
-        # their own copies)
-        extra_meta={"pc_history": None} if m.get("pc_history") else None,
+        # their own copies). Likewise every dv-carrying entry is in
+        # frag and the rewrite reads THROUGH the deletes, so no delete
+        # file is outstanding afterwards: clear the table's dv_key so
+        # a later snapshot_delete may re-key (ADVICE r14 #2)
+        extra_meta=(
+            {
+                **(
+                    {"pc_history": None}
+                    if m.get("pc_history")
+                    else {}
+                ),
+                **({"dv_key": None} if m.get("dv_key") else {}),
+            }
+            or None
+        ),
     )
     return {
         "partitions_compacted": len(frag),
@@ -2686,6 +2790,34 @@ def _ranges_overlap(a_lo, a_hi, b_lo, b_hi) -> bool:
     return not (a_hi < b_lo or a_lo > b_hi)
 
 
+def _migration_targets(
+    spark, path, migrating, partition_col, schema_json
+) -> set[str]:
+    """The CURRENT-spec partition keys the rows of ``migrating``
+    (old-spec entries about to be rewritten under the current spec)
+    will land on. Any EXISTING current-spec entry on such a key MUST
+    join the rewrite set: the freshly-written migration entry would
+    otherwise shadow it in the first-wins manifest resolve and
+    silently drop its data root (ADVICE r14 #1 — reproduced as
+    month->bucket evolve, merge one month, compact: the bulk
+    migration's fresh bucket entries hid the bucket entries the merge
+    had already populated, 20/30 rows).
+
+    Cost: ONE key-expression-pruned scan of only the migrating
+    partitions plus an O(migrating-targets) collect — bounded by work
+    the caller is about to do anyway (it reads those partitions in
+    full for the rewrite)."""
+    return {
+        r[0]
+        for r in _read_version(
+            spark, path, partitions=migrating, schema_json=schema_json
+        )
+        .select(_part_key_col(partition_col).alias("_pk"))
+        .distinct()
+        .collect()
+    }
+
+
 def _probe_scope(
     path: str,
     raw: dict,
@@ -2728,8 +2860,6 @@ def _probe_scope(
         for i in range(len(key_cols))
     ]
 
-    scope_keys: set[str] | None = None
-    scope_range: tuple[str, str] | None = None
     base_partial = False
     segs = raw.get("segments")
     mixed = bool(raw.get("pc_history"))
@@ -2739,41 +2869,74 @@ def _probe_scope(
         and all(isinstance(s, dict) for s in segs)
         and raw.get("n_live") is not None
         and raw.get("schema") is not None
-        # mid-spec-migration tables (r14) resolve FULLY: old-spec
-        # entries' keys live in a different key space, so an exact or
-        # range scope derived from the CURRENT spec would skip their
-        # segments and miss matched homes
-        and not mixed
     )
-    pcols_early = _pcols(partition_col)
-    psrc = _psrc_cols(partition_col)
+    # Mid spec-migration (r15, VERDICT r14 #1): scope PER SPEC. Each
+    # live spec (the current one plus every pc_history record) gets a
+    # component derived in ITS OWN key space — the transforms are pure
+    # functions of the batch rows, so "which partitions could hold a
+    # matched row" is answerable under any spec whose source columns
+    # are key columns. The union of components drives the resolve;
+    # one spec that cannot be scoped degrades the whole probe to a
+    # full resolve (correctness first — its entries could hold
+    # matches anywhere).
+    scope_comps: list[tuple] | None = None
     if typed and any(r is None for r in raw_lo):
-        scope_keys = set()  # empty/all-NULL-key batch: nothing matches
+        scope_comps = []  # empty/all-NULL-key batch: nothing matches
         base_partial = True
-    elif typed and all(s in key_cols for s in psrc):
-        # EXACT partition scope (r14): every partition-key leg derives
-        # from a key column, and the probe is an equality join on the
-        # key columns — so a matched row's partition key necessarily
-        # equals some batch row's derived key. One tiny distinct
-        # collect (O(batch partitions)) gives the exact candidate set,
-        # through any transform (days/bucket/...), no monotonicity or
-        # stats needed. Upsert targets are by definition in the same
-        # set.
-        scope_keys = {
-            r[0]
-            for r in batch.select(
-                _part_key_col(partition_col).alias("_pk")
-            )
-            .distinct()
-            .collect()
-        }
-        base_partial = True
-    elif typed and len(pcols_early) == 1 and pcols_early[0] in key_cols:
-        p_lo, p_hi = bounds[key_cols.index(pcols_early[0])]
-        if isinstance(p_lo, str) and isinstance(p_hi, str):
-            scope_range = (p_lo, p_hi)
+    elif typed:
+        spec_stores: dict = {}
+        for spec in [
+            raw["partition_col"],
+            *(rec["pc"] for rec in (raw.get("pc_history") or [])),
+        ]:
+            spec_stores.setdefault(
+                repr(_pc_store(spec)), spec
+            )  # dedupe A->B->A chains
+        exact_specs = []
+        comps: list[tuple] | None = []
+        for spec in spec_stores.values():
+            psrc_s = _psrc_cols(spec)
+            pcols_s = _pcols(spec)
+            if all(s in key_cols for s in psrc_s):
+                # EXACT partition scope (r14): every partition-key leg
+                # derives from a key column, and the probe is an
+                # equality join on the key columns — a matched row's
+                # partition key under this spec necessarily equals
+                # some batch row's derived key. Works through any
+                # transform (days/bucket/...), no monotonicity or
+                # stats needed. Upsert targets are by definition in
+                # the current spec's set.
+                exact_specs.append(spec)
+            elif (
+                _pspec(spec) is None
+                and len(pcols_s) == 1
+                and pcols_s[0] in key_cols
+                and isinstance(
+                    (b := bounds[key_cols.index(pcols_s[0])])[0], str
+                )
+                and isinstance(b[1], str)
+            ):
+                comps.append(("range", b))
+            else:
+                comps = None  # this spec's entries can match anywhere
+                break
+        if comps is not None:
+            if exact_specs:
+                # one job for every exact-scope spec: O(batch
+                # partitions per spec) values, collected together
+                row = batch.agg(
+                    *[
+                        F.collect_set(
+                            _part_key_col(spec)
+                        ).alias(f"_s{i}")
+                        for i, spec in enumerate(exact_specs)
+                    ]
+                ).first()
+                for i in range(len(exact_specs)):
+                    comps.append(("keys", set(row[f"_s{i}"])))
+            scope_comps = comps
             base_partial = True
-    m = _manifest_resolve(path, raw, keys=scope_keys, key_range=scope_range)
+    m = _manifest_resolve(path, raw, scopes=scope_comps)
     parts = m["partitions"]
 
     if any(r is None for r in raw_lo):
@@ -2999,12 +3162,36 @@ def snapshot_merge(
         # the extra cost is bounded by the probe set). Untouched
         # old-spec partitions stay as-is; snapshot_compact is the bulk
         # migration path.
-        touched |= {
+        migrating = {
             val
             for val in candidates
             if val in parts
             and _entry_pc(raw, parts[val]) != raw["partition_col"]
         }
+        if migrating:
+            touched |= migrating
+            # ADVICE r14 #1: migrated rows land on CURRENT-spec keys
+            # that matched/upsert rows may never touch; any existing
+            # current-spec entry on such a key must join the rewrite
+            # (read + union), else the fresh migration entry would
+            # shadow it in the first-wins resolve and drop its data.
+            # Under a scoped resolve (r15) the colliding entries may
+            # sit outside the probe scope — fetch them by literal key
+            # (spec-agnostic, one extra scoped resolve).
+            tgt = _migration_targets(
+                spark, path, migrating, partition_col, m.get("schema")
+            )
+            if base_partial and tgt - set(parts):
+                for k, e in _manifest_resolve(
+                    path, raw, keys=tgt - set(parts)
+                )["partitions"].items():
+                    parts.setdefault(k, e)
+            touched |= {
+                k
+                for k in tgt
+                if k in parts
+                and _entry_pc(raw, parts[k]) == raw["partition_col"]
+            }
 
     # Table schema from the MANIFEST, so validation doesn't depend on
     # WHICH partitions this batch happens to touch. The persisted
@@ -3289,11 +3476,22 @@ def snapshot_delete(
         )
     dv_key = raw.get("dv_key")
     if dv_key is not None and list(dv_key) != list(key_cols):
-        raise ValueError(
-            f"snapshot_delete: table already carries delete files "
-            f"keyed on {dv_key} — one key set per table; fold them "
-            "with snapshot_compact() before re-keying"
+        # validate against ACTUALLY-outstanding delete files, not the
+        # persisted key set alone (ADVICE r14 #2): rewrites fold
+        # deletes as a side effect, and snapshot_compact clears
+        # dv_key, but a merge/backfill that folded the last one
+        # leaves the stale key behind — a full resolve (only on this
+        # rare mismatch path, never the hot path) tells them apart
+        outstanding = any(
+            "dv" in e
+            for e in _manifest_resolve(path, raw)["partitions"].values()
         )
+        if outstanding:
+            raise ValueError(
+                f"snapshot_delete: table already carries delete files "
+                f"keyed on {dv_key} — one key set per table; fold "
+                "them with snapshot_compact() before re-keying"
+            )
     missing = sorted(set(key_cols) - set(batch.columns))
     if missing:
         raise ValueError(
@@ -3518,6 +3716,19 @@ def snapshot_publish(path: str, version: int) -> dict[str, int]:
         # finish/no-op the monotonic pointer advance
         _snapshot_commit(path, version)
         return {"published": version, "base": base, "already": 1}
+    # Re-stamp the as-of anchor at PUBLISH time (ADVICE r14 #3): the
+    # staging protocol stamped `ts` when the data landed, but a WAP
+    # commit becomes visible only now — Delta anchors TIMESTAMP AS OF
+    # on commit time, and a staging-time stamp would let as-of reads
+    # resolve state no reader could have observed then (and sit
+    # out-of-order against chain predecessors committed during the
+    # audit window). Rewritten BEFORE the CAS: if the CAS loses, only
+    # an orphan's stamp moved; if we die after the CAS, the token is
+    # the roll-forward and the stamp is already final.
+    import time as _time
+
+    raw["ts"] = round(_time.time(), 6)
+    _manifest_write(path, raw)
     _snapshot_commit_cas(path, base, version)
     return {"published": version, "base": base, "already": 0}
 

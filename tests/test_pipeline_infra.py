@@ -3483,8 +3483,9 @@ def test_snapshot_scoped_resolve_reads_o1_metadata(spark, tmp_path, monkeypatch)
     resolves: list[tuple[int, int]] = []
     orig = L._manifest_resolve
 
-    def spy(path_, raw, keys=None, key_range=None):
-        out = orig(path_, raw, keys=keys, key_range=key_range)
+    def spy(path_, raw, keys=None, key_range=None, scopes=None):
+        out = orig(path_, raw, keys=keys, key_range=key_range,
+                   scopes=scopes)
         resolves.append(
             (L.LAST_RESOLVE_SEGMENTS_READ, L.LAST_RESOLVE_META_BYTES)
         )
@@ -4338,3 +4339,282 @@ def test_snapshot_spec_evolution_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="fold them"):
         snapshot_evolve_partitioning(path, {"b": ("bucket", 2, "k")})
+
+
+def _mig_rows(spark):
+    """30 rows, months m0/m1/m2 with DISJOINT k ranges (so a batch's
+    key-range stats prune to one month), and a q column whose values
+    straddle months: m0 -> gB only, m1 -> gA only, m2 -> gA (k 20-24)
+    + gB (k 25-29). Evolving p -> q makes migration targets collide
+    with current-spec entries an earlier migration already created."""
+    return spark.createDataFrame(
+        [
+            (
+                f"m{i // 10}",
+                ("gB" if i < 10 else "gA" if i < 25 else "gB"),
+                i,
+                float(i),
+            )
+            for i in range(30)
+        ],
+        "p string, q string, k int, v double",
+    )
+
+
+def test_spec_migration_compact_keeps_colliding_current_entries(
+    spark, tmp_path
+):
+    """ADVICE r14 #1 (high): month->q evolve, merge migrating ONE
+    month creates a current-spec entry; the bulk-migration compact
+    rewrites the REMAINING old-spec months whose rows land on that
+    same current-spec key — the fresh entry must not shadow (and drop)
+    the merge-created one."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_evolve_partitioning,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_mig_rows(spark), path, "p")
+    snapshot_evolve_partitioning(path, "q")
+
+    # batch keys 10-12 live only in m1 (disjoint k ranges): the merge
+    # migrates m1 alone -> current-spec entry q=gA
+    batch = spark.createDataFrame(
+        [("m1", "gA", k, k + 0.5) for k in (10, 11, 12)],
+        "p string, q string, k int, v double",
+    )
+    snapshot_merge(spark, batch, path, "q", ["k"])
+    m = snapshot_manifest(path)
+    assert "gA" in m["partitions"]
+    assert snapshot_read(spark, path).count() == 30
+
+    # bulk migration: m0 (all gB) and m2 (gA + gB) rewrite under q —
+    # the fresh gA entry must carry the merge-created gA rows too
+    st = snapshot_compact(spark, path, "q")
+    assert st["new_version"] > st["old_version"]
+    mc = snapshot_manifest(path)
+    assert "pc_history" not in mc
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 30, f"rows lost in bulk migration: {len(got)}/30"
+    assert got[10] == 10.5 and got[11] == 11.5 and got[12] == 12.5
+    assert got[0] == 0.0 and got[29] == 29.0
+
+
+def test_spec_migration_merge_keeps_colliding_current_entries(
+    spark, tmp_path
+):
+    """ADVICE r14 #1 (high), merge leg: a SECOND merge migrating m2
+    produces rows for current-spec key gA that neither matched nor
+    upsert rows touch — the lazily-migrated fresh gA entry must union
+    the existing gA entry's rows, not shadow them."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_evolve_partitioning,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_mig_rows(spark), path, "p")
+    snapshot_evolve_partitioning(path, "q")
+
+    b1 = spark.createDataFrame(
+        [("m1", "gA", k, k + 0.5) for k in (10, 11, 12)],
+        "p string, q string, k int, v double",
+    )
+    snapshot_merge(spark, b1, path, "q", ["k"])
+    assert snapshot_read(spark, path).count() == 30
+
+    # batch keys 25-27 match only m2's gB rows; m2's migration also
+    # rewrites its gA rows (k 20-24) onto the existing gA entry's key
+    b2 = spark.createDataFrame(
+        [("m2", "gB", k, k + 0.5) for k in (25, 26, 27)],
+        "p string, q string, k int, v double",
+    )
+    snapshot_merge(spark, b2, path, "q", ["k"])
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 30, f"rows lost in lazy migration: {len(got)}/30"
+    assert got[25] == 25.5 and got[10] == 10.5 and got[20] == 20.0
+
+
+def test_snapshot_delete_rekey_after_folding(spark, tmp_path):
+    """ADVICE r14 #2 (medium): once every outstanding delete file is
+    folded (compact or merge rewrite), snapshot_delete with a NEW key
+    set must succeed — the persisted dv_key is stale, not binding."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"m{i % 2}", i, i * 10) for i in range(10)],
+        "p string, k int, u int",
+    )
+    snapshot_write(df, path, "p")
+    snapshot_delete(
+        spark, spark.createDataFrame([(3,)], "k int"), path, "p", ["k"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one key set"):
+        snapshot_delete(
+            spark, spark.createDataFrame([(40,)], "u int"), path, "p",
+            ["u"],
+        )
+    st = snapshot_compact(spark, path, "p")
+    assert st["new_version"] > st["old_version"]
+    # compact folded the last delete file -> dv_key cleared
+    assert "dv_key" not in snapshot_manifest(path)
+    st2 = snapshot_delete(
+        spark, spark.createDataFrame([(40,)], "u int"), path, "p", ["u"]
+    )
+    assert st2["partitions_touched"] == 1
+    assert snapshot_read(spark, path).count() == 8  # k=3, u=40 gone
+
+
+def test_wap_publish_restamps_as_of_anchor(spark, tmp_path):
+    """ADVICE r14 #3 (low): a WAP commit's TIMESTAMP-AS-OF anchor is
+    its PUBLISH time, not its staging time — an as-of query for an
+    instant inside the audit window must resolve the pre-publish
+    state (Delta anchors on commit time)."""
+    import time
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_publish,
+        snapshot_version,
+        snapshot_version_at,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+    )
+    snapshot_write(df, path, "p")
+    v1 = snapshot_version(path)
+    st = snapshot_merge(
+        spark,
+        spark.createDataFrame([("a", 3, 3.0)], "p string, k int, v double"),
+        path, "p", ["k"], publish=False,
+    )
+    time.sleep(0.05)
+    t_mid = time.time()  # inside the audit window: v2 staged, unpublished
+    time.sleep(0.05)
+    snapshot_publish(path, st["new_version"])
+    assert snapshot_version(path) == st["new_version"]
+    # at t_mid no reader could observe the staged commit
+    assert snapshot_version_at(path, t_mid) == v1
+    assert snapshot_version_at(path, time.time()) == st["new_version"]
+
+
+def test_cli_parse_prune_forms():
+    """ADVICE r14 #4 (low): col=lo..hi handles bounds that carry
+    colons (ISO timestamps); the legacy colon form still parses
+    colon-free bounds and refuses ambiguous ones."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.__main__ import _parse_prune
+
+    assert _parse_prune("d=2020-01-01..2020-06-30") == (
+        "d", "2020-01-01", "2020-06-30"
+    )
+    assert _parse_prune(
+        "ts=2020-01-01T00:00:00..2020-02-01T12:30:00"
+    ) == ("ts", "2020-01-01T00:00:00", "2020-02-01T12:30:00")
+    assert _parse_prune("d:2020-01-01:2020-06-30") == (
+        "d", "2020-01-01", "2020-06-30"
+    )
+    with _pytest.raises(SystemExit):
+        _parse_prune("ts:2020-01-01T00:00:00:2020-02-01T12:30:00")
+    with _pytest.raises(SystemExit):
+        _parse_prune("d=2020-01-01")
+
+
+def test_spec_migration_keeps_scoped_resolves_and_probe_pruning(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 #1: mid partition-spec migration, plan-time
+    metadata stays O(relevant segments) and the MERGE probe stays
+    O(batch) — the per-spec scope union replaces the r14 full-resolve
+    fallback. 1,000 identity-p partitions sharded 64 entries/segment
+    (~16 shards), evolved to identity-q: a 3-key merge issued MID
+    migration must read a handful of shards, probe <= its batch's
+    partitions, and stay byte-correct through the rest of the
+    migration."""
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_evolve_partitioning,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    monkeypatch.setattr(L, "SEGMENT_SHARD_ENTRIES", 64)
+    path = str(tmp_path / "wide")
+    n = 1000
+    df = spark.createDataFrame(
+        [(f"p{i:04d}", f"q{i:04d}", i, float(i)) for i in range(n)],
+        "p string, q string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    n_shards = -(-n // 64)
+    snapshot_evolve_partitioning(path, "q")
+
+    resolves: list[int] = []
+    orig = L._manifest_resolve
+
+    def spy(path_, raw, keys=None, key_range=None, scopes=None):
+        out = orig(path_, raw, keys=keys, key_range=key_range,
+                   scopes=scopes)
+        resolves.append(L.LAST_RESOLVE_SEGMENTS_READ)
+        return out
+
+    monkeypatch.setattr(L, "_manifest_resolve", spy)
+    batch = spark.createDataFrame(
+        [
+            (f"p{i:04d}", f"q{i:04d}", i, 5000.0 + i)
+            for i in (100, 500, 900)
+        ],
+        "p string, q string, k int, v double",
+    )
+    st = snapshot_merge(spark, batch, path, "q", ["p", "q", "k"])
+    # probe O(batch): 3 old-spec homes, not 1000
+    assert st["probe_partitions"] <= 3
+    # lazy migration: the 3 old-spec partitions rewrite under q
+    assert st["partitions_rewritten"] <= 6
+    # plan-time metadata O(relevant): every resolve in the merge
+    # touched a handful of shards, never all of them
+    assert resolves and max(resolves) <= 6 < n_shards
+    monkeypatch.setattr(L, "_manifest_resolve", orig)
+
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == n
+    assert got[500] == 5500.0 and got[0] == 0.0 and got[999] == 999.0
+
+    # read-side: a prune carrying BOTH specs' column ranges stays
+    # scoped mid-migration (one range component per spec)
+    rows = snapshot_read(
+        spark, path,
+        prune={"p": ("p0100", "p0100"), "q": ("q0100", "q0100")},
+    ).collect()
+    assert L.LAST_RESOLVE_SEGMENTS_READ <= 6
+    assert {r["k"] for r in rows} >= {100}
+
+    # bulk migration finishes correct (collision entries folded in)
+    snapshot_compact(spark, path, "q")
+    mc = snapshot_manifest(path)
+    assert "pc_history" not in mc
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == n and got[900] == 5900.0
