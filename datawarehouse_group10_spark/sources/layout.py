@@ -1238,6 +1238,20 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
 KEY_BLOOM_MAX_KEYS = 4096
 KEY_BLOOM_MAX_TESTS = 1 << 22
 
+#: Auto-sizing (r15, VERDICT r14 #2): a fixed-size filter saturates
+#: near-useless past ~4k keys/partition, so each partition's bloom is
+#: sized at build time from the freshly-written files' footer row
+#: counts (already local — the stats pass reads the same footers):
+#: the smallest power-of-two m with expected FPR <= the target at
+#: that key count, floored at the table spec's ``m`` and capped at
+#: ``mx`` (default 1 MiB of bits = 128 KiB packed, ~100k keys at 2%).
+#: The cap bounds TABLE-level bloom bytes at n_live * mx/8 — an
+#: operator knob (``key_bloom_max_bits``) on tables where that
+#: product matters. A capped (saturating) filter degrades toward
+#: "no pruning", never to a wrong answer.
+KEY_BLOOM_TARGET_FPR = 0.02
+KEY_BLOOM_MAX_M = 1 << 20
+
 
 def _key_bloom_extra(
     spark, snap: str, partition_col, spec: dict, schema_json: str | None
@@ -1255,25 +1269,55 @@ def _key_bloom_extra(
     nothing when a uuid-keyed batch spans every partition's key range;
     membership needs a digest. False positives only ever COST (an
     extra probe partition), never corrupt: FP rate is about
-    ``(1 - exp(-k*n/m))**k`` — ~2% at the defaults (m=8192, k=6) for
-    n=1000 keys/partition, degrading gracefully toward "no pruning"
-    as a partition saturates the filter."""
+    ``(1 - exp(-k*n/m))**k``, degrading gracefully toward "no
+    pruning" as a partition saturates the filter.
+
+    Each partition's ``m`` is AUTO-SIZED (r15, VERDICT r14 #2) from
+    its freshly-written files' footer row counts — spec ``m`` is the
+    floor, ``mx`` the cap, target FPR :data:`KEY_BLOOM_TARGET_FPR` —
+    so a 1k-key and a 50k-key partition both probe at ~2% FP instead
+    of the hot one saturating. The probe handles mixed sizes."""
     import base64
+    import math
+    import os
+
+    import pyarrow.parquet as pq
 
     cols = spec["cols"]
     mbits = spec["m"]
     kh = spec["k"]
+    mmax = max(int(spec.get("mx", KEY_BLOOM_MAX_M)), mbits)
     leafs = _discover_parts(snap, partition_col)
     if not leafs:
         return {}
+    # rows per freshly-written partition, from local footers — the
+    # same files the stats pass reads, zero extra data I/O
+    bits_per_key = -kh / math.log(
+        1.0 - KEY_BLOOM_TARGET_FPR ** (1.0 / kh)
+    )
+    m_of: dict[str, int] = {}
+    for key, leaf in leafs.items():
+        n = sum(
+            pq.ParquetFile(os.path.join(leaf, f)).metadata.num_rows
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        )
+        need = int(bits_per_key * max(1, n)) + 1
+        m = mbits
+        while m < need and m * 2 <= mmax:
+            m *= 2
+        m_of[key] = m
     df = _read_groups(
         spark, [(snap, sorted(leafs.values()))], schema_json=schema_json
+    )
+    mdf = spark.createDataFrame(
+        [(k, m) for k, m in sorted(m_of.items())], "_pk string, _m int"
     )
     pos = F.array(
         *[
             F.pmod(
                 F.xxhash64(F.lit(i), *[F.col(c) for c in cols]),
-                F.lit(mbits),
+                F.col("_m"),
             ).cast("int")
             for i in range(kh)
         ]
@@ -1281,21 +1325,24 @@ def _key_bloom_extra(
     rows = (
         df.select(
             _part_key_col(partition_col).alias("_pk"),
-            F.explode(pos).alias("_pos"),
+            *[F.col(c) for c in cols],
         )
+        .join(F.broadcast(mdf), "_pk")
+        .select("_pk", F.explode(pos).alias("_pos"))
         .groupBy("_pk")
         .agg(F.collect_set("_pos").alias("ps"))
         .collect()
     )
     out: dict[str, dict] = {}
     for r in rows:
-        bits = bytearray(mbits // 8)
+        m = m_of[r["_pk"]]
+        bits = bytearray(m // 8)
         for p in r["ps"]:
             bits[p // 8] |= 1 << (p % 8)
         out[r["_pk"]] = {
             "kb": {
                 "cols": list(cols),
-                "m": mbits,
+                "m": m,
                 "k": kh,
                 "b": base64.b64encode(bytes(bits)).decode("ascii"),
             }
@@ -1315,41 +1362,57 @@ def _key_bloom_probe(
 
     if not candidates or list(spec.get("cols", ())) != list(key_cols):
         return candidates
-    blooms: dict[str, int | None] = {}
+    # blooms may carry DIFFERENT sizes (r15 auto-sizing): group by m,
+    # compute the batch's probe positions once per distinct size in a
+    # single job
+    blooms: dict[str, tuple[int, int] | None] = {}
     for val in candidates:
         kb = parts[val].get("kb")
         if (
             kb is None
             or list(kb["cols"]) != list(key_cols)
-            or kb["m"] != spec["m"]
             or kb["k"] != spec["k"]
         ):
             blooms[val] = None
         else:
-            blooms[val] = int.from_bytes(base64.b64decode(kb["b"]), "little")
-    if all(b is None for b in blooms.values()):
+            blooms[val] = (
+                kb["m"],
+                int.from_bytes(base64.b64decode(kb["b"]), "little"),
+            )
+    ms = sorted({b[0] for b in blooms.values() if b is not None})
+    if not ms:
         return candidates
-    pos = F.array(
-        *[
-            F.pmod(
-                F.xxhash64(F.lit(i), *[F.col(c) for c in key_cols]),
-                F.lit(spec["m"]),
-            ).cast("int")
-            for i in range(spec["k"])
-        ]
-    )
-    key_rows = keys.select(pos.alias("ps")).limit(
+    sel = [
+        F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(i), *[F.col(c) for c in key_cols]
+                    ),
+                    F.lit(m),
+                ).cast("int")
+                for i in range(spec["k"])
+            ]
+        ).alias(f"_m{m}")
+        for m in ms
+    ]
+    key_rows = keys.select(*sel).limit(
         KEY_BLOOM_MAX_KEYS + 1
     ).collect()
     if len(key_rows) > KEY_BLOOM_MAX_KEYS:
         return candidates
     if len(key_rows) * len(candidates) > KEY_BLOOM_MAX_TESTS:
         return candidates
-    masks = [sum(1 << p for p in set(r["ps"])) for r in key_rows]
+    masks = {
+        m: [
+            sum(1 << p for p in set(r[f"_m{m}"])) for r in key_rows
+        ]
+        for m in ms
+    }
     return {
         val
         for val, b in blooms.items()
-        if b is None or any(b & msk == msk for msk in masks)
+        if b is None or any(b[1] & msk == msk for msk in masks[b[0]])
     }
 
 
@@ -2155,6 +2218,7 @@ def snapshot_write(
     key_bloom: list[str] | None = None,
     key_bloom_bits: int = 8192,
     key_bloom_hashes: int = 6,
+    key_bloom_max_bits: int = KEY_BLOOM_MAX_M,
 ) -> str:
     """Full load of a snapshot-versioned table: write the next ``v<N>``
     data root (hive-partitioned by ``partition_col``; one file per
@@ -2172,12 +2236,16 @@ def snapshot_write(
     the defaults), consulted by :func:`snapshot_merge` AFTER its
     range check — the prune that works where ranges can't, e.g.
     uuid-keyed CDC batches whose key range spans every partition.
-    Size ``key_bloom_bits`` to the expected keys per partition (~2%
-    false positives at 1000 keys with the defaults; a saturated
-    filter degrades to "no pruning", never to a wrong answer).
-    Merges and backfills maintain the blooms automatically from the
-    persisted policy; pre-policy partitions simply stay unpruned
-    until first rewritten."""
+    Each partition's filter AUTO-SIZES from its written row count
+    (r15, VERDICT r14 #2): ``key_bloom_bits`` is the floor,
+    ``key_bloom_max_bits`` the per-partition cap (so table-level
+    bloom metadata is bounded at n_live * cap/8 bytes), and the
+    target is ~:data:`KEY_BLOOM_TARGET_FPR` FP at the partition's
+    key count — a 50k-key hot partition gets a bigger digest instead
+    of a saturated useless one. A filter at the cap degrades to "no
+    pruning", never to a wrong answer. Merges and backfills maintain
+    the blooms automatically from the persisted policy; pre-policy
+    partitions simply stay unpruned until first rewritten."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -2221,6 +2289,8 @@ def snapshot_write(
             "m": key_bloom_bits,
             "k": key_bloom_hashes,
         }
+        if key_bloom_max_bits != KEY_BLOOM_MAX_M:
+            spec["mx"] = int(key_bloom_max_bits)
         spark = df.sparkSession
         schema_json_b = table_schema_json
 

@@ -4618,3 +4618,65 @@ def test_spec_migration_keeps_scoped_resolves_and_probe_pruning(
     assert "pc_history" not in mc
     got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
     assert len(got) == n and got[900] == 5900.0
+
+
+def test_key_bloom_auto_sizing_fpr(spark, tmp_path):
+    """VERDICT r14 #2: per-partition blooms auto-size from written row
+    counts — a 1k-key partition stays at the 8192-bit floor, a 50k-key
+    partition grows to hold ~2% FPR instead of saturating, and the
+    probe handles the mixed sizes."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(51000).selectExpr(
+        "case when id < 1000 then 'a' else 'b' end as p",
+        "concat('k', id) as k",
+        "cast(id as double) as v",
+    )
+    snapshot_write(df, path, "p", key_bloom=["k"])
+    m = snapshot_manifest(path)
+    kb_a = m["partitions"]["a"]["kb"]
+    kb_b = m["partitions"]["b"]["kb"]
+    assert kb_a["m"] == 8192  # floor suffices for 1k keys
+    assert kb_b["m"] >= 8 * 50000  # sized up for the hot partition
+
+    # measured FPR on 2000 ABSENT keys, via the same hash expressions
+    absent = spark.range(2000).selectExpr("concat('x', id) as k")
+    for kb, label in ((kb_a, "1k"), (kb_b, "50k")):
+        bits = int.from_bytes(base64.b64decode(kb["b"]), "little")
+        rows = absent.select(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.col("k")),
+                        F.lit(kb["m"]),
+                    ).cast("int")
+                    for i in range(kb["k"])
+                ]
+            ).alias("ps")
+        ).collect()
+        fp = sum(
+            1
+            for r in rows
+            if all((bits >> p) & 1 for p in r["ps"])
+        )
+        assert fp / len(rows) <= 0.05, (
+            f"{label}-key bloom FPR {fp / len(rows):.3f}"
+        )
+
+    # mixed-size probe: a key living only in 'a' prunes 'b' (range
+    # stats can't — the key strings interleave)
+    batch = spark.createDataFrame(
+        [("a", "k500", -1.0)], "p string, k string, v double"
+    )
+    st = snapshot_merge(spark, batch, path, "p", ["k"])
+    assert st["probe_partitions"] == 1
+    assert st["partitions_rewritten"] == 1
