@@ -1780,6 +1780,101 @@ def mor_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, path)
 
 
+#: Filled by evolve_snapshot_orders's one-time schema-evolution
+#: lifecycle (observability only; correctness rides the 'evolve'
+#: section hash).
+EVOLVE_STATS: dict[str, float] = {}
+
+
+def evolve_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION round trip (r15, VERDICT r14 #3): the
+    month-partitioned orders snapshot runs every evolution verb as a
+    metadata-only commit (``sources/layout.py:
+    snapshot_evolve_schema`` — stable field ids, per-root schema_log,
+    zero data rewritten), with a MERGE after each stage so mixed
+    pre/post-evolution roots sit in one table:
+
+    - v1 write: (o_month, o_orderkey INT, o_orderpriority,
+      o_totalprice);
+    - v2 evolve: add ``flag`` string, rename o_orderpriority ->
+      ``clerk``,
+      widen o_orderkey INT -> BIGINT (read-time cast, no rewrite);
+    - v3 merge: keys %131 update price+7.0 flag='m1' (full rows,
+      carrying the RENAMED clerk), keys %163 insert as -k flag='m1i';
+    - v4 evolve: drop ``clerk``  — then v5 evolve: re-add ``clerk``
+      (same NAME, fresh field id: the v1/v3 roots' clerk values must
+      NOT resurrect);
+    - v6 merge: keys %173 insert as -k-400000000 with clerk='c2'
+      flag='m2' — the only rows whose clerk is non-NULL.
+
+    The ``a_extended`` 'evolve' section aggregates the final state per
+    month — count, price sum, key sum (signed: pins the widened
+    values), flag count, clerk count (pins the drop+re-add trap) —
+    against the SQL-reconstructed final state."""
+    from .sources.layout import (
+        snapshot_evolve_schema,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_evolve"
+    )
+    if _snapshot_stale(path, expect_version=6):
+        po = _t(spark, sf_dir, "orders").select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        snapshot_write(po, path, "o_month")
+        t0 = time.time()
+        ev = snapshot_evolve_schema(
+            path,
+            add={"flag": "string"},
+            rename={"o_orderpriority": "clerk"},
+            widen={"o_orderkey": "bigint"},
+        )
+        k = F.col("o_orderkey").cast("bigint")
+        po2 = po.select(
+            "o_month",
+            k.alias("o_orderkey"),
+            F.col("o_orderpriority").alias("clerk"),
+            "o_totalprice",
+        )
+        upd = po2.filter(k % 131 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+        ).withColumn("flag", F.lit("m1"))
+        ins = po2.filter((k % 163 == 0) & (k != 0)).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        ).withColumn("flag", F.lit("m1i"))
+        st1 = snapshot_merge(
+            spark, upd.unionByName(ins), path, "o_month",
+            ["o_orderkey"],
+        )
+        snapshot_evolve_schema(path, drop=["clerk"])
+        snapshot_evolve_schema(path, add={"clerk": "string"})
+        ins2 = po2.filter((k % 173 == 0) & (k != 0)).select(
+            "o_month",
+            (-F.col("o_orderkey") - F.lit(400000000).cast("bigint"))
+            .alias("o_orderkey"),
+            (F.col("o_totalprice") + F.lit(2.0)).alias("o_totalprice"),
+            F.lit("m2").alias("flag"),
+            F.lit("c2").alias("clerk"),
+        )
+        st2 = snapshot_merge(
+            spark, ins2, path, "o_month", ["o_orderkey"]
+        )
+        EVOLVE_STATS.update(
+            {f"evolve_{a}": b for a, b in ev.items()}
+            | {f"m1_{a}": b for a, b in st1.items()}
+            | {f"m2_{a}": b for a, b in st2.items()}
+        )
+        EVOLVE_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read(spark, path)
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -5081,6 +5176,36 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Schema-evolution round trip (r15): add/rename/widen/drop via
+    # stable field ids, a merge after each stage — the per-month
+    # aggregate carries flag/clerk NULL-counts so a resurrected
+    # dropped column or a mis-mapped rename breaks the hash.
+    mg7 = (
+        evolve_snapshot_orders(spark, sf_dir)
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+            F.sum("o_orderkey").cast("double").alias("_k"),
+            F.count("flag").cast("double").alias("_f"),
+            F.count("clerk").cast("double").alias("_c"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(5, 'n', _n, 'sum_price', _s, 'sum_key', _k, "
+            "'n_flag', _f, 'n_clerk', _c) as (metric, val)",
+        )
+        .select(
+            F.lit("evolve").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Z-order layout round trip (r8): read the clustered copy back and
     # emit row-level content — any row lost/duplicated/corrupted by the
     # quantile-bucket/interleave/range-shuffle/sort write breaks the
@@ -5113,6 +5238,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mg4)
         .unionByName(mg5)
         .unionByName(mg6)
+        .unionByName(mg7)
         .unionByName(zo)
     )
 
@@ -7386,6 +7512,42 @@ FROM (
     FROM orders WHERE o_orderkey % 291 = 0
   ) GROUP BY m
 ) UNPIVOT (val FOR metric IN (n, sum_price))
+UNION ALL
+-- schema-evolution round trip (r15): add flag, rename
+-- o_orderpriority->clerk,
+-- widen o_orderkey INT->BIGINT, merge (%131 update price+7 flag 'm1',
+-- %163 insert -k flag 'm1i'), then DROP clerk and RE-ADD it (fresh
+-- field id: pre-drop clerk values never resurrect), then merge %173
+-- inserts at -k-400000000 with clerk 'c2' flag 'm2' price+2.0.
+SELECT 'evolve' AS section, m AS k1, '' AS k2, metric,
+       val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT m,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(k) AS DOUBLE) AS sum_key,
+         CAST(COUNT(flag) AS DOUBLE) AS n_flag,
+         CAST(COUNT(clerk) AS DOUBLE) AS n_clerk
+  FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           CAST(o_orderkey AS BIGINT) AS k,
+           CASE WHEN o_orderkey % 131 = 0 THEN o_totalprice + 7.0
+                ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 131 = 0 THEN 'm1' END AS flag,
+           CAST(NULL AS VARCHAR) AS clerk
+    FROM orders
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m'),
+           -CAST(o_orderkey AS BIGINT), o_totalprice, 'm1i',
+           CAST(NULL AS VARCHAR)
+    FROM orders WHERE o_orderkey % 163 = 0 AND o_orderkey <> 0
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m'),
+           -CAST(o_orderkey AS BIGINT) - 400000000,
+           o_totalprice + 2.0, 'm2', 'c2'
+    FROM orders WHERE o_orderkey % 173 = 0 AND o_orderkey <> 0
+  ) GROUP BY m
+) UNPIVOT (val FOR metric IN (n, sum_price, sum_key, n_flag, n_clerk))
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered
 -- parquet copy back; content must equal the original table row-level.

@@ -1647,6 +1647,51 @@ def _stage_version(
         # valid zero-partition snapshot, and reading it back needs a
         # schema no data file can provide anymore (ADVICE r12 #5).
         manifest["schema"] = schema_json
+    if (
+        base is not None
+        and base.get("schema_ids") is not None
+        and "schema_ids" not in manifest
+        and manifest.get("schema") is not None
+    ):
+        # field-id bookkeeping (r15, VERDICT r14 #3): ids follow the
+        # schema commit-to-commit. A writer that changed the schema
+        # WITHOUT going through snapshot_evolve_schema can only have
+        # ADDED columns (merge evolve_schema=True) or reordered them —
+        # reconcile by name: carried names keep their ids, new names
+        # draw fresh ones from the monotonic counter (never reused, so
+        # a drop + re-add gets a NEW id and old data stays dead).
+        if manifest["schema"] == base.get("schema"):
+            manifest["schema_ids"] = base["schema_ids"]
+            if base.get("next_fid") is not None:
+                manifest["next_fid"] = base["next_fid"]
+        else:
+            old_fields = json.loads(base["schema"])["fields"]
+            name2id = dict(
+                zip(
+                    [f["name"] for f in old_fields],
+                    base["schema_ids"],
+                )
+            )
+            nf = base.get("next_fid", max(base["schema_ids"]) + 1)
+            ids = []
+            for f in json.loads(manifest["schema"])["fields"]:
+                if f["name"] in name2id:
+                    ids.append(name2id[f["name"]])
+                else:
+                    ids.append(nf)
+                    nf += 1
+            manifest["schema_ids"] = ids
+            manifest["next_fid"] = nf
+    if (
+        "schema_log" not in manifest
+        and (extra_meta or {}).get("schema_log", ()) is not None
+        and base is not None
+        and base.get("schema_log")
+    ):
+        # per-root write-time schemas carried commit-to-commit (r15):
+        # old roots keep resolving their historical names/types
+        # through the log until a rewrite migrates them
+        manifest["schema_log"] = base["schema_log"]
     import time as _time
 
     # commit wall-clock time (r14): the AS-OF-timestamp time-travel
@@ -1881,8 +1926,8 @@ def _scan_plan(
     partitions: set[str] | None = None,
     prune: dict[str, tuple] | None = None,
     staged: bool = False,
-) -> tuple[list[tuple[str, list[str]]], list[dict], object]:
-    """``(scan_groups, dv_refs, partition_col)`` — the full scan plan:
+) -> tuple[list[tuple[str, list[str]]], list[dict], object, dict]:
+    """``(scan_groups, dv_refs, partition_col, raw)`` — the full scan plan:
     the data-directory groups :func:`snapshot_scan_groups` returns,
     plus the merge-on-read delete-file descriptors (r14) of every
     SCANNED partition that carries outstanding deletes, plus the
@@ -1989,6 +2034,7 @@ def _scan_plan(
         ],
         dvs,
         pc,
+        raw,
     )
 
 
@@ -2050,11 +2096,54 @@ def _read_version(
     key no surviving delete row carries. Scanned partitions without
     delete refs pass through the join untouched (their partition key
     matches no delete row), so the plan stays a single scan + one
-    broadcast hash anti-join — no split, no shuffle."""
+    broadcast hash anti-join — no split, no shuffle.
+
+    Schema evolution (r15, VERDICT r14 #3): when the manifest carries
+    a ``schema_log``, each version root written BEFORE an evolution is
+    read under its own write-time schema and mapped to the current one
+    by FIELD ID — renamed columns read their historical name, widened
+    columns cast JVM-side (int->bigint, float->double — no rewrite,
+    no parquet type-promotion dependence), dropped-then-re-added names
+    read NULL from old roots (the new field has a new id, so old data
+    never resurrects)."""
     import os
 
-    groups, dvs, pc = _scan_plan(path, version, partitions, prune, staged)
-    df = _read_groups(spark, groups, schema_json)
+    groups, dvs, pc, raw = _scan_plan(path, version, partitions, prune, staged)
+    root_plans = None
+    if raw is not None and raw.get("schema_log") and raw.get("schema_ids"):
+        import json
+
+        from pyspark.sql.types import StructType
+
+        cur = StructType.fromJson(json.loads(raw["schema"]))
+        cur_ids = raw["schema_ids"]
+        root_plans = {}
+        for base, _dirs in groups:
+            n = int(os.path.basename(base)[1:])
+            hist_json, hist_ids = _root_schema(raw, n)
+            if (
+                hist_json is None
+                or hist_ids is None
+                or (
+                    hist_json == raw["schema"]
+                    # ids must match too: a drop + re-add leaves the
+                    # schema JSON byte-identical while the re-added
+                    # field carries a NEW id — mapping is what keeps
+                    # the old root's dropped data dead
+                    and list(hist_ids) == list(cur_ids)
+                )
+            ):
+                continue  # written under the current schema: no map
+            hist = StructType.fromJson(json.loads(hist_json))
+            id2name = dict(zip(hist_ids, [f.name for f in hist]))
+            sel = [
+                F.col(id2name[fid]).cast(f.dataType).alias(f.name)
+                if fid in id2name
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for fid, f in zip(cur_ids, cur.fields)
+            ]
+            root_plans[base] = (hist, sel)
+    df = _read_groups(spark, groups, schema_json, root_plans=root_plans)
     if df is None or not dvs:
         return df
     key = list(dvs[0]["key"])
@@ -2073,7 +2162,24 @@ def _read_version(
     )
 
 
-def _read_groups(spark, groups, schema_json: str | None = None) -> DataFrame | None:
+def _root_schema(raw: dict, root_version: int):
+    """``(schema_json, field_ids)`` a data root was WRITTEN under
+    (r15, schema evolution). Mirrors :func:`_entry_pc`: the manifest's
+    ``schema_log`` is a list of ``{"before": V, "schema": ...,
+    "ids": [...]}`` records appended by :func:`snapshot_evolve_schema`
+    — "roots numbered < V were written under this schema". Recorded in
+    the CURRENT version file (carried commit-to-commit), so the
+    mapping survives gc of the root's own version file. Tables that
+    never evolved have no log: zero overhead."""
+    for rec in raw.get("schema_log") or ():
+        if root_version < rec["before"]:
+            return rec["schema"], rec.get("ids")
+    return raw.get("schema"), raw.get("schema_ids")
+
+
+def _read_groups(
+    spark, groups, schema_json: str | None = None, root_plans=None
+) -> DataFrame | None:
     """Union the per-version-root scans. When the manifest carries the
     table schema (r13), it is passed to the reader EXPLICITLY: hive
     partition-column type inference is skipped, so a string partition
@@ -2091,6 +2197,21 @@ def _read_groups(spark, groups, schema_json: str | None = None) -> DataFrame | N
         schema = StructType.fromJson(json.loads(schema_json))
     out = None
     for base, dirs in groups:
+        plan = (root_plans or {}).get(base)
+        if plan is not None:
+            # pre-evolution root (r15): read under its WRITE-TIME
+            # schema (exact parquet types — no reader type-promotion
+            # dependence), then rename/cast/NULL-fill to the current
+            # schema by field id
+            hist_schema, sel = plan
+            part = (
+                spark.read.option("basePath", base)
+                .schema(hist_schema)
+                .parquet(*dirs)
+                .select(*sel)
+            )
+            out = part if out is None else out.unionByName(part)
+            continue
         reader = spark.read.option("basePath", base)
         if schema is not None:
             reader = reader.schema(schema)
@@ -2193,7 +2314,7 @@ def snapshot_read_path(path: str, version: int | None = None) -> str:
     one path); in-engine readers use :func:`snapshot_read`."""
     import os
 
-    groups, dvs, _pc = _scan_plan(path, version)
+    groups, dvs, _pc, _raw = _scan_plan(path, version)
     if dvs:
         raise ValueError(
             f"snapshot under {path} carries outstanding merge-on-read "
@@ -3748,6 +3869,208 @@ def snapshot_evolve_partitioning(
         "old_version": committed,
         "new_version": version,
         "specs_live": len(hist(version)) + 1,
+    }
+
+
+#: Widening conversions snapshot_evolve_schema allows without a data
+#: rewrite (Iceberg's set): every old value is exactly representable
+#: in the new type, so the read-time cast is lossless.
+_WIDEN_OK = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def snapshot_evolve_schema(
+    path: str,
+    add: dict[str, str] | None = None,
+    rename: dict[str, str] | None = None,
+    widen: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict[str, int]:
+    """SCHEMA EVOLUTION as a pure-metadata commit (r15, VERDICT r14
+    #3 — Iceberg's shape, via stable FIELD IDS): add, rename, widen
+    (int->bigint / float->double and the smaller integer chains), and
+    drop columns with ZERO data rewritten. The manifest carries the
+    schema's field ids (``schema_ids``, assigned on first use, never
+    reused) and a ``schema_log`` of historical schemas keyed by root
+    version — readers map every pre-evolution root to the current
+    schema BY ID: a renamed column reads its historical name, a
+    widened one casts JVM-side in the scan projection (no dependence
+    on parquet reader type promotion), a dropped-then-re-added name
+    gets a fresh id so old data never resurrects, and time travel to
+    pre-evolution versions reads through THEIR version files
+    untouched.
+
+    ``add`` maps new column name -> Spark type string (reads NULL
+    from every existing root); ``rename`` old -> new; ``widen``
+    column -> wider type; ``drop`` is a list of names. Verbs compose
+    in one commit (applied add -> rename -> widen -> drop, each
+    validated against the schema the previous verb produced).
+
+    Refused: evolving a partition SOURCE column of any live spec
+    (identity or transform — directory layouts and probe scoping key
+    on those names), and evolving while merge-on-read delete files
+    are outstanding (their key references are by name); fold with
+    snapshot_compact() first."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    _TYPES = {
+        "byte": "byte", "tinyint": "byte",
+        "short": "short", "smallint": "short",
+        "int": "integer", "integer": "integer",
+        "bigint": "long", "long": "long",
+        "float": "float", "double": "double",
+        "string": "string", "boolean": "boolean",
+        "date": "date", "timestamp": "timestamp",
+        "binary": "binary",
+    }
+
+    def _type_json(typ: str) -> str:
+        t = _TYPES.get(typ.strip().lower())
+        if t is None:
+            raise ValueError(
+                f"snapshot_evolve_schema: unsupported type {typ!r} "
+                f"(supported: {sorted(set(_TYPES))})"
+            )
+        return t
+
+    committed, raw = _validated_raw(path, None)
+    if raw.get("schema") is None:
+        raise ValueError(
+            "snapshot_evolve_schema: table has no persisted schema "
+            "(legacy manifest) — rewrite it once (merge/compact) first"
+        )
+    if raw.get("dv_key") and any(
+        "dv" in e
+        for e in _manifest_resolve(path, raw)["partitions"].values()
+    ):
+        raise ValueError(
+            "snapshot_evolve_schema: table carries outstanding "
+            "merge-on-read delete files (their key columns are "
+            "referenced by name) — fold them with snapshot_compact() "
+            "first"
+        )
+    # partition source columns of every live spec are frozen
+    frozen = set(_psrc_cols(raw["partition_col"]))
+    for rec in raw.get("pc_history") or ():
+        frozen |= set(_psrc_cols(rec["pc"]))
+    touched_cols = {
+        *(rename or {}),
+        *(widen or {}),
+        *(drop or ()),
+    }
+    bad = sorted(touched_cols & frozen)
+    if bad:
+        raise ValueError(
+            f"snapshot_evolve_schema: column(s) {bad} are partition "
+            "sources of a live spec — re-partition "
+            "(snapshot_evolve_partitioning) before evolving them"
+        )
+
+    fields = json.loads(raw["schema"])["fields"]
+    ids = list(
+        raw.get("schema_ids") or range(1, len(fields) + 1)
+    )
+    nf = raw.get("next_fid", max(ids) + 1 if ids else 1)
+    by_name = {f["name"]: i for i, f in enumerate(fields)}
+
+    def _require(col: str, verb: str) -> int:
+        if col not in by_name:
+            raise ValueError(
+                f"snapshot_evolve_schema: cannot {verb} unknown "
+                f"column {col!r}"
+            )
+        return by_name[col]
+
+    fields = [dict(f) for f in fields]
+    for col, typ in (add or {}).items():
+        if col in by_name:
+            raise ValueError(
+                f"snapshot_evolve_schema: column {col!r} already "
+                "exists — cannot add"
+            )
+        fields.append(
+            {
+                "name": col,
+                "type": _type_json(typ),
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+        ids.append(nf)
+        nf += 1
+        by_name[col] = len(fields) - 1
+    for old, new in (rename or {}).items():
+        i = _require(old, "rename")
+        if new in by_name and by_name[new] != i:
+            raise ValueError(
+                f"snapshot_evolve_schema: rename target {new!r} "
+                "already exists"
+            )
+        fields[i]["name"] = new
+        del by_name[old]
+        by_name[new] = i
+    for col, typ in (widen or {}).items():
+        i = _require(col, "widen")
+        cur_t = fields[i]["type"]
+        new_t = _type_json(typ)
+        if not isinstance(cur_t, str) or (
+            (cur_t, new_t) not in _WIDEN_OK and cur_t != new_t
+        ):
+            raise ValueError(
+                f"snapshot_evolve_schema: {cur_t} -> {new_t} is not "
+                f"a widening conversion (allowed: {sorted(_WIDEN_OK)})"
+            )
+        fields[i]["type"] = new_t
+    for col in drop or ():
+        i = _require(col, "drop")
+        fields[i] = None
+        ids[i] = None
+        del by_name[col]
+    fields = [f for f in fields if f is not None]
+    ids = [i for i in ids if i is not None]
+    if not fields:
+        raise ValueError(
+            "snapshot_evolve_schema: cannot drop every column"
+        )
+    new_schema = json.dumps(
+        {"type": "struct", "fields": fields}, separators=(",", ":")
+    )
+    # canonicalize through StructType so the persisted string matches
+    # what a reader/writer round-trip would produce
+    new_schema = StructType.fromJson(json.loads(new_schema)).json()
+    if new_schema == raw["schema"] and not (add or rename or widen or drop):
+        raise ValueError("snapshot_evolve_schema: no verbs given")
+
+    old_schema = raw["schema"]
+    old_ids = list(raw.get("schema_ids") or range(1, len(json.loads(old_schema)["fields"]) + 1))
+    m = _manifest_resolve(path, raw)
+
+    def log(version: int) -> list[dict]:
+        return [
+            *(raw.get("schema_log") or []),
+            {"before": version, "schema": old_schema, "ids": old_ids},
+        ]
+
+    version, _m = _stage_version(
+        path, raw["partition_col"], m, set(), None,
+        base_version=committed, schema_json=new_schema,
+        extra_meta={
+            "schema_log": log,
+            "schema_ids": ids,
+            "next_fid": nf,
+        },
+    )
+    return {
+        "old_version": committed,
+        "new_version": version,
+        "fields": len(fields),
+        "next_fid": nf,
     }
 
 

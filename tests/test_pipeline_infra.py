@@ -4680,3 +4680,90 @@ def test_key_bloom_auto_sizing_fpr(spark, tmp_path):
     st = snapshot_merge(spark, batch, path, "p", ["k"])
     assert st["probe_partitions"] == 1
     assert st["partitions_rewritten"] == 1
+
+
+def test_snapshot_schema_evolution_field_ids(spark, tmp_path):
+    """VERDICT r14 #3: rename / widen / drop are metadata-only
+    commits resolved by stable field ids — renamed columns read their
+    historical name from old roots, widened ones cast at read time,
+    a drop + re-add with the same name does NOT resurrect old data,
+    and pre-evolution time travel reads the historical schema."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_evolve_schema,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1, 10, 1.5), ("b", 2, 20, 2.5)],
+        "p string, k int, cnt int, score float",
+    )
+    snapshot_write(df, path, "p")
+    st = snapshot_evolve_schema(
+        path,
+        add={"note": "string"},
+        rename={"cnt": "hits"},
+        widen={"k": "bigint", "score": "double"},
+    )
+    assert st["new_version"] == 2
+    got = snapshot_read(spark, path)
+    assert dict(got.dtypes) == {
+        "p": "string", "k": "bigint", "hits": "int",
+        "score": "double", "note": "string",
+    }
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[1]["hits"] == 10 and rows[1]["score"] == 1.5
+    assert rows[1]["note"] is None
+
+    # merge after every verb: mixed old/new roots read consistently
+    b = spark.createDataFrame(
+        [("a", 3, 30, 3.5, "hi")],
+        "p string, k long, hits int, score double, note string",
+    )
+    snapshot_merge(spark, b, path, "p", ["k"])
+    rows = {r["k"]: r for r in snapshot_read(spark, path).collect()}
+    assert rows[2]["hits"] == 20 and rows[3]["note"] == "hi"
+
+    # the drop + re-add trap: same NAME, new field id -> old values
+    # stay dead on every root
+    snapshot_evolve_schema(path, drop=["note"])
+    snapshot_evolve_schema(path, add={"note": "string"})
+    rows = {r["k"]: r for r in snapshot_read(spark, path).collect()}
+    assert len(rows) == 3
+    assert all(r["note"] is None for r in rows.values())
+
+    # pre-evolution time travel: the ORIGINAL schema and values
+    tt = snapshot_read(spark, path, version=1)
+    assert tt.columns == ["p", "k", "cnt", "score"]
+    assert {r["cnt"] for r in tt.collect()} == {10, 20}
+
+
+def test_snapshot_schema_evolution_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_evolve_schema,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1, 1.5)], "p string, k int, score float"
+    )
+    snapshot_write(df, path, "p")
+    with _pytest.raises(ValueError, match="partition source"):
+        snapshot_evolve_schema(path, rename={"p": "pp"})
+    with _pytest.raises(ValueError, match="not a widening"):
+        snapshot_evolve_schema(path, widen={"score": "int"})
+    with _pytest.raises(ValueError, match="unknown"):
+        snapshot_evolve_schema(path, drop=["nope"])
+    with _pytest.raises(ValueError, match="already exists"):
+        snapshot_evolve_schema(path, add={"k": "int"})
+    snapshot_delete(
+        spark, spark.createDataFrame([(1,)], "k int"), path, "p", ["k"]
+    )
+    with _pytest.raises(ValueError, match="delete files"):
+        snapshot_evolve_schema(path, rename={"k": "kk"})
