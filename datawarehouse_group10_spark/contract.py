@@ -1875,6 +1875,83 @@ def evolve_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, path)
 
 
+#: Filled by cdf_snapshot_orders's one-time src->dst pipeline
+#: (observability only; correctness rides the 'cdf' section hash).
+CDF_STATS: dict[str, float] = {}
+
+
+def cdf_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE CHANGE-DATA-FEED chain (r15, VERDICT r14 #4):
+    a source orders snapshot takes two merge commits after its load
+    (%113 update price+3.0; %127 insert -k; then %119 DELETE), and
+    ``streaming.apply_cdf_to_snapshot`` drains the commit windows into
+    an independently-loaded DESTINATION table through per-window
+    merges carrying the source version as an idempotence token in the
+    destination's version file. The applier runs TWICE — the second
+    pass must deliver zero windows (cursor) and the token makes any
+    redelivered window a no-op (pinned in pytest with a mid-window
+    crash). The ``a_extended`` 'cdf' section aggregates the
+    DESTINATION per month against the SQL-reconstructed SOURCE final
+    state: a dropped window, a double-applied window, or a
+    mis-shaped update (delete+insert pair) all break the hash."""
+    from .sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+    from .streaming import apply_cdf_to_snapshot
+
+    src = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_cdfsrc"
+    )
+    dst = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_cdfdst"
+    )
+    stale_src = _snapshot_stale(src, expect_version=3)
+    stale_dst = _snapshot_stale(dst, expect_version=3)
+    if stale_src or stale_dst:
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        po = _t(spark, sf_dir, "orders").select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        snapshot_write(po, src, "o_month")
+        snapshot_write(po, dst, "o_month")
+        k = F.col("o_orderkey")
+        t0 = time.time()
+        upd = po.filter(k % 113 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(3.0)
+        )
+        ins = po.filter((k % 127 == 0) & (k != 0)).withColumn(
+            "o_orderkey", -k
+        )
+        snapshot_merge(
+            spark, upd.unionByName(ins), src, "o_month", ["o_orderkey"]
+        )
+        dele = po.filter(k % 119 == 0).withColumn("_d", F.lit(True))
+        snapshot_merge(
+            spark, dele, src, "o_month", ["o_orderkey"],
+            delete_col="_d",
+        )
+        st1 = apply_cdf_to_snapshot(
+            spark, src, dst, "o_month", ["o_orderkey"], start_version=1
+        )
+        st2 = apply_cdf_to_snapshot(
+            spark, src, dst, "o_month", ["o_orderkey"]
+        )
+        assert st2["delivered"] == 0, "cursor failed to advance"
+        CDF_STATS.update(
+            {f"p1_{a}": b for a, b in st1.items()}
+            | {f"p2_{a}": b for a, b in st2.items()}
+        )
+        CDF_STATS["seconds"] = round(time.time() - t0, 3)
+    return snapshot_read(spark, dst)
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -5176,6 +5253,33 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Exactly-once CDF chain (r15): the destination table, fed only
+    # by per-window token-guarded merges from the source's change
+    # feed, must equal the source's SQL-reconstructed final state.
+    mg8 = (
+        cdf_snapshot_orders(spark, sf_dir)
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+            F.sum("o_orderkey").cast("double").alias("_k"),
+        )
+        .selectExpr(
+            "o_month",
+            "stack(3, 'n', _n, 'sum_price', _s, 'sum_key', _k) "
+            "as (metric, val)",
+        )
+        .select(
+            F.lit("cdf").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Schema-evolution round trip (r15): add/rename/widen/drop via
     # stable field ids, a merge after each stage — the per-month
     # aggregate carries flag/clerk NULL-counts so a resurrected
@@ -5239,6 +5343,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mg5)
         .unionByName(mg6)
         .unionByName(mg7)
+        .unionByName(mg8)
         .unionByName(zo)
     )
 
@@ -7512,6 +7617,30 @@ FROM (
     FROM orders WHERE o_orderkey % 291 = 0
   ) GROUP BY m
 ) UNPIVOT (val FOR metric IN (n, sum_price))
+UNION ALL
+-- exactly-once CDF chain (r15): the destination received the source's
+-- commit windows (%113 update price+3.0 and %127 insert -k in one
+-- window, %119 delete in the next) through token-guarded merges; its
+-- final state must equal the source's.
+SELECT 'cdf' AS section, m AS k1, '' AS k2, metric,
+       val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT m,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(k) AS DOUBLE) AS sum_key
+  FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           CAST(o_orderkey AS BIGINT) AS k,
+           CASE WHEN o_orderkey % 113 = 0 THEN o_totalprice + 3.0
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 119 <> 0
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m'),
+           -CAST(o_orderkey AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey % 127 = 0 AND o_orderkey <> 0
+  ) GROUP BY m
+) UNPIVOT (val FOR metric IN (n, sum_price, sum_key))
 UNION ALL
 -- schema-evolution round trip (r15): add flag, rename
 -- o_orderpriority->clerk,

@@ -1629,6 +1629,17 @@ def _stage_version(
         # completes
         manifest["pc_history"] = base["pc_history"]
     if (
+        "cdf_applied" not in manifest
+        and (extra_meta or {}).get("cdf_applied", ()) is not None
+        and base is not None
+        and base.get("cdf_applied")
+    ):
+        # exactly-once CDF sink tokens (r15, VERDICT r14 #4): per
+        # upstream source, the highest commit window already merged
+        # into this table — carried commit-to-commit so a redelivered
+        # window is a provable no-op even after unrelated commits
+        manifest["cdf_applied"] = base["cdf_applied"]
+    if (
         "dv_key" not in manifest
         and (extra_meta or {}).get("dv_key", ()) is not None
         and base is not None
@@ -3181,6 +3192,7 @@ def snapshot_merge(
     write_shards: int | str | None = None,
     target_file_bytes: int = 128 << 20,
     publish: bool = True,
+    extra_meta: dict | None = None,
 ) -> dict[str, int]:
     """Row-level MERGE INTO the snapshot-pointer table with
     partition-level copy-on-write — upsert (update matched keys, insert
@@ -3599,6 +3611,7 @@ def snapshot_merge(
         path, partition_col, m, touched, writer, base_version=committed,
         schema_json=schema_json, base_partial=base_partial,
         entry_extra=bloom_extra, publish=publish,
+        extra_meta=extra_meta,
     )
     return {
         "partitions_rewritten": len(touched),

@@ -1079,6 +1079,7 @@ def run_snapshot_cdf_consume(
     process,
     cursor_path: str,
     max_versions: int | None = None,
+    start_version: int | None = None,
 ) -> dict[str, int]:
     """CHANGE DATA FEED consumer (r14) — the read-side complement of
     :func:`run_stream_cdc_apply`: incrementally deliver a snapshot
@@ -1099,8 +1100,10 @@ def run_snapshot_cdf_consume(
     that downstream dedups).
 
     First call with no cursor starts at the CURRENT committed version
-    (CDC semantics: consume changes from now on) — pass an explicit
-    initial cursor file to start earlier. If retention reclaimed the
+    (CDC semantics: consume changes from now on) — pass
+    ``start_version`` (r15) to seed the cursor at a retained earlier
+    commit instead (backfill-from-history), ignored once a cursor
+    exists. If retention reclaimed the
     cursor's version, this fails loudly naming the gc knob instead of
     silently skipping windows: the retention window IS the maximum
     consumer lag, exactly the reader contract the layout documents.
@@ -1123,7 +1126,7 @@ def run_snapshot_cdf_consume(
     key = os.path.join(cursor_path, "_CDF_CURSOR")
     raw = _meta_store().read(key)
     if raw is None:
-        cursor = committed
+        cursor = committed if start_version is None else int(start_version)
         _meta_store().put_atomic(key, str(cursor).encode("utf-8"))
     else:
         cursor = int(raw.decode("utf-8").strip())
@@ -1155,3 +1158,92 @@ def run_snapshot_cdf_consume(
         delivered += 1
         prev = v
     return {"delivered": delivered, "cursor": prev}
+
+
+def apply_cdf_to_snapshot(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_col,
+    key_cols: list[str],
+    cursor_path: str | None = None,
+    max_versions: int | None = None,
+    start_version: int | None = None,
+) -> dict[str, int]:
+    """EXACTLY-ONCE change-data-feed sink (r15, VERDICT r14 #4): land
+    every not-yet-delivered commit window of ``src_path`` into the
+    snapshot table at ``dst_path`` through :func:`snapshot_merge`,
+    with the window's target commit version recorded in the
+    DESTINATION's version file as an idempotence token
+    (``cdf_applied[src]``, carried commit-to-commit by the staging
+    protocol).
+
+    The consumer itself is at-least-once
+    (:func:`run_snapshot_cdf_consume` advances its cursor only after a
+    window lands), so a crash between the destination commit and the
+    cursor write REDELIVERS that window — and the token turns the
+    redelivery into a provable no-op: the merge is skipped entirely
+    when the destination already records ``applied >= to_version``,
+    even if unrelated writers committed to the destination in between
+    (plain merge idempotence alone could not guarantee that — a
+    replayed stale upsert would clobber a newer independent update).
+
+    Window shaping: a value change arrives from
+    :func:`sources.layout.snapshot_diff` as delete(old row) +
+    insert(new row) on the same key — inserts win (net upsert), and
+    only deletes with no matching insert tombstone their key. Each
+    window is ONE destination commit, so the destination's own commit
+    chain (and CDF, and time travel) mirrors the source's cadence.
+
+    ``cursor_path`` defaults to ``<dst_path>/_cdf_from`` — one
+    consumer per (src, dst) pair. Returns {"delivered", "applied",
+    "skipped", "cursor"}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.layout import (
+        _validated_raw,
+        snapshot_merge,
+    )
+
+    if cursor_path is None:
+        cursor_path = os.path.join(dst_path, "_cdf_from")
+    src_key = os.path.abspath(src_path)
+    stats = {"applied": 0, "skipped": 0}
+
+    def _apply(changes, v_from: int, v_to: int) -> None:
+        _v, dst_raw = _validated_raw(dst_path, None)
+        applied = (dst_raw.get("cdf_applied") or {}).get(src_key)
+        if applied is not None and int(applied) >= v_to:
+            stats["skipped"] += 1  # redelivered window: no-op
+            return
+        ins = changes.filter(F.col("_change") == "insert").drop("_change")
+        dele = (
+            changes.filter(F.col("_change") == "delete")
+            .drop("_change")
+            # a changed key shows as delete(old)+insert(new): the
+            # insert wins, the delete leg drops (net upsert)
+            .join(ins.select(*key_cols), key_cols, "left_anti")
+        )
+        batch = ins.withColumn("_cdf_del", F.lit(False)).unionByName(
+            dele.withColumn("_cdf_del", F.lit(True))
+        )
+        snapshot_merge(
+            spark, batch, dst_path, partition_col, key_cols,
+            delete_col="_cdf_del",
+            extra_meta={
+                "cdf_applied": {
+                    **(dst_raw.get("cdf_applied") or {}),
+                    src_key: v_to,
+                }
+            },
+        )
+        stats["applied"] += 1
+
+    out = run_snapshot_cdf_consume(
+        spark, src_path, _apply, cursor_path,
+        max_versions=max_versions, start_version=start_version,
+    )
+    return {**out, **stats}

@@ -4767,3 +4767,89 @@ def test_snapshot_schema_evolution_guards(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="delete files"):
         snapshot_evolve_schema(path, rename={"k": "kk"})
+
+
+def test_cdf_apply_exactly_once_across_crash(spark, tmp_path):
+    """VERDICT r14 #4: apply_cdf_to_snapshot is exactly-once. A crash
+    between the destination commit and the cursor write redelivers the
+    window; the cdf_applied token in the destination's version file
+    makes the redelivery a no-op — even when an INDEPENDENT writer
+    committed to the destination in between (plain merge replay would
+    clobber its update with the stale window)."""
+    import os
+
+    import datawarehouse_group10_spark.sources.layout as L
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import (
+        apply_cdf_to_snapshot,
+    )
+
+    def rows_of(p):
+        return {
+            r["k"]: (r["p"], r["v"])
+            for r in snapshot_read(spark, p).collect()
+        }
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ref = str(tmp_path / "ref")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0), ("b", 4, 4.0)],
+        "p string, k int, v double",
+    )
+    snapshot_write(base, src, "p")
+    v1 = 1
+    # window 1: update k=1, insert k=5; window 2: delete k=3
+    snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("a", 1, 100.0), ("b", 5, 5.0)], "p string, k int, v double"
+        ),
+        src, "p", ["k"],
+    )
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("b", 3, 0.0, True)],
+                              "p string, k int, v double, d boolean"),
+        src, "p", ["k"], delete_col="d",
+    )
+
+    for d in (dst, ref):
+        snapshot_write(base, d, "p")
+    # one-shot reference
+    st = apply_cdf_to_snapshot(
+        spark, src, ref, "p", ["k"], start_version=v1
+    )
+    assert st["delivered"] == 2 and st["applied"] == 2
+
+    # dst: apply window 1 only, then simulate a crash BEFORE the
+    # cursor write by rewinding the cursor
+    cursor = os.path.join(dst, "_cdf_from")
+    st1 = apply_cdf_to_snapshot(
+        spark, src, dst, "p", ["k"], start_version=v1, max_versions=1
+    )
+    assert st1["applied"] == 1
+    L._meta_store().put_atomic(
+        os.path.join(cursor, "_CDF_CURSOR"), b"1"
+    )
+    # independent writer updates k=1 (a key window 1 also set)
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("a", 1, 777.0)],
+                              "p string, k int, v double"),
+        dst, "p", ["k"],
+    )
+    # replay: window 1 redelivered -> skipped; window 2 applied
+    st2 = apply_cdf_to_snapshot(spark, src, dst, "p", ["k"])
+    assert st2["skipped"] == 1 and st2["applied"] == 1
+
+    expect = {**rows_of(ref), 1: ("a", 777.0)}
+    assert rows_of(dst) == expect
+    # and the destination matches the source everywhere else
+    d, s = rows_of(dst), rows_of(src)
+    d.pop(1), s.pop(1)
+    assert d == s
