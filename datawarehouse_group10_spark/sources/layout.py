@@ -2012,6 +2012,17 @@ def _scan_plan(
             # every partition the plan scans, applied by
             # _read_version's scoped anti-join
             dvs.append(entry["dv"])
+        for rec in entry.get("ap") or ():
+            # merge-on-read APPEND files (r15, VERDICT r14 #5): extra
+            # data files an upsert landed without rewriting the
+            # partition — scanned alongside the base directory,
+            # grouped under the root that wrote them (their commit
+            # version doubles as the row sequence the delete
+            # anti-join compares against)
+            for f in rec["files"]:
+                groups.setdefault(f.split(os.sep)[0], []).append(
+                    os.path.join(path, f)
+                )
         pdir = os.path.join(
             path, entry["root"],
             # the entry's directory layout follows the spec it was
@@ -2154,22 +2165,42 @@ def _read_version(
                 for fid, f in zip(cur_ids, cur.fields)
             ]
             root_plans[base] = (hist, sel)
-    df = _read_groups(spark, groups, schema_json, root_plans=root_plans)
+    df = _read_groups(
+        spark, groups, schema_json, root_plans=root_plans,
+        with_seq=bool(dvs),
+    )
     if df is None or not dvs:
         return df
     key = list(dvs[0]["key"])
     files = sorted({f for d in dvs for f in d["files"]})
-    dk = (
-        spark.read.parquet(*[os.path.join(path, f) for f in files])
-        .select("_dv_pkey", *[f"_dv_k{i}" for i in range(len(key))])
-        .distinct()
-    )
+    # delete files grouped by the commit that wrote them: the version
+    # is the delete's SEQUENCE — it eliminates only rows whose file
+    # root predates it (r15; makes same-commit delete+append pairs,
+    # the MOR upsert shape, resolve to the appended row)
+    by_ver: dict[int, list[str]] = {}
+    for f in files:
+        by_ver.setdefault(int(f.split(os.sep)[0][1:]), []).append(f)
+    dk = None
+    for ver in sorted(by_ver):
+        part = (
+            spark.read.parquet(
+                *[os.path.join(path, f) for f in by_ver[ver]]
+            )
+            .select(
+                "_dv_pkey", *[f"_dv_k{i}" for i in range(len(key))]
+            )
+            .distinct()
+            .withColumn("_dv_seq", F.lit(ver))
+        )
+        dk = part if dk is None else dk.unionByName(part)
     keyed = df.withColumn("_dv_read_pk", _part_key_col(pc))
-    cond = [keyed["_dv_read_pk"] == dk["_dv_pkey"]] + [
-        keyed[c] == dk[f"_dv_k{i}"] for i, c in enumerate(key)
+    cond = [
+        keyed["_dv_read_pk"] == dk["_dv_pkey"],
+        *[keyed[c] == dk[f"_dv_k{i}"] for i, c in enumerate(key)],
+        dk["_dv_seq"] > keyed["_mor_seq"],
     ]
     return keyed.join(F.broadcast(dk), cond, "left_anti").drop(
-        "_dv_read_pk"
+        "_dv_read_pk", "_mor_seq"
     )
 
 
@@ -2189,7 +2220,8 @@ def _root_schema(raw: dict, root_version: int):
 
 
 def _read_groups(
-    spark, groups, schema_json: str | None = None, root_plans=None
+    spark, groups, schema_json: str | None = None, root_plans=None,
+    with_seq: bool = False,
 ) -> DataFrame | None:
     """Union the per-version-root scans. When the manifest carries the
     table schema (r13), it is passed to the reader EXPLICITLY: hive
@@ -2206,8 +2238,16 @@ def _read_groups(
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(schema_json))
+    import os as _os
+
     out = None
     for base, dirs in groups:
+        # the owning root's version number IS the row sequence the
+        # merge-on-read delete anti-join compares against (r15): a
+        # delete file eliminates only rows written BEFORE its commit
+        seq = (
+            int(_os.path.basename(base)[1:]) if with_seq else None
+        )
         plan = (root_plans or {}).get(base)
         if plan is not None:
             # pre-evolution root (r15): read under its WRITE-TIME
@@ -2221,6 +2261,8 @@ def _read_groups(
                 .parquet(*dirs)
                 .select(*sel)
             )
+            if seq is not None:
+                part = part.withColumn("_mor_seq", F.lit(seq))
             out = part if out is None else out.unionByName(part)
             continue
         reader = spark.read.option("basePath", base)
@@ -2235,6 +2277,8 @@ def _read_groups(
             # exactly the declared fields (a no-op under identity
             # partitioning, whose columns are in the schema)
             part = part.select(*[f.name for f in schema.fields])
+        if seq is not None:
+            part = part.withColumn("_mor_seq", F.lit(seq))
         out = (
             part
             if out is None
@@ -2752,12 +2796,14 @@ def snapshot_compact(
         v
         for v, e in parts.items()
         if e["files"] > max(1, -(-e["rows"] // rows_per_file)) + slack
-        # a partition carrying merge-on-read delete files (r14) is
-        # fragmented by definition: compaction is the designated
-        # fold-back — the rewrite reads THROUGH the deletes
-        # (snapshot_read applies them) and the fresh entry drops the
-        # references, returning the partition to plain-scan cost
+        # a partition carrying merge-on-read delete files (r14) or
+        # append files (r15) is fragmented by definition: compaction
+        # is the designated fold-back — the rewrite reads THROUGH the
+        # refs (snapshot_read applies deletes and unions appends) and
+        # the fresh entry drops them, returning the partition to
+        # plain-scan cost
         or "dv" in e
+        or "ap" in e
         # an entry still laid out under an OLD partition spec (r14) is
         # fragmented by definition too: OPTIMIZE is the bulk-migration
         # path, and this commit clears pc_history once none remain
@@ -2830,12 +2876,17 @@ def snapshot_compact(
         out = {
             k: {"kb": parts[k]["kb"]}
             for k in fresh_keys
-            if k in parts and "kb" in parts[k] and "dv" not in parts[k]
+            if k in parts
+            and "kb" in parts[k]
+            and "dv" not in parts[k]
+            and "ap" not in parts[k]
         }
         dv_keys = {
             k
             for k in fresh_keys
-            if k in parts and "dv" in parts[k] and "kb" in parts[k]
+            if k in parts
+            and ("dv" in parts[k] or "ap" in parts[k])
+            and "kb" in parts[k]
         }
         if dv_keys and m.get("key_bloom") is not None:
             recomputed = _key_bloom_extra(
@@ -3809,6 +3860,363 @@ def snapshot_delete(
     }
 
 
+def snapshot_upsert_mor(
+    spark,
+    batch: DataFrame,
+    path: str,
+    partition_col,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+) -> dict[str, int]:
+    """MERGE-ON-READ UPSERT (r15, VERDICT r14 #5) — the Flink->Iceberg
+    mixed-CDC-batch shape: land an N-row batch of full-row upserts
+    (plus optionally delete-flagged rows) as EQUALITY-DELETE FILES for
+    the matched existing keys and APPEND FILES for the new row
+    versions, in ONE commit that writes O(N) data bytes — where
+    :func:`snapshot_merge` (copy-on-write) rewrites every touched
+    partition per microbatch.
+
+    Mechanics: the probe (same scoped resolve + manifest stats + key
+    blooms as merge) finds where the batch's keys currently live;
+    each matched (partition, key) gets a delete-file row, each upsert
+    row is appended as a new file in its partition, and the touched
+    entries are re-stated with the SAME base data root plus the
+    delete-file and append-file references. Correct resolution of a
+    same-commit delete+append pair rides the row SEQUENCE: a delete
+    eliminates only rows whose file root predates its commit, so the
+    appended row (same version) survives while every older version of
+    the key dies — Iceberg's sequence-number rule.
+
+    Read cost grows with outstanding refs; :func:`snapshot_compact`
+    treats ap-carrying partitions as fragmented and folds them back
+    to plain scans (same path as delete files). Entry stats are
+    WIDENED with the appended files' footer stats and the key bloom
+    is OR-merged (same size), so manifest pruning and probe pruning
+    stay exact-or-conservative — never false-negative. ``fstats``
+    are dropped from ap-carrying entries (entry-level pruning still
+    applies). Value-idempotent on replay: re-running a batch deletes
+    the rows it appended and appends identical ones.
+
+    Returns {"partitions_touched", "probe_partitions",
+    "partitions_total", "dv_rows", "ap_rows", "old_version",
+    "new_version"}."""
+    import base64
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    committed, raw = _validated_raw(path, None)
+    if raw.get("pc_history"):
+        raise ValueError(
+            "snapshot_upsert_mor: table is mid partition-spec "
+            "migration — run snapshot_compact() first"
+        )
+    dv_key = raw.get("dv_key")
+    if dv_key is not None and list(dv_key) != list(key_cols):
+        outstanding = any(
+            "dv" in e
+            for e in _manifest_resolve(path, raw)["partitions"].values()
+        )
+        if outstanding:
+            raise ValueError(
+                f"snapshot_upsert_mor: table already carries delete "
+                f"files keyed on {dv_key} — one key set per table; "
+                "fold them with snapshot_compact() before re-keying"
+            )
+    missing = sorted(set(key_cols) - set(batch.columns))
+    if missing:
+        raise ValueError(
+            f"snapshot_upsert_mor: batch is missing key column(s) "
+            f"{missing}"
+        )
+    # same one-change-per-key contract as snapshot_merge: reduce
+    # last-change-wins with seq_col, refuse silent duplicates without
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        batch = (
+            batch.withColumn("_sm_rn", F.row_number().over(w))
+            .filter(F.col("_sm_rn") == 1)
+            .drop("_sm_rn", seq_col)
+        )
+    else:
+        dup = (
+            batch.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "snapshot_upsert_mor: batch holds more than one row "
+                f"for key {tuple(dup[0][c] for c in key_cols)} — pass "
+                "seq_col=... to reduce it last-change-wins"
+            )
+    if delete_col is not None:
+        flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        upserts = batch.filter(~flag).drop(delete_col)
+        keys = batch.select(*key_cols).distinct()
+    else:
+        upserts = batch
+        keys = batch.select(*key_cols).distinct()
+    m, parts, candidates, base_partial = _probe_scope(
+        path, raw, partition_col, key_cols, batch, keys
+    )
+    schema_json = m.get("schema")
+    if schema_json is not None:
+        import json as _json
+
+        table_cols = {
+            f["name"] for f in _json.loads(schema_json)["fields"]
+        }
+        lost = sorted(
+            c for c in table_cols if c not in upserts.columns
+        )
+        if lost:
+            raise ValueError(
+                f"snapshot_upsert_mor: batch is missing table "
+                f"column(s) {lost} — MOR upserts append full rows "
+                "(use snapshot_merge(update_cols=...) for partial "
+                "updates)"
+            )
+        extra_cols = sorted(
+            c
+            for c in upserts.columns
+            if c not in table_cols and c not in _pcols(partition_col)
+        )
+        if extra_cols:
+            raise ValueError(
+                f"snapshot_upsert_mor: batch carries unknown "
+                f"column(s) {extra_cols} — evolve the schema first "
+                "(snapshot_evolve_schema or a copy-on-write merge "
+                "with evolve_schema=True)"
+            )
+    probe = (
+        _read_version(
+            spark, path, partitions=candidates, schema_json=schema_json
+        )
+        if candidates
+        else None
+    )
+    pcols = _pcols(partition_col)
+    psrc = _psrc_cols(partition_col)
+    pkey = _part_key_col(partition_col).alias("_dv_pkey")
+    matched = None
+    dv_parts: set[str] = set()
+    if probe is not None:
+        matched = (
+            probe.select(*dict.fromkeys([*psrc, *key_cols]))
+            .join(keys, key_cols, "left_semi")
+            .distinct()
+        )
+        dv_parts = {
+            r[0]
+            for r in matched.select(
+                _part_key_col(partition_col).alias("_pk")
+            )
+            .distinct()
+            .collect()
+        }
+    up_parts = {
+        r[0]
+        for r in upserts.select(
+            _part_key_col(partition_col).alias("_pk")
+        )
+        .distinct()
+        .collect()
+    }
+    touched = dv_parts | up_parts
+    bloom_spec = m.get("key_bloom")
+
+    writer = None
+    if touched:
+        keyed_dv = None
+        if matched is not None and dv_parts:
+            keyed_dv = _derive_pcols(
+                matched.withColumn("_dv_pkey", _part_key_col(partition_col)),
+                partition_col,
+            ).select(
+                *[
+                    F.col(c).alias(f"_dv_k{i}")
+                    for i, c in enumerate(key_cols)
+                ],
+                "_dv_pkey",
+                *[F.col(c) for c in pcols],
+            ).repartition(*[F.col(c) for c in pcols])
+        shaped_up = (
+            _derive_pcols(upserts, partition_col).repartition(
+                *[F.col(c) for c in pcols]
+            )
+            if up_parts
+            else None
+        )
+
+        def writer(snap: str) -> None:
+            if keyed_dv is not None:
+                (
+                    keyed_dv.write.mode("append")
+                    .partitionBy(*pcols)
+                    .parquet(os.path.join(snap, "_dv"))
+                )
+            if shaped_up is not None:
+                (
+                    shaped_up.write.mode("append")
+                    .partitionBy(*pcols)
+                    .parquet(snap)
+                )
+
+    def synth(snap: str) -> dict:
+        out: dict[str, dict] = {}
+        dv_leafs = _discover_parts(
+            os.path.join(snap, "_dv"), partition_col
+        ) if os.path.isdir(os.path.join(snap, "_dv")) else {}
+        ap_leafs = _discover_parts(snap, partition_col)
+        for key in set(dv_leafs) | set(ap_leafs):
+            base = parts.get(key)
+            if base is None:
+                # brand-new partition: the staged directory IS the
+                # entry (discovered by the staging protocol); only a
+                # dv against a non-existent partition would be odd —
+                # matched rows always come from existing entries
+                continue
+            e = dict(base)
+            if key in dv_leafs:
+                files, rows = [], 0
+                for fname in sorted(os.listdir(dv_leafs[key])):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dv_leafs[key], fname)
+                    rows += pq.ParquetFile(full).metadata.num_rows
+                    files.append(os.path.relpath(full, path))
+                old = e.get("dv") or {"files": [], "rows": 0}
+                e["dv"] = {
+                    "key": list(key_cols),
+                    "files": [*old["files"], *files],
+                    "rows": old["rows"] + rows,
+                }
+            if key in ap_leafs:
+                files, rows, nbytes = [], 0, 0
+                stats = {
+                    c: list(v) for c, v in (e.get("stats") or {}).items()
+                }
+                kbits = None
+                for fname in sorted(os.listdir(ap_leafs[key])):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    full = os.path.join(ap_leafs[key], fname)
+                    md = pq.ParquetFile(full).metadata
+                    rows += md.num_rows
+                    nbytes += os.path.getsize(full)
+                    files.append(os.path.relpath(full, path))
+                    # widen the entry's column stats with the appended
+                    # file's footer bounds so manifest pruning stays
+                    # conservative over the union
+                    for j in range(md.num_columns):
+                        cname = md.schema.column(j).name
+                        if cname not in stats:
+                            continue
+                        fmin = fmax = None
+                        ok = md.num_row_groups > 0
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(j).statistics
+                            if st is None or not st.has_min_max:
+                                ok = False
+                                break
+                            lo, hi = _stat_norm(st.min), _stat_norm(st.max)
+                            if lo is None or hi is None:
+                                ok = False
+                                break
+                            fmin = lo if fmin is None else min(fmin, lo)
+                            fmax = hi if fmax is None else max(fmax, hi)
+                        if not ok or fmin is None:
+                            stats.pop(cname, None)
+                        else:
+                            stats[cname][0] = min(stats[cname][0], fmin)
+                            stats[cname][1] = max(stats[cname][1], fmax)
+                e["stats"] = stats
+                e.pop("fstats", None)
+                old_ap = list(e.get("ap") or ())
+                e["ap"] = [
+                    *old_ap,
+                    {"files": files, "rows": rows, "bytes": nbytes},
+                ]
+                e["rows"] = e.get("rows", 0) + rows
+                e["bytes"] = e.get("bytes", 0) + nbytes
+                e["files"] = e.get("files", 0) + len(files)
+                if bloom_spec is not None and "kb" in e:
+                    # OR-merge the appended keys into the existing
+                    # bloom (same size): union of members = union of
+                    # set bits — never a false negative
+                    kb = dict(e["kb"])
+                    ext = _key_bloom_extra(
+                        spark,
+                        snap,
+                        partition_col,
+                        {**bloom_spec, "m": kb["m"], "mx": kb["m"]},
+                        schema_json,
+                    ).get(key)
+                    if ext is not None:
+                        a = int.from_bytes(
+                            base64.b64decode(kb["b"]), "little"
+                        )
+                        b = int.from_bytes(
+                            base64.b64decode(ext["kb"]["b"]), "little"
+                        )
+                        kb["b"] = base64.b64encode(
+                            (a | b).to_bytes(kb["m"] // 8, "little")
+                        ).decode("ascii")
+                        e["kb"] = kb
+            out[key] = e
+        return out
+
+    bloom_extra = None
+    if bloom_spec is not None and writer is not None:
+        def bloom_extra(snap: str, fresh_keys: set[str]) -> dict:
+            # fresh (brand-new) partitions get their own auto-sized
+            # blooms; ap-carrying entries are handled by synth
+            new_keys = {k for k in fresh_keys if k not in parts}
+            if not new_keys:
+                return {}
+            ext = _key_bloom_extra(
+                spark, snap, partition_col, bloom_spec, schema_json
+            )
+            return {k: v for k, v in ext.items() if k in new_keys}
+
+    version, new_m = _stage_version(
+        path, partition_col, m, touched, writer,
+        base_version=committed, schema_json=schema_json,
+        base_partial=base_partial, synth_entries=synth,
+        entry_extra=bloom_extra,
+        extra_meta={"dv_key": list(key_cols)} if dv_parts else None,
+    )
+    dv_rows = sum(
+        (new_m["partitions"][k].get("dv") or {}).get("rows", 0)
+        - ((parts.get(k) or {}).get("dv") or {}).get("rows", 0)
+        for k in touched
+        if k in new_m["partitions"]
+    )
+    ap_rows = sum(
+        sum(r["rows"] for r in new_m["partitions"][k].get("ap") or ())
+        - sum(
+            r["rows"]
+            for r in (parts.get(k) or {}).get("ap") or ()
+        )
+        for k in touched
+        if k in new_m["partitions"]
+    )
+    return {
+        "partitions_touched": len(touched),
+        "probe_partitions": len(candidates),
+        "partitions_total": raw.get("n_live", len(parts)),
+        "dv_rows": dv_rows,
+        "ap_rows": ap_rows,
+        "old_version": committed,
+        "new_version": version,
+    }
+
+
 def snapshot_evolve_partitioning(
     path: str, new_partition_col
 ) -> dict[str, int]:
@@ -4284,6 +4692,15 @@ def snapshot_gc(
                 (e["root"], _part_relpath(_entry_pc(m, e), val))
             )
             referenced_dv.update((e.get("dv") or {}).get("files", ()))
+            for rec in e.get("ap") or ():
+                # append files (r15) live in leaf dirs of the root
+                # that wrote them while referenced by later versions'
+                # entries — protect their whole leaf like a plain ref
+                for f in rec["files"]:
+                    segs = f.split(os.sep)
+                    referenced.add(
+                        (segs[0], os.sep.join(segs[1:-1]))
+                    )
     for v in dead:
         _meta_store().delete(_manifest_file(path, v))
         _meta_store().delete(_manifest_file(path, v) + ".claim")

@@ -947,6 +947,7 @@ def run_stream_cdc_apply(
     occ_retries: int = 3,
     update_cols: list[str] | None = None,
     delete_mode: str = "cow",
+    update_mode: str = "cow",
 ) -> None:
     """Streaming CDC apply: each microbatch of change rows (upserts +
     optionally delete-flagged rows) lands as ONE
@@ -1008,6 +1009,20 @@ def run_stream_cdc_apply(
     publishes a re-referencing no-op), so the crash-replay and
     OCC-retry arguments hold unchanged.
 
+    ``update_mode="mor"`` (r15, VERDICT r14 #5) routes EVERY batch —
+    mixed upserts + deletes included — through
+    :func:`sources.layout.snapshot_upsert_mor`: equality-delete files
+    for the matched old row versions plus append files for the new
+    rows, one commit, O(batch) data bytes written where copy-on-write
+    rewrites every touched partition per microbatch (the
+    Flink-to-Iceberg mixed-CDC shape). Same read semantics (sequence-
+    aware delete application), folded back by the same
+    ``snapshot_compact``; still one commit per batch and still
+    value-idempotent on replay, so the crash and OCC arguments hold.
+    Requires full change rows (``update_cols`` stays a COW feature)
+    and subsumes ``delete_mode`` (an all-delete batch simply writes
+    no appends).
+
     Scale shape per batch: one manifest-stat-pruned key semi-join + a
     rewrite of the touched partitions + ONE manifest/pointer commit
     (cost ∝ batch-touched data, never table size); hot tables want
@@ -1017,25 +1032,49 @@ def run_stream_cdc_apply(
         raise ValueError(
             f"delete_mode must be 'cow' or 'mor', got {delete_mode!r}"
         )
+    if update_mode not in ("cow", "mor"):
+        raise ValueError(
+            f"update_mode must be 'cow' or 'mor', got {update_mode!r}"
+        )
+    if update_mode == "mor" and update_cols is not None:
+        raise ValueError(
+            "update_mode='mor' appends full change rows — "
+            "update_cols requires the copy-on-write path"
+        )
 
     from ..sources.layout import (
         ConcurrentWriteError,
         snapshot_delete,
         snapshot_merge,
+        snapshot_upsert_mor,
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         as_mor_delete = False
-        if delete_mode == "mor" and delete_col is not None:
+        if (
+            delete_mode == "mor"
+            and delete_col is not None
+            and update_mode != "mor"
+        ):
             flag = F.coalesce(
                 F.col(delete_col).cast("boolean"), F.lit(False)
             )
             as_mor_delete = batch_df.filter(~flag).isEmpty()
         for attempt in range(occ_retries + 1):
             try:
-                if as_mor_delete:
+                if update_mode == "mor":
+                    snapshot_upsert_mor(
+                        batch_df.sparkSession,
+                        batch_df,
+                        table_path,
+                        partition_col,
+                        key_cols,
+                        delete_col=delete_col,
+                        seq_col=seq_col,
+                    )
+                elif as_mor_delete:
                     snapshot_delete(
                         batch_df.sparkSession,
                         batch_df.select(*key_cols).distinct(),

@@ -4853,3 +4853,125 @@ def test_cdf_apply_exactly_once_across_crash(spark, tmp_path):
     d, s = rows_of(dst), rows_of(src)
     d.pop(1), s.pop(1)
     assert d == s
+
+
+def test_snapshot_upsert_mor_writes_o_batch_bytes(spark, tmp_path):
+    """VERDICT r14 #5: a mixed N-row CDC batch through
+    snapshot_upsert_mor writes O(N) data bytes (delete files + append
+    files), not O(partition); the appended keys stay probe-visible
+    (bloom OR-merge), replay is value-idempotent, and compaction folds
+    the refs back to a plain scan with identical content."""
+    import glob
+    import os
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_upsert_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10000).selectExpr(
+        "case when id % 2 = 0 then 'a' else 'b' end as p",
+        "cast(id as int) as k",
+        "cast(id as double) as v",
+    )
+    snapshot_write(df, path, "p", key_bloom=["k"])
+    batch = spark.createDataFrame(
+        [("a", 4, 444.0, False), ("b", 10001, 1.0, False),
+         ("b", 7, 0.0, True)],
+        "p string, k int, v double, d boolean",
+    )
+    st = snapshot_upsert_mor(spark, batch, path, "p", ["k"],
+                             delete_col="d")
+    assert st["dv_rows"] == 2 and st["ap_rows"] == 2
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 10000
+    assert got[4] == 444.0 and got[10001] == 1.0 and 7 not in got
+    # O(batch) bytes: the commit's data root is a sliver of the base
+    newroot = os.path.join(path, f"v{st['new_version']}")
+    sz = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{newroot}/**/*.parquet", recursive=True)
+    )
+    base_sz = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{path}/v1/**/*.parquet", recursive=True)
+    )
+    assert sz < base_sz / 5, (sz, base_sz)
+
+    # probe parity: a merge keyed on an APPENDED key must find it
+    st2 = snapshot_merge(
+        spark,
+        spark.createDataFrame([("b", 10001, 2.0)],
+                              "p string, k int, v double"),
+        path, "p", ["k"],
+    )
+    assert st2["partitions_rewritten"] == 1
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got[10001] == 2.0 and len(got) == 10000
+
+    # replay: same batch again -> same state (one more version)
+    snapshot_upsert_mor(spark, batch, path, "p", ["k"], delete_col="d")
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 10000 and got[4] == 444.0 and 7 not in got
+
+    # fold: compact drops every dv/ap ref, content identical
+    snapshot_compact(spark, path, "p")
+    m = snapshot_manifest(path)
+    assert all(
+        "ap" not in e and "dv" not in e for e in m["partitions"].values()
+    )
+    assert {
+        r["k"]: r["v"] for r in snapshot_read(spark, path).collect()
+    } == got
+
+
+def test_stream_cdc_update_mode_mor_matches_cow(spark, tmp_path):
+    """The streaming CDC apply produces the SAME table state under
+    update_mode='mor' as under copy-on-write — the layout choice is
+    invisible to readers (same microbatches, same final rows)."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import (
+        run_stream_cdc_apply,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "p string, k int, v double",
+    )
+    changes = [
+        ("a", 1, 10.0, False),   # update
+        ("b", 4, 4.0, False),    # insert
+        ("a", 2, 0.0, True),     # delete
+    ]
+    paths = {}
+    for mode in ("cow", "mor"):
+        tbl = str(tmp_path / f"tbl_{mode}")
+        cdc = str(tmp_path / f"cdc_{mode}")
+        ckpt = str(tmp_path / f"ckpt_{mode}")
+        snapshot_write(base, tbl, "p")
+        spark.createDataFrame(
+            changes, "p string, k int, v double, d boolean"
+        ).write.mode("overwrite").parquet(cdc)
+        stream = spark.readStream.schema(
+            "p string, k int, v double, d boolean"
+        ).parquet(cdc)
+        run_stream_cdc_apply(
+            stream, tbl, "p", ["k"], delete_col="d",
+            checkpoint_dir=ckpt, update_mode=mode,
+        )
+        paths[mode] = {
+            r["k"]: (r["p"], r["v"])
+            for r in snapshot_read(spark, tbl).collect()
+        }
+    assert paths["cow"] == paths["mor"]
+    assert paths["mor"] == {
+        1: ("a", 10.0), 3: ("b", 3.0), 4: ("b", 4.0)
+    }
