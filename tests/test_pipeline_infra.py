@@ -2909,6 +2909,118 @@ def test_snapshot_layout_randomized_against_model(
             for r in snapshot_read(spark, path).collect()
         }
 
+    def check_meta(model):
+        """Metadata invariants after EVERY commit (r15, VERDICT r14
+        #6): the pruning metadata the scale story depends on must not
+        silently decay as verbs interleave — n_live matches the live
+        entry count, per-entry file/row counts match the actual
+        files, fstats name real files with footer-true bounds, entry
+        stats bound every live value, and key blooms never
+        false-negative a live key (EXACTLY the live keys' bits for
+        dv/ap-free entries, a superset otherwise)."""
+        import base64
+        import os
+
+        import pyarrow.parquet as pq
+
+        import datawarehouse_group10_spark.sources.layout as L
+        from datawarehouse_group10_spark.sources.layout import (
+            snapshot_manifest,
+        )
+
+        m = snapshot_manifest(path)
+        pm = m["partitions"]
+        raw = L._manifest_read(path, m["version"])
+        if raw.get("n_live") is not None:
+            assert raw["n_live"] == len(pm)
+        live_by_part: dict[str, list] = {}
+        for k, (p, v, tag) in model.items():
+            live_by_part.setdefault(p, []).append((k, v))
+        # every live partition has an entry; an entry may outlive its
+        # rows only while MOR refs cover it (dv killed everything)
+        assert set(live_by_part) <= set(pm), (
+            set(pm), set(live_by_part)
+        )
+        for v0 in set(pm) - set(live_by_part):
+            assert "dv" in pm[v0], "empty entry without dv: " + v0
+        for val, e in pm.items():
+            pdir = os.path.join(
+                path, e["root"], L._part_relpath(L._entry_pc(m, e), val)
+            )
+            files = sorted(
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+            ap_files = [
+                f for rec in e.get("ap") or () for f in rec["files"]
+            ]
+            assert e["files"] == len(files) + len(ap_files), val
+            rows = sum(
+                pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+                for f in files
+            ) + sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in ap_files
+            )
+            assert e["rows"] == rows, val
+            if "fstats" in e:
+                assert set(e["fstats"]) <= set(files), val
+                for fname, fs in e["fstats"].items():
+                    md = pq.ParquetFile(
+                        os.path.join(pdir, fname)
+                    ).metadata
+                    for j in range(md.num_columns):
+                        cname = md.schema.column(j).name
+                        if cname not in fs:
+                            continue
+                        lo = min(
+                            L._stat_norm(
+                                md.row_group(rg).column(j).statistics.min
+                            )
+                            for rg in range(md.num_row_groups)
+                        )
+                        hi = max(
+                            L._stat_norm(
+                                md.row_group(rg).column(j).statistics.max
+                            )
+                            for rg in range(md.num_row_groups)
+                        )
+                        assert fs[cname][0] <= lo and hi <= fs[cname][1]
+            # entry stats bound every LIVE value of the partition
+            krange = (e.get("stats") or {}).get("k")
+            if krange is not None:
+                for k, _v in live_by_part.get(val, ()):
+                    assert krange[0] <= k <= krange[1], (val, k)
+            # key bloom: never a false negative on a live key; exact
+            # for entries without outstanding dv/ap refs
+            kb = e.get("kb")
+            if kb is not None and live_by_part.get(val):
+                bits = int.from_bytes(
+                    base64.b64decode(kb["b"]), "little"
+                )
+                keys_df = spark.createDataFrame(
+                    [(k,) for k, _ in live_by_part[val]], "k int"
+                )
+                pos_rows = keys_df.select(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.lit(i), F.col("k")),
+                                F.lit(kb["m"]),
+                            ).cast("int")
+                            for i in range(kb["k"])
+                        ]
+                    ).alias("ps")
+                ).collect()
+                want = {p for r in pos_rows for p in r["ps"]}
+                got_bits = {
+                    i for i in range(kb["m"]) if (bits >> i) & 1
+                }
+                assert want <= got_bits, f"bloom false-negative in {val}"
+                if "dv" not in e and "ap" not in e:
+                    assert want == got_bits, (
+                        f"bloom of clean entry {val} is not exact"
+                    )
+
     # initial state
     model: dict[int, tuple] = {
         k: (parts[k % 3], float(k), f"t{k}") for k in range(12)
@@ -2917,13 +3029,15 @@ def test_snapshot_layout_randomized_against_model(
     base = spark.createDataFrame(
         [(k, *model[k]) for k in model], schema
     )
-    snapshot_write(base, path, "p")
+    snapshot_write(base, path, "p", key_bloom=["k"])
     history: dict[int, dict] = {1: dict(model)}
     version = 1
+    check_meta(model)
 
     for step in range(10):
         op = rng.choice(
-            ["merge", "merge", "merge_pc", "mor_delete", "backfill", "compact"]
+            ["merge", "merge", "merge_pc", "mor_delete", "backfill",
+             "compact", "upsert_mor", "upsert_mor"]
         )
         if op == "merge":
             ops: dict[int, tuple] = {}
@@ -2980,6 +3094,34 @@ def test_snapshot_layout_randomized_against_model(
                 path, "p", ["k"],
             )
             version = st["new_version"]
+        elif op == "upsert_mor":
+            from datawarehouse_group10_spark.sources.layout import (
+                snapshot_upsert_mor,
+            )
+
+            ops = {}
+            for _ in range(rng.randint(1, 5)):
+                k = rng.randint(0, 19)
+                if rng.random() < 0.3:
+                    ops[k] = (k, parts[k % 3], 0.0, "x", True)
+                else:
+                    p = rng.choice(parts + ["d"])
+                    ops[k] = (
+                        k, p, float(rng.randint(0, 99)), f"u{step}",
+                        False,
+                    )
+            for k, (_, p, v, tag, dele) in ops.items():
+                if dele:
+                    model.pop(k, None)
+                else:
+                    model[k] = (p, v, tag)
+            batch = spark.createDataFrame(
+                list(ops.values()), schema + ", del boolean"
+            )
+            st = snapshot_upsert_mor(
+                spark, batch, path, "p", ["k"], delete_col="del"
+            )
+            version = st["new_version"]
         elif op == "backfill":
             from datawarehouse_group10_spark.sources.layout import (
                 snapshot_backfill,
@@ -3004,6 +3146,7 @@ def test_snapshot_layout_randomized_against_model(
             version = st["new_version"]
         history[version] = dict(model)
         assert read_state() == model, f"divergence after step {step} ({op})"
+        check_meta(model)
 
     # every retained version time-travels to its recorded model state
     for v, snap_model in history.items():
