@@ -244,6 +244,22 @@ def main() -> None:
     secondary["snapshot_respec_apply"] = contract.RESPEC_STATS.get(
         "seconds", 0.0
     )
+    # r15: schema evolution (field-id add/rename/widen/drop + merges);
+    # the apply entry is the evolve+merge chain alone
+    t0 = time.time()
+    contract.evolve_snapshot_orders(spark, SF_DIR)
+    secondary["snapshot_evolve_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_evolve_apply"] = contract.EVOLVE_STATS.get(
+        "seconds", 0.0
+    )
+    # r15: exactly-once CDF chain (src commits -> per-window merges
+    # into dst); the apply entry is the two applier passes alone
+    t0 = time.time()
+    contract.cdf_snapshot_orders(spark, SF_DIR)
+    secondary["snapshot_cdf_stage"] = round(time.time() - t0, 3)
+    secondary["snapshot_cdf_apply"] = contract.CDF_STATS.get(
+        "seconds", 0.0
+    )
 
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 

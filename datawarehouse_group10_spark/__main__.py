@@ -229,6 +229,48 @@ def main(argv: list[str] | None = None) -> int:
                     help="new spec: column, comma list, or transform "
                     "items like 'day=days:ts,b=bucket:16:id'")
 
+    sum_ = sub.add_parser(
+        "snapshot-upsert-mor",
+        help="merge-on-read UPSERT: land a mixed batch (full-row "
+        "upserts + --delete-col rows) as equality-delete files plus "
+        "append files — O(batch) bytes written, no partition rewrite "
+        "(snapshot-optimize folds the refs back)",
+    )
+    sum_.add_argument("--input", required=True,
+                      help="batch parquet: full change rows")
+    sum_.add_argument("--table", required=True)
+    sum_.add_argument("--partition-col", required=True,
+                      help="partition column, comma list, or transform "
+                      "items")
+    sum_.add_argument("--key-cols", required=True,
+                      help="comma-separated key column(s)")
+    sum_.add_argument("--delete-col", default=None,
+                      help="optional boolean batch column: true rows "
+                      "delete their key")
+    sum_.add_argument("--seq-col", default=None,
+                      help="optional sequence column: several changes "
+                      "per key keep the highest (last-change-wins)")
+
+    ses = sub.add_parser(
+        "snapshot-evolve-schema",
+        help="schema evolution as a metadata-only commit (stable "
+        "field ids): add, rename, widen (int->bigint, float->double), "
+        "drop — zero data rewritten; old roots map by id at read time",
+    )
+    ses.add_argument("--table", required=True)
+    ses.add_argument("--add", default=None,
+                     help="comma list of name:type to add "
+                     "(e.g. 'note:string,score:double')")
+    ses.add_argument("--rename", default=None,
+                     help="comma list of old:new (e.g. 'cnt:hits')")
+    ses.add_argument("--widen", default=None,
+                     help="comma list of name:type widening conversions "
+                     "(e.g. 'k:bigint,score:double')")
+    ses.add_argument("--drop", default=None,
+                     help="comma list of column names to drop (a later "
+                     "re-add with the same name gets a fresh id — old "
+                     "values never resurrect)")
+
     sp2 = sub.add_parser(
         "snapshot-publish",
         help="publish a version staged with publish=False "
@@ -542,6 +584,67 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{st['old_version']} -> v{st['new_version']} "
                 f"(metadata-only; {st['specs_live']} spec(s) live — "
                 "run snapshot-optimize to bulk-migrate)"
+            )
+            return 0
+
+        if args.cmd == "snapshot-upsert-mor":
+            from .sources.layout import (
+                snapshot_upsert_mor,
+                snapshot_version,
+            )
+
+            st = snapshot_upsert_mor(
+                spark,
+                spark.read.parquet(args.input),
+                args.table,
+                _snap_pcols(args.partition_col),
+                [c.strip() for c in args.key_cols.split(",") if c.strip()],
+                delete_col=args.delete_col,
+                seq_col=args.seq_col,
+            )
+            print(
+                f"snapshot-upserted (MOR) into {args.table}: "
+                f"{st['ap_rows']} row(s) appended, {st['dv_rows']} old "
+                f"version(s) delete-filed across "
+                f"{st['partitions_touched']} partition(s), "
+                f"{st['probe_partitions']}/{st['partitions_total']} "
+                f"probed, v{st['old_version']} -> v{st['new_version']} "
+                f"(readers resolve v{snapshot_version(args.table)})"
+            )
+            return 0
+
+        if args.cmd == "snapshot-evolve-schema":
+            from .sources.layout import snapshot_evolve_schema
+
+            def _pairs(arg):
+                if not arg:
+                    return None
+                out = {}
+                for item in arg.split(","):
+                    k, _, v = item.strip().partition(":")
+                    if not k or not v:
+                        raise SystemExit(
+                            f"expected name:value items, got {item!r}"
+                        )
+                    out[k] = v
+                return out
+
+            st = snapshot_evolve_schema(
+                args.table,
+                add=_pairs(args.add),
+                rename=_pairs(args.rename),
+                widen=_pairs(args.widen),
+                drop=(
+                    [c.strip() for c in args.drop.split(",") if c.strip()]
+                    if args.drop
+                    else None
+                ),
+            )
+            print(
+                f"snapshot-evolved schema of {args.table}: "
+                f"v{st['old_version']} -> v{st['new_version']} "
+                f"(metadata-only; {st['fields']} field(s), next field "
+                f"id {st['next_fid']})"
             )
             return 0
 

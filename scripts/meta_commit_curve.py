@@ -11,7 +11,14 @@ then times a 1-partition snapshot_merge per table and reports:
   (the full resolved partitions dict re-serialized);
 - merge_secs: wall time of the whole merge (probe + rewrite + commit).
 
-Usage: python scripts/meta_commit_curve.py [N ...]   (default 100 400 1000)
+Usage: python scripts/meta_commit_curve.py [--shard S] [N ...]
+(default shard 256, N = 100 400 1000). ``--shard 4096`` measures at
+the PRODUCTION shard size (r15, VERDICT r14 #7) — pair it with
+N >= 10000 so the shape is visible. Each point also carries a
+MIXED-SPEC leg (r15, VERDICT r14 #1): the table's spec evolves to
+bucket(16, k) and a mid-migration 1-key merge + scoped read are
+measured — probe and plan-time metadata must stay O(batch) /
+O(relevant) while pc_history is non-empty.
 Prints one JSON line. Run it alone (bench co-tenancy protocol).
 """
 
@@ -29,23 +36,28 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [100, 400, 1000]
+    args = sys.argv[1:]
+    shard = 256
+    if "--shard" in args:
+        i = args.index("--shard")
+        shard = int(args[i + 1])
+        del args[i:i + 2]
+    ns = [int(a) for a in args] or [100, 400, 1000]
 
     from datawarehouse_group10_spark.session import get_spark
     import datawarehouse_group10_spark.sources.layout as L
     from datawarehouse_group10_spark.sources.layout import (
+        snapshot_evolve_partitioning,
         snapshot_manifest,
         snapshot_merge,
         snapshot_scan_groups,
         snapshot_write,
     )
 
-    # Small shards so the READ-side curve (r14, VERDICT r13 #1) is
-    # visible at these table sizes: with the production default (4096
-    # entries/shard) every N below fits one shard and a pruned read
-    # trivially equals a full one. 256 here makes the pruned read's
-    # bytes a ~256-entry constant while the full parse grows with N.
-    L.SEGMENT_SHARD_ENTRIES = 256
+    # Default 256-entry shards make the READ-side curve (r14, VERDICT
+    # r13 #1) visible at small N; --shard 4096 (r15, VERDICT r14 #7)
+    # measures the production constant with N >= 10000.
+    L.SEGMENT_SHARD_ENTRIES = shard
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     out = []
@@ -82,19 +94,45 @@ def main() -> None:
             t0 = time.time()
             snapshot_scan_groups(path, partitions={f"p{n // 2:05d}"})
             pruned_plan_secs = time.time() - t0
-            out.append(
-                {
-                    "partitions": n,
-                    "commit_meta_bytes": L.LAST_COMMIT_META_BYTES,
-                    "inline_equiv_bytes": inline,
-                    "merge_secs": round(secs, 3),
-                    "probe_partitions": st["probe_partitions"],
-                    "read_meta_bytes_full": full_read,
-                    "read_meta_bytes_pruned": L.LAST_RESOLVE_META_BYTES,
-                    "read_segments_pruned": L.LAST_RESOLVE_SEGMENTS_READ,
-                    "pruned_plan_secs": round(pruned_plan_secs, 4),
-                }
+            point = {
+                "partitions": n,
+                "shard": shard,
+                "commit_meta_bytes": L.LAST_COMMIT_META_BYTES,
+                "inline_equiv_bytes": inline,
+                "merge_secs": round(secs, 3),
+                "probe_partitions": st["probe_partitions"],
+                "read_meta_bytes_full": full_read,
+                "read_meta_bytes_pruned": L.LAST_RESOLVE_META_BYTES,
+                "read_segments_pruned": L.LAST_RESOLVE_SEGMENTS_READ,
+                "pruned_plan_secs": round(pruned_plan_secs, 4),
+            }
+            # MIXED-SPEC leg (r15): evolve to bucket(16, k) and issue
+            # a 1-key merge MID-migration (composite key so BOTH
+            # specs scope exactly); then a scoped literal-key read.
+            snapshot_evolve_partitioning(
+                path, {"kb16": ("bucket", 16, "k")}
             )
+            batch2 = spark.createDataFrame(
+                [(f"p{n // 4:05d}", (n // 4) * 10, 777.0)],
+                "p string, k int, v double",
+            )
+            t0 = time.time()
+            st2 = snapshot_merge(
+                spark, batch2, path,
+                {"kb16": ("bucket", 16, "k")}, ["p", "k"],
+            )
+            point["merge_secs_mixed"] = round(time.time() - t0, 3)
+            point["probe_partitions_mixed"] = st2["probe_partitions"]
+            snapshot_scan_groups(
+                path, partitions={f"p{(3 * n) // 4:05d}"}
+            )
+            point["read_meta_bytes_pruned_mixed"] = (
+                L.LAST_RESOLVE_META_BYTES
+            )
+            point["read_segments_pruned_mixed"] = (
+                L.LAST_RESOLVE_SEGMENTS_READ
+            )
+            out.append(point)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
