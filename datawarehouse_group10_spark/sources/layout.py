@@ -3868,6 +3868,7 @@ def snapshot_upsert_mor(
     key_cols: list[str],
     delete_col: str | None = None,
     seq_col: str | None = None,
+    extra_meta: dict | None = None,
 ) -> dict[str, int]:
     """MERGE-ON-READ UPSERT (r15, VERDICT r14 #5) — the Flink->Iceberg
     mixed-CDC-batch shape: land an N-row batch of full-row upserts
@@ -4189,7 +4190,11 @@ def snapshot_upsert_mor(
         base_version=committed, schema_json=schema_json,
         base_partial=base_partial, synth_entries=synth,
         entry_extra=bloom_extra,
-        extra_meta={"dv_key": list(key_cols)} if dv_parts else None,
+        extra_meta={
+            **(extra_meta or {}),
+            **({"dv_key": list(key_cols)} if dv_parts else {}),
+        }
+        or None,
     )
     dv_rows = sum(
         (new_m["partitions"][k].get("dv") or {}).get("rows", 0)

@@ -1208,6 +1208,7 @@ def apply_cdf_to_snapshot(
     cursor_path: str | None = None,
     max_versions: int | None = None,
     start_version: int | None = None,
+    mode: str = "cow",
 ) -> dict[str, int]:
     """EXACTLY-ONCE change-data-feed sink (r15, VERDICT r14 #4): land
     every not-yet-delivered commit window of ``src_path`` into the
@@ -1235,8 +1236,12 @@ def apply_cdf_to_snapshot(
     chain (and CDF, and time travel) mirrors the source's cadence.
 
     ``cursor_path`` defaults to ``<dst_path>/_cdf_from`` — one
-    consumer per (src, dst) pair. Returns {"delivered", "applied",
-    "skipped", "cursor"}.
+    consumer per (src, dst) pair. ``mode="mor"`` lands each window
+    through :func:`sources.layout.snapshot_upsert_mor` instead — the
+    destination pays O(window) bytes per window instead of partition
+    rewrites, with the same token semantics (fold with
+    snapshot_compact on the destination's own maintenance schedule).
+    Returns {"delivered", "applied", "skipped", "cursor"}.
     """
     import os
 
@@ -1245,8 +1250,11 @@ def apply_cdf_to_snapshot(
     from ..sources.layout import (
         _validated_raw,
         snapshot_merge,
+        snapshot_upsert_mor,
     )
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     if cursor_path is None:
         cursor_path = os.path.join(dst_path, "_cdf_from")
     src_key = os.path.abspath(src_path)
@@ -1269,7 +1277,8 @@ def apply_cdf_to_snapshot(
         batch = ins.withColumn("_cdf_del", F.lit(False)).unionByName(
             dele.withColumn("_cdf_del", F.lit(True))
         )
-        snapshot_merge(
+        land = snapshot_merge if mode == "cow" else snapshot_upsert_mor
+        land(
             spark, batch, dst_path, partition_col, key_cols,
             delete_col="_cdf_del",
             extra_meta={

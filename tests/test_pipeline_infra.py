@@ -5118,3 +5118,55 @@ def test_stream_cdc_update_mode_mor_matches_cow(spark, tmp_path):
     assert paths["mor"] == {
         1: ("a", 10.0), 3: ("b", 3.0), 4: ("b", 4.0)
     }
+
+
+def test_cdf_apply_mor_mode_matches_cow(spark, tmp_path):
+    """apply_cdf_to_snapshot(mode='mor') lands windows as
+    delete-file + append commits; destination state must equal the
+    copy-on-write applier's, and the idempotence token still holds."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import (
+        apply_cdf_to_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+    )
+    snapshot_write(base, src, "p")
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("a", 1, 10.0), ("b", 3, 3.0)],
+                              "p string, k int, v double"),
+        src, "p", ["k"],
+    )
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("b", 2, 0.0, True)],
+                              "p string, k int, v double, d boolean"),
+        src, "p", ["k"], delete_col="d",
+    )
+    states = {}
+    for mode in ("cow", "mor"):
+        dst = str(tmp_path / f"dst_{mode}")
+        snapshot_write(base, dst, "p")
+        st = apply_cdf_to_snapshot(
+            spark, src, dst, "p", ["k"], start_version=1, mode=mode
+        )
+        assert st["applied"] == 2
+        # re-run: cursor advanced, nothing redelivered
+        st2 = apply_cdf_to_snapshot(
+            spark, src, dst, "p", ["k"], mode=mode
+        )
+        assert st2["delivered"] == 0
+        states[mode] = {
+            r["k"]: (r["p"], r["v"])
+            for r in snapshot_read(spark, dst).collect()
+        }
+    assert states["cow"] == states["mor"] == {
+        1: ("a", 10.0), 3: ("b", 3.0)
+    }
