@@ -146,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns: cluster rewritten "
                     "partitions on their interleaved z-order key "
                     "(OPTIMIZE ... ZORDER BY)")
+    so.add_argument("--partitions", default=None,
+                    help="comma-separated partition KEYS: scope the "
+                    "maintenance to these (OPTIMIZE ... WHERE)")
+    so.add_argument("--prune", default=None,
+                    help="col=lo..hi manifest-stats range scoping the "
+                    "maintenance (OPTIMIZE ... WHERE)")
 
     sb = sub.add_parser(
         "snapshot-backfill",
@@ -443,19 +449,42 @@ def main(argv: list[str] | None = None) -> int:
                 if args.zorder_cols
                 else None
             )
+            scope_parts = (
+                {
+                    c.strip()
+                    for c in args.partitions.split(",")
+                    if c.strip()
+                }
+                if args.partitions
+                else None
+            )
+            scope_prune = None
+            if args.prune:
+                pp = _parse_prune(args.prune)
+                scope_prune = {pp[0]: (pp[1], pp[2])}
             stats = snapshot_compact(
                 spark,
                 args.table,
                 _snap_pcols(args.partition_col),
                 target_bytes=args.target_mb << 20,
                 zorder_cols=zcols,
+                partitions=scope_parts,
+                prune=scope_prune,
             )
+            pending = ""
+            if stats.get("pending_old_spec") or stats.get("pending_dv"):
+                pending = (
+                    f"; out of scope: {stats['pending_old_spec']} "
+                    f"old-spec, {stats['pending_dv']} delete-carrying "
+                    "partition(s) remain"
+                )
             print(
                 f"snapshot-optimized {args.table}: "
                 f"v{stats['old_version']} -> v{stats['new_version']}, "
                 f"{stats['partitions_compacted']} partition(s) compacted, "
                 f"{stats['files_before']} -> {stats['files_after']} files "
                 f"(readers resolve v{snapshot_version(args.table)})"
+                f"{pending}"
             )
             return 0
 

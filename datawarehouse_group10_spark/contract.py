@@ -1794,23 +1794,26 @@ def evolve_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero data rewritten), with a MERGE after each stage so mixed
     pre/post-evolution roots sit in one table:
 
-    - v1 write: (o_month, o_orderkey INT, o_orderpriority,
-      o_totalprice);
+    - v1 write: (o_month, o_orderkey BIGINT, kmod INT =
+      o_orderkey %% 100000, o_orderpriority, o_totalprice);
     - v2 evolve: add ``flag`` string, rename o_orderpriority ->
-      ``clerk``,
-      widen o_orderkey INT -> BIGINT (read-time cast, no rewrite);
+      ``clerk``, widen kmod INT -> BIGINT (read-time cast, no
+      rewrite — scale-safe: the MERGE key stays bigint end to end,
+      so sf1.0+ keys above 2^31 never squeeze through an int);
     - v3 merge: keys %131 update price+7.0 flag='m1' (full rows,
       carrying the RENAMED clerk), keys %163 insert as -k flag='m1i';
     - v4 evolve: drop ``clerk``  — then v5 evolve: re-add ``clerk``
       (same NAME, fresh field id: the v1/v3 roots' clerk values must
       NOT resurrect);
-    - v6 merge: keys %173 insert as -k-400000000 with clerk='c2'
-      flag='m2' — the only rows whose clerk is non-NULL.
+    - v6 merge: keys %173 insert as -(k + MAXKEY + 1) with clerk='c2'
+      flag='m2' — the only rows whose clerk is non-NULL (the MAXKEY
+      offset keeps the two insert key ranges disjoint at ANY scale
+      factor, where a fixed offset collided once keys out-grew it).
 
     The ``a_extended`` 'evolve' section aggregates the final state per
-    month — count, price sum, key sum (signed: pins the widened
-    values), flag count, clerk count (pins the drop+re-add trap) —
-    against the SQL-reconstructed final state."""
+    month — count, price sum, kmod sum (pins the widened values),
+    flag count, clerk count (pins the drop+re-add trap) — against the
+    SQL-reconstructed final state."""
     from .sources.layout import (
         snapshot_evolve_schema,
         snapshot_merge,
@@ -1824,22 +1827,27 @@ def evolve_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _snapshot_stale(path, expect_version=6):
         po = _t(spark, sf_dir, "orders").select(
             F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
-            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.pmod(F.col("o_orderkey"), F.lit(100000))
+            .cast("int")
+            .alias("kmod"),
             "o_orderpriority",
             "o_totalprice",
         )
         snapshot_write(po, path, "o_month")
+        maxkey = po.agg(F.max("o_orderkey")).first()[0]
         t0 = time.time()
         ev = snapshot_evolve_schema(
             path,
             add={"flag": "string"},
             rename={"o_orderpriority": "clerk"},
-            widen={"o_orderkey": "bigint"},
+            widen={"kmod": "bigint"},
         )
-        k = F.col("o_orderkey").cast("bigint")
+        k = F.col("o_orderkey")
         po2 = po.select(
             "o_month",
-            k.alias("o_orderkey"),
+            "o_orderkey",
+            F.col("kmod").cast("bigint").alias("kmod"),
             F.col("o_orderpriority").alias("clerk"),
             "o_totalprice",
         )
@@ -1857,8 +1865,9 @@ def evolve_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_evolve_schema(path, add={"clerk": "string"})
         ins2 = po2.filter((k % 173 == 0) & (k != 0)).select(
             "o_month",
-            (-F.col("o_orderkey") - F.lit(400000000).cast("bigint"))
+            (-(F.col("o_orderkey") + F.lit(int(maxkey) + 1)))
             .alias("o_orderkey"),
+            "kmod",
             (F.col("o_totalprice") + F.lit(2.0)).alias("o_totalprice"),
             F.lit("m2").alias("flag"),
             F.lit("c2").alias("clerk"),
@@ -5297,13 +5306,13 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("_s"),
-            F.sum("o_orderkey").cast("double").alias("_k"),
+            F.sum("kmod").cast("double").alias("_k"),
             F.count("flag").cast("double").alias("_f"),
             F.count("clerk").cast("double").alias("_c"),
         )
         .selectExpr(
             "o_month",
-            "stack(5, 'n', _n, 'sum_price', _s, 'sum_key', _k, "
+            "stack(5, 'n', _n, 'sum_price', _s, 'sum_kmod', _k, "
             "'n_flag', _f, 'n_clerk', _c) as (metric, val)",
         )
         .select(
@@ -7652,19 +7661,20 @@ UNION ALL
 -- widen o_orderkey INT->BIGINT, merge (%131 update price+7 flag 'm1',
 -- %163 insert -k flag 'm1i'), then DROP clerk and RE-ADD it (fresh
 -- field id: pre-drop clerk values never resurrect), then merge %173
--- inserts at -k-400000000 with clerk 'c2' flag 'm2' price+2.0.
+-- inserts at -(k+MAXKEY+1) with clerk 'c2' flag 'm2' price+2.0
+-- (kmod rides along; the aggregate sums it, not the scale-sized key).
 SELECT 'evolve' AS section, m AS k1, '' AS k2, metric,
        val, CAST(NULL AS VARCHAR) AS sval
 FROM (
   SELECT m,
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-         CAST(SUM(k) AS DOUBLE) AS sum_key,
+         CAST(SUM(kmod) AS DOUBLE) AS sum_kmod,
          CAST(COUNT(flag) AS DOUBLE) AS n_flag,
          CAST(COUNT(clerk) AS DOUBLE) AS n_clerk
   FROM (
     SELECT strftime(o_orderdate, '%Y-%m') AS m,
-           CAST(o_orderkey AS BIGINT) AS k,
+           o_orderkey % 100000 AS kmod,
            CASE WHEN o_orderkey % 131 = 0 THEN o_totalprice + 7.0
                 ELSE o_totalprice END AS price,
            CASE WHEN o_orderkey % 131 = 0 THEN 'm1' END AS flag,
@@ -7672,16 +7682,16 @@ FROM (
     FROM orders
     UNION ALL
     SELECT strftime(o_orderdate, '%Y-%m'),
-           -CAST(o_orderkey AS BIGINT), o_totalprice, 'm1i',
+           o_orderkey % 100000, o_totalprice, 'm1i',
            CAST(NULL AS VARCHAR)
     FROM orders WHERE o_orderkey % 163 = 0 AND o_orderkey <> 0
     UNION ALL
     SELECT strftime(o_orderdate, '%Y-%m'),
-           -CAST(o_orderkey AS BIGINT) - 400000000,
+           o_orderkey % 100000,
            o_totalprice + 2.0, 'm2', 'c2'
     FROM orders WHERE o_orderkey % 173 = 0 AND o_orderkey <> 0
   ) GROUP BY m
-) UNPIVOT (val FOR metric IN (n, sum_price, sum_key, n_flag, n_clerk))
+) UNPIVOT (val FOR metric IN (n, sum_price, sum_kmod, n_flag, n_clerk))
 UNION ALL
 -- z-order layout round trip (r8): the Spark side reads the clustered
 -- parquet copy back; content must equal the original table row-level.

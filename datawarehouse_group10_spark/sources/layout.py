@@ -2750,6 +2750,8 @@ def snapshot_compact(
     target_bytes: int = 128 << 20,
     slack: int = 1,
     zorder_cols: list[str] | None = None,
+    partitions: set[str] | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> dict[str, int]:
     """OPTIMIZE under the snapshot-pointer layout: same selection and
     writer arithmetic as :func:`compact_partitions` (fragmented iff
@@ -2765,6 +2767,19 @@ def snapshot_compact(
     -> no new version, pointer untouched). Returns
     compact_partitions-shaped stats plus {"old_version",
     "new_version"} (equal on no-op).
+
+    ``partitions`` / ``prune`` (r15) SCOPE the maintenance — Delta's
+    ``OPTIMIZE ... WHERE``: only fragmented partitions inside the
+    given key set / manifest-stats range rewrite. At 100 TB a table is
+    compacted one partition range at a time on a schedule, never in a
+    single whole-table commit — a scoped run bounds the rewrite I/O,
+    the commit size, AND the OCC conflict window against concurrent
+    writers. Scoping composes with the fragmented-by-definition
+    classes (merge-on-read delete/append refs, old-spec entries), but
+    the table-level flags those classes clear (``pc_history``,
+    ``dv_key``) are only dropped when NO out-of-scope entry still
+    needs them — a scoped run can finish a migration or fold the last
+    delete file, and says so in its return value.
 
     ``zorder_cols`` (r12) composes OPTIMIZE with ZORDER under the same
     reader isolation — the Delta/Iceberg ``OPTIMIZE ... ZORDER BY``
@@ -2790,12 +2805,28 @@ def snapshot_compact(
         raise FileNotFoundError(
             f"no {partition_col}=* partitions in snapshot under {path}"
         )
+    norm_prune = _norm_prune(prune)
+    in_scope = {
+        v
+        for v, e in parts.items()
+        if (partitions is None or v in partitions)
+        and (
+            norm_prune is None
+            or (
+                _key_passes_prune(
+                    _pcols(_entry_pc(m, e)), v, norm_prune
+                )
+                and _entry_passes_prune(e, norm_prune)
+            )
+        )
+    }
     files_before = sum(e["files"] for e in parts.values())
     rows_per_file = _rows_per_file_target(parts.values(), target_bytes)
     frag = {
         v
         for v, e in parts.items()
-        if e["files"] > max(1, -(-e["rows"] // rows_per_file)) + slack
+        if v in in_scope
+        and (e["files"] > max(1, -(-e["rows"] // rows_per_file)) + slack
         # a partition carrying merge-on-read delete files (r14) or
         # append files (r15) is fragmented by definition: compaction
         # is the designated fold-back — the rewrite reads THROUGH the
@@ -2810,7 +2841,7 @@ def snapshot_compact(
         or (
             m.get("pc_history")
             and _entry_pc(m, e) != m["partition_col"]
-        )
+        ))
     }
     if m.get("pc_history"):
         # bulk migration (ADVICE r14 #1): rows migrating out of
@@ -2898,25 +2929,29 @@ def snapshot_compact(
             )
         return out
 
+    # Table-level flags clear only when NOTHING outside the rewrite
+    # set still needs them (r15 — a SCOPED run may leave old-spec or
+    # dv-carrying entries untouched): pc_history drops once no
+    # surviving entry is laid out under an old spec (time travel to
+    # pre-migration versions reads THEIR version files, which keep
+    # their own copies); dv_key drops once no surviving entry carries
+    # delete files, so a later snapshot_delete may re-key
+    # (ADVICE r14 #2).
+    untouched = [e for v, e in parts.items() if v not in frag]
+    migration_done = m.get("pc_history") and not any(
+        _entry_pc(m, e) != m["partition_col"] for e in untouched
+    )
+    deletes_done = m.get("dv_key") and not any(
+        "dv" in e for e in untouched
+    )
     version, new_m = _stage_version(
         path, partition_col, m, frag, writer, base_version=committed,
         schema_json=m.get("schema") or df.schema.json(),
         entry_extra=carry_blooms,
-        # every old-spec entry is in frag, so after this rewrite the
-        # table is single-spec again: drop the history (time travel to
-        # pre-migration versions reads THEIR version files, which keep
-        # their own copies). Likewise every dv-carrying entry is in
-        # frag and the rewrite reads THROUGH the deletes, so no delete
-        # file is outstanding afterwards: clear the table's dv_key so
-        # a later snapshot_delete may re-key (ADVICE r14 #2)
         extra_meta=(
             {
-                **(
-                    {"pc_history": None}
-                    if m.get("pc_history")
-                    else {}
-                ),
-                **({"dv_key": None} if m.get("dv_key") else {}),
+                **({"pc_history": None} if migration_done else {}),
+                **({"dv_key": None} if deletes_done else {}),
             }
             or None
         ),
@@ -2927,6 +2962,17 @@ def snapshot_compact(
         "files_after": sum(
             e["files"] for e in new_m["partitions"].values()
         ),
+        # out-of-scope work a SCOPED run left behind (r15): old-spec
+        # entries still awaiting migration / entries still carrying
+        # delete files — zero means the run finished the job and the
+        # table-level flag was cleared
+        "pending_old_spec": sum(
+            1
+            for e in untouched
+            if m.get("pc_history")
+            and _entry_pc(m, e) != m["partition_col"]
+        ),
+        "pending_dv": sum(1 for e in untouched if "dv" in e),
         "old_version": committed,
         "new_version": version,
     }

@@ -5170,3 +5170,51 @@ def test_cdf_apply_mor_mode_matches_cow(spark, tmp_path):
     assert states["cow"] == states["mor"] == {
         1: ("a", 10.0), 3: ("b", 3.0)
     }
+
+
+def test_snapshot_compact_scoped_optimize_where(spark, tmp_path):
+    """OPTIMIZE ... WHERE (r15): snapshot_compact scoped by partition
+    keys or a stats range rewrites only the in-scope fragmented
+    partitions — and table-level flags (dv_key, pc_history) survive a
+    scoped run that leaves out-of-scope work, clearing only when the
+    LAST carrier is folded."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(300).selectExpr(
+        "concat('p', cast(id % 3 as string)) as p",
+        "cast(id as int) as k",
+        "cast(id as double) as v",
+    )
+    snapshot_write(df, path, "p", shards=4)  # fragmented everywhere
+    # MOR deletes touching p0 and p1
+    snapshot_delete(
+        spark,
+        spark.createDataFrame([(0,), (1,)], "k int"),  # k0->p0, k1->p1
+        path, "p", ["k"],
+    )
+    st = snapshot_compact(spark, path, "p", partitions={"p0"})
+    assert st["partitions_compacted"] == 1
+    assert st["pending_dv"] == 1  # p1 still carries its delete file
+    m = snapshot_manifest(path)
+    assert "dv" not in m["partitions"]["p0"]
+    assert "dv" in m["partitions"]["p1"]
+    assert m.get("dv_key") == ["k"]  # NOT cleared: p1 outstanding
+    assert snapshot_read(spark, path).count() == 298
+
+    # stats-range scope covering the rest folds the last dv -> clear
+    st2 = snapshot_compact(
+        spark, path, "p", prune={"k": (1, 299)}
+    )
+    assert st2["partitions_compacted"] == 2
+    assert st2["pending_dv"] == 0
+    m2 = snapshot_manifest(path)
+    assert "dv_key" not in m2
+    assert all("dv" not in e for e in m2["partitions"].values())
+    assert snapshot_read(spark, path).count() == 298
