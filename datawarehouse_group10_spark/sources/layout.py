@@ -2944,6 +2944,30 @@ def snapshot_compact(
     deletes_done = m.get("dv_key") and not any(
         "dv" in e for e in untouched
     )
+
+    def _pre_evolution(e: dict, last_before: int) -> bool:
+        # an entry still needs the schema_log when its base root OR
+        # any of its append files was written before the last schema
+        # evolution
+        if int(e["root"][1:]) < last_before:
+            return True
+        return any(
+            int(f.split(os.sep)[0][1:]) < last_before
+            for rec in e.get("ap") or ()
+            for f in rec["files"]
+        )
+
+    schema_done = False
+    if m.get("schema_log"):
+        last_before = max(
+            rec["before"] for rec in m["schema_log"]
+        )
+        # fresh entries' roots are the new version (>= last_before by
+        # construction); only untouched entries can still predate the
+        # evolution
+        schema_done = not any(
+            _pre_evolution(e, last_before) for e in untouched
+        )
     version, new_m = _stage_version(
         path, partition_col, m, frag, writer, base_version=committed,
         schema_json=m.get("schema") or df.schema.json(),
@@ -2952,6 +2976,11 @@ def snapshot_compact(
             {
                 **({"pc_history": None} if migration_done else {}),
                 **({"dv_key": None} if deletes_done else {}),
+                # once no surviving root predates the last evolution,
+                # the per-root schema mapping is dead weight on every
+                # future commit: drop it (r15; old version files keep
+                # their own copies for time travel)
+                **({"schema_log": None} if schema_done else {}),
             }
             or None
         ),

@@ -5218,3 +5218,45 @@ def test_snapshot_compact_scoped_optimize_where(spark, tmp_path):
     assert "dv_key" not in m2
     assert all("dv" not in e for e in m2["partitions"].values())
     assert snapshot_read(spark, path).count() == 298
+
+
+def test_compact_clears_schema_log_when_no_old_roots(spark, tmp_path):
+    """Once a compact leaves no root written before the last schema
+    evolution, the per-root schema_log is dropped from the manifest
+    (old version files keep their copies for time travel); a partial
+    compact that leaves a pre-evolution root keeps it."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_evolve_schema,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(200).selectExpr(
+        "case when id % 2 = 0 then 'a' else 'b' end as p",
+        "cast(id as int) as k",
+        "cast(id as int) as cnt",
+    )
+    snapshot_write(df, path, "p", shards=4)  # fragmented
+    snapshot_evolve_schema(path, rename={"cnt": "hits"})
+    assert snapshot_manifest(path).get("schema_log")
+    # partial compact: only a's partition — b's root predates the
+    # evolution, so the log must survive
+    st = snapshot_compact(spark, path, "p", partitions={"a"})
+    assert st["partitions_compacted"] == 1
+    assert snapshot_manifest(path).get("schema_log")
+    got = {r["k"]: r["hits"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 200 and got[7] == 7
+    # full compact folds the last pre-evolution root -> log dropped
+    st2 = snapshot_compact(spark, path, "p")
+    assert st2["new_version"] > st2["old_version"]
+    m = snapshot_manifest(path)
+    assert "schema_log" not in m
+    assert m.get("schema_ids")  # ids stay: future evolutions continue
+    got = {r["k"]: r["hits"] for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 200 and got[7] == 7
+    # pre-evolution time travel still maps through ITS version file
+    tt = snapshot_read(spark, path, version=1)
+    assert tt.columns == ["p", "k", "cnt"]
