@@ -3758,6 +3758,7 @@ def snapshot_delete(
     path: str,
     partition_col,
     key_cols: list[str],
+    publish: bool = True,
 ) -> dict[str, int]:
     """Row-level DELETE with MERGE-ON-READ granularity (r14) — the
     Iceberg equality-delete shape, where :func:`snapshot_merge`
@@ -3919,6 +3920,7 @@ def snapshot_delete(
         base_version=committed, schema_json=schema_json,
         base_partial=base_partial, synth_entries=synth,
         extra_meta={"dv_key": list(key_cols)} if touched else None,
+        publish=publish,
     )
     dv_rows = sum(
         (new_m["partitions"][k].get("dv") or {}).get("rows", 0)
@@ -3944,6 +3946,7 @@ def snapshot_upsert_mor(
     delete_col: str | None = None,
     seq_col: str | None = None,
     extra_meta: dict | None = None,
+    publish: bool = True,
 ) -> dict[str, int]:
     """MERGE-ON-READ UPSERT (r15, VERDICT r14 #5) — the Flink->Iceberg
     mixed-CDC-batch shape: land an N-row batch of full-row upserts
@@ -4270,6 +4273,7 @@ def snapshot_upsert_mor(
             **({"dv_key": list(key_cols)} if dv_parts else {}),
         }
         or None,
+        publish=publish,
     )
     dv_rows = sum(
         (new_m["partitions"][k].get("dv") or {}).get("rows", 0)

@@ -5260,3 +5260,47 @@ def test_compact_clears_schema_log_when_no_old_roots(spark, tmp_path):
     # pre-evolution time travel still maps through ITS version file
     tt = snapshot_read(spark, path, version=1)
     assert tt.columns == ["p", "k", "cnt"]
+
+
+def test_wap_covers_mor_verbs(spark, tmp_path):
+    """publish=False (write-audit-publish) composes with the MOR
+    verbs: a staged snapshot_delete / snapshot_upsert_mor is invisible
+    until snapshot_publish, auditable via staged=True."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_upsert_mor,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    st = snapshot_delete(
+        spark, spark.createDataFrame([(2,)], "k int"), path, "p",
+        ["k"], publish=False,
+    )
+    assert snapshot_version(path) == st["old_version"]
+    assert snapshot_read(spark, path).count() == 3  # invisible
+    audit = snapshot_read(
+        spark, path, version=st["new_version"], staged=True
+    )
+    assert audit.count() == 2
+    snapshot_publish(path, st["new_version"])
+    assert snapshot_read(spark, path).count() == 2
+
+    st2 = snapshot_upsert_mor(
+        spark,
+        spark.createDataFrame([("b", 3, 33.0), ("b", 4, 4.0)],
+                              "p string, k int, v double"),
+        path, "p", ["k"], publish=False,
+    )
+    assert snapshot_read(spark, path).count() == 2  # still invisible
+    snapshot_publish(path, st2["new_version"])
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1: 1.0, 3: 33.0, 4: 4.0}
