@@ -803,6 +803,7 @@ def _manifest_resolve(
     keys: set[str] | None = None,
     key_range: tuple[str, str] | None = None,
     scopes: list[tuple] | None = None,
+    seg_cache: dict | None = None,
 ) -> dict | None:
     """Resolve a version file to the flat ``{"partitions": {...}}``
     manifest consumers see. Three formats:
@@ -885,15 +886,20 @@ def _manifest_resolve(
             if not keep:
                 continue
         sid = _seg_id(seg)
-        seg_raw = _meta_store().read(_segment_file(path, sid))
-        if seg_raw is None:
-            raise FileNotFoundError(
-                f"manifest segment seg_{sid} under {path} is missing — "
-                "metadata corrupted or gc raced a reader past retention"
-            )
-        segs_read += 1
-        nbytes += len(seg_raw)
-        for val, e in json.loads(seg_raw.decode("utf-8"))["entries"].items():
+        entries = None if seg_cache is None else seg_cache.get(sid)
+        if entries is None:
+            seg_raw = _meta_store().read(_segment_file(path, sid))
+            if seg_raw is None:
+                raise FileNotFoundError(
+                    f"manifest segment seg_{sid} under {path} is missing — "
+                    "metadata corrupted or gc raced a reader past retention"
+                )
+            segs_read += 1
+            nbytes += len(seg_raw)
+            entries = json.loads(seg_raw.decode("utf-8"))["entries"]
+            if seg_cache is not None:
+                seg_cache[sid] = entries
+        for val, e in entries.items():
             if comps is not None and not _scope_contains(comps, val):
                 continue
             if val in seen:
@@ -4763,6 +4769,10 @@ def snapshot_gc(
     referenced: set[tuple[str, str]] = set()
     referenced_dv: set[str] = set()
     live_segs: set[str] = set()
+    # segments are immutable and SHARED across version files — parse
+    # each once for the whole walk (r15): gc metadata I/O is
+    # O(distinct live segments), not O(retained versions x table)
+    seg_cache: dict = {}
     for v in versions:
         if v in dead:
             continue
@@ -4770,7 +4780,7 @@ def snapshot_gc(
         if raw is None:
             continue
         live_segs |= {_seg_id(s) for s in raw.get("segments") or []}
-        m = _manifest_resolve(path, raw)
+        m = _manifest_resolve(path, raw, seg_cache=seg_cache)
         for val, e in m["partitions"].items():
             referenced.add(
                 (e["root"], _part_relpath(_entry_pc(m, e), val))
