@@ -2519,8 +2519,11 @@ def snapshot_history(path: str) -> list[dict[str, int | bool]]:
 
     committed = _snapshot_committed(path)
     out: list[dict[str, int | bool]] = []
+    seg_cache: dict = {}  # segments are shared across versions (r15)
     for v in _snapshot_versions(path):
-        m = _manifest_resolve(path, _manifest_read(path, v))
+        m = _manifest_resolve(
+            path, _manifest_read(path, v), seg_cache=seg_cache
+        )
         if m is not None:
             h = {
                 "version": v,
