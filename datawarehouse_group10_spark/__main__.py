@@ -277,6 +277,30 @@ def main(argv: list[str] | None = None) -> int:
                      "re-add with the same name gets a fresh id — old "
                      "values never resurrect)")
 
+    sca = sub.add_parser(
+        "snapshot-cdf-apply",
+        help="drain a source snapshot table's commit windows into a "
+        "destination snapshot exactly once (per-window merges with an "
+        "idempotence token in the destination's version file)",
+    )
+    sca.add_argument("--src", required=True,
+                     help="source snapshot table root")
+    sca.add_argument("--dst", required=True,
+                     help="destination snapshot table root")
+    sca.add_argument("--partition-col", required=True)
+    sca.add_argument("--key-cols", required=True,
+                     help="comma-separated MERGE key column(s)")
+    sca.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                     help="land windows copy-on-write (default) or as "
+                     "merge-on-read delete+append commits")
+    sca.add_argument("--start-version", type=int, default=None,
+                     help="seed the cursor at this retained source "
+                     "version on first run (default: current — "
+                     "consume changes from now on)")
+    sca.add_argument("--max-versions", type=int, default=None,
+                     help="bound one invocation's windows (catch-up "
+                     "batching)")
+
     sp2 = sub.add_parser(
         "snapshot-publish",
         help="publish a version staged with publish=False "
@@ -313,6 +337,9 @@ def main(argv: list[str] | None = None) -> int:
                     "writers are active")
     sg.add_argument("--keep", type=int, default=1,
                     help="committed-or-older versions to retain (default 1)")
+    sg.add_argument("--dry-run", action="store_true",
+                    help="report what would be reclaimed, delete "
+                    "nothing")
 
     z = sub.add_parser(
         "zorder",
@@ -677,6 +704,29 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
 
+        if args.cmd == "snapshot-cdf-apply":
+            from .sources.layout import snapshot_version
+            from .streaming import apply_cdf_to_snapshot
+
+            st = apply_cdf_to_snapshot(
+                spark,
+                args.src,
+                args.dst,
+                _snap_pcols(args.partition_col),
+                [c.strip() for c in args.key_cols.split(",") if c.strip()],
+                max_versions=args.max_versions,
+                start_version=args.start_version,
+                mode=args.mode,
+            )
+            print(
+                f"snapshot-cdf-applied {args.src} -> {args.dst}: "
+                f"{st['delivered']} window(s) delivered "
+                f"({st['applied']} applied, {st['skipped']} "
+                f"token-skipped), cursor at v{st['cursor']} "
+                f"(destination resolves v{snapshot_version(args.dst)})"
+            )
+            return 0
+
         if args.cmd == "snapshot-publish":
             from .sources.layout import snapshot_publish
 
@@ -730,10 +780,12 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.layout import snapshot_gc
 
             doomed = snapshot_gc(
-                args.table, keep=args.keep, orphans=args.orphans
+                args.table, keep=args.keep, orphans=args.orphans,
+                dry_run=args.dry_run,
             )
+            verb = "would remove" if args.dry_run else "removed"
             print(
-                f"snapshot-gc {args.table}: removed "
+                f"snapshot-gc {args.table}: {verb} "
                 f"{', '.join(f'v{v}' for v in doomed) or 'nothing'} "
                 f"(keep={args.keep})"
             )

@@ -4706,7 +4706,8 @@ def snapshot_restore(path: str, version: int) -> dict[str, int]:
 
 
 def snapshot_gc(
-    path: str, keep: int = 1, orphans: bool = False
+    path: str, keep: int = 1, orphans: bool = False,
+    dry_run: bool = False,
 ) -> list[int]:
     """Reclaim old snapshots: delete the MANIFESTS of every COMMITTED
     version older than the ``keep`` most recent ones (never the
@@ -4738,7 +4739,11 @@ def snapshot_gc(
       anyway — its base already has a successor — so the worst case
       of a mis-timed ``orphans=True`` is a different error on a
       doomed commit, never corruption). Staging ABOVE the pointer is
-      always left alone."""
+      always left alone.
+
+    ``dry_run=True`` (r15) computes and returns the reclaim list
+    WITHOUT deleting anything — the operator preview before an
+    ``orphans=True`` run on a shared table."""
     import os
     import shutil
 
@@ -4765,6 +4770,8 @@ def snapshot_gc(
         else set()
     )
     dead = doomed_set | orphan_set
+    if dry_run:
+        return sorted(dead)
     # every (root, partition relpath), every merge-on-read delete FILE
     # (r14 — dv files live under the root of the version that wrote
     # them while being referenced by LATER versions' entries), and

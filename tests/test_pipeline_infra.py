@@ -5304,3 +5304,27 @@ def test_wap_covers_mor_verbs(spark, tmp_path):
     snapshot_publish(path, st2["new_version"])
     got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
     assert got == {1: 1.0, 3: 33.0, 4: 4.0}
+
+
+def test_snapshot_gc_dry_run_deletes_nothing(spark, tmp_path):
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
+        snapshot_gc,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+    )
+    snapshot_write(df, path, "p")
+    snapshot_backfill(
+        df.filter("p = 'a'").withColumn("v", F.col("v") + 1),
+        path, "p",
+    )
+    preview = snapshot_gc(path, keep=1, dry_run=True)
+    assert preview == [1]
+    # nothing deleted: v1 still time-travels
+    assert snapshot_read(spark, path, version=1).count() == 2
+    assert snapshot_gc(path, keep=1) == [1]  # the real run matches
