@@ -1328,6 +1328,13 @@ def _key_bloom_extra(
             for i in range(kh)
         ]
     )
+    # bits are PACKED ON THE EXECUTORS (r15): bitmap_construct_agg
+    # builds 4 KiB bucket bitmaps JVM-side, so the driver receives at
+    # most m/8 bytes per partition (128 KiB at the cap) instead of up
+    # to k*n raw probe positions — the difference between a bounded
+    # collect and a multi-GB driver pull when a backfill touches many
+    # hot partitions. Spark's bitmap positions are 1-based (bucket
+    # b covers positions (b-1)*32768+1 .. b*32768), hence the +1.
     rows = (
         df.select(
             _part_key_col(partition_col).alias("_pk"),
@@ -1335,17 +1342,31 @@ def _key_bloom_extra(
         )
         .join(F.broadcast(mdf), "_pk")
         .select("_pk", F.explode(pos).alias("_pos"))
-        .groupBy("_pk")
-        .agg(F.collect_set("_pos").alias("ps"))
+        .select(
+            "_pk",
+            F.bitmap_bucket_number(F.col("_pos") + 1).alias("_bkt"),
+            F.bitmap_bit_position(F.col("_pos") + 1).alias("_bp"),
+        )
+        .groupBy("_pk", "_bkt")
+        .agg(F.bitmap_construct_agg(F.col("_bp")).alias("_bm"))
         .collect()
     )
-    out: dict[str, dict] = {}
+    chunks: dict[str, dict[int, bytes]] = {}
     for r in rows:
-        m = m_of[r["_pk"]]
+        chunks.setdefault(r["_pk"], {})[r["_bkt"]] = bytes(r["_bm"])
+    out: dict[str, dict] = {}
+    for key, bkts in chunks.items():
+        m = m_of[key]
         bits = bytearray(m // 8)
-        for p in r["ps"]:
-            bits[p // 8] |= 1 << (p % 8)
-        out[r["_pk"]] = {
+        for bkt, bm in bkts.items():
+            off = (bkt - 1) * 4096  # 32768 bits per bucket chunk
+            if off >= len(bits):
+                continue  # positions are < m: past-the-end is zeros
+            span = min(4096, len(bits) - off)
+            for i in range(span):
+                if bm[i]:
+                    bits[off + i] |= bm[i]
+        out[key] = {
             "kb": {
                 "cols": list(cols),
                 "m": m,
