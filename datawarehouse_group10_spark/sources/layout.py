@@ -1656,6 +1656,17 @@ def _stage_version(
         # completes
         manifest["pc_history"] = base["pc_history"]
     if (
+        "cdc_applied" not in manifest
+        and (extra_meta or {}).get("cdc_applied", ()) is not None
+        and base is not None
+        and base.get("cdc_applied")
+    ):
+        # exactly-once STREAMING CDC tokens (r15): per stream job, the
+        # highest microbatch id already merged into this table —
+        # carried commit-to-commit so a checkpoint-replayed batch is a
+        # provable no-op even across unrelated commits
+        manifest["cdc_applied"] = base["cdc_applied"]
+    if (
         "cdf_applied" not in manifest
         and (extra_meta or {}).get("cdf_applied", ()) is not None
         and base is not None
@@ -3789,6 +3800,7 @@ def snapshot_delete(
     partition_col,
     key_cols: list[str],
     publish: bool = True,
+    extra_meta: dict | None = None,
 ) -> dict[str, int]:
     """Row-level DELETE with MERGE-ON-READ granularity (r14) — the
     Iceberg equality-delete shape, where :func:`snapshot_merge`
@@ -3949,7 +3961,11 @@ def snapshot_delete(
         path, partition_col, m, touched, writer,
         base_version=committed, schema_json=schema_json,
         base_partial=base_partial, synth_entries=synth,
-        extra_meta={"dv_key": list(key_cols)} if touched else None,
+        extra_meta={
+            **(extra_meta or {}),
+            **({"dv_key": list(key_cols)} if touched else {}),
+        }
+        or None,
         publish=publish,
     )
     dv_rows = sum(

@@ -948,6 +948,7 @@ def run_stream_cdc_apply(
     update_cols: list[str] | None = None,
     delete_mode: str = "cow",
     update_mode: str = "cow",
+    exactly_once_id: str | None = None,
 ) -> None:
     """Streaming CDC apply: each microbatch of change rows (upserts +
     optionally delete-flagged rows) lands as ONE
@@ -1023,6 +1024,20 @@ def run_stream_cdc_apply(
     and subsumes ``delete_mode`` (an all-delete batch simply writes
     no appends).
 
+    ``exactly_once_id`` (r15) upgrades crash-replay from convergent to
+    EXACTLY-ONCE: pass a stable job identity (e.g. the checkpoint
+    path) and every commit records its microbatch id in the table's
+    version file (``cdc_applied[job]``, carried commit-to-commit); a
+    batch whose id the table already records is SKIPPED entirely.
+    Value-idempotence alone converges only when nothing else wrote in
+    between — a crash after the table commit but before the
+    checkpoint, followed by an EXTERNAL update to a key the replayed
+    batch also carries, would clobber the newer value on replay; the
+    token closes exactly that window (same mechanism as the CDF
+    sink's). Ids are per (job, checkpoint) and monotonic, so a fresh
+    checkpoint over the same source re-delivers the same ids and the
+    table skips them.
+
     Scale shape per batch: one manifest-stat-pruned key semi-join + a
     rewrite of the touched partitions + ONE manifest/pointer commit
     (cost ∝ batch-touched data, never table size); hot tables want
@@ -1044,6 +1059,7 @@ def run_stream_cdc_apply(
 
     from ..sources.layout import (
         ConcurrentWriteError,
+        _validated_raw,
         snapshot_delete,
         snapshot_merge,
         snapshot_upsert_mor,
@@ -1052,6 +1068,20 @@ def run_stream_cdc_apply(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        token = None
+        if exactly_once_id is not None:
+            _v, raw = _validated_raw(table_path, None)
+            applied = (raw.get("cdc_applied") or {}).get(
+                exactly_once_id
+            )
+            if applied is not None and int(applied) >= batch_id:
+                return  # checkpoint-replayed batch: provable no-op
+            token = {
+                "cdc_applied": {
+                    **(raw.get("cdc_applied") or {}),
+                    exactly_once_id: batch_id,
+                }
+            }
         as_mor_delete = False
         if (
             delete_mode == "mor"
@@ -1073,6 +1103,7 @@ def run_stream_cdc_apply(
                         key_cols,
                         delete_col=delete_col,
                         seq_col=seq_col,
+                        extra_meta=token,
                     )
                 elif as_mor_delete:
                     snapshot_delete(
@@ -1081,6 +1112,7 @@ def run_stream_cdc_apply(
                         table_path,
                         partition_col,
                         key_cols,
+                        extra_meta=token,
                     )
                 else:
                     snapshot_merge(
@@ -1092,6 +1124,7 @@ def run_stream_cdc_apply(
                         delete_col=delete_col,
                         seq_col=seq_col,
                         update_cols=update_cols,
+                        extra_meta=token,
                     )
                 return
             except ConcurrentWriteError:

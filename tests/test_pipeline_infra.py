@@ -5328,3 +5328,56 @@ def test_snapshot_gc_dry_run_deletes_nothing(spark, tmp_path):
     # nothing deleted: v1 still time-travels
     assert snapshot_read(spark, path, version=1).count() == 2
     assert snapshot_gc(path, keep=1) == [1]  # the real run matches
+
+
+def test_stream_cdc_exactly_once_token_skips_replay(spark, tmp_path):
+    """exactly_once_id (r15): a checkpoint-replayed microbatch is a
+    provable no-op. Simulated by re-running the SAME change files
+    under a FRESH checkpoint (same batch ids) after an interleaved
+    external update — without the token the stale replay would
+    clobber it."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import (
+        run_stream_cdc_apply,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    cdc = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+    )
+    snapshot_write(base, tbl, "p")
+    spark.createDataFrame(
+        [("a", 1, 10.0, False), ("b", 3, 3.0, False)],
+        "p string, k int, v double, d boolean",
+    ).write.mode("overwrite").parquet(cdc)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "p string, k int, v double, d boolean"
+        ).parquet(cdc)
+        run_stream_cdc_apply(
+            stream, tbl, "p", ["k"], delete_col="d",
+            checkpoint_dir=str(tmp_path / ckpt),
+            exactly_once_id="job-x",
+        )
+
+    run("ckpt1")
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, tbl).collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 3.0}
+    # external writer updates k=1 AFTER the batch committed
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("a", 1, 777.0)],
+                              "p string, k int, v double"),
+        tbl, "p", ["k"],
+    )
+    # redelivery: same files, same batch ids, fresh checkpoint — the
+    # token must skip them and the external update must survive
+    run("ckpt2")
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, tbl).collect()}
+    assert got == {1: 777.0, 2: 2.0, 3: 3.0}
