@@ -5381,3 +5381,287 @@ def test_stream_cdc_exactly_once_token_skips_replay(spark, tmp_path):
     run("ckpt2")
     got = {r["k"]: r["v"] for r in snapshot_read(spark, tbl).collect()}
     assert got == {1: 777.0, 2: 2.0, 3: 3.0}
+
+
+def test_spec_evolution_randomized_against_model(spark, tmp_path):
+    """Seeded model fuzz of PARTITION-SPEC EVOLUTION interleavings
+    (r15 — the area where ADVICE r14's data-loss bug lived): a random
+    sequence of spec switches (identity p -> identity q -> bucket(k)
+    -> ...), full-row merges that freely MOVE rows between partition
+    values, compacts (bulk migration), and MOR upserts (which must
+    REFUSE mid-migration) is mirrored into a dict model; after every
+    commit the committed snapshot must equal the model exactly, and
+    every retained version must time-travel to its recorded state."""
+    import random
+
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_evolve_partitioning,
+        snapshot_gc,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_upsert_mor,
+        snapshot_write,
+    )
+
+    rng = random.Random(47)
+    specs = ["p", "q", {"b": ("bucket", 4, "k")}]
+    cur = 0
+    path = str(tmp_path / "tbl")
+    schema = "k int, p string, q string, v double"
+
+    model: dict[int, tuple] = {
+        k: (f"p{k % 3}", f"q{k % 2}", float(k)) for k in range(12)
+    }
+    base = spark.createDataFrame(
+        [(k, *model[k]) for k in model], schema
+    )
+    snapshot_write(base, path, specs[cur])
+    history = {1: dict(model)}
+    version = 1
+
+    def read_state():
+        return {
+            r["k"]: (r["p"], r["q"], r["v"])
+            for r in snapshot_read(spark, path).collect()
+        }
+
+    for step in range(12):
+        op = rng.choice(
+            ["merge", "merge", "evolve", "compact", "upsert_mor"]
+        )
+        mid_migration = bool(
+            snapshot_manifest(path).get("pc_history")
+        )
+        if op == "evolve":
+            nxt = rng.choice(
+                [i for i in range(len(specs)) if i != cur]
+            )
+            st = snapshot_evolve_partitioning(path, specs[nxt])
+            cur = nxt
+            version = st["new_version"]
+        elif op == "compact":
+            st = snapshot_compact(
+                spark, path, specs[cur], target_bytes=1 << 20
+            )
+            version = st["new_version"]
+        else:
+            rows = {}
+            for _ in range(rng.randint(1, 5)):
+                k = rng.randint(0, 19)
+                if rng.random() < 0.25:
+                    rows[k] = (k, f"p{k % 3}", f"q{k % 2}", 0.0, True)
+                else:
+                    rows[k] = (
+                        k,
+                        f"p{rng.randint(0, 3)}",
+                        f"q{rng.randint(0, 2)}",
+                        float(rng.randint(0, 99)),
+                        False,
+                    )
+            batch = spark.createDataFrame(
+                list(rows.values()), schema + ", del boolean"
+            )
+            if op == "upsert_mor" and mid_migration:
+                with _pytest.raises(ValueError, match="migration"):
+                    snapshot_upsert_mor(
+                        spark, batch, path, specs[cur], ["k"],
+                        delete_col="del",
+                    )
+                continue  # nothing committed, model unchanged
+            for k, (_, p, q, v, dele) in rows.items():
+                if dele:
+                    model.pop(k, None)
+                else:
+                    model[k] = (p, q, v)
+            fn = (
+                snapshot_upsert_mor
+                if op == "upsert_mor"
+                else snapshot_merge
+            )
+            st = fn(
+                spark, batch, path, specs[cur], ["k"],
+                delete_col="del",
+            )
+            version = st["new_version"]
+        history[version] = dict(model)
+        assert read_state() == model, (
+            f"divergence after step {step} ({op}, spec={specs[cur]})"
+        )
+
+    for v, snap_model in history.items():
+        got = {
+            r["k"]: (r["p"], r["q"], r["v"])
+            for r in snapshot_read(spark, path, version=v).collect()
+        }
+        assert got == snap_model, f"time travel to v{v} diverged"
+    snapshot_gc(path, keep=1)
+    assert read_state() == model
+
+
+def test_schema_evolution_randomized_against_model(spark, tmp_path):
+    """Seeded model fuzz of SCHEMA EVOLUTION interleavings (r15):
+    random add / rename / widen / drop verbs (including re-adding a
+    previously DROPPED name — its old values must stay dead) mixed
+    with full-row merges, MOR upserts, and compacts; after every
+    commit the committed snapshot must equal the model under the
+    model's CURRENT schema, and every retained version must
+    time-travel to its recorded (schema, rows) state."""
+    import random
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_evolve_schema,
+        snapshot_gc,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_upsert_mor,
+        snapshot_write,
+    )
+
+    rng = random.Random(29)
+    path = str(tmp_path / "tbl")
+    # value-column state: ordered name -> type ('int' | 'bigint')
+    cols: dict[str, str] = {"c1": "int", "c2": "int"}
+    name_pool = ["c3", "c4", "c5", "c6", "c1", "c2"]  # incl. re-adds
+    rows: dict[int, dict] = {
+        k: {"c1": k * 10, "c2": k * 100} for k in range(10)
+    }
+
+    def schema_str():
+        legs = ", ".join(f"{c} {t}" for c, t in cols.items())
+        return f"p string, k int{', ' + legs if legs else ''}"
+
+    def to_tuple(k, vals, dele=None):
+        base = [f"p{k % 3}", k, *[vals.get(c) for c in cols]]
+        return tuple(base + ([dele] if dele is not None else []))
+
+    base_df = spark.createDataFrame(
+        [to_tuple(k, rows[k]) for k in rows], schema_str()
+    )
+    snapshot_write(base_df, path, "p")
+    history = {1: ({**cols}, {k: dict(v) for k, v in rows.items()})}
+    version = 1
+
+    def read_state():
+        out = {}
+        for r in snapshot_read(spark, path).collect():
+            out[r["k"]] = {c: r[c] for c in cols}
+        return out
+
+    def evolve(**verbs):
+        # an upsert_mor may have left outstanding delete files, which
+        # evolve legitimately refuses — fold them first (the
+        # documented operator flow), then retry
+        import pytest as _pytest
+
+        try:
+            snapshot_evolve_schema(path, **verbs)
+        except ValueError as exc:
+            assert "delete files" in str(exc)
+            snapshot_compact(spark, path, "p", target_bytes=1 << 20)
+            snapshot_evolve_schema(path, **verbs)
+
+    for step in range(12):
+        op = rng.choice(
+            ["merge", "merge", "upsert_mor", "add", "rename",
+             "widen", "drop", "compact"]
+        )
+        if op == "add":
+            free = [n for n in name_pool if n not in cols]
+            if not free:
+                continue
+            name = rng.choice(free)
+            evolve(add={name: "int"})
+            cols[name] = "int"
+            for v in rows.values():
+                v[name] = None  # re-added names read NULL everywhere
+        elif op == "rename":
+            if not cols:
+                continue
+            old = rng.choice(list(cols))
+            free = [n for n in name_pool if n not in cols]
+            if not free:
+                continue
+            new = rng.choice(free)
+            evolve(rename={old: new})
+            cols = {
+                (new if c == old else c): t for c, t in cols.items()
+            }
+            for v in rows.values():
+                v[new] = v.pop(old)
+        elif op == "widen":
+            ints = [c for c, t in cols.items() if t == "int"]
+            if not ints:
+                continue
+            c = rng.choice(ints)
+            evolve(widen={c: "bigint"})
+            cols[c] = "bigint"
+        elif op == "drop":
+            if len(cols) <= 1:
+                continue
+            c = rng.choice(list(cols))
+            evolve(drop=[c])
+            del cols[c]
+            for v in rows.values():
+                v.pop(c, None)
+        elif op == "compact":
+            snapshot_compact(spark, path, "p", target_bytes=1 << 20)
+        else:
+            ops = {}
+            for _ in range(rng.randint(1, 4)):
+                k = rng.randint(0, 15)
+                if rng.random() < 0.25:
+                    ops[k] = (dict.fromkeys(cols), True)
+                else:
+                    ops[k] = (
+                        {c: rng.randint(0, 999) for c in cols},
+                        False,
+                    )
+            batch = spark.createDataFrame(
+                [
+                    to_tuple(k, vals, dele)
+                    for k, (vals, dele) in ops.items()
+                ],
+                schema_str() + ", del boolean",
+            )
+            fn = (
+                snapshot_upsert_mor
+                if op == "upsert_mor"
+                else snapshot_merge
+            )
+            fn(spark, batch, path, "p", ["k"], delete_col="del")
+            for k, (vals, dele) in ops.items():
+                if dele:
+                    rows.pop(k, None)
+                else:
+                    rows[k] = dict(vals)
+        from datawarehouse_group10_spark.sources.layout import (
+            snapshot_version,
+        )
+
+        version = snapshot_version(path)
+        history[version] = (
+            {**cols},
+            {k: dict(v) for k, v in rows.items()},
+        )
+        got = read_state()
+        want = {k: {c: v.get(c) for c in cols} for k, v in rows.items()}
+        assert got == want, f"divergence after step {step} ({op})"
+
+    for v, (snap_cols, snap_rows) in history.items():
+        got = {}
+        for r in snapshot_read(spark, path, version=v).collect():
+            got[r["k"]] = {c: r[c] for c in snap_cols}
+        want = {
+            k: {c: vv.get(c) for c in snap_cols}
+            for k, vv in snap_rows.items()
+        }
+        assert got == want, f"time travel to v{v} diverged"
+    snapshot_gc(path, keep=1)
+    assert read_state() == {
+        k: {c: v.get(c) for c in cols} for k, v in rows.items()
+    }
