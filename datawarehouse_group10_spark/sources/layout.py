@@ -2142,6 +2142,7 @@ def _read_version(
     prune: dict[str, tuple] | None = None,
     schema_json: str | None = None,
     staged: bool = False,
+    schema_ctx: dict | None = None,
 ) -> DataFrame | None:
     """Scan a snapshot version AND apply its outstanding merge-on-read
     delete files (r14) — the internal read every in-engine consumer
@@ -2169,23 +2170,30 @@ def _read_version(
     import os
 
     groups, dvs, pc, raw = _scan_plan(path, version, partitions, prune, staged)
+    # ``schema_ctx`` (r15): map roots through ANOTHER version's schema
+    # state — snapshot_diff reads its FROM side through the TO
+    # version's schema_log, so both sides of the diff land in the TO
+    # schema (a rename diffs as zero changes, a widen reads each root
+    # under its exact write-time type instead of crashing the parquet
+    # reader). The ctx's log covers every older root by construction.
+    ctx = schema_ctx if schema_ctx is not None else raw
     root_plans = None
-    if raw is not None and raw.get("schema_log") and raw.get("schema_ids"):
+    if ctx is not None and ctx.get("schema_log") and ctx.get("schema_ids"):
         import json
 
         from pyspark.sql.types import StructType
 
-        cur = StructType.fromJson(json.loads(raw["schema"]))
-        cur_ids = raw["schema_ids"]
+        cur = StructType.fromJson(json.loads(ctx["schema"]))
+        cur_ids = ctx["schema_ids"]
         root_plans = {}
         for base, _dirs in groups:
             n = int(os.path.basename(base)[1:])
-            hist_json, hist_ids = _root_schema(raw, n)
+            hist_json, hist_ids = _root_schema(ctx, n)
             if (
                 hist_json is None
                 or hist_ids is None
                 or (
-                    hist_json == raw["schema"]
+                    hist_json == ctx["schema"]
                     # ids must match too: a drop + re-add leaves the
                     # schema JSON byte-identical while the re-added
                     # field carries a NEW id — mapping is what keeps
@@ -2739,7 +2747,10 @@ def snapshot_diff(
         }
     LAST_DIFF_SCAN_PARTITIONS = len(changed)
     if not changed:
-        empty = snapshot_read(spark, path, version=from_version)
+        # the TO version's schema governs the (empty) result — a
+        # metadata-only schema evolution diffs as zero rows UNDER THE
+        # NEW NAMES (r15), not the FROM side's stale ones
+        empty = snapshot_read(spark, path, version=to_version)
         return empty.withColumn("_change", F.lit("insert")).limit(0)
     # ONE schema for both sides (the later version's — evolution only
     # adds columns, so the earlier side reads NULL for additions and
@@ -2749,6 +2760,11 @@ def snapshot_diff(
     a_df = _read_version(
         spark, path, from_version, partitions=changed,
         schema_json=schema_json,
+        # the TO version's schema state governs BOTH sides (r15):
+        # its schema_log maps every FROM root by field id, so a
+        # rename diffs as zero row changes and a widen reads old
+        # roots under their exact write-time types
+        schema_ctx=m_to,
     )
     b_df = _read_version(
         spark, path, to_version, partitions=changed,

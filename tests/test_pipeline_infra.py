@@ -5665,3 +5665,48 @@ def test_schema_evolution_randomized_against_model(spark, tmp_path):
     assert read_state() == {
         k: {c: v.get(c) for c in cols} for k, v in rows.items()
     }
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """snapshot_diff spanning a rename/widen evolution (r15): the TO
+    version's schema_log maps the FROM side by field id, so a
+    metadata-only rename contributes ZERO spurious row changes, a
+    widen doesn't trip the parquet reader on old int32 files, and
+    only genuinely changed rows appear — which is what makes the CDF
+    applier safe to run across an evolution commit."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_diff,
+        snapshot_evolve_schema,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1, 10, 1.0), ("a", 2, 20, 2.0), ("b", 3, 30, 3.0)],
+        "p string, k int, cnt int, v double",
+    )
+    snapshot_write(df, path, "p")
+    v1 = snapshot_version(path)
+    snapshot_evolve_schema(
+        path, rename={"cnt": "hits"}, widen={"k": "bigint"},
+    )
+    v2 = snapshot_version(path)
+    # pure metadata between v1 and v2: zero row changes
+    d = snapshot_diff(spark, path, v1, v2, "p")
+    assert d.count() == 0
+    assert "hits" in d.columns and "cnt" not in d.columns
+
+    # a real change after the evolution diffs in CURRENT names only
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("a", 1, 99, 1.5)],
+                              "p string, k long, hits int, v double"),
+        path, "p", ["k"],
+    )
+    v3 = snapshot_version(path)
+    d2 = snapshot_diff(spark, path, v1, v3, "p")
+    rows = {(r["_change"], r["k"], r["hits"]) for r in d2.collect()}
+    assert rows == {("delete", 1, 10), ("insert", 1, 99)}
