@@ -949,6 +949,7 @@ def run_stream_cdc_apply(
     delete_mode: str = "cow",
     update_mode: str = "cow",
     exactly_once_id: str | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """Streaming CDC apply: each microbatch of change rows (upserts +
     optionally delete-flagged rows) lands as ONE
@@ -1038,6 +1039,16 @@ def run_stream_cdc_apply(
     checkpoint over the same source re-delivers the same ids and the
     table skips them.
 
+    ``compact_every`` (r15) interleaves maintenance with the stream:
+    every N applied microbatches, one ``snapshot_compact`` folds the
+    accumulated merge-on-read refs (and any fragmentation) back to
+    plain scans — the production cadence for ``update_mode="mor"``,
+    whose per-batch write savings otherwise trade into read-side ref
+    accumulation between external OPTIMIZE runs (measured at sf0.1:
+    20 MOR batches write 12.8x fewer bytes than COW but the ref
+    build-up makes the uncompacted run ~3x slower wall-clock — the
+    fold restores plain-scan cost in-stream).
+
     Scale shape per batch: one manifest-stat-pruned key semi-join + a
     rewrite of the touched partitions + ONE manifest/pointer commit
     (cost ∝ batch-touched data, never table size); hot tables want
@@ -1060,10 +1071,13 @@ def run_stream_cdc_apply(
     from ..sources.layout import (
         ConcurrentWriteError,
         _validated_raw,
+        snapshot_compact,
         snapshot_delete,
         snapshot_merge,
         snapshot_upsert_mor,
     )
+
+    applied_n = {"n": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1125,6 +1139,18 @@ def run_stream_cdc_apply(
                         seq_col=seq_col,
                         update_cols=update_cols,
                         extra_meta=token,
+                    )
+                applied_n["n"] += 1
+                if (
+                    compact_every
+                    and applied_n["n"] % compact_every == 0
+                ):
+                    # in-stream fold: value-preserving maintenance,
+                    # same OCC commit path as any compact (replays
+                    # are structural no-ops when nothing fragmented)
+                    snapshot_compact(
+                        batch_df.sparkSession, table_path,
+                        partition_col,
                     )
                 return
             except ConcurrentWriteError:

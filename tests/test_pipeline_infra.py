@@ -5710,3 +5710,45 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
     d2 = snapshot_diff(spark, path, v1, v3, "p")
     rows = {(r["_change"], r["k"], r["hits"]) for r in d2.collect()}
     assert rows == {("delete", 1, 10), ("insert", 1, 99)}
+
+
+def test_stream_cdc_mor_in_stream_compaction(spark, tmp_path):
+    """compact_every (r15): the stream folds its own merge-on-read
+    refs every N batches — final state identical, manifest back to
+    plain scans by stream end."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+    from datawarehouse_group10_spark.streaming import (
+        run_stream_cdc_apply,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    cdc = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "p string, k int, v double"
+    )
+    snapshot_write(base, tbl, "p")
+    for i, rows in enumerate(
+        [[("a", 1, 10.0, False)], [("b", 3, 3.0, False)],
+         [("a", 1, 11.0, False)], [("b", 2, 0.0, True)]]
+    ):
+        spark.createDataFrame(
+            rows, "p string, k int, v double, d boolean"
+        ).write.mode("append").parquet(cdc)
+    stream = spark.readStream.schema(
+        "p string, k int, v double, d boolean"
+    ).option("maxFilesPerTrigger", 1).parquet(cdc)
+    run_stream_cdc_apply(
+        stream, tbl, "p", ["k"], delete_col="d",
+        checkpoint_dir=str(tmp_path / "ck"),
+        update_mode="mor", compact_every=2, seq_col=None,
+    )
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, tbl).collect()}
+    assert got == {1: 11.0, 3: 3.0}
+    m = snapshot_manifest(tbl)
+    assert all(
+        "ap" not in e and "dv" not in e for e in m["partitions"].values()
+    )
