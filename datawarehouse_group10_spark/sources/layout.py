@@ -4146,28 +4146,28 @@ def snapshot_upsert_mor(
     pkey = _part_key_col(partition_col).alias("_dv_pkey")
     matched = None
     dv_parts: set[str] = set()
+    up_parts: set[str] = set()
+    # ONE job collects both touched sets (matched homes + upsert
+    # targets, tagged) — per-microbatch fixed costs matter when the
+    # batch itself is tiny (the streaming CDC shape)
+    up_pk = upserts.select(
+        _part_key_col(partition_col).alias("_pk"),
+        F.lit("u").alias("_src"),
+    ).distinct()
     if probe is not None:
         matched = (
             probe.select(*dict.fromkeys([*psrc, *key_cols]))
             .join(keys, key_cols, "left_semi")
             .distinct()
         )
-        dv_parts = {
-            r[0]
-            for r in matched.select(
-                _part_key_col(partition_col).alias("_pk")
-            )
-            .distinct()
-            .collect()
-        }
-    up_parts = {
-        r[0]
-        for r in upserts.select(
-            _part_key_col(partition_col).alias("_pk")
-        )
-        .distinct()
-        .collect()
-    }
+        both = matched.select(
+            _part_key_col(partition_col).alias("_pk"),
+            F.lit("d").alias("_src"),
+        ).distinct().unionByName(up_pk)
+    else:
+        both = up_pk
+    for r in both.collect():
+        (dv_parts if r["_src"] == "d" else up_parts).add(r["_pk"])
     touched = dv_parts | up_parts
     bloom_spec = m.get("key_bloom")
 
