@@ -16,7 +16,19 @@ equivalent:
     python -m datawarehouse_group10_spark snapshot-backfill --input B.parquet \\
         --table DIR --partition-col c
     python -m datawarehouse_group10_spark snapshot-history --table DIR
-    python -m datawarehouse_group10_spark snapshot-gc --table DIR [--keep N]
+    python -m datawarehouse_group10_spark snapshot-gc --table DIR [--keep N] \
+        [--dry-run]
+    python -m datawarehouse_group10_spark snapshot-merge / snapshot-delete / \
+        snapshot-upsert-mor --input B.parquet --table DIR \
+        --partition-col c --key-cols k [--delete-col d]
+    python -m datawarehouse_group10_spark snapshot-evolve --table DIR \
+        --partition-col NEWSPEC
+    python -m datawarehouse_group10_spark snapshot-evolve-schema --table DIR \
+        [--add n:t] [--rename o:n] [--widen n:t] [--drop a,b]
+    python -m datawarehouse_group10_spark snapshot-cdf-apply --src S --dst D \
+        --partition-col c --key-cols k [--mode mor]
+    python -m datawarehouse_group10_spark snapshot-publish --table DIR \
+        --version N
 
 ``job`` runs the orchestrated P1-P4 pipeline (ledger-gated, parquet
 layers); ``query`` runs any contract query and prints a sample;
