@@ -1961,6 +1961,39 @@ def cdf_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, dst)
 
 
+def cdf_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month tag counts of the 4-TAG CDC window over the CDF
+    source's first commit (r16, VERDICT r15 #5):
+    ``snapshot_diff(update_keys=[...])`` re-tags a same-key
+    delete+insert pair as 'update_preimage'/'update_postimage' (Delta
+    CDF parity), so the window's %113 price updates must surface as
+    exactly one pre+post pair each, the %127 inserts as plain
+    'insert', and nothing as 'delete'. Rides cdf_snapshot_orders'
+    staged source (warm: zero staging cost)."""
+    from .sources.layout import snapshot_diff
+
+    cdf_snapshot_orders(spark, sf_dir)  # ensure the chain is staged
+    src = os.path.join(
+        GRAFT_WAREHOUSE, f"snapshot_{_sf_tag(sf_dir)}", "orders_cdfsrc"
+    )
+    d = snapshot_diff(
+        spark, src, 1, 2, "o_month", update_keys=["o_orderkey"]
+    )
+
+    def n_of(tag: str) -> F.Column:
+        return (
+            F.count(F.when(F.col("_change") == tag, F.lit(1)))
+            .cast("double")
+        )
+
+    return d.groupBy("o_month").agg(
+        n_of("update_preimage").alias("_pre"),
+        n_of("update_postimage").alias("_post"),
+        n_of("insert").alias("_ins"),
+        n_of("delete").alias("_del"),
+    )
+
+
 def calendar_months(spark: SparkSession) -> DataFrame:
     """Tiny generated calendar-month dimension (1995-01 .. 2001-12):
     (cal_month 'yyyy-MM', cal_year, cal_quarter). The dim side of the
@@ -5294,6 +5327,28 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_s.alias("sval"),
         )
     )
+    # Update pre/post-image CDC tags (r16, VERDICT r15 #5): the 4-tag
+    # diff over the CDF source's first commit window must report each
+    # %113 value change as exactly one preimage + one postimage pair,
+    # each %127 insert as a plain insert, and ZERO deletes — a
+    # mis-paired update (tagged as unrelated churn) or a spurious
+    # delete breaks the hash.
+    mg9 = (
+        cdf_update_pairs(spark, sf_dir)
+        .selectExpr(
+            "o_month",
+            "stack(4, 'n_pre', _pre, 'n_post', _post, 'n_ins', _ins, "
+            "'n_del', _del) as (metric, val)",
+        )
+        .select(
+            F.lit("cdfu").alias("section"),
+            F.col("o_month").alias("k1"),
+            F.lit("").alias("k2"),
+            "metric",
+            "val",
+            nul_s.alias("sval"),
+        )
+    )
     # Schema-evolution round trip (r15): add/rename/widen/drop via
     # stable field ids, a merge after each stage — the per-month
     # aggregate carries flag/clerk NULL-counts so a resurrected
@@ -5358,6 +5413,7 @@ def q_a_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mg6)
         .unionByName(mg7)
         .unionByName(mg8)
+        .unionByName(mg9)
         .unionByName(zo)
     )
 
@@ -7655,6 +7711,25 @@ FROM (
     FROM orders WHERE o_orderkey % 127 = 0 AND o_orderkey <> 0
   ) GROUP BY m
 ) UNPIVOT (val FOR metric IN (n, sum_price, sum_key))
+UNION ALL
+-- update pre/post-image tags (r16): the 4-tag diff over the CDF
+-- source's first window — one pre+post pair per %113 update, one
+-- insert per %127 key, zero deletes; months without any change in
+-- that window emit nothing (the diff has no rows for them).
+SELECT 'cdfu' AS section, m AS k1, '' AS k2, metric,
+       val, CAST(NULL AS VARCHAR) AS sval
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         CAST(SUM(CASE WHEN o_orderkey % 113 = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n_pre,
+         CAST(SUM(CASE WHEN o_orderkey % 113 = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n_post,
+         CAST(SUM(CASE WHEN o_orderkey % 127 = 0 AND o_orderkey <> 0
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS n_ins,
+         CAST(0 AS DOUBLE) AS n_del
+  FROM orders GROUP BY m
+  HAVING n_pre + n_ins > 0
+) UNPIVOT (val FOR metric IN (n_pre, n_post, n_ins, n_del))
 UNION ALL
 -- schema-evolution round trip (r15): add flag, rename
 -- o_orderpriority->clerk,

@@ -161,24 +161,29 @@ def partition_file_stats(
     path: str, partition_col: str
 ) -> dict[str, tuple[int, int, int]]:
     """Per-hive-partition ``{value: (n_files, total_bytes, total_rows)}``
-    for ``path`` — driver-side dirent + parquet-footer reads only, never
-    a data scan. This is the listing a table format keeps in its
-    manifest; on plain parquet it is O(files) metadata I/O."""
+    for ``path`` — dirent + parquet-footer reads only, never a data
+    scan (footers batched through :func:`_footer_stats`: one executor
+    job past the small-table threshold). This is the listing a table
+    format keeps in its manifest; on plain parquet it is O(files)
+    metadata I/O."""
     import glob
     import os
 
-    import pyarrow.parquet as pq
-
-    out: dict[str, tuple[int, int, int]] = {}
+    by_val: dict[str, list[str]] = {}
     for d in sorted(glob.glob(os.path.join(path, f"{partition_col}=*"))):
         if not os.path.isdir(d):
             continue
         val = os.path.basename(d).split("=", 1)[1]
-        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-        n_bytes = sum(os.path.getsize(f) for f in files)
-        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        out[val] = (len(files), n_bytes, n_rows)
-    return out
+        by_val[val] = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    recs = _footer_stats(f for fs in by_val.values() for f in fs)
+    return {
+        val: (
+            len(files),
+            sum(recs[f]["bytes"] for f in files),
+            sum(recs[f]["rows"] for f in files),
+        )
+        for val, files in by_val.items()
+    }
 
 
 def compact_partitions(
@@ -1055,6 +1060,103 @@ def _entry_pc(raw: dict, entry: dict):
     return raw["partition_col"]
 
 
+def _key_field_ids(m: dict, key_cols: list[str]) -> list[int] | None:
+    """FIELD IDS of the given key columns under ``m``'s schema, or
+    None when the table has no id assignment yet (never evolved —
+    names are still stable identifiers there). Persisted as
+    ``dv_key_ids`` by the merge-on-read delete writers so schema
+    evolution can rename a key column while delete files are
+    outstanding (r16, VERDICT r15 #4)."""
+    import json
+
+    sid = m.get("schema_ids")
+    if not sid or m.get("schema") is None:
+        return None
+    name2id = dict(
+        zip(
+            [f["name"] for f in json.loads(m["schema"])["fields"]],
+            sid,
+        )
+    )
+    try:
+        return [name2id[c] for c in key_cols]
+    except KeyError:
+        return None
+
+
+def _live_old_specs(raw: dict) -> list[tuple[str, object]]:
+    """The NON-current live partition specs, deduped by stored form —
+    ``[(store_repr, spec), ...]``. Mid spec-migration a merge-on-read
+    delete writer derives each matched row's partition key under EVERY
+    live spec to find the entry the row actually lives in (r16,
+    VERDICT r15 #3)."""
+    cur = repr(_pc_store(raw["partition_col"]))
+    out: dict[str, object] = {}
+    for rec in raw.get("pc_history") or ():
+        k = repr(_pc_store(rec["pc"]))
+        if k != cur:
+            out.setdefault(k, rec["pc"])
+    return list(out.items())
+
+
+def _dv_old_home_rows(rows, old_specs, raw, parts):
+    """Driver-side reduction of the touched-set collect mid-migration:
+    per collected matched-row tuple, record which OLD-spec entries own
+    delete rows written under which CURRENT-spec directory key.
+    Returns ``{current_pk: {old_entry_key, ...}}``. An old-spec key is
+    attached only when it names a live entry actually laid out under
+    that spec — over-attachment is impossible and under-attachment
+    cannot happen because rows always live in the partition their own
+    spec derives (the write invariant)."""
+    old_homes: dict[str, set[str]] = {}
+    for r in rows:
+        for i, (store, _spec) in enumerate(old_specs):
+            ok = r[f"_opk{i}"]
+            if ok is None:
+                continue
+            e = parts.get(ok)
+            if e is not None and repr(_pc_store(_entry_pc(raw, e))) == store:
+                old_homes.setdefault(r["_pk"], set()).add(ok)
+    return old_homes
+
+
+def _attach_dv_old_homes(
+    out, parts, old_homes, dv_leafs, recs, key_cols, path
+):
+    """Re-state the OLD-spec entries that own matched rows with
+    references to the delete files written under the CURRENT spec's
+    directory layout (r16, VERDICT r15 #3). A file referenced by both
+    a current-spec entry and an old-spec entry is read once (the
+    reader dedups file paths) and applies only to rows its value
+    condition matches, so sharing a reference is conservative, never
+    wrong."""
+    import os
+
+    for old_key in sorted({k for s in old_homes.values() for k in s}):
+        e = dict(out.get(old_key) or parts[old_key])
+        files: list[str] = []
+        rows_n = 0
+        for cur_pk in sorted(old_homes):
+            if old_key not in old_homes[cur_pk] or cur_pk not in dv_leafs:
+                continue
+            for fname in sorted(os.listdir(dv_leafs[cur_pk])):
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(dv_leafs[cur_pk], fname)
+                files.append(os.path.relpath(full, path))
+                rows_n += recs[full]["rows"]
+        if not files:
+            continue
+        old = e.get("dv") or {"files": [], "rows": 0}
+        e["dv"] = {
+            "key": list(key_cols),
+            "files": [*old["files"], *files],
+            "rows": old["rows"] + rows_n,
+        }
+        out[old_key] = e
+    return out
+
+
 def _part_relpath(partition_col, key: str) -> str:
     """Hive relpath of a partition key: ``a=x/b=y`` for key ``x/y``."""
     cols = _pcols(partition_col)
@@ -1162,7 +1264,90 @@ def _stat_norm(v):
 FILE_STATS_MAX_FILES = 64
 
 
-def _partition_entry(root_rel: str, pdir: str) -> dict:
+def _footer_stat_record(full: str) -> dict:
+    """Footer stats of ONE parquet file — rows, bytes, and per-column
+    normalized [min, max] (``None`` = stats unavailable for that
+    column, pruning must not use it). Module-level and closure-free so
+    :func:`_footer_stats` can ship it to executors."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full).metadata
+    cols: dict[str, list | None] = {}
+    for j in range(md.num_columns):
+        name = md.schema.column(j).name
+        fmin = fmax = None
+        ok = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = _stat_norm(st.min), _stat_norm(st.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            fmin = lo if fmin is None else min(fmin, lo)
+            fmax = hi if fmax is None else max(fmax, hi)
+        cols[name] = [fmin, fmax] if ok and fmin is not None else None
+    return {
+        "path": full,
+        "bytes": os.path.getsize(full),
+        "rows": md.num_rows,
+        "cols": cols,
+    }
+
+
+#: Below this many files the commit path reads footers serially on the
+#: driver (a handful of local opens beats a job round-trip); at or
+#: above it, ONE executor job collects every record (r16, VERDICT r15
+#: #1) — on object storage a 10^4-partition backfill otherwise
+#: serializes that many footer GETs inside the commit path.
+FOOTER_STATS_DISTRIBUTE_MIN = 64
+
+#: Observability for the O(1)-driver-I/O pin (r16): cumulative count of
+#: footer files read ON THE DRIVER vs. distributed stat jobs launched.
+#: Not part of any on-disk state.
+FOOTER_STAT_COUNTS = {"driver_files": 0, "jobs": 0}
+
+
+def _footer_stats(files, spark=None) -> dict[str, dict]:
+    """Footer-stat records for MANY freshly-written files in one round,
+    keyed by path. Commit-time stats (row counts, entry [min, max],
+    bloom sizing) are per-file and embarrassingly parallel: wide
+    commits collect them in ONE executor job instead of a serial
+    driver loop — the last O(touched-files) driver-side cost in the
+    commit path. Falls back to serial driver reads for small commits
+    or when no active session exists (pure-metadata callers)."""
+    files = list(files)
+    spark = spark or _active_spark()
+    if spark is None or len(files) < FOOTER_STATS_DISTRIBUTE_MIN:
+        FOOTER_STAT_COUNTS["driver_files"] += len(files)
+        return {f: _footer_stat_record(f) for f in files}
+    sc = spark.sparkContext
+    FOOTER_STAT_COUNTS["jobs"] += 1
+    n = max(1, min(len(files), sc.defaultParallelism * 2))
+    recs = (
+        sc.parallelize(sorted(files), n)
+        .map(_footer_stat_record)
+        .collect()
+    )
+    return {r["path"]: r for r in recs}
+
+
+def _active_spark():
+    """The driver's active SparkSession, or None (metadata-only
+    callers that never touched Spark)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession()
+    except Exception:
+        return None
+
+
+def _partition_entry(root_rel: str, pdir: str, recs=None) -> dict:
     """Manifest entry for one freshly-written partition directory:
     file count / bytes / rows plus per-column [min, max] from parquet
     footers — O(files in THIS partition) metadata reads, paid once at
@@ -1174,51 +1359,42 @@ def _partition_entry(root_rel: str, pdir: str) -> dict:
     ``snapshot_read(prune=...)`` can skip individual files of a hot
     (sharded) partition without any parquet footer I/O at plan time:
     the footers were read HERE, once, at write time. This is the
-    manifest-entry twin of Iceberg's per-data-file column bounds."""
+    manifest-entry twin of Iceberg's per-data-file column bounds.
+
+    ``recs`` (r16, VERDICT r15 #1) is the path-keyed
+    :func:`_footer_stats` batch the commit collected for ALL touched
+    partitions in one executor job — this function then does pure
+    dict math, zero I/O. Without it (direct callers) the footers are
+    read here, serially."""
     import os
 
-    import pyarrow.parquet as pq
-
     files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    if recs is None:
+        recs = _footer_stats(os.path.join(pdir, f) for f in files)
     nbytes = rows = 0
     stats: dict[str, list] = {}
     fstats: dict[str, dict[str, list]] = {}
     cols: set[str] = set()
     dropped: set[str] = set()
     for fname in files:
-        full = os.path.join(pdir, fname)
-        nbytes += os.path.getsize(full)
-        md = pq.ParquetFile(full).metadata
-        rows += md.num_rows
+        r = recs[os.path.join(pdir, fname)]
+        nbytes += r["bytes"]
+        rows += r["rows"]
         f_entry: dict[str, list] = {}
-        for j in range(md.num_columns):
-            name = md.schema.column(j).name
+        for name, mm in r["cols"].items():
             cols.add(name)
-            fmin = fmax = None
-            ok = md.num_row_groups > 0
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(j).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                lo, hi = _stat_norm(st.min), _stat_norm(st.max)
-                if lo is None or hi is None:
-                    ok = False
-                    break
-                fmin = lo if fmin is None else min(fmin, lo)
-                fmax = hi if fmax is None else max(fmax, hi)
-            if not ok or fmin is None:
+            if mm is None:
                 dropped.add(name)
                 stats.pop(name, None)
                 continue
-            f_entry[name] = [fmin, fmax]
+            f_entry[name] = list(mm)
             if name in dropped:
                 continue
             if name in stats:
-                stats[name][0] = min(stats[name][0], fmin)
-                stats[name][1] = max(stats[name][1], fmax)
+                stats[name][0] = min(stats[name][0], mm[0])
+                stats[name][1] = max(stats[name][1], mm[1])
             else:
-                stats[name] = [fmin, fmax]
+                stats[name] = list(mm)
         fstats[fname] = f_entry
     out = {
         "root": root_rel,
@@ -1287,8 +1463,6 @@ def _key_bloom_extra(
     import math
     import os
 
-    import pyarrow.parquet as pq
-
     cols = spec["cols"]
     mbits = spec["m"]
     kh = spec["k"]
@@ -1296,18 +1470,25 @@ def _key_bloom_extra(
     leafs = _discover_parts(snap, partition_col)
     if not leafs:
         return {}
-    # rows per freshly-written partition, from local footers — the
-    # same files the stats pass reads, zero extra data I/O
+    # rows per freshly-written partition, from footers — batched
+    # through _footer_stats (r16): one executor job on wide commits
     bits_per_key = -kh / math.log(
         1.0 - KEY_BLOOM_TARGET_FPR ** (1.0 / kh)
     )
-    m_of: dict[str, int] = {}
-    for key, leaf in leafs.items():
-        n = sum(
-            pq.ParquetFile(os.path.join(leaf, f)).metadata.num_rows
+    leaf_files = {
+        key: [
+            os.path.join(leaf, f)
             for f in os.listdir(leaf)
             if f.endswith(".parquet")
-        )
+        ]
+        for key, leaf in leafs.items()
+    }
+    recs = _footer_stats(
+        (f for fs in leaf_files.values() for f in fs), spark
+    )
+    m_of: dict[str, int] = {}
+    for key in leafs:
+        n = sum(recs[f]["rows"] for f in leaf_files[key])
         need = int(bits_per_key * max(1, n)) + 1
         m = mbits
         while m < need and m * 2 <= mmax:
@@ -1351,27 +1532,37 @@ def _key_bloom_extra(
         .agg(F.bitmap_construct_agg(F.col("_bp")).alias("_bm"))
         .collect()
     )
+    import numpy as np
+
     chunks: dict[str, dict[int, bytes]] = {}
     for r in rows:
         chunks.setdefault(r["_pk"], {})[r["_bkt"]] = bytes(r["_bm"])
     out: dict[str, dict] = {}
     for key, bkts in chunks.items():
         m = m_of[key]
-        bits = bytearray(m // 8)
+        # OR the 4 KiB bucket chunks into place with numpy (r16): the
+        # old per-byte Python loop was ~10^9 ops for a 10^4-partition
+        # backfill at the 1 Mib cap; this is one vectorized |= per chunk
+        bits = np.zeros(m // 8, dtype=np.uint8)
         for bkt, bm in bkts.items():
             off = (bkt - 1) * 4096  # 32768 bits per bucket chunk
             if off >= len(bits):
                 continue  # positions are < m: past-the-end is zeros
             span = min(4096, len(bits) - off)
-            for i in range(span):
-                if bm[i]:
-                    bits[off + i] |= bm[i]
+            bits[off : off + span] |= np.frombuffer(bm[:span], dtype=np.uint8)
+        bits = bits.tobytes()
         out[key] = {
             "kb": {
                 "cols": list(cols),
                 "m": m,
                 "k": kh,
                 "b": base64.b64encode(bytes(bits)).decode("ascii"),
+                # policy generation (r16): stamped so digests built
+                # under an older policy epoch (e.g. before a bloom
+                # column was WIDENED — xxhash64 of int and bigint
+                # differ, so old set bits would false-negative the
+                # new probe) are provably skippable at probe time
+                **({"gen": spec["gen"]} if "gen" in spec else {}),
             }
         }
     return out
@@ -1399,6 +1590,15 @@ def _key_bloom_probe(
             kb is None
             or list(kb["cols"]) != list(key_cols)
             or kb["k"] != spec["k"]
+            # digest built under a different policy GENERATION (r16):
+            # schema evolution that renames/widens a bloom column
+            # bumps the spec's gen, because xxhash64 over a widened
+            # type produces different bits — probing an old-gen digest
+            # with new-type keys would FALSE-NEGATIVE live keys and
+            # wrongly prune their partitions. Stale digests are
+            # ignored (candidate kept = no pruning, never wrongness)
+            # until the partition is rewritten under the new gen.
+            or kb.get("gen") != spec.get("gen")
         ):
             blooms[val] = None
         else:
@@ -1511,9 +1711,20 @@ def _stage_version(
     os.makedirs(snap, exist_ok=True)
     if writer is not None:
         writer(snap)
+    leafs = _discover_parts(snap, partition_col)
+    # footer stats for EVERY touched partition collected in one round
+    # (one executor job past the small-commit threshold, r16 — the
+    # serial per-file driver loop was the last O(touched-files)
+    # driver-side cost in the commit path)
+    recs = _footer_stats(
+        os.path.join(leaf, f)
+        for leaf in leafs.values()
+        for f in os.listdir(leaf)
+        if f.endswith(".parquet")
+    )
     fresh = {
-        key: _partition_entry(root_rel, leaf)
-        for key, leaf in _discover_parts(snap, partition_col).items()
+        key: _partition_entry(root_rel, leaf, recs)
+        for key, leaf in leafs.items()
     }
     if entry_extra is not None and fresh:
         # caller-computed extra entry fields for the freshly-written
@@ -1643,6 +1854,25 @@ def _stage_version(
         if mv is None:
             manifest.pop(mk, None)  # explicit clear (e.g. pc_history
             # once a compact migrated the last old-spec entry)
+        elif mk in ("cdc_applied", "cdf_applied") and base is not None:
+            # exactly-once token maps merge PER-KEY with max() against
+            # the base (r16, ADVICE r15): callers build their token from
+            # a possibly stale raw read, and an OCC retry (or a writer
+            # landing between the caller's token read and this commit's
+            # base read) would otherwise wholesale-replace the map and
+            # silently drop another job's/source's token — whose
+            # replayed batch would then re-apply instead of skip. The
+            # base here is the manifest THIS commit is staged against
+            # (re-read on every retry), so max-merging it preserves
+            # every concurrently-landed token; max() also keeps a
+            # stale caller from rolling a token backwards.
+            merged = dict(base.get(mk) or {})
+            for tk, tv in mv.items():
+                prev = merged.get(tk)
+                merged[tk] = (
+                    tv if prev is None else max(int(prev), int(tv))
+                )
+            manifest[mk] = merged
         else:
             manifest[mk] = mv
     if (
@@ -1678,6 +1908,17 @@ def _stage_version(
         # window is a provable no-op even after unrelated commits
         manifest["cdf_applied"] = base["cdf_applied"]
     if (
+        "kb_gen" not in manifest
+        and base is not None
+        and base.get("kb_gen")
+    ):
+        # key-bloom generation WATERMARK (r16): the highest policy
+        # epoch this table has ever had, carried commit-to-commit
+        # even while no policy is installed — so clearing and later
+        # re-installing a policy can never alias digests from an
+        # earlier epoch (whose hash inputs may have changed type)
+        manifest["kb_gen"] = base["kb_gen"]
+    if (
         "dv_key" not in manifest
         and (extra_meta or {}).get("dv_key", ()) is not None
         and base is not None
@@ -1688,6 +1929,19 @@ def _stage_version(
         # against it in O(1) — unless the caller explicitly cleared it
         # (snapshot_compact folding the last delete file, ADVICE r14 #2)
         manifest["dv_key"] = base["dv_key"]
+    if (
+        "dv_key_ids" not in manifest
+        and (extra_meta or {}).get("dv_key_ids", ()) is not None
+        and base is not None
+        and base.get("dv_key_ids")
+        and manifest.get("dv_key") is not None
+    ):
+        # FIELD IDS of the delete key columns (r16, VERDICT r15 #4):
+        # carried alongside dv_key so schema evolution can rename a
+        # key column while delete files are outstanding — readers
+        # resolve the _dv_k{i} positions to CURRENT column names by
+        # id, never by the write-time name
+        manifest["dv_key_ids"] = base["dv_key_ids"]
     if schema_json is None and base is not None:
         schema_json = base.get("schema")
     if schema_json is not None:
@@ -2177,18 +2431,69 @@ def _read_version(
     # under its exact write-time type instead of crashing the parquet
     # reader). The ctx's log covers every older root by construction.
     ctx = schema_ctx if schema_ctx is not None else raw
+    # Effective schema_log = ctx's log UNIONED with the scanned
+    # version's own (r16, ADVICE r15): snapshot_compact drops
+    # schema_log once no SURVIVING root predates the last evolution,
+    # but a diff whose FROM side is an older version can still
+    # reference pre-evolution roots — reading those by name under the
+    # new schema would silently NULL renamed columns and crash the
+    # parquet reader on widened ones. The FROM version's own manifest
+    # (raw) still carries the records for every root it references, so
+    # the union covers exactly the roots the ctx's log lost. Records
+    # merge by their "before" anchor (evolve-commit version — shared
+    # history, so same anchor => same record) and stay sorted, which
+    # _root_schema's first-match walk requires.
+    eff_log = list((ctx or {}).get("schema_log") or ())
+    if schema_ctx is not None and raw is not None:
+        have = {rec["before"] for rec in eff_log}
+        eff_log += [
+            rec
+            for rec in raw.get("schema_log") or ()
+            if rec["before"] not in have
+        ]
+        if raw.get("schema") is not None and raw.get("version") is not None:
+            # any root the scanned version references with NO covering
+            # log record was written under that version's OWN schema —
+            # synthesize the record (anchor: just past the scanned
+            # version, so it never shadows a ctx record for newer
+            # roots). This covers the FROM-side-entirely-pre-evolution
+            # case, where the FROM manifest predates the first evolve
+            # and so never carried a log at all. Ids default to the
+            # positional 1..n assignment the first evolution uses for
+            # pre-id tables, so the mapping agrees with ctx's ids.
+            import json as _json
+
+            anchor = int(raw["version"]) + 1
+            if anchor not in {rec["before"] for rec in eff_log}:
+                nf_ = len(_json.loads(raw["schema"])["fields"])
+                eff_log.append(
+                    {
+                        "before": anchor,
+                        "schema": raw["schema"],
+                        "ids": list(
+                            raw.get("schema_ids")
+                            or range(1, nf_ + 1)
+                        ),
+                    }
+                )
+        eff_log.sort(key=lambda rec: rec["before"])
     root_plans = None
-    if ctx is not None and ctx.get("schema_log") and ctx.get("schema_ids"):
+    if ctx is not None and eff_log and ctx.get("schema_ids"):
         import json
 
         from pyspark.sql.types import StructType
 
         cur = StructType.fromJson(json.loads(ctx["schema"]))
         cur_ids = ctx["schema_ids"]
+        lookup = {
+            "schema_log": eff_log,
+            "schema": ctx.get("schema"),
+            "schema_ids": cur_ids,
+        }
         root_plans = {}
         for base, _dirs in groups:
             n = int(os.path.basename(base)[1:])
-            hist_json, hist_ids = _root_schema(ctx, n)
+            hist_json, hist_ids = _root_schema(lookup, n)
             if (
                 hist_json is None
                 or hist_ids is None
@@ -2217,36 +2522,104 @@ def _read_version(
     )
     if df is None or not dvs:
         return df
+    # Delete-key columns resolve by FIELD ID when the table carries an
+    # id assignment (r16, VERDICT r15 #4): a schema evolution may have
+    # RENAMED a key column after some delete files were written, so the
+    # write-time names in the dv records can be stale — the ids pin the
+    # columns in whatever schema this read lands in (the scanned
+    # version's own, or the schema_ctx a diff maps both sides into).
     key = list(dvs[0]["key"])
-    files = sorted({f for d in dvs for f in d["files"]})
-    # delete files grouped by the commit that wrote them: the version
-    # is the delete's SEQUENCE — it eliminates only rows whose file
-    # root predates it (r15; makes same-commit delete+append pairs,
-    # the MOR upsert shape, resolve to the appended row)
-    by_ver: dict[int, list[str]] = {}
-    for f in files:
-        by_ver.setdefault(int(f.split(os.sep)[0][1:]), []).append(f)
-    dk = None
-    for ver in sorted(by_ver):
-        part = (
-            spark.read.parquet(
-                *[os.path.join(path, f) for f in by_ver[ver]]
+    dv_ids = (raw or {}).get("dv_key_ids")
+    sch_src = ctx if schema_ctx is not None else raw
+    if dv_ids and sch_src and sch_src.get("schema_ids"):
+        import json as _json
+
+        id2name = dict(
+            zip(
+                sch_src["schema_ids"],
+                [
+                    f["name"]
+                    for f in _json.loads(sch_src["schema"])["fields"]
+                ],
             )
-            .select(
-                "_dv_pkey", *[f"_dv_k{i}" for i in range(len(key))]
-            )
-            .distinct()
-            .withColumn("_dv_seq", F.lit(ver))
         )
-        dk = part if dk is None else dk.unionByName(part)
+        missing = [i for i in dv_ids if i not in id2name]
+        if missing:
+            raise ValueError(
+                "snapshot layout: outstanding merge-on-read delete "
+                f"files key on field id(s) {missing} that the target "
+                "schema no longer carries — the deletes cannot be "
+                "applied under that schema"
+            )
+        key = [id2name[i] for i in dv_ids]
+    files = sorted({f for d in dvs for f in d["files"]})
+    # ONE scan of ALL outstanding delete files (r16, VERDICT r15 #2):
+    # each delete's SEQUENCE — the commit version that wrote it, which
+    # decides that it eliminates only rows whose file root predates it
+    # (same-commit delete+append pairs, the MOR upsert shape, resolve
+    # to the appended row) — is derived from ``_metadata.file_path``
+    # (every delete file lives under ``<table>/v<N>/_dv/``; the LAST
+    # such segment is taken so a table path that happens to contain
+    # one can't alias). The old shape unioned one spark.read per
+    # delete-commit, so a lazily-maintained table's read plan grew one
+    # scan per outstanding ref between folds; this stays one scan at
+    # any ref count.
+    dkc = [f"_dv_k{i}" for i in range(len(key))]
+    # explicit read schema at the CURRENT key types (r16): a key
+    # column widened by schema evolution leaves older delete files at
+    # the narrower parquet physical type — the reader upcasts them
+    # under the user schema, where inference from the first file
+    # would fail on the mix
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    dv_schema = StructType(
+        [StructField("_dv_pkey", StringType())]
+        + [
+            StructField(f"_dv_k{i}", df.schema[c].dataType)
+            for i, c in enumerate(key)
+        ]
+    )
+    dk = (
+        spark.read.schema(dv_schema)
+        .parquet(*[os.path.join(path, f) for f in files])
+        .select(
+            "_dv_pkey",
+            *dkc,
+            F.element_at(
+                F.regexp_extract_all(
+                    F.col("_metadata.file_path"),
+                    F.lit(r"/v(\d+)/_dv/"),
+                    F.lit(1),
+                ),
+                -1,
+            )
+            .cast("int")
+            .alias("_dv_seq"),
+        )
+        # one row per deleted key, carrying the HIGHEST delete
+        # sequence: "some delete eliminates this row" is exactly
+        # "max_seq > row_seq", and the unique right side is what lets
+        # the elimination be a LEFT OUTER join + filter instead of a
+        # LEFT ANTI join — Catalyst pushes semi/anti joins through
+        # the data-root union (replicating this scan once per root
+        # leg) but has no such rule for outer joins, so the plan keeps
+        # exactly ONE delete-side scan at any root/ref count.
+        .groupBy("_dv_pkey", *dkc)
+        .agg(F.max("_dv_seq").alias("_dv_seq"))
+    )
     keyed = df.withColumn("_dv_read_pk", _part_key_col(pc))
     cond = [
         keyed["_dv_read_pk"] == dk["_dv_pkey"],
         *[keyed[c] == dk[f"_dv_k{i}"] for i, c in enumerate(key)],
-        dk["_dv_seq"] > keyed["_mor_seq"],
     ]
-    return keyed.join(F.broadcast(dk), cond, "left_anti").drop(
-        "_dv_read_pk", "_mor_seq"
+    out_cols = [c for c in df.columns if c != "_mor_seq"]
+    return (
+        keyed.join(F.broadcast(dk), cond, "left")
+        .filter(
+            dk["_dv_seq"].isNull()
+            | (dk["_dv_seq"] <= keyed["_mor_seq"])
+        )
+        .select(*[keyed[c] for c in out_cols])
     )
 
 
@@ -2702,12 +3075,22 @@ def snapshot_diff(
     to_version: int,
     partition_col: str,
     prune: dict[str, tuple] | None = None,
+    update_keys: list[str] | None = None,
 ) -> DataFrame:
     """Row-level CDC between two retained snapshot versions: every row
     added or removed going ``from_version -> to_version``, tagged
     ``_change`` ('insert' | 'delete'). Duplicates are respected
     (exceptAll, not except), so a row whose multiplicity changed shows
     the net difference.
+
+    ``update_keys`` (r16, VERDICT r15 #5) upgrades the tagging to
+    Delta-CDF parity: a key present on BOTH sides of the diff — i.e.
+    a value change, which the 2-tag default reports as an unrelated
+    delete(old)+insert(new) pair — is re-tagged
+    'update_preimage' (the old row) / 'update_postimage' (the new
+    row), so consumers distinguish updates from genuine churn without
+    re-joining. Costs one extra shuffle on the (already
+    partition-pruned) change set; the default stays the 2-tag form.
 
     Scale shape: identical partitions are pruned by the MANIFESTS
     before any scan — maintenance re-references untouched partitions,
@@ -2797,7 +3180,25 @@ def snapshot_diff(
         )
     inserts = b_df.exceptAll(a_df).withColumn("_change", F.lit("insert"))
     deletes = a_df.exceptAll(b_df).withColumn("_change", F.lit("delete"))
-    return inserts.unionByName(deletes)
+    out = inserts.unionByName(deletes)
+    if update_keys:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*update_keys)
+        both = F.size(F.collect_set("_change").over(w)) == 2
+        out = out.withColumn(
+            "_change",
+            F.when(
+                both & (F.col("_change") == "delete"),
+                F.lit("update_preimage"),
+            )
+            .when(
+                both & (F.col("_change") == "insert"),
+                F.lit("update_postimage"),
+            )
+            .otherwise(F.col("_change")),
+        )
+    return out
 
 
 def snapshot_compact(
@@ -3032,7 +3433,11 @@ def snapshot_compact(
         extra_meta=(
             {
                 **({"pc_history": None} if migration_done else {}),
-                **({"dv_key": None} if deletes_done else {}),
+                **(
+                    {"dv_key": None, "dv_key_ids": None}
+                    if deletes_done
+                    else {}
+                ),
                 # once no surviving root predates the last evolution,
                 # the per-root schema mapping is dead weight on every
                 # future commit: drop it (r15; old version files keep
@@ -3856,13 +4261,16 @@ def snapshot_delete(
     import os
 
     committed, raw = _validated_raw(path, None)
-    if raw.get("pc_history"):
-        raise ValueError(
-            "snapshot_delete: table is mid partition-spec migration — "
-            "delete files scope by the CURRENT spec's partition key "
-            "and cannot annotate old-spec entries; run "
-            "snapshot_compact() to finish the migration first"
-        )
+    # mid spec-migration (r16, VERDICT r15 #3): delete files are still
+    # WRITTEN under the current spec's directory layout and their
+    # value condition (_dv_pkey is derived from row values under the
+    # current spec on both sides), but the file REFERENCES also land
+    # on the old-spec entries that actually hold matched rows — found
+    # by deriving each matched row's key under every live spec. The
+    # one remaining invariant: snapshot_evolve_partitioning refuses
+    # while delete files are outstanding, so every outstanding delete
+    # row is guaranteed written under the CURRENT spec.
+    old_specs = _live_old_specs(raw) if raw.get("pc_history") else []
     dv_key = raw.get("dv_key")
     if dv_key is not None and list(dv_key) != list(key_cols):
         # validate against ACTUALLY-outstanding delete files, not the
@@ -3900,22 +4308,30 @@ def snapshot_delete(
     )
     pcols = _pcols(partition_col)
     psrc = _psrc_cols(partition_col)
+    old_src = [c for _st, s in old_specs for c in _psrc_cols(s)]
     touched: set[str] = set()
+    old_homes: dict[str, set[str]] = {}
     matched = None
     if probe is not None:
         matched = (
-            probe.select(*dict.fromkeys([*psrc, *key_cols]))
+            probe.select(*dict.fromkeys([*psrc, *old_src, *key_cols]))
             .join(keys, key_cols, "left_semi")
             .distinct()
         )
-        touched = {
-            r[0]
-            for r in matched.select(
-                _part_key_col(partition_col).alias("_pk")
+        mrows = (
+            matched.select(
+                _part_key_col(partition_col).alias("_pk"),
+                *[
+                    _part_key_col(s).alias(f"_opk{i}")
+                    for i, (_st, s) in enumerate(old_specs)
+                ],
             )
             .distinct()
             .collect()
-        }
+        )
+        touched = {r["_pk"] for r in mrows}
+        old_homes = _dv_old_home_rows(mrows, old_specs, raw, parts)
+        touched |= {k for s in old_homes.values() for k in s}
 
     writer = None
     synth = None
@@ -3948,20 +4364,29 @@ def snapshot_delete(
             )
 
         def synth(snap: str) -> dict:
-            import pyarrow.parquet as pq
-
             out: dict[str, dict] = {}
             dvroot = os.path.join(snap, "_dv")
-            for key, leaf in _discover_parts(
-                dvroot, partition_col
-            ).items():
+            dv_leafs = _discover_parts(dvroot, partition_col)
+            recs = _footer_stats(
+                os.path.join(leaf, f)
+                for leaf in dv_leafs.values()
+                for f in os.listdir(leaf)
+                if f.endswith(".parquet")
+            )
+            for key, leaf in dv_leafs.items():
+                if key not in parts:
+                    # mid-migration: the matched rows behind this
+                    # current-spec directory live only in OLD-spec
+                    # entries — the old-home attachment below carries
+                    # the references
+                    continue
                 files: list[str] = []
                 rows = 0
                 for fname in sorted(os.listdir(leaf)):
                     if not fname.endswith(".parquet"):
                         continue
                     full = os.path.join(leaf, fname)
-                    rows += pq.ParquetFile(full).metadata.num_rows
+                    rows += recs[full]["rows"]
                     files.append(os.path.relpath(full, path))
                 e = dict(parts[key])
                 old = e.get("dv") or {"files": [], "rows": 0}
@@ -3971,7 +4396,9 @@ def snapshot_delete(
                     "rows": old["rows"] + rows,
                 }
                 out[key] = e
-            return out
+            return _attach_dv_old_homes(
+                out, parts, old_homes, dv_leafs, recs, key_cols, path
+            )
 
     version, new_m = _stage_version(
         path, partition_col, m, touched, writer,
@@ -3979,7 +4406,14 @@ def snapshot_delete(
         base_partial=base_partial, synth_entries=synth,
         extra_meta={
             **(extra_meta or {}),
-            **({"dv_key": list(key_cols)} if touched else {}),
+            **(
+                {
+                    "dv_key": list(key_cols),
+                    "dv_key_ids": _key_field_ids(m, key_cols),
+                }
+                if touched
+                else {}
+            ),
         }
         or None,
         publish=publish,
@@ -3988,6 +4422,7 @@ def snapshot_delete(
         (new_m["partitions"][k].get("dv") or {}).get("rows", 0)
         - ((parts.get(k) or {}).get("dv") or {}).get("rows", 0)
         for k in touched
+        if k in new_m["partitions"]
     )
     return {
         "partitions_touched": len(touched),
@@ -4045,15 +4480,18 @@ def snapshot_upsert_mor(
     import base64
     import os
 
-    import pyarrow.parquet as pq
     from pyspark.sql import Window
 
     committed, raw = _validated_raw(path, None)
-    if raw.get("pc_history"):
-        raise ValueError(
-            "snapshot_upsert_mor: table is mid partition-spec "
-            "migration — run snapshot_compact() first"
-        )
+    # mid spec-migration (r16, VERDICT r15 #3): a streaming CDC sink
+    # in MOR mode keeps running across snapshot_evolve_partitioning —
+    # appends land under the current spec (new entries, MOR semantics
+    # resolve the overlap with old-spec rows via delete sequence),
+    # and delete-file references also land on the old-spec entries
+    # holding matched rows, located by deriving each matched row's
+    # key under every live spec. The r15 refusal forced a full-table
+    # compact before the stream could continue.
+    old_specs = _live_old_specs(raw) if raw.get("pc_history") else []
     dv_key = raw.get("dv_key")
     if dv_key is not None and list(dv_key) != list(key_cols):
         outstanding = any(
@@ -4143,32 +4581,52 @@ def snapshot_upsert_mor(
     )
     pcols = _pcols(partition_col)
     psrc = _psrc_cols(partition_col)
+    old_src = [c for _st, s in old_specs for c in _psrc_cols(s)]
     pkey = _part_key_col(partition_col).alias("_dv_pkey")
     matched = None
     dv_parts: set[str] = set()
     up_parts: set[str] = set()
+    old_homes: dict[str, set[str]] = {}
     # ONE job collects both touched sets (matched homes + upsert
     # targets, tagged) — per-microbatch fixed costs matter when the
-    # batch itself is tiny (the streaming CDC shape)
+    # batch itself is tiny (the streaming CDC shape). Mid-migration
+    # the 'd' leg also derives each matched row's key under every
+    # live OLD spec, locating the entries its delete refs belong to.
     up_pk = upserts.select(
         _part_key_col(partition_col).alias("_pk"),
         F.lit("u").alias("_src"),
     ).distinct()
     if probe is not None:
         matched = (
-            probe.select(*dict.fromkeys([*psrc, *key_cols]))
+            probe.select(*dict.fromkeys([*psrc, *old_src, *key_cols]))
             .join(keys, key_cols, "left_semi")
             .distinct()
         )
-        both = matched.select(
-            _part_key_col(partition_col).alias("_pk"),
-            F.lit("d").alias("_src"),
-        ).distinct().unionByName(up_pk)
+        both = (
+            matched.select(
+                _part_key_col(partition_col).alias("_pk"),
+                *[
+                    _part_key_col(s).alias(f"_opk{i}")
+                    for i, (_st, s) in enumerate(old_specs)
+                ],
+                F.lit("d").alias("_src"),
+            )
+            .distinct()
+            .unionByName(up_pk, allowMissingColumns=True)
+        )
     else:
         both = up_pk
+    d_rows = []
     for r in both.collect():
-        (dv_parts if r["_src"] == "d" else up_parts).add(r["_pk"])
-    touched = dv_parts | up_parts
+        if r["_src"] == "d":
+            dv_parts.add(r["_pk"])
+            d_rows.append(r)
+        else:
+            up_parts.add(r["_pk"])
+    old_homes = _dv_old_home_rows(d_rows, old_specs, raw, parts)
+    touched = (
+        dv_parts | up_parts | {k for s in old_homes.values() for k in s}
+    )
     bloom_spec = m.get("key_bloom")
 
     writer = None
@@ -4214,6 +4672,50 @@ def snapshot_upsert_mor(
             os.path.join(snap, "_dv"), partition_col
         ) if os.path.isdir(os.path.join(snap, "_dv")) else {}
         ap_leafs = _discover_parts(snap, partition_col)
+        # Bloom extension HOISTED to one Spark pass per distinct bloom
+        # size (r16, ADVICE r15): the old shape called _key_bloom_extra
+        # once per touched partition — each call a full job over every
+        # staged append leaf, discarding all but one key — O(touched)
+        # redundant jobs per microbatch on the hot streaming path. Group
+        # the ap-carrying entries by their existing bloom's m (sizes can
+        # differ via r15 auto-sizing; OR-merge needs matching m) and run
+        # one pass per distinct size, keyed lookups below.
+        ext_by_m: dict[int, dict[str, dict]] = {}
+
+        def _kb_current(kb: dict) -> bool:
+            # OR-merging is only valid against a digest built under
+            # the CURRENT policy epoch: same columns, same probe
+            # count, same generation (gen changes when a bloom column
+            # is renamed/widened — the hash bits are incompatible)
+            return (
+                list(kb["cols"]) == list(bloom_spec["cols"])
+                and kb["k"] == bloom_spec["k"]
+                and kb.get("gen") == bloom_spec.get("gen")
+            )
+
+        if bloom_spec is not None:
+            sizes = {
+                parts[key]["kb"]["m"]
+                for key in ap_leafs
+                if key in parts
+                and "kb" in parts[key]
+                and _kb_current(parts[key]["kb"])
+            }
+            for m_sz in sorted(sizes):
+                ext_by_m[m_sz] = _key_bloom_extra(
+                    spark,
+                    snap,
+                    partition_col,
+                    {**bloom_spec, "m": m_sz, "mx": m_sz},
+                    schema_json,
+                )
+        recs = _footer_stats(
+            os.path.join(leaf, f)
+            for leafs_ in (dv_leafs, ap_leafs)
+            for leaf in leafs_.values()
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        )
         for key in set(dv_leafs) | set(ap_leafs):
             base = parts.get(key)
             if base is None:
@@ -4229,7 +4731,7 @@ def snapshot_upsert_mor(
                     if not fname.endswith(".parquet"):
                         continue
                     full = os.path.join(dv_leafs[key], fname)
-                    rows += pq.ParquetFile(full).metadata.num_rows
+                    rows += recs[full]["rows"]
                     files.append(os.path.relpath(full, path))
                 old = e.get("dv") or {"files": [], "rows": 0}
                 e["dv"] = {
@@ -4242,40 +4744,25 @@ def snapshot_upsert_mor(
                 stats = {
                     c: list(v) for c, v in (e.get("stats") or {}).items()
                 }
-                kbits = None
                 for fname in sorted(os.listdir(ap_leafs[key])):
                     if not fname.endswith(".parquet"):
                         continue
                     full = os.path.join(ap_leafs[key], fname)
-                    md = pq.ParquetFile(full).metadata
-                    rows += md.num_rows
-                    nbytes += os.path.getsize(full)
+                    r = recs[full]
+                    rows += r["rows"]
+                    nbytes += r["bytes"]
                     files.append(os.path.relpath(full, path))
                     # widen the entry's column stats with the appended
                     # file's footer bounds so manifest pruning stays
                     # conservative over the union
-                    for j in range(md.num_columns):
-                        cname = md.schema.column(j).name
+                    for cname, mm in r["cols"].items():
                         if cname not in stats:
                             continue
-                        fmin = fmax = None
-                        ok = md.num_row_groups > 0
-                        for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(j).statistics
-                            if st is None or not st.has_min_max:
-                                ok = False
-                                break
-                            lo, hi = _stat_norm(st.min), _stat_norm(st.max)
-                            if lo is None or hi is None:
-                                ok = False
-                                break
-                            fmin = lo if fmin is None else min(fmin, lo)
-                            fmax = hi if fmax is None else max(fmax, hi)
-                        if not ok or fmin is None:
+                        if mm is None:
                             stats.pop(cname, None)
                         else:
-                            stats[cname][0] = min(stats[cname][0], fmin)
-                            stats[cname][1] = max(stats[cname][1], fmax)
+                            stats[cname][0] = min(stats[cname][0], mm[0])
+                            stats[cname][1] = max(stats[cname][1], mm[1])
                 e["stats"] = stats
                 e.pop("fstats", None)
                 old_ap = list(e.get("ap") or ())
@@ -4286,18 +4773,23 @@ def snapshot_upsert_mor(
                 e["rows"] = e.get("rows", 0) + rows
                 e["bytes"] = e.get("bytes", 0) + nbytes
                 e["files"] = e.get("files", 0) + len(files)
-                if bloom_spec is not None and "kb" in e:
+                if (
+                    bloom_spec is not None
+                    and "kb" in e
+                    and not _kb_current(e["kb"])
+                ):
+                    # digest from an older policy epoch: after this
+                    # append it would no longer cover the partition's
+                    # keys (and its hash bits may be incompatible) —
+                    # drop it; the probe treats a missing digest as
+                    # "no pruning", never as a wrong answer
+                    e.pop("kb")
+                elif bloom_spec is not None and "kb" in e:
                     # OR-merge the appended keys into the existing
                     # bloom (same size): union of members = union of
                     # set bits — never a false negative
                     kb = dict(e["kb"])
-                    ext = _key_bloom_extra(
-                        spark,
-                        snap,
-                        partition_col,
-                        {**bloom_spec, "m": kb["m"], "mx": kb["m"]},
-                        schema_json,
-                    ).get(key)
+                    ext = ext_by_m.get(kb["m"], {}).get(key)
                     if ext is not None:
                         a = int.from_bytes(
                             base64.b64decode(kb["b"]), "little"
@@ -4310,7 +4802,9 @@ def snapshot_upsert_mor(
                         ).decode("ascii")
                         e["kb"] = kb
             out[key] = e
-        return out
+        return _attach_dv_old_homes(
+            out, parts, old_homes, dv_leafs, recs, key_cols, path
+        )
 
     bloom_extra = None
     if bloom_spec is not None and writer is not None:
@@ -4332,7 +4826,14 @@ def snapshot_upsert_mor(
         entry_extra=bloom_extra,
         extra_meta={
             **(extra_meta or {}),
-            **({"dv_key": list(key_cols)} if dv_parts else {}),
+            **(
+                {
+                    "dv_key": list(key_cols),
+                    "dv_key_ids": _key_field_ids(m, key_cols),
+                }
+                if dv_parts
+                else {}
+            ),
         }
         or None,
         publish=publish,
@@ -4479,9 +4980,15 @@ def snapshot_evolve_schema(
 
     Refused: evolving a partition SOURCE column of any live spec
     (identity or transform — directory layouts and probe scoping key
-    on those names), and evolving while merge-on-read delete files
-    are outstanding (their key references are by name); fold with
-    snapshot_compact() first."""
+    on those names), DROPPING a key-bloom policy column (clear or
+    re-key via snapshot_set_key_bloom first), and DROPPING the
+    delete-key column while merge-on-read delete files are
+    outstanding. Everything else composes with outstanding deletes
+    (r16, VERDICT r15 #4): delete keys are addressed by FIELD ID
+    (``dv_key_ids``), so non-key verbs and even a key-column rename
+    or widen stay metadata-only — no pre-evolution fold. Renaming or
+    widening a key-bloom column rewrites the policy and bumps its
+    generation (stale digests stop pruning, never false-negative)."""
     import json
 
     from pyspark.sql.types import StructType
@@ -4512,15 +5019,25 @@ def snapshot_evolve_schema(
             "snapshot_evolve_schema: table has no persisted schema "
             "(legacy manifest) — rewrite it once (merge/compact) first"
         )
-    if raw.get("dv_key") and any(
+    # Outstanding merge-on-read delete files no longer block evolution
+    # wholesale (r16, VERDICT r15 #4): delete keys are addressed by
+    # FIELD ID (``dv_key_ids``, assigned here if the table predates
+    # them), and readers resolve the _dv_k{i} positions to CURRENT
+    # column names by id — so non-key evolution and even a key-column
+    # RENAME proceed metadata-only on a 100 TB MOR table. Only a DROP
+    # of a delete-key column is refused while files are outstanding
+    # (the deletes would become unapplicable).
+    dv_outstanding = bool(raw.get("dv_key")) and any(
         "dv" in e
         for e in _manifest_resolve(path, raw)["partitions"].values()
-    ):
+    )
+    dv_cols = list(raw.get("dv_key") or ())
+    bad_dv = sorted(set(drop or ()) & set(dv_cols))
+    if bad_dv and dv_outstanding:
         raise ValueError(
-            "snapshot_evolve_schema: table carries outstanding "
-            "merge-on-read delete files (their key columns are "
-            "referenced by name) — fold them with snapshot_compact() "
-            "first"
+            f"snapshot_evolve_schema: column(s) {bad_dv} are the "
+            "delete-key of outstanding merge-on-read delete files — "
+            "fold them with snapshot_compact() first"
         )
     # partition source columns of every live spec are frozen
     frozen = set(_psrc_cols(raw["partition_col"]))
@@ -4538,6 +5055,36 @@ def snapshot_evolve_schema(
             "sources of a live spec — re-partition "
             "(snapshot_evolve_partitioning) before evolving them"
         )
+    # key-bloom policy sources (r16, ADVICE r15): the persisted policy
+    # references columns by NAME and the per-partition digests hash the
+    # column's physical TYPE, so evolution must keep both coherent.
+    # DROP of a bloom column is refused (the policy would reference a
+    # missing column and every later merge's bloom maintenance would
+    # fail) — clear or re-key it first (snapshot_set_key_bloom).
+    # RENAME rewrites the policy's cols through the rename map; WIDEN
+    # keeps the names but changes xxhash64's input width (int and
+    # bigint hash differently), so BOTH bump the policy GENERATION:
+    # digests built under the old epoch are ignored by the probe
+    # (pruning degrades to none for those partitions — never a false
+    # negative) until rewrites refresh them.
+    kb_spec = raw.get("key_bloom")
+    kb_cols = list((kb_spec or {}).get("cols") or ())
+    bad_kb = sorted(set(drop or ()) & set(kb_cols))
+    if bad_kb:
+        raise ValueError(
+            f"snapshot_evolve_schema: column(s) {bad_kb} are key-bloom "
+            "policy sources — clear or re-key the policy first "
+            "(snapshot_set_key_bloom(path, None) clears it)"
+        )
+    new_kb_spec = None
+    if kb_spec is not None and (
+        set(kb_cols) & set(rename or {}) or set(kb_cols) & set(widen or {})
+    ):
+        new_kb_spec = dict(kb_spec)
+        new_kb_spec["cols"] = [(rename or {}).get(c, c) for c in kb_cols]
+        new_kb_spec["gen"] = (
+            max(int(raw.get("kb_gen", 0)), int(kb_spec.get("gen", 0))) + 1
+        )
 
     fields = json.loads(raw["schema"])["fields"]
     ids = list(
@@ -4545,6 +5092,24 @@ def snapshot_evolve_schema(
     )
     nf = raw.get("next_fid", max(ids) + 1 if ids else 1)
     by_name = {f["name"]: i for i, f in enumerate(fields)}
+
+    # delete-key bookkeeping (r16): rewrite dv_key through the rename
+    # map and pin its field ids (from the OLD schema's assignment, so
+    # they agree with what readers derive for pre-id tables)
+    dv_meta: dict = {}
+    if dv_cols:
+        if set(dv_cols) & set(drop or ()):
+            # guarded above when outstanding; a stale key set (files
+            # long folded) is cleared with its column
+            dv_meta = {"dv_key": None, "dv_key_ids": None}
+        elif all(c in by_name for c in dv_cols):
+            new_dv = [(rename or {}).get(c, c) for c in dv_cols]
+            dv_ids = list(
+                raw.get("dv_key_ids")
+                or (ids[by_name[c]] for c in dv_cols)
+            )
+            if new_dv != dv_cols or raw.get("dv_key_ids") is None:
+                dv_meta = {"dv_key": new_dv, "dv_key_ids": dv_ids}
 
     def _require(col: str, verb: str) -> int:
         if col not in by_name:
@@ -4631,6 +5196,15 @@ def snapshot_evolve_schema(
             "schema_log": log,
             "schema_ids": ids,
             "next_fid": nf,
+            **(
+                {
+                    "key_bloom": new_kb_spec,
+                    "kb_gen": new_kb_spec["gen"],
+                }
+                if new_kb_spec is not None
+                else {}
+            ),
+            **dv_meta,
         },
     )
     return {
@@ -4639,6 +5213,75 @@ def snapshot_evolve_schema(
         "fields": len(fields),
         "next_fid": nf,
     }
+
+
+def snapshot_set_key_bloom(
+    path: str,
+    cols: list[str] | None,
+    bits: int = 8192,
+    hashes: int = 6,
+    max_bits: int = KEY_BLOOM_MAX_M,
+) -> dict[str, int]:
+    """Set, re-key, or CLEAR a table's key-bloom pruning policy with a
+    pure-metadata commit (r16, ADVICE r15) — the policy-management
+    verb :func:`snapshot_evolve_schema`'s bloom-column guard points
+    at. ``cols=None`` clears the policy (existing per-partition
+    digests stop being consulted and age out as partitions rewrite);
+    a column list installs a new policy whose GENERATION is bumped
+    past the old one, so digests built under any previous policy —
+    even one over the same column names — are ignored by the probe
+    instead of producing incompatible-hash false negatives. Digests
+    (re)build lazily: each merge/backfill/upsert stamps the
+    partitions it rewrites; untouched partitions simply stay unpruned,
+    exactly the pre-policy behavior."""
+    committed, raw = _validated_raw(path, None)
+    # the generation watermark (``kb_gen``) outlives the policy itself:
+    # it advances past every epoch that ever built digests, so a
+    # clear-then-reinstall (possibly with a type-widening evolution in
+    # between, when no policy guard was active) can never alias
+    # old-epoch digests into the new policy
+    watermark = max(
+        int(raw.get("kb_gen", 0)),
+        int((raw.get("key_bloom") or {}).get("gen", 0)),
+    )
+    spec = None
+    if cols is not None:
+        if bits < 8 or bits % 8:
+            raise ValueError(
+                f"key_bloom bits must be a positive multiple of 8, "
+                f"got {bits}"
+            )
+        if raw.get("schema") is not None:
+            import json as _json
+
+            known = {
+                f["name"]
+                for f in _json.loads(raw["schema"])["fields"]
+            }
+            missing = sorted(set(cols) - known)
+            if missing:
+                raise ValueError(
+                    f"snapshot_set_key_bloom: unknown column(s) "
+                    f"{missing}"
+                )
+        spec = {"cols": list(cols), "m": int(bits), "k": int(hashes)}
+        if max_bits != KEY_BLOOM_MAX_M:
+            spec["mx"] = int(max_bits)
+        if raw.get("key_bloom") is not None or watermark:
+            watermark += 1
+            spec["gen"] = watermark
+    elif raw.get("key_bloom") is not None:
+        watermark += 1  # retire the live epoch
+    m = _manifest_resolve(path, raw)
+    version, _m = _stage_version(
+        path, raw["partition_col"], m, set(), None,
+        base_version=committed,
+        extra_meta={
+            "key_bloom": spec,
+            **({"kb_gen": watermark} if watermark else {}),
+        },
+    )
+    return {"old_version": committed, "new_version": version}
 
 
 def snapshot_publish(path: str, version: int) -> dict[str, int]:

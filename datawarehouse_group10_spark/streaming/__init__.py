@@ -1141,24 +1141,26 @@ def run_stream_cdc_apply(
                         extra_meta=token,
                     )
                 applied_n["n"] += 1
-                if (
-                    compact_every
-                    and applied_n["n"] % compact_every == 0
-                ):
-                    # in-stream fold: value-preserving maintenance,
-                    # same OCC commit path as any compact (replays
-                    # are structural no-ops when nothing fragmented)
-                    snapshot_compact(
-                        batch_df.sparkSession, table_path,
-                        partition_col,
-                    )
-                return
+                break
             except ConcurrentWriteError:
                 # replan against the new committed version: the merge
                 # re-reads the manifest on entry, so retrying IS the
                 # replan; each loss is a distinct external commit
                 if attempt == occ_retries:
                     raise
+        if compact_every and applied_n["n"] % compact_every == 0:
+            # in-stream fold: value-preserving maintenance OUTSIDE the
+            # apply retry loop (r16, ADVICE r15) — a ConcurrentWriteError
+            # from the fold must not re-execute the already-committed
+            # batch apply (a duplicate table commit) nor fail the stream
+            # for a batch that DID land. Conflict => skip this fold; the
+            # next cadence hit (or external OPTIMIZE) folds the refs.
+            try:
+                snapshot_compact(
+                    batch_df.sparkSession, table_path, partition_col,
+                )
+            except ConcurrentWriteError:
+                pass  # maintenance deferred, batch already durable
 
     writer = cdc_stream.writeStream.foreachBatch(_apply)
     if checkpoint_dir:
@@ -1325,9 +1327,18 @@ def apply_cdf_to_snapshot(
         if applied is not None and int(applied) >= v_to:
             stats["skipped"] += 1  # redelivered window: no-op
             return
-        ins = changes.filter(F.col("_change") == "insert").drop("_change")
+        # consume either tagging (r16): the 4-tag Delta-CDF form maps
+        # update_postimage -> upsert leg, update_preimage -> delete
+        # leg (and the net-upsert anti-join below drops the preimage
+        # whenever its postimage is present, exactly as for the 2-tag
+        # delete+insert pair)
+        ins = changes.filter(
+            F.col("_change").isin("insert", "update_postimage")
+        ).drop("_change")
         dele = (
-            changes.filter(F.col("_change") == "delete")
+            changes.filter(
+                F.col("_change").isin("delete", "update_preimage")
+            )
             .drop("_change")
             # a changed key shows as delete(old)+insert(new): the
             # insert wins, the delete leg drops (net upsert)
