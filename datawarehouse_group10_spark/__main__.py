@@ -25,6 +25,8 @@ equivalent:
         --partition-col NEWSPEC
     python -m datawarehouse_group10_spark snapshot-evolve-schema --table DIR \
         [--add n:t] [--rename o:n] [--widen n:t] [--drop a,b]
+    python -m datawarehouse_group10_spark snapshot-set-key-bloom --table DIR \
+        [--cols a,b] [--bits N] [--max-bits N]
     python -m datawarehouse_group10_spark snapshot-cdf-apply --src S --dst D \
         --partition-col c --key-cols k [--mode mor]
     python -m datawarehouse_group10_spark snapshot-publish --table DIR \
@@ -288,6 +290,23 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma list of column names to drop (a later "
                      "re-add with the same name gets a fresh id — old "
                      "values never resurrect)")
+
+    skb = sub.add_parser(
+        "snapshot-set-key-bloom",
+        help="set, re-key, or clear a table's key-bloom pruning "
+        "policy with a metadata-only commit; the policy generation "
+        "advances so digests from any previous epoch stop being "
+        "consulted (they rebuild as partitions rewrite)",
+    )
+    skb.add_argument("--table", required=True)
+    skb.add_argument("--cols", default=None,
+                     help="comma list of key columns; omit to CLEAR "
+                     "the policy")
+    skb.add_argument("--bits", type=int, default=8192,
+                     help="per-partition floor bits (auto-sizes up)")
+    skb.add_argument("--hashes", type=int, default=6)
+    skb.add_argument("--max-bits", type=int, default=None,
+                     help="per-partition cap bits (default 1 Mib)")
 
     sca = sub.add_parser(
         "snapshot-cdf-apply",
@@ -713,6 +732,36 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{st['old_version']} -> v{st['new_version']} "
                 f"(metadata-only; {st['fields']} field(s), next field "
                 f"id {st['next_fid']})"
+            )
+            return 0
+
+        if args.cmd == "snapshot-set-key-bloom":
+            from .sources.layout import (
+                KEY_BLOOM_MAX_M,
+                snapshot_set_key_bloom,
+            )
+
+            cols = (
+                [c.strip() for c in args.cols.split(",") if c.strip()]
+                if args.cols
+                else None
+            )
+            st = snapshot_set_key_bloom(
+                args.table,
+                cols,
+                bits=args.bits,
+                hashes=args.hashes,
+                max_bits=(
+                    args.max_bits
+                    if args.max_bits is not None
+                    else KEY_BLOOM_MAX_M
+                ),
+            )
+            what = f"policy over {cols}" if cols else "policy cleared"
+            print(
+                f"snapshot-set-key-bloom {args.table}: {what}, "
+                f"v{st['old_version']} -> v{st['new_version']} "
+                "(metadata-only; digests rebuild as partitions rewrite)"
             )
             return 0
 

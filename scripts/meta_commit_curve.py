@@ -47,6 +47,7 @@ def main() -> None:
     from datawarehouse_group10_spark.session import get_spark
     import datawarehouse_group10_spark.sources.layout as L
     from datawarehouse_group10_spark.sources.layout import (
+        snapshot_backfill,
         snapshot_evolve_partitioning,
         snapshot_manifest,
         snapshot_merge,
@@ -106,6 +107,28 @@ def main() -> None:
                 "read_segments_pruned": L.LAST_RESOLVE_SEGMENTS_READ,
                 "pruned_plan_secs": round(pruned_plan_secs, 4),
             }
+            # commit-side WIDE-backfill leg (r16, VERDICT r15 #1): one
+            # commit touching many partitions — footer stats for every
+            # freshly-written file must collect in O(1) executor jobs,
+            # ZERO serial driver footer reads (the old shape issued one
+            # driver GET per file inside the commit path).
+            wide_n = min(n, 512)
+            wide = spark.createDataFrame(
+                [(f"p{i:05d}", i * 10, 555.0) for i in range(wide_n)],
+                "p string, k int, v double",
+            )
+            fs0 = dict(L.FOOTER_STAT_COUNTS)
+            t0 = time.time()
+            snapshot_backfill(wide, path, "p")
+            point["backfill_secs_wide"] = round(time.time() - t0, 3)
+            point["backfill_partitions_wide"] = wide_n
+            point["footer_driver_files_wide"] = (
+                L.FOOTER_STAT_COUNTS["driver_files"]
+                - fs0["driver_files"]
+            )
+            point["footer_stat_jobs_wide"] = (
+                L.FOOTER_STAT_COUNTS["jobs"] - fs0["jobs"]
+            )
             # MIXED-SPEC leg (r15): evolve to bucket(16, k) and issue
             # a 1-key merge MID-migration (composite key so BOTH
             # specs scope exactly); then a scoped literal-key read.
