@@ -4421,9 +4421,8 @@ def test_snapshot_spec_evolution_bulk_migration_via_compact(
 ):
     """OPTIMIZE as the bulk migration: with NO intervening merge, one
     compact rewrites every old-spec entry under the new spec and drops
-    pc_history; delete (refused mid-migration) works again after."""
-    import pytest as _pytest
-
+    pc_history; a mid-migration MOR delete (allowed since r16) folds
+    with it."""
     from datawarehouse_group10_spark.sources.layout import (
         snapshot_compact,
         snapshot_delete,
@@ -4441,22 +4440,26 @@ def test_snapshot_spec_evolution_bulk_migration_via_compact(
     snapshot_write(df, path, "p", key_bloom=["k"])
     spec = {"b": ("bucket", 2, "k")}
     snapshot_evolve_partitioning(path, spec)
-    with _pytest.raises(ValueError, match="mid partition-spec"):
-        snapshot_delete(
-            spark, spark.createDataFrame([(3,)], "k int"), path, spec,
-            ["k"],
-        )
+    # r16: MOR delete commits MID-migration (refs land on the old-spec
+    # entry holding the row)
+    st0 = snapshot_delete(
+        spark, spark.createDataFrame([(3,)], "k int"), path, spec,
+        ["k"],
+    )
+    assert st0["dv_rows"] >= 1
+    assert snapshot_read(spark, path).count() == 29
     st = snapshot_compact(spark, path, spec)
     assert st["partitions_compacted"] == 3  # all old-spec entries
     m = snapshot_manifest(path)
     assert "pc_history" not in m
     assert set(m["partitions"]) == {"0", "1"}
-    # single-spec again: MOR delete allowed, blooms maintained
+    assert all("dv" not in e for e in m["partitions"].values())
+    # single-spec again: MOR delete still works, blooms maintained
     st2 = snapshot_delete(
-        spark, spark.createDataFrame([(3,)], "k int"), path, spec, ["k"]
+        spark, spark.createDataFrame([(4,)], "k int"), path, spec, ["k"]
     )
     assert st2["partitions_touched"] == 1
-    assert snapshot_read(spark, path).count() == 29
+    assert snapshot_read(spark, path).count() == 28
 
 
 def test_snapshot_spec_evolution_guards(spark, tmp_path):
@@ -4480,8 +4483,13 @@ def test_snapshot_spec_evolution_guards(spark, tmp_path):
     snapshot_delete(
         spark, spark.createDataFrame([(1,)], "k int"), path, "p", ["k"]
     )
-    with pytest.raises(ValueError, match="fold them"):
-        snapshot_evolve_partitioning(path, {"b": ("bucket", 2, "k")})
+    # r16: a respec with outstanding delete files COMMITS (epoch-aware
+    # application) — the old fold-first refusal is gone
+    st = snapshot_evolve_partitioning(path, {"b": ("bucket", 2, "k")})
+    assert st["new_version"] > st["old_version"]
+    from datawarehouse_group10_spark.sources.layout import snapshot_read
+
+    assert {r["k"] for r in snapshot_read(spark, path).collect()} == {2}
 
 
 def _mig_rows(spark):
@@ -5444,21 +5452,12 @@ def test_spec_evolution_randomized_against_model(spark, tmp_path):
             snapshot_manifest(path).get("pc_history")
         )
         if op == "evolve":
+            # r16: the respec commits even with outstanding delete
+            # files (epoch-aware application) — no fold required
             nxt = rng.choice(
                 [i for i in range(len(specs)) if i != cur]
             )
-            try:
-                st = snapshot_evolve_partitioning(path, specs[nxt])
-            except ValueError as exc:
-                # outstanding merge-on-read delete files: respec
-                # still requires a fold first (delete rows must all
-                # be written under ONE spec) — fold, record, retry
-                assert "delete files" in str(exc)
-                stc = snapshot_compact(
-                    spark, path, specs[cur], target_bytes=1 << 20
-                )
-                history[stc["new_version"]] = dict(model)
-                st = snapshot_evolve_partitioning(path, specs[nxt])
+            st = snapshot_evolve_partitioning(path, specs[nxt])
             cur = nxt
             version = st["new_version"]
         elif op == "compact":
@@ -6168,8 +6167,8 @@ def test_stream_cdc_mor_survives_mid_stream_respec(spark, tmp_path):
     feed([(1, "a", "x", 10.0, False)])
     feed([(3, "a", "y", 3.0, False)])
     drain()
-    # respec requires folded deletes: fold, evolve, stream continues
-    snapshot_compact(spark, tbl, "p")
+    # r16: the respec commits with the stream's delete/append refs
+    # still outstanding — no fold, no pause
     snapshot_evolve_partitioning(tbl, "q")
     feed([(1, "a", "x", 11.0, False)])   # update: old-spec home
     feed([(2, "b", "y", 0.0, True)])     # delete: old-spec home
@@ -6423,16 +6422,6 @@ def test_combined_schema_and_spec_evolution_fuzz(spark, tmp_path, seed):
             for r in snapshot_read(spark, path).collect()
         }
 
-    def fold_then(fn):
-        stc = snapshot_compact(
-            spark, path, specs[cur_spec], target_bytes=1 << 20
-        )
-        history[stc["new_version"]] = (
-            {**vcols},
-            {k: dict(d) for k, d in model.items()},
-        )
-        return fn()
-
     n_sch = 0
     for step in range(14):
         op = rng.choice(
@@ -6440,16 +6429,12 @@ def test_combined_schema_and_spec_evolution_fuzz(spark, tmp_path, seed):
              "evolve_spec", "evolve_schema", "compact", "widen_k"]
         )
         if op == "evolve_spec":
+            # r16: the respec commits even with outstanding delete
+            # files (epoch-aware application) — no fold required
             nxt = rng.choice(
                 [i for i in range(len(specs)) if i != cur_spec]
             )
-            try:
-                st = snapshot_evolve_partitioning(path, specs[nxt])
-            except ValueError as exc:
-                assert "delete files" in str(exc)
-                st = fold_then(
-                    lambda: snapshot_evolve_partitioning(path, specs[nxt])
-                )
+            st = snapshot_evolve_partitioning(path, specs[nxt])
             cur_spec = nxt
             version = st["new_version"]
         elif op == "evolve_schema":
@@ -6565,3 +6550,96 @@ def test_combined_schema_and_spec_evolution_fuzz(spark, tmp_path, seed):
     assert read_state() == {k: row_tuple(d) for k, d in model.items()}
     m = snapshot_manifest(path)
     assert m["n_live"] == len(m["partitions"])
+
+
+def test_respec_with_outstanding_delete_files(spark, tmp_path):
+    """Partition-spec evolution commits with merge-on-read delete
+    files OUTSTANDING (r16): each delete row's partition key lives in
+    the key space of the spec current at its commit, and the reader
+    resolves that epoch from the file's commit version through
+    pc_history — pre-respec deletes keep eliminating exactly their
+    rows after the respec (and after a second respec), new deletes
+    land under the new spec, a re-inserted key survives older
+    tombstones via the sequence rule, and the fold converges."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_evolve_partitioning,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_upsert_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    model = {k: (f"p{k % 3}", f"q{k % 2}", float(k)) for k in range(12)}
+    snapshot_write(
+        spark.createDataFrame(
+            [(k, *model[k]) for k in model],
+            "k int, p string, q string, v double",
+        ),
+        path, "p",
+    )
+    snapshot_delete(
+        spark, spark.createDataFrame([(1,), (4,)], "k int"),
+        path, "p", ["k"],
+    )
+    del model[1], model[4]
+
+    # respec WITH the delete files outstanding — previously refused
+    st = snapshot_evolve_partitioning(path, "q")
+    assert st["new_version"] > st["old_version"]
+    m = snapshot_manifest(path)
+    assert m.get("pc_history") and any(
+        "dv" in e for e in m["partitions"].values()
+    )
+
+    def read_state():
+        return {
+            r["k"]: (r["p"], r["q"], r["v"])
+            for r in snapshot_read(spark, path).collect()
+        }
+
+    assert read_state() == model  # pre-respec deletes still apply
+
+    # a MOR upsert RE-INSERTS a deleted key mid-migration: the old
+    # tombstone (lower sequence) must not kill the new row, and the
+    # upsert's own delete+append pair resolves to the appended row
+    snapshot_upsert_mor(
+        spark,
+        spark.createDataFrame(
+            [(1, "p1", "q1", -1.0, False), (7, "p1", "q1", -7.0, False)],
+            "k int, p string, q string, v double, del boolean",
+        ),
+        path, "q", ["k"], delete_col="del",
+    )
+    model[1] = ("p1", "q1", -1.0)
+    model[7] = ("p1", "q1", -7.0)
+    assert read_state() == model
+
+    # new deletes under the NEW spec compose with the old epoch's
+    snapshot_delete(
+        spark, spark.createDataFrame([(2,), (7,)], "k int"),
+        path, "q", ["k"],
+    )
+    del model[2], model[7]
+    assert read_state() == model
+
+    # SECOND respec, still without folding — three live epochs
+    snapshot_evolve_partitioning(path, {"b": ("bucket", 4, "k")})
+    assert read_state() == model
+    snapshot_delete(
+        spark, spark.createDataFrame([(3,)], "k int"),
+        path, {"b": ("bucket", 4, "k")}, ["k"],
+    )
+    del model[3]
+    assert read_state() == model
+
+    # fold: migration finishes, deletes fold, state identical
+    snapshot_compact(
+        spark, path, {"b": ("bucket", 4, "k")}, target_bytes=1 << 20
+    )
+    m = snapshot_manifest(path)
+    assert not m.get("pc_history")
+    assert all("dv" not in e for e in m["partitions"].values())
+    assert read_state() == model
