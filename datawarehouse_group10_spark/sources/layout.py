@@ -3698,22 +3698,6 @@ def _probe_scope(
       and finally consults the per-partition key blooms when the table
       declares a bloom policy. Pruning is only ever an optimization:
       missing stats / blooms keep the partition a candidate."""
-    bounds_row = batch.agg(
-        *[
-            f(c).alias(f"{tag}_{i}")
-            for i, c in enumerate(key_cols)
-            for tag, f in (("lo", F.min), ("hi", F.max))
-        ]
-    ).first()
-    raw_lo = [bounds_row[f"lo_{i}"] for i in range(len(key_cols))]
-    bounds = [
-        (
-            _stat_norm(bounds_row[f"lo_{i}"]),
-            _stat_norm(bounds_row[f"hi_{i}"]),
-        )
-        for i in range(len(key_cols))
-    ]
-
     base_partial = False
     segs = raw.get("segments")
     mixed = bool(raw.get("pc_history"))
@@ -3732,12 +3716,15 @@ def _probe_scope(
     # are key columns. The union of components drives the resolve;
     # one spec that cannot be scoped degrades the whole probe to a
     # full resolve (correctness first — its entries could hold
-    # matches anywhere).
-    scope_comps: list[tuple] | None = None
-    if typed and any(r is None for r in raw_lo):
-        scope_comps = []  # empty/all-NULL-key batch: nothing matches
-        base_partial = True
-    elif typed:
+    # matches anywhere). The spec STRUCTURE is analyzed before any
+    # job so the key bounds and every exact-scope spec's derived key
+    # set collect in ONE aggregation pass over the batch (r16 — the
+    # old two-job shape priced an extra job into every streaming
+    # microbatch).
+    exact_specs: list = []
+    range_specs: list[int] = []
+    scopable = typed
+    if typed:
         spec_stores: dict = {}
         for spec in [
             raw["partition_col"],
@@ -3746,8 +3733,6 @@ def _probe_scope(
             spec_stores.setdefault(
                 repr(_pc_store(spec)), spec
             )  # dedupe A->B->A chains
-        exact_specs = []
-        comps: list[tuple] | None = []
         for spec in spec_stores.values():
             psrc_s = _psrc_cols(spec)
             pcols_s = _pcols(spec)
@@ -3765,29 +3750,52 @@ def _probe_scope(
                 _pspec(spec) is None
                 and len(pcols_s) == 1
                 and pcols_s[0] in key_cols
-                and isinstance(
-                    (b := bounds[key_cols.index(pcols_s[0])])[0], str
-                )
-                and isinstance(b[1], str)
             ):
+                # range-scopable IF the bounds turn out string-typed
+                # (checked after the fused agg below)
+                range_specs.append(key_cols.index(pcols_s[0]))
+            else:
+                scopable = False  # entries can match anywhere
+                break
+    bounds_row = batch.agg(
+        *[
+            f(c).alias(f"{tag}_{i}")
+            for i, c in enumerate(key_cols)
+            for tag, f in (("lo", F.min), ("hi", F.max))
+        ],
+        *(
+            [
+                F.collect_set(_part_key_col(spec)).alias(f"_s{i}")
+                for i, spec in enumerate(exact_specs)
+            ]
+            if scopable
+            else []
+        ),
+    ).first()
+    raw_lo = [bounds_row[f"lo_{i}"] for i in range(len(key_cols))]
+    bounds = [
+        (
+            _stat_norm(bounds_row[f"lo_{i}"]),
+            _stat_norm(bounds_row[f"hi_{i}"]),
+        )
+        for i in range(len(key_cols))
+    ]
+    scope_comps: list[tuple] | None = None
+    if typed and any(r is None for r in raw_lo):
+        scope_comps = []  # empty/all-NULL-key batch: nothing matches
+        base_partial = True
+    elif scopable:
+        comps: list[tuple] | None = []
+        for ki in range_specs:
+            b = bounds[ki]
+            if isinstance(b[0], str) and isinstance(b[1], str):
                 comps.append(("range", b))
             else:
-                comps = None  # this spec's entries can match anywhere
+                comps = None  # unorderable: degrade to full resolve
                 break
         if comps is not None:
-            if exact_specs:
-                # one job for every exact-scope spec: O(batch
-                # partitions per spec) values, collected together
-                row = batch.agg(
-                    *[
-                        F.collect_set(
-                            _part_key_col(spec)
-                        ).alias(f"_s{i}")
-                        for i, spec in enumerate(exact_specs)
-                    ]
-                ).first()
-                for i in range(len(exact_specs)):
-                    comps.append(("keys", set(row[f"_s{i}"])))
+            for i in range(len(exact_specs)):
+                comps.append(("keys", set(bounds_row[f"_s{i}"])))
             scope_comps = comps
             base_partial = True
     m = _manifest_resolve(path, raw, scopes=scope_comps)
