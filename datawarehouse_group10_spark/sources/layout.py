@@ -1663,6 +1663,7 @@ def _stage_version(
     synth_entries=None,
     extra_meta: dict | None = None,
     publish: bool = True,
+    allow_respec: bool = False,
 ) -> tuple[int, dict]:
     """Shared commit protocol for every snapshot writer: CLAIM the next
     version atomically (:func:`_allocate_version` — no two writers ever
@@ -1704,6 +1705,28 @@ def _stage_version(
 
     global LAST_COMMIT_META_BYTES
 
+    if (
+        base is not None
+        and not allow_respec
+        and base.get("partition_col") is not None
+        and base["partition_col"] != _pc_store(partition_col)
+    ):
+        # STALE-SPEC writer fence (r16): every manifest records the
+        # table's current partitioning, and this commit would persist
+        # the CALLER's spec — a writer still passing the pre-evolution
+        # spec would silently flip the table back, mis-resolving the
+        # directory layout of every entry committed under the newer
+        # spec since (data loss, not just a wrong plan). Intentional
+        # spec changes go through snapshot_evolve_partitioning (which
+        # sets allow_respec and records pc_history).
+        raise ValueError(
+            "snapshot layout: partition spec mismatch — the table is "
+            f"partitioned by {base['partition_col']!r} but this "
+            f"writer was called with {_pc_store(partition_col)!r}; "
+            "pass the table's CURRENT spec (after "
+            "snapshot_evolve_partitioning, restart writers with the "
+            "new spec)"
+        )
     base_partitions = (base or {}).get("partitions", {})
     version = _allocate_version(path)
     root_rel = f"v{version}"
@@ -5002,6 +5025,7 @@ def snapshot_evolve_partitioning(
         path, new_partition_col, m, set(), None,
         base_version=committed, schema_json=m.get("schema"),
         extra_meta={"pc_history": hist},
+        allow_respec=True,
     )
     return {
         "old_version": committed,

@@ -6153,27 +6153,35 @@ def test_stream_cdc_mor_survives_mid_stream_respec(spark, tmp_path):
     def feed(rows):
         spark.createDataFrame(rows, sch).write.mode("append").parquet(cdc)
 
-    def drain():
+    def drain(pc):
         stream = (
             spark.readStream.schema(sch)
             .option("maxFilesPerTrigger", 1)
             .parquet(cdc)
         )
         run_stream_cdc_apply(
-            stream, tbl, "p", ["k"], delete_col="d",
+            stream, tbl, pc, ["k"], delete_col="d",
             checkpoint_dir=ck, update_mode="mor", seq_col=None,
         )
 
     feed([(1, "a", "x", 10.0, False)])
     feed([(3, "a", "y", 3.0, False)])
-    drain()
+    drain("p")
     # r16: the respec commits with the stream's delete/append refs
     # still outstanding — no fold, no pause
     snapshot_evolve_partitioning(tbl, "q")
     feed([(1, "a", "x", 11.0, False)])   # update: old-spec home
     feed([(2, "b", "y", 0.0, True)])     # delete: old-spec home
     feed([(4, "b", "x", 4.0, False)])    # insert: current spec
-    drain()
+    # a stream restarted with the STALE spec is fenced loudly (it
+    # would otherwise flip the table's partitioning back and corrupt
+    # layout resolution for entries committed under the new spec)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="spec mismatch"):
+        drain("p")
+    # restarted with the CURRENT spec: same checkpoint, batches apply
+    drain("q")
     got = {r["k"]: r["v"] for r in snapshot_read(spark, tbl).collect()}
     assert got == {1: 11.0, 3: 3.0, 4: 4.0}
 
