@@ -3441,36 +3441,51 @@ def snapshot_compact(
             .parquet(snap)
         )
 
+    # a compact that rewrites ANY old-spec entry MOVES rows between
+    # partition keys (migration, plus the migration-target pulls), so
+    # no rewritten partition's digest can be carried — a target's old
+    # digest would FALSE-NEGATIVE the keys that just migrated in, and
+    # a later merge probe would wrongly prune their partition (r16 —
+    # caught by the combined evolution fuzz's bloom invariant)
+    migrating_rewrite = bool(m.get("pc_history")) and any(
+        _entry_pc(m, parts[v]) != m["partition_col"]
+        for v in frag
+        if v in parts
+    )
+
     def carry_blooms(snap: str, fresh_keys: set[str]) -> dict:
         # compaction rewrites FILES, not rows: every rewritten
         # partition's key bloom is still exact — carry it forward
-        # instead of recomputing (r14). The exception is a partition
-        # whose merge-on-read deletes this rewrite just folded: rows
-        # WERE removed, so its bloom is recomputed from the fresh
-        # files (carrying the superset would stay correct — blooms
-        # never false-negative — but would never tighten)
+        # instead of recomputing (r14). The exceptions recompute from
+        # the fresh files: a partition whose merge-on-read refs this
+        # rewrite just folded (rows removed/added), and EVERY
+        # partition of a migration round (rows moved between keys).
         out = {
             k: {"kb": parts[k]["kb"]}
             for k in fresh_keys
-            if k in parts
+            if not migrating_rewrite
+            and k in parts
             and "kb" in parts[k]
             and "dv" not in parts[k]
             and "ap" not in parts[k]
         }
-        dv_keys = {
+        redo_keys = {
             k
             for k in fresh_keys
-            if k in parts
-            and ("dv" in parts[k] or "ap" in parts[k])
-            and "kb" in parts[k]
+            if migrating_rewrite
+            or (
+                k in parts
+                and ("dv" in parts[k] or "ap" in parts[k])
+                and "kb" in parts[k]
+            )
         }
-        if dv_keys and m.get("key_bloom") is not None:
+        if redo_keys and m.get("key_bloom") is not None:
             recomputed = _key_bloom_extra(
                 spark, snap, partition_col, m["key_bloom"],
                 m.get("schema") or df.schema.json(),
             )
             out.update(
-                {k: v for k, v in recomputed.items() if k in dv_keys}
+                {k: v for k, v in recomputed.items() if k in redo_keys}
             )
         return out
 

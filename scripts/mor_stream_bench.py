@@ -9,9 +9,12 @@ them in each requested mode and reports wall seconds, bytes written
 under the table, and the final row count (must be identical across
 modes).
 
-Usage: python scripts/mor_stream_bench.py [cow] [mor] [mor8]
-(default: mor). Run solo (bench co-tenancy protocol). Prints one JSON
-line.
+Usage: python scripts/mor_stream_bench.py [cow] [mor] [mor8] [morb]
+(default: mor). ``morb`` = mor with a key-bloom policy on the merge
+key — on this uuid-ish-keyed workload the manifest range stats prune
+nothing (every batch's key range spans every month), so the digest is
+what turns the per-batch probe from ~all partitions into the true
+homes. Run solo (bench co-tenancy protocol). Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -98,7 +101,10 @@ def main() -> None:
 
         for mode in modes:
             tbl = os.path.join(root, f"tbl_{mode}")
-            snapshot_write(po, tbl, "o_month")
+            snapshot_write(
+                po, tbl, "o_month",
+                key_bloom=["o_orderkey"] if mode == "morb" else None,
+            )
             base_bytes = tree_bytes(tbl)
             stream = (
                 spark.readStream.schema(
@@ -118,6 +124,7 @@ def main() -> None:
                 seq_col="_seq",
                 checkpoint_dir=os.path.join(root, f"ck_{mode}"),
                 update_mode="cow" if mode == "cow" else "mor",
+                exactly_once_id=None,
                 compact_every=8 if mode == "mor8" else None,
                 timeout_sec=1800,
             )

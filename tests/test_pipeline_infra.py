@@ -6542,6 +6542,95 @@ def test_combined_schema_and_spec_evolution_fuzz(spark, tmp_path, seed):
             k: row_tuple(d) for k, d in model.items()
         }, f"divergence after step {step} ({op})"
 
+        # r16 metadata invariants, checked after EVERY commit:
+        # (a) dv_key_ids always name the dv_key columns' CURRENT field
+        #     ids (renames rewrite both in lockstep);
+        # (b) current-generation key-bloom digests never false-negative
+        #     a live key when probed with the CURRENT key type — the
+        #     exact property the widen-bumps-generation rule protects
+        #     (a stale digest surviving a widen with matching gen
+        #     would fail this).
+        import base64 as _b64
+        import json as _json
+
+        mm = snapshot_manifest(path)
+        if mm.get("dv_key") is not None and mm.get("schema_ids"):
+            name2id = dict(
+                zip(
+                    [
+                        f["name"]
+                        for f in _json.loads(mm["schema"])["fields"]
+                    ],
+                    mm["schema_ids"],
+                )
+            )
+            if mm.get("dv_key_ids"):
+                assert mm["dv_key_ids"] == [
+                    name2id[c] for c in mm["dv_key"]
+                ], f"dv_key_ids drifted at step {step}"
+        spec_kb = mm.get("key_bloom")
+        # the digest-coverage check needs row RESIDENCY, which is only
+        # value-derivable when ONE spec is live (mid-migration an
+        # old-spec entry legitimately holds rows whose current-spec
+        # key names a different, possibly digest-carrying entry — the
+        # probe handles that per entry; this check cannot). The fuzz
+        # compacts often enough that post-widen digests are checked
+        # in the single-spec states that follow each fold.
+        if (
+            spec_kb is not None
+            and model
+            and not mm.get("pc_history")
+        ):
+            import datawarehouse_group10_spark.sources.layout as L
+
+            live = spark.createDataFrame(
+                [
+                    (k, d["p"], d["q"])
+                    for k, d in model.items()
+                ],
+                f"k {k_type}, p string, q string",
+            )
+            rows_ = live.select(
+                F.col("k"),
+                L._part_key_col(mm["partition_col"]).alias("_pv"),
+            ).collect()
+            by_pv: dict[str, list] = {}
+            for r in rows_:
+                by_pv.setdefault(r["_pv"], []).append(r["k"])
+            for pv, e in mm["partitions"].items():
+                kb = e.get("kb")
+                if (
+                    kb is None
+                    or kb.get("gen") != spec_kb.get("gen")
+                    or list(kb["cols"]) != list(spec_kb["cols"])
+                    or pv not in by_pv
+                ):
+                    continue
+                bits = int.from_bytes(
+                    _b64.b64decode(kb["b"]), "little"
+                )
+                pos = spark.createDataFrame(
+                    [(k,) for k in by_pv[pv]], f"k {k_type}"
+                ).select(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.lit(i), F.col("k")),
+                                F.lit(kb["m"]),
+                            ).cast("int")
+                            for i in range(kb["k"])
+                        ]
+                    ).alias("ps")
+                ).collect()
+                want = {p_ for r in pos for p_ in r["ps"]}
+                got_bits = {
+                    i for i in range(kb["m"]) if (bits >> i) & 1
+                }
+                assert want <= got_bits, (
+                    f"bloom false-negative in {pv} at step {step} "
+                    f"(gen {kb.get('gen')}, k_type {k_type})"
+                )
+
     # every retained version time-travels to its recorded state under
     # its recorded column set
     for v, (vc, snap_model) in history.items():
@@ -6651,3 +6740,79 @@ def test_respec_with_outstanding_delete_files(spark, tmp_path):
     assert not m.get("pc_history")
     assert all("dv" not in e for e in m["partitions"].values())
     assert read_state() == model
+
+
+def test_migration_compact_recomputes_target_blooms(spark, tmp_path):
+    """Deterministic pin of the bug the combined fuzz's bloom
+    invariant flushed out (r16): a migration compact PULLS existing
+    current-spec target entries into its rewrite set (ADVICE r14 #1)
+    and moves old-spec rows INTO them — carrying the target's old
+    digest verbatim would false-negative exactly those migrated-in
+    keys, and a later merge's bloom consult would wrongly prune their
+    partition (missed matches). Migration compacts must RECOMPUTE
+    every rewritten partition's digest."""
+    import base64
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_compact,
+        snapshot_evolve_partitioning,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    # disjoint k-ranges per p-partition so the step-2 merge migrates
+    # ONLY p0, leaving p1/p2 for the compact to migrate into the
+    # then-existing q targets
+    df = spark.createDataFrame(
+        [(k, f"p{k // 10}", f"q{k % 2}", float(k)) for k in range(30)],
+        "k int, p string, q string, v double",
+    )
+    snapshot_write(df, path, "p", key_bloom=["k"])
+    snapshot_evolve_partitioning(path, "q")
+    # lazy migration: k=1's home (p0, range 0..9) rewrites under q;
+    # q0/q1 now exist as current-spec entries with digests covering
+    # ONLY p0's former rows
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([(1, "p0", "q1", -1.0)],
+                              "k int, p string, q string, v double"),
+        path, "q", ["k"],
+    )
+    m = snapshot_manifest(path)
+    assert {"q0", "q1"} <= set(m["partitions"])
+    # bulk migration: p1/p2's rows move INTO the existing q0/q1
+    snapshot_compact(spark, path, "q", target_bytes=1 << 20)
+    m = snapshot_manifest(path)
+    assert not m.get("pc_history")
+    # every digest covers every live key of its partition, probed at
+    # the live key type — the carried pre-migration digest would miss
+    # all of p1/p2's keys (10..29)
+    for qv in ("q0", "q1"):
+        kb = m["partitions"][qv]["kb"]
+        bits = int.from_bytes(base64.b64decode(kb["b"]), "little")
+        keys = [r["k"] for r in
+                snapshot_read(spark, path, partitions={qv}).collect()]
+        assert any(k >= 10 for k in keys)  # migrated-in rows present
+        pos = spark.createDataFrame([(k,) for k in keys], "k int").select(
+            F.array(*[
+                F.pmod(F.xxhash64(F.lit(i), F.col("k")), F.lit(kb["m"]))
+                .cast("int")
+                for i in range(kb["k"])
+            ]).alias("ps")
+        ).collect()
+        want = {p for r in pos for p in r["ps"]}
+        assert want <= {i for i in range(kb["m"]) if (bits >> i) & 1}, qv
+    # and the merge probe finds a migrated-in key (the end-to-end
+    # consequence a stale digest would break)
+    st = snapshot_merge(
+        spark,
+        spark.createDataFrame([(15, "p1", "q1", -15.0)],
+                              "k int, p string, q string, v double"),
+        path, "q", ["k"],
+    )
+    assert st["partitions_rewritten"] == 1
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got[15] == -15.0 and got[1] == -1.0 and len(got) == 30
