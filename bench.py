@@ -299,6 +299,15 @@ def main() -> None:
     # trained + cached the books, so the timed repeats price the ADC
     # scan; the index-build cost is surfaced here like the other stages.
     secondary["pq_train_stage"] = contract.PQ_TRAIN_STATS.get("seconds", 0.0)
+    secondary["pq_train_res_stage"] = contract.PQ_TRAIN_STATS.get(
+        "res_seconds", 0.0
+    )
+    # One-time ANN index staging (r17): cell assignment + PQ/residual/
+    # band codes persisted per corpus; query-time probes read codes
+    # (training is priced by the two entries above, not here).
+    secondary["ann_index_stage"] = contract.ANN_STAGE_TIMINGS.get(
+        "stage", 0.0
+    )
 
     # Interleaved A/B drift probe (r12): re-sample every headline query
     # minutes after its pass-A measurement, same session, same code.

@@ -290,6 +290,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma list of column names to drop (a later "
                      "re-add with the same name gets a fresh id — old "
                      "values never resurrect)")
+    ses.add_argument("--fold-deletes", action="store_true",
+                     help="if the drop hits the delete-key of "
+                     "outstanding merge-on-read delete files, run the "
+                     "SCOPED fold of only the delete-carrying "
+                     "partitions automatically instead of refusing")
 
     skb = sub.add_parser(
         "snapshot-set-key-bloom",
@@ -307,6 +312,19 @@ def main(argv: list[str] | None = None) -> int:
     skb.add_argument("--hashes", type=int, default=6)
     skb.add_argument("--max-bits", type=int, default=None,
                      help="per-partition cap bits (default 1 Mib)")
+
+    srb = sub.add_parser(
+        "snapshot-rebuild-blooms",
+        help="recompute stale per-partition key-bloom digests from a "
+        "scan, WITHOUT rewriting data — restores probe pruning after "
+        "a key-column widen/rename bumped the policy generation",
+    )
+    srb.add_argument("--table", required=True)
+    srb.add_argument("--partitions", default=None,
+                     help="comma list of partition keys (default: "
+                     "every entry with a missing/stale digest)")
+    srb.add_argument("--force", action="store_true",
+                     help="rebuild even current-generation digests")
 
     sca = sub.add_parser(
         "snapshot-cdf-apply",
@@ -726,6 +744,7 @@ def main(argv: list[str] | None = None) -> int:
                     if args.drop
                     else None
                 ),
+                spark=spark if args.fold_deletes else None,
             )
             print(
                 f"snapshot-evolved schema of {args.table}: "
@@ -762,6 +781,29 @@ def main(argv: list[str] | None = None) -> int:
                 f"snapshot-set-key-bloom {args.table}: {what}, "
                 f"v{st['old_version']} -> v{st['new_version']} "
                 "(metadata-only; digests rebuild as partitions rewrite)"
+            )
+            return 0
+
+        if args.cmd == "snapshot-rebuild-blooms":
+            from .sources.layout import snapshot_rebuild_blooms
+
+            scope = (
+                {
+                    c.strip()
+                    for c in args.partitions.split(",")
+                    if c.strip()
+                }
+                if args.partitions
+                else None
+            )
+            st = snapshot_rebuild_blooms(
+                spark, args.table, partitions=scope, force=args.force
+            )
+            print(
+                f"snapshot-rebuild-blooms {args.table}: "
+                f"{st['rebuilt']} digest(s) rebuilt, "
+                f"v{st['old_version']} -> v{st['new_version']} "
+                "(metadata-only; data roots re-referenced unchanged)"
             )
             return 0
 

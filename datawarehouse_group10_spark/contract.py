@@ -3580,7 +3580,7 @@ def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       path's SEMANTICS are driver-checked, not a recall proxy.
     """
     _utc(spark)
-    from .functions.similarity import banded_near_dup_pairs
+    from .functions.similarity import banded_pairs_from_codes
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     a = emb.alias("a")
@@ -3604,13 +3604,16 @@ def q_ann_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos5") >= 0.3)
     )
-    planes = _lsh_data_planes(spark, sf_dir, n=16)
     # max_bucket_size=None: this surface is oracle-checked and the SQL
     # oracle enumerates candidates with NO cap — a capped Spark side would
     # silently drop pairs the oracle keeps at larger sf (ADVICE r10;
     # mirrors the MinHash precedent at the dedup_minhash call site).
-    lsh = banded_near_dup_pairs(
-        emb, planes, bands=4, threshold=0.4, max_bucket_size=None
+    # Candidates come from the STAGED band codes (r17, VERDICT r16 #6)
+    # — same codes, same pairs, ids-only shuffle.
+    lsh = banded_pairs_from_codes(
+        ann_index(spark, sf_dir).select("vec_id", "_bc"),
+        emb.select("vec_id", "embedding"),
+        threshold=0.4, max_bucket_size=None,
     ).select(
         F.lit("lsh").alias("surface"),
         "id_a",
@@ -3640,14 +3643,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash precedent): the SQL oracle enumerates candidates uncapped.
     The library entry point (``semantic_dedup``) keeps the 10k cap
     default for production corpora.
-    """
+
+    Since r17 (VERDICT r16 #6) candidate generation reads the STAGED
+    band codes (:func:`ann_index` ``_bc``): the (band, code) shuffle
+    moves ids + codes instead of full embeddings, and candidate
+    vectors are fetched by id for the cosine check — same pairs, same
+    components, oracle unchanged."""
     _utc(spark)
     from .functions.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planes = _lsh_data_planes(spark, sf_dir, n=16)
     return semantic_dedup(
-        emb, planes, bands=4, threshold=0.4, max_bucket_size=None
+        emb, planes, bands=4, threshold=0.4, max_bucket_size=None,
+        precoded=ann_index(spark, sf_dir).select("vec_id", "_bc"),
     ).orderBy("vec_id")
 
 
@@ -3898,6 +3907,123 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_BOOKS_CACHE: dict[str, list] = {}
 PQ_TRAIN_STATS: dict[str, float] = {}
 
+#: Per-sf_dir path of the staged ANN index (r17, VERDICT r16 #5/#6).
+_ANN_INDEX_CACHE: dict[str, str] = {}
+#: "stage" = cold index build seconds (0.0 warm), read by bench.py.
+ANN_STAGE_TIMINGS: dict[str, float] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """Trained PQ codebooks, one training pass per corpus (cached —
+    production trains at index build and serves many queries)."""
+    from .functions.similarity import pq_train_codebooks
+
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        t0 = time.time()
+        _PQ_BOOKS_CACHE[sf_dir] = pq_train_codebooks(
+            _t(spark, sf_dir, "embeddings"), m=4, k=16, n_iter=2
+        )
+        PQ_TRAIN_STATS["seconds"] = round(time.time() - t0, 3)
+    return _PQ_BOOKS_CACHE[sf_dir]
+
+
+def _pq_res_books(spark: SparkSession, sf_dir: str) -> list:
+    """Residual-trained IVFPQ codebooks (cached like :func:`_pq_books`)."""
+    from .functions.similarity import (
+        deterministic_centroids,
+        ivfpq_train_residual_codebooks,
+    )
+
+    if sf_dir not in _PQ_RES_BOOKS_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = deterministic_centroids(emb, k=16)
+        t0 = time.time()
+        _PQ_RES_BOOKS_CACHE[sf_dir] = ivfpq_train_residual_codebooks(
+            emb, cents, m=4, k=16, n_iter=2
+        )
+        PQ_TRAIN_STATS["res_seconds"] = round(time.time() - t0, 3)
+    return _PQ_RES_BOOKS_CACHE[sf_dir]
+
+
+def ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the corpus's ANN INDEX CODES once per corpus (r17,
+    VERDICT r16 #5/#6) and return a reader — the index-build /
+    query-serve split every production ANN system makes (FAISS builds
+    IVFPQ lists once; queries probe them):
+
+    - ``_cell``   — IVF coarse assignment (16 deterministic
+      centroids), the table's PARTITION directory, so an IVFPQ probe
+      of ``n_probe`` cells prunes the scan to those directories at
+      planning time;
+    - ``_pq``     — trained-codebook PQ codes of the raw vectors
+      (4 x 16, the 'pq'/'ivfpq' surfaces);
+    - ``_pqr``    — residual-codebook codes of ``x - centroid[_cell]``
+      (the 'ivfpq_res' surface);
+    - ``_bc``     — the 4 banded sign-LSH codes over the 16
+      data-derived hyperplanes (the 'lsh' pair surface and
+      ``dedup_semantic``'s candidate generation).
+
+    Query-time scans read a few bytes of codes per row instead of
+    re-deriving every code from the raw embedding column per run —
+    at 100 TB that is the difference between scanning ~hundreds of GB
+    of codes (directory-pruned for cell probes) and re-reading and
+    re-quantizing the whole vector corpus per query. Codes are
+    deterministic functions of the corpus (trained books, literal
+    planes), so every staged value is byte-identical to the recompute
+    path and the DuckDB oracles are unchanged. Files persist in
+    ``GRAFT_WAREHOUSE`` (_SUCCESS-checked like :func:`bucketed_facts`);
+    a warm process pays one parquet attach."""
+    path = _ANN_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from .functions.similarity import (
+            _residual_col,
+            banded_codes_col,
+            deterministic_centroids,
+            ivf_assign,
+            pq_encode,
+        )
+
+        tag = _sf_tag(sf_dir)
+        path = os.path.join(GRAFT_WAREHOUSE, f"ann_index_{tag}", "codes")
+        if not _layout_ready(path):
+            emb = _t(spark, sf_dir, "embeddings")
+            books = _pq_books(spark, sf_dir)
+            rbooks = _pq_res_books(spark, sf_dir)
+            cents = deterministic_centroids(emb, k=16)
+            planes = _lsh_data_planes(spark, sf_dir, n=16)
+            # t0 AFTER training: codebook training is already surfaced
+            # as pq_train_stage — this secondary prices only the
+            # encode+write pass
+            t0 = time.time()
+            enc = pq_encode(ivf_assign(emb, cents), books)
+            enc = pq_encode(
+                enc.withColumnRenamed("_pq", "_pq_raw").withColumn(
+                    "_res", _residual_col("embedding", cents)
+                ),
+                rbooks,
+                vec_col="_res",
+            ).withColumnRenamed("_pq", "_pqr")
+            (
+                enc.select(
+                    "vec_id",
+                    "_cell",
+                    F.col("_pq_raw").alias("_pq"),
+                    "_pqr",
+                    banded_codes_col("embedding", planes, 4).alias("_bc"),
+                )
+                # one writer task per cell: each _cell directory holds
+                # one compact code file instead of one per shuffle task
+                .repartition(F.col("_cell"))
+                .write.mode("overwrite")
+                .partitionBy("_cell")
+                .parquet(path)
+            )
+            ANN_STAGE_TIMINGS["stage"] = round(time.time() - t0, 3)
+        else:
+            ANN_STAGE_TIMINGS.setdefault("stage", 0.0)
+        _ANN_INDEX_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
 
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-10 (r11; TRAINED codebooks since
@@ -3922,19 +4048,22 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at index build and serves many queries from them, so the repeat
     path here prices the ADC scan, and the one-time training cost is
     surfaced separately (PQ_TRAIN_STATS; bench secondary
-    ``pq_train_stage``)."""
+    ``pq_train_stage``).
+
+    Since r17 (VERDICT r16 #5) the query probes the STAGED code table
+    (:func:`ann_index`) instead of re-encoding the corpus per run —
+    the ADC scan reads 4 bytes of codes per row, the rerank fetches
+    the 50 winners' vectors by id; values byte-identical, oracle
+    unchanged."""
     _utc(spark)
-    from .functions.similarity import pq_topk, pq_train_codebooks
+    from .functions.similarity import pq_topk_codes
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    if sf_dir not in _PQ_BOOKS_CACHE:
-        t0 = time.time()
-        _PQ_BOOKS_CACHE[sf_dir] = pq_train_codebooks(
-            emb, m=4, k=16, n_iter=2
-        )
-        PQ_TRAIN_STATS["seconds"] = round(time.time() - t0, 3)
-    out = pq_topk(emb, q, _PQ_BOOKS_CACHE[sf_dir], k=10, refine=50)
+    out = pq_topk_codes(
+        ann_index(spark, sf_dir), emb, q, _pq_books(spark, sf_dir),
+        k=10, refine=50,
+    )
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 
 
@@ -3947,25 +4076,24 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank of :func:`pq_topk` runs over that restricted set only. The
     oracle replays probe selection, cell assignment, the unrolled
     Lloyd training, the per-cell ADC add chain, and the refine cut in
-    SQL. Rides sim_ann_suite as the 'ivfpq' surface."""
+    SQL. Rides sim_ann_suite as the 'ivfpq' surface.
+
+    Since r17 (VERDICT r16 #5) the probe runs over the STAGED code
+    table, partitioned by ``_cell`` — the 6-cell restriction prunes
+    whole directories at planning time and the ADC reads codes only;
+    values byte-identical, oracle unchanged."""
     _utc(spark)
     from .functions.similarity import (
         deterministic_centroids,
-        ivfpq_topk,
-        pq_train_codebooks,
+        ivfpq_topk_codes,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    if sf_dir not in _PQ_BOOKS_CACHE:
-        t0 = time.time()
-        _PQ_BOOKS_CACHE[sf_dir] = pq_train_codebooks(
-            emb, m=4, k=16, n_iter=2
-        )
-        PQ_TRAIN_STATS["seconds"] = round(time.time() - t0, 3)
     cents = deterministic_centroids(emb, k=16)
-    out = ivfpq_topk(
-        emb, q, cents, _PQ_BOOKS_CACHE[sf_dir],
+    out = ivfpq_topk_codes(
+        ann_index(spark, sf_dir), emb, q, cents,
+        _pq_books(spark, sf_dir),
         k=10, n_probe=6, refine=50,
     )
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
@@ -3985,26 +4113,24 @@ def q_sim_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation, the unrolled residual Lloyd iterations, per-cell ADC,
     refine, exact rerank — closing the one oracle-coverage gap r13
     left (the 'ivfpq' surface replays residual=False only). Rides
-    sim_ann_suite as the 'ivfpq_res' surface."""
+    sim_ann_suite as the 'ivfpq_res' surface.
+
+    Since r17 (VERDICT r16 #5) the probe runs over the staged
+    ``_pqr`` residual codes (directory-pruned by ``_cell``); values
+    byte-identical, oracle unchanged."""
     _utc(spark)
     from .functions.similarity import (
         deterministic_centroids,
-        ivfpq_topk,
-        ivfpq_train_residual_codebooks,
+        ivfpq_topk_codes,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     cents = deterministic_centroids(emb, k=16)
-    if sf_dir not in _PQ_RES_BOOKS_CACHE:
-        t0 = time.time()
-        _PQ_RES_BOOKS_CACHE[sf_dir] = ivfpq_train_residual_codebooks(
-            emb, cents, m=4, k=16, n_iter=2
-        )
-        PQ_TRAIN_STATS["res_seconds"] = round(time.time() - t0, 3)
-    out = ivfpq_topk(
-        emb, q, cents, _PQ_RES_BOOKS_CACHE[sf_dir],
-        k=10, n_probe=6, refine=50, residual=True,
+    out = ivfpq_topk_codes(
+        ann_index(spark, sf_dir), emb, q, cents,
+        _pq_res_books(spark, sf_dir),
+        k=10, n_probe=6, refine=50, code_col="_pqr", residual=True,
     )
     return out.select("vec_id", F.round("cosine", 5).alias("cos5"))
 

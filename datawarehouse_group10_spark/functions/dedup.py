@@ -1156,6 +1156,15 @@ def resolve_duplicate_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # Evaluate the PAIR-GENERATION DAG exactly once (r17, VERDICT
+        # r16 #6): edges join into every propagation round, so an
+        # un-checkpointed edge set re-ran the whole upstream pipeline
+        # (LSH banding + candidate self-join + cosine verification)
+        # once per round per reference — the dominant cost of
+        # semantic_dedup, O(rounds) redundant candidate generations.
+        # Same lineage-cut rationale as the per-round labels below;
+        # blocks are O(E), the same order the rounds materialize.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.groupBy("src")

@@ -289,6 +289,103 @@ def banded_near_dup_pairs(
     )
 
 
+def banded_codes_col(
+    vec_col: Column | str,
+    planes: list[list[float]],
+    bands: int,
+) -> Column:
+    """All ``bands`` sign-LSH band codes of a vector as one
+    ``array<bigint>`` (position = band) — the stageable form of
+    :func:`banded_near_dup_pairs`' per-band codes (r17, VERDICT r16
+    #6): computed ONCE at index-build time and persisted, so
+    candidate generation reads a few bytes of codes per row instead
+    of re-running ``len(planes)`` literal dot products per row per
+    run. Same arithmetic as :func:`data_plane_codes`, band by band."""
+    if bands < 1 or len(planes) % bands != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must be a positive multiple "
+            f"of bands={bands}"
+        )
+    r = len(planes) // bands
+    return F.array(
+        *[
+            data_plane_codes(vec_col, planes[b * r : (b + 1) * r])
+            for b in range(bands)
+        ]
+    )
+
+
+def banded_pairs_from_codes(
+    codes_df: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "_bc",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """:func:`banded_near_dup_pairs` over a PRE-STAGED band-code table
+    (r17, VERDICT r16 #6). Two scale wins over the recompute shape:
+
+    - ``codes_df`` carries (id, ``array<bigint>`` codes) only — the
+      (band, code) shuffle moves ids and two bigints per resident,
+      where the recompute shape moved the FULL embedding through the
+      explode, the bucket shuffle, and the candidate aggregation
+      (64 doubles a side at our fixture, arbitrarily wide in
+      general);
+    - exact cosine verification fetches candidate vectors by two
+      id-keyed joins against the corpus — O(candidates) rows, and
+      id-keyed joins are the shape AQE and bucketing already
+      optimize.
+
+    Pair set and cosine values are identical to
+    :func:`banded_near_dup_pairs` over the same planes/bands (the
+    codes are the same arithmetic, staged)."""
+    codes = codes_df.select(
+        F.col(id_col), F.posexplode(F.col(code_col)).alias("band", "code")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            codes.groupBy("band", "code")
+            .agg(F.count("*").alias("_bucket_n"))
+            .filter(F.col("_bucket_n") > max_bucket_size)
+            .drop("_bucket_n")
+        )
+        codes = codes.join(hot, ["band", "code"], "left_anti")
+    a, b = codes.alias("a"), codes.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.code") == F.col("b.code"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     planes: list[list[float]],
@@ -297,6 +394,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket_size: int | None = 10_000,
+    precoded: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate DEDUP over a corpus: per-row KEEP
     decisions, not just pairs. Composes the two scale-proven pieces —
@@ -323,15 +421,25 @@ def semantic_dedup(
     """
     from .dedup import resolve_duplicate_clusters
 
-    pairs = banded_near_dup_pairs(
-        df,
-        planes,
-        bands=bands,
-        threshold=threshold,
-        vec_col=vec_col,
-        id_col=id_col,
-        max_bucket_size=max_bucket_size,
-    )
+    if precoded is not None:
+        # staged band codes (r17, VERDICT r16 #6): candidate gen reads
+        # the persisted (id, codes) table; vectors are fetched for
+        # candidates only, by id
+        pairs = banded_pairs_from_codes(
+            precoded, df,
+            threshold=threshold, vec_col=vec_col, id_col=id_col,
+            max_bucket_size=max_bucket_size,
+        )
+    else:
+        pairs = banded_near_dup_pairs(
+            df,
+            planes,
+            bands=bands,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_bucket_size=max_bucket_size,
+        )
     comp = resolve_duplicate_clusters(pairs).withColumnRenamed("doc_id", id_col)
     canonical = F.coalesce("canonical_id", F.col(id_col))
     return (
@@ -468,10 +576,59 @@ def pq_encode(
         dists = []
         for c in cb:
             ca = F.array(*[F.lit(float(x)) for x in c])
-            dists.append(_dot(ca, ca) - 2 * _dot(v, ca))
+            # entry self-dot is constant: driver-computed (r17), same
+            # fold, same doubles — see _pydot
+            dists.append(F.lit(_pydot(c, c)) - 2 * _dot(v, ca))
         darr = F.array(*dists)
         codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
     return df.withColumn("_pq", F.array(*codes))
+
+
+def _pydot(a: list[float], b: list[float]) -> float:
+    """Driver-side double of :func:`_dot`'s EXACT arithmetic: the same
+    left-to-right fold ``((0.0 + a0*b0) + a1*b1) + ...`` in IEEE-754
+    doubles. Each ``+``/``*`` is one double op in Python, Spark's
+    codegen, and DuckDB alike, so a distance table computed here is
+    BIT-IDENTICAL to the folded-literal-expression form — which is
+    what lets the ADC chain move to the driver (r17, VERDICT r16 #5)
+    without touching the oracle contract."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _adc_col(
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    code_col: str = "_pq",
+) -> Column:
+    """The PQ asymmetric-distance Column over a row's codes: per
+    subspace, the query-to-entry distance the code selects, summed
+    LEFT-ASSOCIATIVELY so the add chain is bit-identical on any
+    engine (the oracle contract of :func:`pq_topk`).
+
+    The per-entry distance TABLES are pure constants (literal query x
+    literal codebooks), so they are computed DRIVER-SIDE (r17) with
+    :func:`_pydot`'s identical fold and emitted as literal arrays —
+    the previous shape built M x K folded dot-product expression
+    TREES per query and left Catalyst to constant-fold them, which at
+    2k-row fixture scale was the dominant cost of the whole query
+    (driver planning, not data). Same doubles, same order, same
+    hashes; a thousandth of the plan."""
+    sub = len(codebooks[0][0])
+    approx = None
+    for s, cb in enumerate(codebooks):
+        qs = query[s * sub : (s + 1) * sub]
+        table = F.array(
+            *[
+                F.lit(_pydot(c, c) - 2 * _pydot(qs, c))
+                for c in cb
+            ]
+        )
+        term = F.element_at(table, F.col(code_col).getItem(s) + 1)
+        approx = term if approx is None else approx + term
+    return approx
 
 
 def pq_topk(
@@ -497,24 +654,53 @@ def pq_topk(
     sequential fold on both engines, so the refine-boundary ordering
     (approx distance, then id) is bit-identical."""
     enc = pq_encode(df, codebooks, vec_col)
-    sub = len(codebooks[0][0])
-    approx = None
-    for s, cb in enumerate(codebooks):
-        qs = F.array(*[F.lit(float(x)) for x in query[s * sub : (s + 1) * sub]])
-        entries = []
-        for c in cb:
-            ca = F.array(*[F.lit(float(x)) for x in c])
-            entries.append(_dot(ca, ca) - 2 * _dot(qs, ca))
-        term = F.element_at(F.array(*entries), F.col("_pq").getItem(s) + 1)
-        approx = term if approx is None else approx + term
     cand = (
-        enc.withColumn("_adc", approx)
+        enc.withColumn("_adc", _adc_col(query, codebooks))
         .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
         .limit(refine)
     )
     sim = cosine_similarity_col(vec_col, query)
     return (
         cand.select(id_col, sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_topk_codes(
+    enc: DataFrame,
+    corpus: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "_pq",
+) -> DataFrame:
+    """PQ top-k over a PRE-ENCODED code table (r17, VERDICT r16 #5) —
+    the serving shape a production index actually runs: ``enc`` is the
+    staged (id, codes) table written ONCE per corpus at index-build
+    time, so the query-time scan reads ~4-8 bytes/row of codes instead
+    of re-deriving them from the raw vectors (M x K folded distance
+    expressions per row, and a full read of the embedding column —
+    at 100 TB the difference between scanning a few hundred GB of
+    codes and the whole corpus). The ADC ranking is byte-identical to
+    :func:`pq_topk` (:func:`_adc_col` is shared), the refine cut
+    tie-breaks on id identically, and the exact rerank fetches the
+    ``refine`` winners' vectors with a broadcast semi-join back to the
+    corpus by id — O(refine) rows moved, never a second corpus scan
+    wired through the TakeOrdered."""
+    cand = (
+        enc.withColumn("_adc", _adc_col(query, codebooks, code_col))
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(refine)
+        .select(id_col)
+    )
+    sim = cosine_similarity_col(vec_col, query)
+    return (
+        corpus.join(F.broadcast(cand), id_col)
+        .select(id_col, sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col).asc())
         .limit(k)
     )
@@ -547,8 +733,12 @@ def ivf_assign(
     dists = []
     for cid, vec in centroids:
         c = F.array(*[F.lit(float(x)) for x in vec])
-        # squared L2 up to the per-row constant dot(v,v): argmin-equivalent
-        dists.append(_dot(c, c) - 2 * _dot(v, c))
+        # squared L2 up to the per-row constant dot(v,v):
+        # argmin-equivalent; the centroid's self-dot is constant, so
+        # it is computed driver-side with _pydot's identical fold
+        # (r17) instead of leaving a folded expression tree per
+        # centroid in the plan
+        dists.append(F.lit(_pydot(vec, vec)) - 2 * _dot(v, c))
     darr = F.array(*dists)
     cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
     return df.withColumn("_cell", cell)
@@ -757,14 +947,39 @@ def ivfpq_topk(
             vec_col=vec_col, id_col=id_col,
         )
 
-    sub = len(codebooks[0][0])
     enc = pq_encode(
         assigned.withColumn("_res", _residual_col(vec_col, centroids)),
         codebooks,
         vec_col="_res",
     )
-    # per probed cell: the ADC table for THAT cell's query residual;
-    # per row: pick the table by _cell, then the entry by the code
+    cand = (
+        enc.withColumn(
+            "_adc", _res_adc_col(query, probe, centroids, codebooks)
+        )
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(refine)
+    )
+    sim = cosine_similarity_col(vec_col, query)
+    return (
+        cand.select(id_col, sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _res_adc_col(
+    query: list[float],
+    probe: list[int],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    code_col: str = "_pq",
+) -> Column:
+    """The RESIDUAL ADC Column (r17, factored from :func:`ivfpq_topk`
+    so :func:`ivfpq_topk_codes` shares the arithmetic): per probed
+    cell, the distance table for THAT cell's query residual; per row,
+    the table is selected by ``_cell`` and the entry by the code —
+    the same left-associative fold as the non-residual chain."""
+    sub = len(codebooks[0][0])
     probe_pos = F.array_position(
         F.array(*[F.lit(int(c)) for c in probe]), F.col("_cell")
     ).cast("int")
@@ -780,23 +995,68 @@ def ivfpq_topk(
                     cent[cid][s * sub:(s + 1) * sub],
                 )
             ]
-            qs = F.array(*[F.lit(float(x)) for x in qres])
-            entries = []
-            for c in cb:
-                ca = F.array(*[F.lit(float(x)) for x in c])
-                entries.append(_dot(ca, ca) - 2 * _dot(qs, ca))
-            tables.append(F.array(*entries))
+            # constant tables computed driver-side with _pydot's
+            # bit-identical fold (r17) — the n_probe x M x K folded
+            # expression trees were the query's dominant driver cost
+            tables.append(
+                F.array(
+                    *[
+                        F.lit(_pydot(c, c) - 2 * _pydot(qres, c))
+                        for c in cb
+                    ]
+                )
+            )
         table = F.element_at(F.array(*tables), probe_pos)
-        term = F.element_at(table, F.col("_pq").getItem(s) + 1)
+        term = F.element_at(table, F.col(code_col).getItem(s) + 1)
         approx = term if approx is None else approx + term
+    return approx
+
+
+def ivfpq_topk_codes(
+    enc: DataFrame,
+    corpus: DataFrame,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "_pq",
+    residual: bool = False,
+) -> DataFrame:
+    """IVF x PQ top-k over a PRE-ENCODED index table (r17, VERDICT r16
+    #5): ``enc`` is the staged (id, ``_cell``, codes) table written
+    once per corpus — cell assignment AND codes are index-build work,
+    not query work. Probe selection stays driver-side; the scan then
+    touches only the probed cells' code rows (stage the table
+    partitioned by ``_cell`` and the filter prunes whole directories);
+    the ADC chain is the shared :func:`_adc_col` /
+    :func:`_res_adc_col` arithmetic; the exact rerank broadcast-joins
+    the ``refine`` winners back to the corpus by id. Results are
+    bit-identical to :func:`ivfpq_topk` over the same inputs."""
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(centroids, key=lambda c: (sqdist(c[1], query), c[0]))
+    probe = [cid for cid, _ in order[:n_probe]]
+    sel = enc.filter(F.col("_cell").isin(probe))
+    adc = (
+        _res_adc_col(query, probe, centroids, codebooks, code_col)
+        if residual
+        else _adc_col(query, codebooks, code_col)
+    )
     cand = (
-        enc.withColumn("_adc", approx)
+        sel.withColumn("_adc", adc)
         .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
         .limit(refine)
+        .select(id_col)
     )
     sim = cosine_similarity_col(vec_col, query)
     return (
-        cand.select(id_col, sim.alias("cosine"))
+        corpus.join(F.broadcast(cand), id_col)
+        .select(id_col, sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col).asc())
         .limit(k)
     )

@@ -1129,9 +1129,24 @@ def _attach_dv_old_homes(
     a current-spec entry and an old-spec entry is read once (the
     reader dedups file paths) and applies only to rows its value
     condition matches, so sharing a reference is conservative, never
-    wrong."""
+    wrong.
+
+    ``dv.rows`` counts each file ONCE across the commit's entries
+    (r17, ADVICE r16 #3): a file already priced on the current-spec
+    entry (or an earlier old-home entry) rides along as a reference
+    with zero row contribution, so the manifest-wide sum of dv.rows —
+    what sizes the read-side broadcast guard and snapshot_delete's
+    returned ``dv_rows`` — equals the distinct delete rows actually
+    written, not N× per shared reference. Entry-level dv.rows is thus
+    a REFERENCE-SCOPED stat: the table total is exact, a single
+    entry's number is a lower bound on the rows its files hold."""
     import os
 
+    counted = {
+        f
+        for e in out.values()
+        for f in (e.get("dv") or {}).get("files", [])
+    }
     for old_key in sorted({k for s in old_homes.values() for k in s}):
         e = dict(out.get(old_key) or parts[old_key])
         files: list[str] = []
@@ -1143,8 +1158,11 @@ def _attach_dv_old_homes(
                 if not fname.endswith(".parquet"):
                     continue
                 full = os.path.join(dv_leafs[cur_pk], fname)
-                files.append(os.path.relpath(full, path))
-                rows_n += recs[full]["rows"]
+                rel = os.path.relpath(full, path)
+                files.append(rel)
+                if rel not in counted:
+                    counted.add(rel)
+                    rows_n += recs[full]["rows"]
         if not files:
             continue
         old = e.get("dv") or {"files": [], "rows": 0}
@@ -1166,7 +1184,7 @@ def _part_relpath(partition_col, key: str) -> str:
     return "/".join(f"{c}={v}" for c, v in zip(cols, vals))
 
 
-def _part_key_col(partition_col) -> Column:
+def _part_key_col(partition_col, strict: bool = True) -> Column:
     """The partition KEY as a Column over a DataFrame carrying the
     partition columns — what merge/backfill collect to find touched
     partitions. Dates/timestamps cast to their ISO string forms, the
@@ -1180,6 +1198,15 @@ def _part_key_col(partition_col) -> Column:
     The guard is embedded in the key expression itself (raise_error),
     so it costs nothing extra: it fires during the action the caller
     was already running.
+
+    ``strict=False`` (r17, ADVICE r16 #1): the write invariant only
+    guarantees non-NULL sources for the spec a row was WRITTEN under.
+    Legs that derive a row's key under a FOREIGN spec (old-spec probe
+    scoping mid spec-migration, the epoch-aware delete read) must
+    tolerate legal NULLs: the non-strict variant yields NULL for the
+    whole key instead of raising — a NULL key equality-matches no
+    entry key and no delete pkey, which is exactly the "this row has
+    no home under that spec" semantics those call sites need.
 
     Transform partitioning (r14): the key legs are the TRANSFORMED
     values computed from the source columns, so this works on any
@@ -1197,6 +1224,8 @@ def _part_key_col(partition_col) -> Column:
         n = leg.isNull()
         anynull = n if anynull is None else (anynull | n)
     key = F.concat_ws("/", *legs)
+    if not strict:
+        return F.when(anynull, F.lit(None).cast("string")).otherwise(key)
     return F.when(
         anynull,
         F.raise_error(
@@ -1434,6 +1463,22 @@ KEY_BLOOM_MAX_TESTS = 1 << 22
 KEY_BLOOM_TARGET_FPR = 0.02
 KEY_BLOOM_MAX_M = 1 << 20
 
+#: Outstanding-delete rows above which the MOR read's delete-apply
+#: join drops its broadcast hint (r17, VERDICT r16 #1). The aggregated
+#: delete-key set is broadcast-joined against the data scan; the set
+#: grows with every un-folded delete commit, and at 100 TB a batch
+#: caller that defers maintenance can accumulate hundreds of millions
+#: of outstanding keys — an unconditional hint is then a driver OOM or
+#: the 8 GB broadcast hard cap, i.e. reads FAIL until a fold. The
+#: manifest records per-entry delete row counts, so the reader prices
+#: the set before planning and falls back to a plain shuffled
+#: left-outer above this bound — the no-union-pushthrough property
+#: that keeps the plan at ONE delete-side scan is the join TYPE
+#: (outer), not the hint, so the fallback keeps the single-scan shape.
+#: ~10^7 keys of (pkey string + key cols + seq) is comfortably under
+#: Spark's broadcast limits; beyond it the shuffle is the right plan.
+MOR_BROADCAST_MAX_ROWS = 10_000_000
+
 
 def _key_bloom_extra(
     spark, snap: str, partition_col, spec: dict, schema_json: str | None
@@ -1497,6 +1542,24 @@ def _key_bloom_extra(
     df = _read_groups(
         spark, [(snap, sorted(leafs.values()))], schema_json=schema_json
     )
+    return _key_bloom_digests(
+        spark, df, _part_key_col(partition_col), spec, m_of
+    )
+
+
+def _key_bloom_digests(
+    spark, df, pk_col: Column, spec: dict, m_of: dict[str, int]
+) -> dict[str, dict]:
+    """The shared digest pass behind :func:`_key_bloom_extra` and
+    :func:`snapshot_rebuild_blooms` (r17, VERDICT r16 #2): given any
+    DataFrame carrying the policy's key columns, a partition-key
+    Column mapping each row to the manifest entry that owns it, and a
+    per-key bloom size, compute ``{partition_key: {"kb": ...}}`` in
+    ONE executor-packed pass (bitmap_construct_agg + numpy OR)."""
+    import base64
+
+    cols = spec["cols"]
+    kh = spec["k"]
     mdf = spark.createDataFrame(
         [(k, m) for k, m in sorted(m_of.items())], "_pk string, _m int"
     )
@@ -1518,7 +1581,7 @@ def _key_bloom_extra(
     # b covers positions (b-1)*32768+1 .. b*32768), hence the +1.
     rows = (
         df.select(
-            _part_key_col(partition_col).alias("_pk"),
+            pk_col.alias("_pk"),
             *[F.col(c) for c in cols],
         )
         .join(F.broadcast(mdf), "_pk")
@@ -2621,6 +2684,21 @@ def _read_version(
         )
     )
     out_cols = [c for c in df.columns if c != "_mor_seq"]
+    # Size-guard the delete-set broadcast (r17, VERDICT r16 #1): the
+    # manifest already prices the outstanding set — each scanned
+    # entry's dv.rows (counted once per shared file across entries,
+    # ADVICE r16 #3) sums to an estimate of the aggregated key set.
+    # Below the bound the broadcast hash join is the right plan; above
+    # it the hint is dropped and Spark plans a shuffled join. Either
+    # way the join TYPE stays left-outer, which Catalyst does not push
+    # through the data-root union — the single delete-side scan shape
+    # is preserved un-hinted.
+    est_rows = sum(int(d.get("rows") or 0) for d in dvs)
+    hint = (
+        F.broadcast
+        if est_rows <= MOR_BROADCAST_MAX_ROWS
+        else (lambda d: d)
+    )
     hist = list((raw or {}).get("pc_history") or ())
     if not hist:
         # one row per deleted key, carrying the HIGHEST delete
@@ -2640,7 +2718,7 @@ def _read_version(
             *[keyed[c] == dk[f"_dv_k{i}"] for i, c in enumerate(key)],
         ]
         return (
-            keyed.join(F.broadcast(dk), cond, "left")
+            keyed.join(hint(dk), cond, "left")
             .filter(
                 dk["_dv_seq"].isNull()
                 | (dk["_dv_seq"] <= keyed["_mor_seq"])
@@ -2686,8 +2764,17 @@ def _read_version(
         )
     )
     keyed = df
+    # NON-STRICT key derivation (r17, ADVICE r16 #1): every leg here
+    # evaluates a row's key under a spec the row may NOT have been
+    # written under — the write invariant only guarantees non-NULL
+    # sources for the row's OWN spec, so a pre-evolution row with a
+    # legal NULL in a later spec's source column (or vice versa) must
+    # derive a NULL key ("no home under that spec"), not crash the
+    # read via _part_key_col's embedded raise_error.
     for i, s in enumerate(spec_of):
-        keyed = keyed.withColumn(f"_dv_read_pk{i}", _part_key_col(s))
+        keyed = keyed.withColumn(
+            f"_dv_read_pk{i}", _part_key_col(s, strict=False)
+        )
 
     def _pk_of(ep):
         c = F.when(ep == 0, F.col("_dv_read_pk0"))
@@ -2697,13 +2784,23 @@ def _read_version(
 
     cond = [keyed[c] == dk[f"_dv_k{i}"] for i, c in enumerate(key)]
     return (
-        keyed.join(F.broadcast(dk), cond, "left")
+        keyed.join(hint(dk), cond, "left")
         .filter(
             dk["_dvs"].isNull()
+            # the pk comparison coalesces to FALSE so a NULL-derived
+            # epoch key can never eliminate a live row through
+            # three-valued logic (NULL == pk -> NULL -> exists NULL ->
+            # ~NULL -> filter drops). A NULL epoch key matching no
+            # delete is also CORRECT, not just safe: delete pkeys are
+            # written under the strict variant, so a committed delete
+            # row never carries a NULL pkey — any row it was meant to
+            # eliminate had a non-NULL key under that epoch's spec.
             | ~F.exists(
                 dk["_dvs"],
                 lambda x: (x["seq"] > keyed["_mor_seq"])
-                & (x["pk"] == _pk_of(x["ep"])),
+                & F.coalesce(
+                    x["pk"] == _pk_of(x["ep"]), F.lit(False)
+                ),
             )
         )
         .select(*[keyed[c] for c in out_cols])
@@ -3803,7 +3900,18 @@ def _probe_scope(
         ],
         *(
             [
-                F.collect_set(_part_key_col(spec)).alias(f"_s{i}")
+                # NULL-tolerant (r17, ADVICE r16 #2): the fused shape
+                # runs this collect_set in the SAME job as the key
+                # bounds, so a batch with NULLs in a partition-source
+                # key column reaches it before the raw_lo-is-None
+                # short-circuit can rule. collect_set drops NULL
+                # members, and a NULL-keyed batch row can never
+                # equality-match anyway, so the scope set stays
+                # exactly the matchable keys; the short-circuit below
+                # remains the authority for the all-NULL batch.
+                F.collect_set(
+                    _part_key_col(spec, strict=False)
+                ).alias(f"_s{i}")
                 for i, spec in enumerate(exact_specs)
             ]
             if scopable
@@ -4431,7 +4539,14 @@ def snapshot_delete(
             matched.select(
                 _part_key_col(partition_col).alias("_pk"),
                 *[
-                    _part_key_col(s).alias(f"_opk{i}")
+                    # old-spec legs are FOREIGN-spec derivations over
+                    # matched rows — NULL-tolerant (r17, ADVICE r16
+                    # #1): a NULL-derived key owns no old-home entry
+                    # (_dv_old_home_rows skips it); the current-spec
+                    # _pk leg stays strict — a delete row needs a
+                    # current-spec home directory, so a NULL there is
+                    # a real error the guard should name
+                    _part_key_col(s, strict=False).alias(f"_opk{i}")
                     for i, (_st, s) in enumerate(old_specs)
                 ],
             )
@@ -4715,7 +4830,9 @@ def snapshot_upsert_mor(
             matched.select(
                 _part_key_col(partition_col).alias("_pk"),
                 *[
-                    _part_key_col(s).alias(f"_opk{i}")
+                    # NULL-tolerant foreign-spec legs (r17, ADVICE r16
+                    # #1) — see snapshot_delete's twin collect
+                    _part_key_col(s, strict=False).alias(f"_opk{i}")
                     for i, (_st, s) in enumerate(old_specs)
                 ],
                 F.lit("d").alias("_src"),
@@ -5066,6 +5183,7 @@ def snapshot_evolve_schema(
     rename: dict[str, str] | None = None,
     widen: dict[str, str] | None = None,
     drop: list[str] | None = None,
+    spark=None,
 ) -> dict[str, int]:
     """SCHEMA EVOLUTION as a pure-metadata commit (r15, VERDICT r14
     #3 — Iceberg's shape, via stable FIELD IDS): add, rename, widen
@@ -5136,18 +5254,57 @@ def snapshot_evolve_schema(
     # RENAME proceed metadata-only on a 100 TB MOR table. Only a DROP
     # of a delete-key column is refused while files are outstanding
     # (the deletes would become unapplicable).
-    dv_outstanding = bool(raw.get("dv_key")) and any(
-        "dv" in e
-        for e in _manifest_resolve(path, raw)["partitions"].values()
+    dv_carriers = (
+        sorted(
+            k
+            for k, e in _manifest_resolve(path, raw)[
+                "partitions"
+            ].items()
+            if "dv" in e
+        )
+        if raw.get("dv_key")
+        else []
     )
+    dv_outstanding = bool(dv_carriers)
     dv_cols = list(raw.get("dv_key") or ())
     bad_dv = sorted(set(drop or ()) & set(dv_cols))
     if bad_dv and dv_outstanding:
-        raise ValueError(
-            f"snapshot_evolve_schema: column(s) {bad_dv} are the "
-            "delete-key of outstanding merge-on-read delete files — "
-            "fold them with snapshot_compact() first"
+        # The unblock is a SCOPED fold of only the delete-carrying
+        # entries (r17, VERDICT r16 #7) — never a full-table rewrite:
+        # pass a SparkSession to run it automatically right here
+        # (the parameter doubles as the opt-in, since this verb is
+        # otherwise metadata-only), or run the named command yourself.
+        if spark is None:
+            shown = ", ".join(repr(k) for k in dv_carriers[:5])
+            more = (
+                f", ... ({len(dv_carriers)} total)"
+                if len(dv_carriers) > 5
+                else ""
+            )
+            raise ValueError(
+                f"snapshot_evolve_schema: column(s) {bad_dv} are the "
+                "delete-key of outstanding merge-on-read delete files "
+                "— fold ONLY the delete-carrying partition(s) first: "
+                "snapshot_compact(spark, path, <current spec>, "
+                f"partitions={{{shown}{more}}}), or pass spark= to "
+                "this call to run that scoped fold automatically"
+            )
+        snapshot_compact(
+            spark, path, raw["partition_col"],
+            partitions=set(dv_carriers),
         )
+        committed, raw = _validated_raw(path, None)
+        if raw.get("dv_key") and any(
+            "dv" in e
+            for e in _manifest_resolve(path, raw)[
+                "partitions"
+            ].values()
+        ):
+            raise ConcurrentWriteError(
+                "snapshot_evolve_schema: new merge-on-read delete "
+                "files were committed while the scoped fold ran — "
+                "quiesce MOR writers and retry the drop"
+            )
     # partition source columns of every live spec are frozen
     frozen = set(_psrc_cols(raw["partition_col"]))
     for rec in raw.get("pc_history") or ():
@@ -5360,6 +5517,18 @@ def snapshot_set_key_bloom(
                 f"key_bloom bits must be a positive multiple of 8, "
                 f"got {bits}"
             )
+        # reject bad hash counts AT POLICY-SET TIME (r17, ADVICE r16
+        # #4): hashes=0 used to commit fine and then die much later
+        # with ZeroDivisionError inside _key_bloom_extra's
+        # bits-per-key sizing on the first merge/backfill — the
+        # failure surfaced on an unrelated hot path instead of at the
+        # bad input
+        if not isinstance(hashes, int) or isinstance(hashes, bool) \
+                or hashes < 1:
+            raise ValueError(
+                f"key_bloom hashes must be a positive integer, "
+                f"got {hashes!r}"
+            )
         if raw.get("schema") is not None:
             import json as _json
 
@@ -5391,6 +5560,135 @@ def snapshot_set_key_bloom(
         },
     )
     return {"old_version": committed, "new_version": version}
+
+
+def snapshot_rebuild_blooms(
+    spark,
+    path: str,
+    partitions: set[str] | None = None,
+    force: bool = False,
+) -> dict[str, int]:
+    """Recompute per-partition key-bloom digests WITHOUT rewriting any
+    data (r17, VERDICT r16 #2) — the maintenance verb that restores
+    probe pruning after an evolution bumped the policy generation.
+
+    A key-column widen/rename (or a re-keyed policy) correctly
+    degrades stale digests to "no pruning" (their xxhash64 bits are
+    incompatible with the new probe), but pruning then stays off until
+    each partition happens to be REWRITTEN — on a 100 TB mostly-cold
+    table that can be forever. This verb scans the affected
+    partitions' live rows under the CURRENT schema (so widened
+    columns hash at their current type), packs fresh current-gen
+    digests executor-side (one :func:`_key_bloom_digests` pass per
+    live spec — mixed-spec tables mid-migration group entries by
+    write spec so each row's owning entry resolves under its own
+    layout), and commits them as a pure-METADATA delta: entries
+    re-reference their existing data roots, only the ``kb`` field
+    changes.
+
+    By default only entries whose digest is missing or from a stale
+    policy epoch rebuild; ``force=True`` rebuilds every selected
+    entry (e.g. to shrink digests after mass deletes). Entries with
+    zero live rows get an all-zero digest — the exact member set.
+    Sizing follows the write path's auto-sizing from the manifest's
+    recorded row counts (floor ``m``, cap ``mx``, target FPR
+    :data:`KEY_BLOOM_TARGET_FPR`)."""
+    import base64
+    import math
+
+    committed, raw = _validated_raw(path, None)
+    spec = raw.get("key_bloom")
+    if spec is None:
+        raise ValueError(
+            "snapshot_rebuild_blooms: table has no key-bloom policy "
+            "(set one with snapshot_set_key_bloom first)"
+        )
+    m = _manifest_resolve(path, raw)
+    parts = m["partitions"]
+    unknown = sorted(set(partitions or ()) - set(parts))
+    if unknown:
+        raise ValueError(
+            f"snapshot_rebuild_blooms: unknown partition(s) {unknown}"
+        )
+
+    def _current(kb) -> bool:
+        return (
+            kb is not None
+            and list(kb["cols"]) == list(spec["cols"])
+            and kb["k"] == spec["k"]
+            and kb.get("gen") == spec.get("gen")
+        )
+
+    targets = {
+        k: e
+        for k, e in parts.items()
+        if (partitions is None or k in partitions)
+        and (force or not _current(e.get("kb")))
+    }
+    if not targets:
+        return {
+            "rebuilt": 0,
+            "old_version": committed,
+            "new_version": committed,
+        }
+    kh = spec["k"]
+    mbits = spec["m"]
+    mmax = max(int(spec.get("mx", KEY_BLOOM_MAX_M)), mbits)
+    bits_per_key = -kh / math.log(
+        1.0 - KEY_BLOOM_TARGET_FPR ** (1.0 / kh)
+    )
+    m_of: dict[str, int] = {}
+    for k, e in targets.items():
+        need = int(bits_per_key * max(1, int(e.get("rows") or 0))) + 1
+        mm = mbits
+        while mm < need and mm * 2 <= mmax:
+            mm *= 2
+        m_of[k] = mm
+    groups: dict[str, list[str]] = {}
+    for k, e in targets.items():
+        groups.setdefault(
+            repr(_pc_store(_entry_pc(raw, e))), []
+        ).append(k)
+    digests: dict[str, dict] = {}
+    for _store, keys in sorted(groups.items()):
+        gpc = _entry_pc(raw, targets[keys[0]])
+        df = _read_version(spark, path, partitions=set(keys))
+        if df is not None:
+            digests.update(
+                _key_bloom_digests(
+                    spark, df, _part_key_col(gpc), spec,
+                    {k: m_of[k] for k in keys},
+                )
+            )
+    for k in targets:
+        if k not in digests:
+            digests[k] = {
+                "kb": {
+                    "cols": list(spec["cols"]),
+                    "m": m_of[k],
+                    "k": kh,
+                    "b": base64.b64encode(
+                        bytes(m_of[k] // 8)
+                    ).decode("ascii"),
+                    **({"gen": spec["gen"]} if "gen" in spec else {}),
+                }
+            }
+
+    def synth(_snap: str) -> dict:
+        return {
+            k: {**dict(e), **digests[k]} for k, e in targets.items()
+        }
+
+    version, _m = _stage_version(
+        path, raw["partition_col"], m, set(targets), None,
+        base_version=committed, schema_json=m.get("schema"),
+        synth_entries=synth,
+    )
+    return {
+        "rebuilt": len(targets),
+        "old_version": committed,
+        "new_version": version,
+    }
 
 
 def snapshot_publish(path: str, version: int) -> dict[str, int]:

@@ -1251,7 +1251,24 @@ def run_snapshot_cdf_consume(
     prev = cursor
     for v in todo:
         changes = snapshot_diff(spark, table_path, prev, v, None)
-        process(changes, prev, v)
+        # Materialize each window's diff ONCE (r17, VERDICT r16 #4):
+        # consumers reference the window plan several times — the CDF
+        # applier splits it into insert/delete legs, anti-joins them,
+        # and the landing merge then evaluates the shaped batch again
+        # for probe scoping and the write — so an uncached window
+        # re-ran the two-version diff (two snapshot scans + the
+        # compare) once per downstream evaluation, ~4-6x per window.
+        # One count() pins the diff into the block cache; every later
+        # reference is a cache read; released before the cursor
+        # advances. Cost model at scale: cached bytes are O(window
+        # changes), the same order as the batch the consumer lands —
+        # bounded by commit size, never O(table).
+        changes = changes.persist()
+        try:
+            changes.count()
+            process(changes, prev, v)
+        finally:
+            changes.unpersist()
         # advance AFTER the consumer finished the window: a crash
         # between process() and this write re-delivers the window
         _meta_store().put_atomic(key, str(v).encode("utf-8"))

@@ -6386,6 +6386,7 @@ def test_combined_schema_and_spec_evolution_fuzz(spark, tmp_path, seed):
         snapshot_gc,
         snapshot_manifest,
         snapshot_read,
+        snapshot_rebuild_blooms,
         snapshot_upsert_mor,
         snapshot_merge,
         snapshot_write,
@@ -6434,9 +6435,29 @@ def test_combined_schema_and_spec_evolution_fuzz(spark, tmp_path, seed):
     for step in range(14):
         op = rng.choice(
             ["merge", "upsert_mor", "upsert_mor", "mor_delete",
-             "evolve_spec", "evolve_schema", "compact", "widen_k"]
+             "evolve_spec", "evolve_schema", "compact", "widen_k",
+             "rebuild_blooms"]
         )
-        if op == "evolve_spec":
+        if op == "rebuild_blooms":
+            # r17 (VERDICT r16 #2): metadata-only digest recompute —
+            # after it, EVERY entry must carry a current-generation
+            # digest (which arms the false-negative invariant below
+            # for partitions a widen had degraded to "no pruning")
+            st = snapshot_rebuild_blooms(spark, path)
+            mm_rb = snapshot_manifest(path)
+            kb_spec_rb = mm_rb.get("key_bloom")
+            assert kb_spec_rb is not None
+            for pv, e in mm_rb["partitions"].items():
+                kb = e.get("kb")
+                assert (
+                    kb is not None
+                    and kb.get("gen") == kb_spec_rb.get("gen")
+                    and list(kb["cols"]) == list(kb_spec_rb["cols"])
+                ), f"stale digest on {pv} survived rebuild (step {step})"
+            if st["new_version"] == st["old_version"]:
+                continue  # nothing was stale: no commit happened
+            version = st["new_version"]
+        elif op == "evolve_spec":
             # r16: the respec commits even with outstanding delete
             # files (epoch-aware application) — no fold required
             nxt = rng.choice(
@@ -6816,3 +6837,480 @@ def test_migration_compact_recomputes_target_blooms(spark, tmp_path):
     assert st["partitions_rewritten"] == 1
     got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
     assert got[15] == -15.0 and got[1] == -1.0 and len(got) == 30
+
+
+def test_mor_delete_broadcast_size_guard(spark, tmp_path, monkeypatch):
+    """The MOR delete-apply join drops its broadcast hint above the
+    outstanding-row bound (r17, VERDICT r16 #1): the manifest's
+    per-entry dv.rows price the aggregated delete-key set BEFORE
+    planning, so a lazily-maintained table whose outstanding deletes
+    outgrow broadcast limits reads through a shuffled left-outer
+    instead of failing at the 8 GB broadcast cap. Both regimes must
+    return identical rows and keep the single delete-side scan."""
+    from datawarehouse_group10_spark.sources import layout
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)]
+        + [("b", i, float(i)) for i in range(10, 20)],
+        "p string, k int, v double",
+    )
+    snapshot_write(df, path, "p")
+    snapshot_delete(
+        spark, spark.createDataFrame([(1,), (11,)], "k int"),
+        path, "p", ["k"],
+    )
+
+    def dv_join_lines(out):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return [
+            line for line in plan.splitlines()
+            if "Join" in line and "_dv_pkey" in line
+        ], plan
+
+    # below the bound: broadcast hash join
+    out = snapshot_read(spark, path)
+    small = {r["k"] for r in out.collect()}
+    joins, plan = dv_join_lines(out)
+    assert joins and all("Broadcast" in j for j in joins), plan
+
+    # above the bound (forced to 0): the HINT is gone — Catalyst's own
+    # size-based planning takes over (here the set is tiny, so pin the
+    # shuffle plan by disabling auto-broadcast; at real scale the size
+    # estimate itself rules broadcast out)
+    monkeypatch.setattr(layout, "MOR_BROADCAST_MAX_ROWS", 0)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = snapshot_read(spark, path)
+        big = {r["k"] for r in out.collect()}
+        joins, plan = dv_join_lines(out)
+        assert joins and not any("Broadcast" in j for j in joins), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert big == small == set(range(20)) - {1, 11}
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    dv_scans = sum(
+        1 for line in opt.splitlines()
+        if "Relation" in line and "_dv_pkey" in line
+    )
+    assert dv_scans == 1, opt
+
+
+def test_mor_mid_migration_tolerates_null_foreign_spec_sources(
+    spark, tmp_path
+):
+    """Rows with legal NULLs in a FOREIGN spec's source column survive
+    the epoch-aware MOR paths (r17, ADVICE r16 #1): the write
+    invariant only guarantees non-NULL sources for the spec a row was
+    written under, so a post-evolution row with NULL in the
+    pre-evolution partition column must (a) not crash the epoch-aware
+    delete read, (b) not crash the old-home collects of
+    snapshot_delete / snapshot_upsert_mor, and (c) never be DROPPED
+    by the three-valued pk comparison (NULL epoch key matches no
+    delete)."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_evolve_partitioning,
+        snapshot_read,
+        snapshot_upsert_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    schema = "k int, q string, p string, v double"
+    # written under spec q: q non-NULL everywhere (write invariant)
+    snapshot_write(
+        spark.createDataFrame(
+            [(k, f"q{k % 2}", f"p{k % 3}", float(k)) for k in range(8)],
+            schema,
+        ),
+        path, "q",
+    )
+    snapshot_evolve_partitioning(path, "p")  # q is now a foreign spec
+    # outstanding delete so every read takes the epoch-aware branch
+    snapshot_delete(
+        spark, spark.createDataFrame([(0,)], "k int"), path, "p", ["k"]
+    )
+    # post-evolution rows with NULL in the OLD spec's source column —
+    # legal data under spec p
+    snapshot_upsert_mor(
+        spark,
+        spark.createDataFrame(
+            [(100, None, "p0", 100.0, False),
+             (101, None, "p1", 101.0, False)],
+            schema + ", del boolean",
+        ),
+        path, "p", ["k"], delete_col="del",
+    )
+    got = {r["k"]: (r["q"], r["v"])
+           for r in snapshot_read(spark, path).collect()}
+    # (a)+(c): read works and the NULL-q rows are all alive
+    assert got[100] == (None, 100.0) and got[101] == (None, 101.0)
+    assert 0 not in got and len(got) == 9
+
+    # (b): delete a NULL-q row (its old-home collect derives the q key
+    # -> NULL -> owns no old entry) and update the other in one batch
+    snapshot_upsert_mor(
+        spark,
+        spark.createDataFrame(
+            [(100, None, "p0", 0.0, True),
+             (101, None, "p1", -101.0, False)],
+            schema + ", del boolean",
+        ),
+        path, "p", ["k"], delete_col="del",
+    )
+    got = {r["k"]: (r["q"], r["v"])
+           for r in snapshot_read(spark, path).collect()}
+    assert 100 not in got and got[101] == (None, -101.0)
+    assert len(got) == 8
+    # pure equality delete through snapshot_delete's collect too
+    snapshot_delete(
+        spark, spark.createDataFrame([(101,)], "k int"), path, "p", ["k"]
+    )
+    got = {r["k"] for r in snapshot_read(spark, path).collect()}
+    assert got == set(range(1, 8))
+
+
+def test_probe_scope_tolerates_null_partition_source_keys(
+    spark, tmp_path
+):
+    """A probe batch with NULLs in a partition-source KEY column is a
+    graceful partial/total no-op, not an error (r17, ADVICE r16 #2):
+    the fused bounds+scope aggregation derives the scope keys
+    NULL-tolerantly (a NULL key equality-matches nothing), and the
+    all-NULL batch short-circuits to 'nothing matches' exactly as the
+    pre-fusion two-job shape did."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k int, v double"
+        ),
+        path, "k",  # the partition column IS the key column
+    )
+    # all-NULL-key delete batch: graceful no-op
+    st = snapshot_delete(
+        spark, spark.createDataFrame([(None,)], "k int"), path, "k", ["k"]
+    )
+    assert st["partitions_touched"] == 0 and st["dv_rows"] == 0
+    # mixed batch: the real key deletes, the NULL matches nothing
+    snapshot_delete(
+        spark, spark.createDataFrame([(None,), (2,)], "k int"),
+        path, "k", ["k"],
+    )
+    assert {r["k"] for r in snapshot_read(spark, path).collect()} == (
+        set(range(6)) - {2}
+    )
+    # merge probe with a NULL alongside real keys: upserts the real
+    # rows, drops nothing
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([(3, -3.0)], "k int, v double").unionByName(
+            spark.createDataFrame([(None, 9.9)], "k int, v double")
+        ).filter(F.col("k").isNotNull()),
+        path, "k", ["k"],
+    )
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got[3] == -3.0 and len(got) == 5
+
+
+def test_dv_rows_counted_once_across_shared_old_homes(spark, tmp_path):
+    """dv.rows prices each delete file ONCE across the commit's
+    entries (r17, ADVICE r16 #3): mid-migration a delete leaf shared
+    by several old-home entries used to add its full row count to
+    EACH, inflating both the manifest totals that size the read-side
+    broadcast guard and snapshot_delete's returned dv_rows."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_evolve_partitioning,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    # k=1 lives in p1, k=3 in p0 — both derive CURRENT-spec key q1,
+    # so one q1 delete leaf (2 rows) is referenced by TWO old entries
+    snapshot_write(
+        spark.createDataFrame(
+            [(k, f"p{k % 3}", f"q{k % 2}", float(k)) for k in range(12)],
+            "k int, p string, q string, v double",
+        ),
+        path, "p",
+    )
+    snapshot_evolve_partitioning(path, "q")
+    st = snapshot_delete(
+        spark, spark.createDataFrame([(1,), (3,)], "k int"),
+        path, "q", ["k"],
+    )
+    assert st["dv_rows"] == 2, st
+    m = snapshot_manifest(path)
+    total = sum(
+        (e.get("dv") or {}).get("rows", 0)
+        for e in m["partitions"].values()
+    )
+    assert total == 2, m["partitions"]
+    # both owners carry the reference; rows just aren't double-priced
+    owners = [k for k, e in m["partitions"].items() if "dv" in e]
+    assert {"p0", "p1"} <= set(owners)
+    got = {r["k"] for r in snapshot_read(spark, path).collect()}
+    assert got == set(range(12)) - {1, 3}
+
+
+def test_set_key_bloom_rejects_bad_hashes(spark, tmp_path):
+    """hashes < 1 (or a non-int) is rejected AT POLICY-SET TIME (r17,
+    ADVICE r16 #4) instead of surfacing later as a ZeroDivisionError
+    inside the first merge's bloom sizing."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_set_key_bloom,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "k int, p string"), path, "p"
+    )
+    for bad in (0, -2, "3", 1.5):
+        with _pytest.raises(ValueError, match="hashes"):
+            snapshot_set_key_bloom(path, ["k"], hashes=bad)
+    st = snapshot_set_key_bloom(path, ["k"], hashes=6)  # valid
+    assert st["new_version"] > st["old_version"]
+
+
+def test_rebuild_blooms_restores_pruning_after_widen(spark, tmp_path):
+    """snapshot_rebuild_blooms (r17, VERDICT r16 #2): a key-column
+    widen bumps the bloom policy generation, correctly degrading every
+    existing digest to "no pruning" — but on a mostly-cold table that
+    state persists until each partition happens to be rewritten. The
+    rebuild verb recomputes current-generation digests from a scan
+    (hashing at the CURRENT, widened type) and commits them
+    metadata-only: probe pruning returns with zero data rewritten."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_evolve_schema,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_rebuild_blooms,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    # even keys interleaved across partitions: every partition's [min,
+    # max] spans the whole domain, so RANGE stats prune nothing and
+    # pruning is attributable to the blooms alone
+    rows = [
+        (k, f"p{(k // 2) % 3}", float(k)) for k in range(0, 30, 2)
+    ]
+    snapshot_write(
+        spark.createDataFrame(rows, "k int, p string, v double"),
+        path, "p", key_bloom=["k"],
+    )
+
+    def probe_absent():
+        # k=9: odd (absent everywhere), inside every range — probes
+        # nothing exactly when digests prune; rewrites nothing either
+        st = snapshot_delete(
+            spark, spark.createDataFrame([(9,)], "k bigint").selectExpr(
+                f"cast(k as {k_t}) as k"
+            ),
+            path, "p", ["k"],
+        )
+        return st["probe_partitions"]
+
+    k_t = "int"
+    assert probe_absent() == 0  # fresh digests: all 3 pruned
+
+    # MOR-delete k=4 so the rebuild scan must EXCLUDE dv'd rows
+    snapshot_delete(
+        spark, spark.createDataFrame([(4,)], "k int"), path, "p", ["k"]
+    )
+    st = snapshot_evolve_schema(path, widen={"k": "bigint"})
+    k_t = "bigint"
+    gen = snapshot_manifest(path)["key_bloom"]["gen"]
+    assert gen >= 1
+    assert probe_absent() == 3  # stale digests: pruning is OFF
+
+    st = snapshot_rebuild_blooms(spark, path)
+    assert st["rebuilt"] == 3 and st["new_version"] > st["old_version"]
+    m = snapshot_manifest(path)
+    for pv, e in m["partitions"].items():
+        assert e["kb"].get("gen") == gen, pv
+        assert e["root"] == "v1", pv  # data roots untouched
+    assert probe_absent() == 0  # pruning restored
+    # the dv'd key is out of the rebuilt digest: probing it hits nothing
+    st = snapshot_delete(
+        spark, spark.createDataFrame([(4,)], "k bigint"), path, "p", ["k"]
+    )
+    assert st["probe_partitions"] == 0 and st["dv_rows"] == 0
+    # idempotent: nothing stale -> no commit
+    st = snapshot_rebuild_blooms(spark, path)
+    assert st["rebuilt"] == 0 and st["new_version"] == st["old_version"]
+    # no false negative on live keys: a merge finds its row
+    st = snapshot_merge(
+        spark,
+        spark.createDataFrame([(6, "p0", -6.0)],
+                              "k bigint, p string, v double"),
+        path, "p", ["k"],
+    )
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got[6] == -6.0 and 4 not in got and len(got) == 14
+    # guards: unknown partition; no policy
+    with _pytest.raises(ValueError, match="unknown partition"):
+        snapshot_rebuild_blooms(spark, path, partitions={"nope"})
+    path2 = str(tmp_path / "nopolicy")
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "k int, p string"), path2, "p"
+    )
+    with _pytest.raises(ValueError, match="no key-bloom policy"):
+        snapshot_rebuild_blooms(spark, path2)
+
+
+def test_cdf_consume_materializes_each_window_once(spark, tmp_path):
+    """The CDF consumer evaluates each window's diff EXACTLY ONCE
+    (r17, VERDICT r16 #4): the applier references the window plan
+    several times (insert/delete legs, their anti-join, then the
+    landing merge's probe + write), so an uncached window re-ran the
+    two-version diff per reference. run_snapshot_cdf_consume now pins
+    the window into the block cache before handing it to the
+    consumer, and releases it before the cursor advances."""
+    from datawarehouse_group10_spark.sources import layout as L
+    from datawarehouse_group10_spark.streaming import (
+        run_snapshot_cdf_consume,
+    )
+
+    path = str(tmp_path / "src")
+    L.snapshot_write(
+        spark.createDataFrame(
+            [(k, f"p{k % 2}", float(k)) for k in range(8)],
+            "k int, p string, v double",
+        ),
+        path, "p",
+    )
+    L.snapshot_merge(
+        spark,
+        spark.createDataFrame([(1, "p1", -1.0)], "k int, p string, v double"),
+        path, "p", ["k"],
+    )
+    L.snapshot_merge(
+        spark,
+        spark.createDataFrame([(2, "p0", -2.0)], "k int, p string, v double"),
+        path, "p", ["k"],
+    )
+
+    import datawarehouse_group10_spark.streaming as S
+
+    diff_calls = []
+    real_diff = L.snapshot_diff
+
+    def counting_diff(*a, **kw):
+        diff_calls.append(a[2:4])
+        return real_diff(*a, **kw)
+
+    seen = []
+
+    def consumer(changes, v_from, v_to):
+        # the handed window is CACHED and already MATERIALIZED — the
+        # consumer's N references all read blocks, not the diff plan
+        assert changes.storageLevel.useMemory, "window not persisted"
+        # reference the window several times, as the applier does
+        n_ins = changes.filter(F.col("_change") == "insert").count()
+        n_del = changes.filter(F.col("_change") == "delete").count()
+        seen.append((v_from, v_to, n_ins, n_del, changes))
+
+    import unittest.mock as mock
+
+    with mock.patch.object(L, "snapshot_diff", counting_diff):
+        # patch the name the consumer resolves (it imports inside the
+        # function body from ..sources.layout)
+        st = run_snapshot_cdf_consume(
+            spark, path, consumer, str(tmp_path / "cur"),
+            start_version=1,
+        )
+    assert st["delivered"] == 2
+    # one snapshot_diff PLAN per window — no validate re-diff
+    assert diff_calls == [(1, 2), (2, 3)]
+    # each update window: delete(old)+insert(new) on one key
+    assert [(s[0], s[1], s[2], s[3]) for s in seen] == [
+        (1, 2, 1, 1), (2, 3, 1, 1)
+    ]
+    # released after the window: nothing left pinned
+    for s in seen:
+        assert s[4].storageLevel.useMemory is False, "window leaked"
+
+
+def test_drop_delete_key_via_automatic_scoped_fold(spark, tmp_path):
+    """Dropping the delete-key column with outstanding merge-on-read
+    delete files unblocks via a SCOPED fold of only the
+    delete-carrying entries (r17, VERDICT r16 #7): pass spark= to
+    snapshot_evolve_schema and it runs snapshot_compact(partitions=
+    <carriers>) automatically — partitions without delete refs keep
+    their existing data roots (no full-table rewrite); without spark=
+    the refusal names the exact scoped-fold command."""
+    import pytest as _pytest
+
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_delete,
+        snapshot_evolve_schema,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    # k-ranges disjoint per partition: deletes of k=1,12 touch ONLY
+    # p0 and p1
+    snapshot_write(
+        spark.createDataFrame(
+            [(k, f"p{k // 10}", float(k)) for k in range(60)],
+            "k int, p string, v double",
+        ),
+        path, "p",
+    )
+    snapshot_delete(
+        spark, spark.createDataFrame([(1,), (12,)], "k int"),
+        path, "p", ["k"],
+    )
+    m = snapshot_manifest(path)
+    carriers = sorted(k for k, e in m["partitions"].items() if "dv" in e)
+    assert carriers == ["p0", "p1"]
+
+    # without spark=: refused, naming the scoped command + carriers
+    with _pytest.raises(ValueError) as exc:
+        snapshot_evolve_schema(path, drop=["k"])
+    msg = str(exc.value)
+    assert "snapshot_compact" in msg and "'p0'" in msg and "'p1'" in msg
+    assert "scoped fold automatically" in msg
+
+    # with spark=: the scoped fold runs, then the drop commits
+    st = snapshot_evolve_schema(path, drop=["k"], spark=spark)
+    m = snapshot_manifest(path)
+    assert m.get("dv_key") is None and m.get("dv_key_ids") is None
+    assert all("dv" not in e for e in m["partitions"].values())
+    # only the carriers were rewritten — the other 4 entries still
+    # reference their original v1 data directories
+    roots = {k: e["root"] for k, e in m["partitions"].items()}
+    assert all(roots[p] == "v1" for p in ("p2", "p3", "p4", "p5")), roots
+    assert all(roots[p] != "v1" for p in ("p0", "p1")), roots
+    out = snapshot_read(spark, path)
+    assert "k" not in out.columns
+    rows = out.collect()
+    assert len(rows) == 58 and st["new_version"] > st["old_version"]
+    vals = {r["v"] for r in rows}
+    assert 1.0 not in vals and 12.0 not in vals and 13.0 in vals
