@@ -31,26 +31,39 @@ def chunk_token_windows(df, text_col: str = "text", id_col: str = "doc_id",
     (the pre-tokenizer chunking step of an LLM training pipeline) —
     (id, chunk_idx, chunk_text, n_tokens) with the last chunk ragged.
 
-    Pure column arithmetic: one explode of the chunk-index range, slices
-    of the token array — a single scan-project stage, no shuffle, no
-    Python; at 100 TB the chunk rows stream straight into the shard
-    writer. The token array rides along the explode (duplicated per
-    chunk), which is bounded by window size — never quadratic."""
+    Pure column arithmetic: the chunk structs are built INSIDE the
+    token array's row with one ``F.transform`` over the chunk-index
+    range, then exploded — a single scan-project stage, no shuffle,
+    no Python; at 100 TB the chunk rows stream straight into the
+    shard writer. Slicing before the explode matters (r17): the old
+    shape exploded the index range first and sliced after, so the
+    FULL token array rode along every chunk row — O(n_tokens^2 /
+    window) bytes materialized per document, genuinely quadratic in
+    document length for small windows. This shape peaks at O(doc) per
+    input row and each output row carries only its own chunk."""
     toks = tokens(text_col)
     df2 = df.select(F.col(id_col), toks.alias("_toks"))
     n = F.size("_toks")
     n_chunks = F.ceil(n / F.lit(float(window))).cast("int")
-    exploded = df2.select(
-        F.col(id_col),
-        "_toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice("_toks", i * window + 1, F.lit(window)), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(window), F.size("_toks") - i * window)
+            .cast("int")
+            .alias("n_tokens"),
+        ),
     )
-    start = F.col("chunk_idx") * window
-    return exploded.select(
+    return df2.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
         F.col(id_col),
-        F.col("chunk_idx"),
-        F.array_join(F.slice("_toks", start + 1, window), " ").alias("chunk_text"),
-        F.least(F.lit(window), F.size("_toks") - start).cast("int").alias("n_tokens"),
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
     )
 
 
