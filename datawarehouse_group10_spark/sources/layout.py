@@ -3362,9 +3362,33 @@ def snapshot_diff(
                 for c in cols
             ]
         )
-    inserts = b_df.exceptAll(a_df).withColumn("_change", F.lit("insert"))
-    deletes = a_df.exceptAll(b_df).withColumn("_change", F.lit("delete"))
-    out = inserts.unionByName(deletes)
+    # BOTH diff directions in ONE signed aggregation (r17): the
+    # exceptAll pair planned two separate union+aggregate subtrees, so
+    # each side's changed partitions were scanned and shuffled TWICE.
+    # Tag TO rows +1 and FROM rows -1, sum per distinct row, and the
+    # net multiplicity IS the exceptAll-pair result: net>0 emits that
+    # many 'insert' copies, net<0 that many 'delete' copies, net=0
+    # (the unchanged majority inside changed partitions) combines away
+    # map-side before the single shuffle. Multiset semantics, NULL and
+    # NaN grouping, and the map-type restriction are exactly
+    # exceptAll's; result column order is unchanged.
+    cols = b_df.columns
+    net = (
+        b_df.withColumn("_sgn", F.lit(1))
+        .unionByName(a_df.withColumn("_sgn", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_sgn").alias("_net"))
+        .filter(F.col("_net") != 0)
+    )
+    out = net.select(
+        *cols,
+        F.explode(
+            F.sequence(F.lit(1), F.abs(F.col("_net")).cast("int"))
+        ).alias("_rep"),
+        F.when(F.col("_net") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change"),
+    ).drop("_rep")
     if update_keys:
         from pyspark.sql import Window
 

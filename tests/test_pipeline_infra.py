@@ -7314,3 +7314,46 @@ def test_drop_delete_key_via_automatic_scoped_fold(spark, tmp_path):
     assert len(rows) == 58 and st["new_version"] > st["old_version"]
     vals = {r["v"] for r in rows}
     assert 1.0 not in vals and 12.0 not in vals and 13.0 in vals
+
+
+def test_snapshot_diff_single_pass_plan(spark, tmp_path):
+    """snapshot_diff computes BOTH change directions in one signed
+    aggregation (r17): the old exceptAll pair planned two separate
+    union+aggregate subtrees, scanning and shuffling each side's
+    changed partitions twice. The optimized plan must now hold exactly
+    ONE scan per side (two parquet relations total), and the multiset
+    semantics must match exceptAll's — including duplicate rows, whose
+    NET multiplicity change is what's emitted."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_diff,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "p string, k int, v double",
+    )
+    snapshot_write(base, path, "p")
+    # v2: k=1 drops one duplicate copy (2 -> 1), k=2 updates, b
+    # untouched (pruned from the diff entirely)
+    snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, -2.0)], "p string, k int, v double"
+        ),
+        path, "p", ["k"],
+    )
+    d = snapshot_diff(spark, path, 1, 2, "p")
+    got = sorted((r["k"], r["v"], r["_change"]) for r in d.collect())
+    assert got == [
+        (1, 1.0, "delete"),          # net multiplicity 2 -> 1
+        (2, -2.0, "insert"),
+        (2, 2.0, "delete"),
+    ], got
+    plan = d._jdf.queryExecution().optimizedPlan().toString()
+    scans = sum(
+        1 for line in plan.splitlines() if "Relation" in line and "parquet" in line
+    )
+    assert scans == 2, plan
