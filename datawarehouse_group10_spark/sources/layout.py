@@ -1328,12 +1328,22 @@ def _footer_stat_record(full: str) -> dict:
     }
 
 
-#: Below this many files the commit path reads footers serially on the
-#: driver (a handful of local opens beats a job round-trip); at or
-#: above it, ONE executor job collects every record (r16, VERDICT r15
-#: #1) — on object storage a 10^4-partition backfill otherwise
-#: serializes that many footer GETs inside the commit path.
-FOOTER_STATS_DISTRIBUTE_MIN = 64
+#: Below this many files the commit path reads footers on the driver
+#: (THREADED since r17 — footer opens are GIL-releasing I/O, so a
+#: 32-wide pool turns 256 opens into ~8 serial opens' wall-clock, the
+#: same shape Iceberg's driver-side manifest readers use); at or above
+#: it, ONE executor job collects every record (r16, VERDICT r15 #1) —
+#: on object storage a 10^4-partition backfill otherwise serializes
+#: that many footer GETs inside the commit path. r17 raised the bound
+#: 64 -> 256: an executor stat job costs ~1s of fixed job round-trip
+#: per commit (measured at sf0.1), which the threaded driver pool beats
+#: up to hundreds of files even on remote storage (256 concurrent GETs
+#: from one driver is routine metadata traffic).
+FOOTER_STATS_DISTRIBUTE_MIN = 256
+
+#: Driver-side footer reads fan out over this many threads once a
+#: commit touches more than a handful of files.
+FOOTER_STATS_DRIVER_THREADS = 32
 
 #: Observability for the O(1)-driver-I/O pin (r16): cumulative count of
 #: footer files read ON THE DRIVER vs. distributed stat jobs launched.
@@ -1353,6 +1363,16 @@ def _footer_stats(files, spark=None) -> dict[str, dict]:
     spark = spark or _active_spark()
     if spark is None or len(files) < FOOTER_STATS_DISTRIBUTE_MIN:
         FOOTER_STAT_COUNTS["driver_files"] += len(files)
+        if len(files) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(FOOTER_STATS_DRIVER_THREADS, len(files))
+            ) as pool:
+                return {
+                    r["path"]: r
+                    for r in pool.map(_footer_stat_record, files)
+                }
         return {f: _footer_stat_record(f) for f in files}
     sc = spark.sparkContext
     FOOTER_STAT_COUNTS["jobs"] += 1
