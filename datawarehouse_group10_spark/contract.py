@@ -131,8 +131,27 @@ _PRIZES = [
 # ---------------------------------------------------------------------------
 # Shared plumbing
 
+#: Session-scoped memo of base-table reader DataFrames (r17, guide §6's
+#: session-level file-listing cache applied at the API layer): every
+#: `spark.read.parquet` call re-lists the directory and re-infers the
+#: schema from footers (~50-90 ms of driver I/O + py4j), and a suite
+#: body calls `_t` up to 17 times per invocation — ~1.5 s of the
+#: tpch_join_suite's measured per-run cost was this re-inference.
+#: The memo holds only the LAZY reader plan (schema + file index) for
+#: the immutable input corpus under ``sf_dir``; every action on it
+#: still scans the parquet from disk (no data is cached). Keyed by the
+#: JVM application id so a fresh SparkContext never sees a stale plan.
+_TABLE_READER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId,
+           os.path.join(os.path.abspath(sf_dir), f"{name}.parquet"))
+    df = _TABLE_READER_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(key[1])
+        _TABLE_READER_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

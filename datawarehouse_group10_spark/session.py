@@ -68,6 +68,16 @@ def get_spark(
         # Timestamps in testdata are ntz-like; keep session in UTC so
         # date arithmetic is deterministic across engines.
         "spark.sql.session.timeZone": "UTC",
+        # Per-call DataFrame debug context (r17, guide §1.2 "per-task
+        # work" applied to the DRIVER): when on, every DataFrame API
+        # call pays a Python stack walk plus three py4j round-trips to
+        # record its call site for error messages. A suite body makes
+        # ~2k API calls per invocation, so plan CONSTRUCTION was paying
+        # ~0.5-1 s/query of pure bookkeeping (measured via cProfile:
+        # errors/utils.py wrapper = 0.8 s of tpch_join_suite's 3.9 s
+        # build). Errors still carry the JVM-side context; only the
+        # Python call-site annotation is dropped.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
     }
     if extra_conf:
         conf.update(extra_conf)
