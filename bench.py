@@ -360,6 +360,26 @@ def main() -> None:
     # next to bench.py so round-over-round comparisons read a file, not
     # a log. SPARK_GRAFT_BENCH_OUT overrides the path; write failures
     # never fail the bench run itself.
+    # r18 (VERDICT r17 #2): the full payload line above kept growing
+    # (35+ secondaries) and the driver's tail capture truncated it at
+    # r16, breaking the round-over-round comparison. Emit a COMPACT
+    # headline-only JSON as the FINAL stdout line — same "metric"/
+    # "value"/"unit"/"queries"/"sf" contract, every headline entry
+    # present, ~1.5 KB so a tail capture always holds it intact. The
+    # full line above and bench_results.json are unchanged (additions
+    # only; no timed region touched).
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": times,
+        "min": times,
+        "median": medians,
+        "median_total": payload["median_total"],
+        "repeats": repeats,
+        "warmup": warmup,
+        "sf": payload["sf"],
+    }
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -371,6 +391,7 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:  # bench numbers already printed; don't fail
         print(f"bench_results.json write failed: {exc}", file=sys.stderr)
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -22,6 +22,8 @@ shuffle.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1347,8 +1349,12 @@ FOOTER_STATS_DRIVER_THREADS = 32
 
 #: Observability for the O(1)-driver-I/O pin (r16): cumulative count of
 #: footer files read ON THE DRIVER vs. distributed stat jobs launched.
-#: Not part of any on-disk state.
+#: Not part of any on-disk state. Updated under a lock (ADVICE r17 #5):
+#: concurrent foreachBatch/commit threads — the overlapped stream
+#: suite — would otherwise lose increments to the unguarded
+#: read-modify-write, and tests assert on these counts.
 FOOTER_STAT_COUNTS = {"driver_files": 0, "jobs": 0}
+_FOOTER_STAT_LOCK = threading.Lock()
 
 
 def _footer_stats(files, spark=None) -> dict[str, dict]:
@@ -1362,7 +1368,8 @@ def _footer_stats(files, spark=None) -> dict[str, dict]:
     files = list(files)
     spark = spark or _active_spark()
     if spark is None or len(files) < FOOTER_STATS_DISTRIBUTE_MIN:
-        FOOTER_STAT_COUNTS["driver_files"] += len(files)
+        with _FOOTER_STAT_LOCK:
+            FOOTER_STAT_COUNTS["driver_files"] += len(files)
         if len(files) > 8:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -1375,7 +1382,8 @@ def _footer_stats(files, spark=None) -> dict[str, dict]:
                 }
         return {f: _footer_stat_record(f) for f in files}
     sc = spark.sparkContext
-    FOOTER_STAT_COUNTS["jobs"] += 1
+    with _FOOTER_STAT_LOCK:
+        FOOTER_STAT_COUNTS["jobs"] += 1
     n = max(1, min(len(files), sc.defaultParallelism * 2))
     recs = (
         sc.parallelize(sorted(files), n)

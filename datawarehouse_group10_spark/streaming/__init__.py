@@ -91,6 +91,22 @@ EVENTS_SCHEMA_NANOS = (
 )
 
 
+def _await_or_raise(q, timeout_sec: int) -> None:
+    """Block until the streaming query terminates; RAISE on timeout
+    (ADVICE r17 #4): ``awaitTermination(t)`` returning False used to
+    fall through to a silent ``stop()``, leaving a PARTIAL sink that
+    only surfaced later as an oracle mismatch far from the cause —
+    with overlapped suite pipelines contending for cores the fixed
+    timeout is nearer than it was serially. The query is still stopped
+    in ``finally`` before the raise so no stream leaks."""
+    timed_out = not q.awaitTermination(timeout_sec)
+    if timed_out:
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not terminate within "
+            f"{timeout_sec}s; stopping it (sink contents are partial)"
+        )
+
+
 _STREAM_DIR_CACHE: dict[str, str] = {}
 
 
@@ -240,7 +256,7 @@ def run_stream_to_table(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     finally:
         if q.isActive:
             q.stop()
@@ -276,7 +292,7 @@ def run_stream_to_parquet(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     finally:
         if q.isActive:
             q.stop()
@@ -334,7 +350,7 @@ def run_stream_mart_upsert(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     finally:
         if q.isActive:
             q.stop()
@@ -515,7 +531,7 @@ def run_stream_corpus_ingest(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     finally:
         if q.isActive:
             q.stop()
@@ -929,7 +945,7 @@ def run_stream_count_min(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     finally:
         if q.isActive:
             q.stop()
@@ -1167,7 +1183,7 @@ def run_stream_cdc_apply(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.trigger(availableNow=True).start()
     try:
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     finally:
         if q.isActive:
             q.stop()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 
@@ -289,6 +290,66 @@ def test_bucketed_suite_variants_single_shuffle(spark):
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(q21b) == key(plain21)
     assert key(q20b) == key(plain20)
+
+
+def test_subquery_pair_materialized_path(spark, monkeypatch):
+    """q_tpch_subquery_suite's shared (partkey, suppkey) pair aggregate
+    is materialized once (localCheckpoint) when the lineitem input
+    crosses SUBQ_MATERIALIZE_MIN_BYTES (r18, VERDICT r17 #1 — the
+    scale-adaptive CTE-materialization guard). Both regimes must return
+    identical rows: the default pruned path (threshold far above any
+    fixture) and the forced-materialized path (threshold 0)."""
+    from datawarehouse_group10_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda df: sorted(map(tuple, df.collect()))
+    default_rows = key(contract.q_tpch_subquery_suite(spark, sf))
+    assert contract.SUBQ_MATERIALIZE_MIN_BYTES > contract._dir_bytes(
+        os.path.join(sf, "lineitem.parquet")
+    ), "fixture tiers must take the pruned path by default"
+    monkeypatch.setattr(contract, "SUBQ_MATERIALIZE_MIN_BYTES", 0)
+    ckpt_rows = key(contract.q_tpch_subquery_suite(spark, sf))
+    assert ckpt_rows == default_rows
+    assert len(ckpt_rows) > 0
+
+
+def test_q21_cluster_once_single_pair_exchange(spark):
+    """cluster_once=True (r18) plans the q21 pipeline's three keyed
+    steps — the (order, supplier) aggregate, the per-order rollup, and
+    the join-back — over ONE orderkey exchange: exactly one
+    hashpartitioning(l_orderkey...) Exchange beyond the final suppkey
+    aggregate, where the default shape re-shuffles per step. Results
+    identical in both shapes."""
+    import re
+
+    from datawarehouse_group10_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    li = contract._t(spark, sf, "lineitem")
+    orders = contract._t(spark, sf, "orders")
+    clustered = contract._q21_sole_late_shipper(
+        li, orders, "t21", cluster_once=True
+    )
+    clustered.collect()  # AQE applies exchange reuse at runtime
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    # executedPlan prints the final AND the initial adaptive plan; only
+    # the final one reflects runtime exchange reuse
+    plan = plan.split("== Initial Plan ==")[0]
+    live, reused = [], []
+    for line in plan.splitlines():
+        m = re.search(r"Exchange hashpartitioning\([^)]*l_orderkey[^)]*\)", line)
+        if m:
+            (reused if "ReusedExchange" in line else live).append(m.group(0))
+    assert len(live) == 1, (live, reused, plan)
+    assert reused, "the ostats/join-back branch must REUSE the one exchange"
+    assert not re.search(
+        r"hashpartitioning\([^)]*l_suppkey[^)]*l_orderkey|"
+        r"hashpartitioning\([^)]*l_orderkey[^)]*l_suppkey", plan
+    ), "pair-keyed exchange should be subsumed by the orderkey clustering"
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(clustered) == key(
+        contract._q21_sole_late_shipper(li, orders, "t21")
+    )
 
 
 def test_w7_sessionize(spark):
