@@ -1994,6 +1994,16 @@ def cdf_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ins = po.filter((k % 127 == 0) & (k != 0)).withColumn(
             "o_orderkey", -k
         )
+        # r18: VERDICT r17 #6 proposed landing these two commits as
+        # MERGE-ON-READ; measured (scripts/r18_probe_cdf.py, same
+        # process A/B) the MOR chain is NOT faster — src commits were
+        # equal-to-slower and the applier got consistently SLOWER
+        # (diff windows read through dv/ap refs), because per-commit
+        # FIXED cost (probe/validate/stat jobs) dominates at this
+        # scale, not the partition rewrite. The probe DID expose a
+        # latent snapshot_diff bug (ap-only partitions missing from
+        # the change signature — fixed in layout.py, test-pinned),
+        # so the COW shape stays deliberately.
         snapshot_merge(
             spark, upd.unionByName(ins), src, "o_month", ["o_orderkey"]
         )
@@ -3236,16 +3246,39 @@ def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence to full restaging is driver-verified on each of those
     surfaces, not just pytest-pinned. Phase timings land in
     ``SHINGLE_STAGE_TIMINGS`` for bench.py's secondaries."""
-    from .functions.dedup import stage_shingles_incremental
+    from .functions.dedup import (
+        shingle_stage_shards,
+        stage_shingles_incremental,
+    )
 
     path = _SHINGLE_DIR_CACHE.get(sf_dir)
     if path is None:
         docs = _t(spark, sf_dir, "documents")
         path = os.path.join(tempfile.mkdtemp(prefix="shingles_"), "sh.parquet")
+        # r18 (guide §2.6/§6.3): a sub-128MB documents parquet scans
+        # as ONE split, so the whole tokenize->shingle pass (and every
+        # later consumer scan of the staged artifact) ran one-task-
+        # wide; shard scale-adaptively — size-governed at scale,
+        # core-count-governed at fixture scale
+        src = os.path.join(sf_dir, "documents.parquet")
+        src_bytes = (
+            sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(src)
+                for f in fs
+            )
+            if os.path.isdir(src)
+            else os.path.getsize(src)
+        )
+        shards = shingle_stage_shards(
+            src_bytes, spark.sparkContext.defaultParallelism
+        )
         t0 = time.time()
-        stage_shingles_incremental(docs.filter(F.col("doc_id") % 10 != 0), path)
+        stage_shingles_incremental(
+            docs.filter(F.col("doc_id") % 10 != 0), path, shards=shards
+        )
         t1 = time.time()
-        stage_shingles_incremental(docs, path)
+        stage_shingles_incremental(docs, path, shards=shards)
         SHINGLE_STAGE_TIMINGS["bulk"] = round(t1 - t0, 3)
         SHINGLE_STAGE_TIMINGS["delta"] = round(time.time() - t1, 3)
         _SHINGLE_DIR_CACHE[sf_dir] = path
@@ -4130,9 +4163,20 @@ def ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag = _sf_tag(sf_dir)
         path = os.path.join(GRAFT_WAREHOUSE, f"ann_index_{tag}", "codes")
         if not _layout_ready(path):
+            from concurrent.futures import ThreadPoolExecutor
+
             emb = _t(spark, sf_dir, "embeddings")
-            books = _pq_books(spark, sf_dir)
-            rbooks = _pq_res_books(spark, sf_dir)
+            # The two codebook trainings are INDEPENDENT iterative
+            # chains (raw books vs residual books) whose cost is
+            # mostly driver/JVM plan work on a 2k-row fixture —
+            # overlap them from a driver thread pool (guide §2.6)
+            # so the cold index build pays max(), not sum(). Each
+            # trains exactly as before (same jobs, same collected
+            # means — thread-local job groups only).
+            with ThreadPoolExecutor(max_workers=2) as tp:
+                fb = tp.submit(_pq_books, spark, sf_dir)
+                frb = tp.submit(_pq_res_books, spark, sf_dir)
+                books, rbooks = fb.result(), frb.result()
             cents = deterministic_centroids(emb, k=16)
             planes = _lsh_data_planes(spark, sf_dir, n=16)
             # t0 AFTER training: codebook training is already surfaced
@@ -4495,6 +4539,11 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the lottery bronze + streaming sinks), cleaned at exit.
 _STREAM_SUITE_CACHE: dict[str, str] = {}
 
+#: Per-pipeline wall seconds of the last q_stream_suite run (r18,
+#: guide §1 "measure first") — read by probes/bench to see which
+#: pipeline is the suite's floor.
+STREAM_SUITE_TIMINGS: dict[str, float] = {}
+
 
 def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two STATEFUL streaming operators under the driver oracle (r6
@@ -4788,11 +4837,27 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )),
         ]
         width = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "4"))
+
+        def _timed(name, fn):
+            # per-pipeline wall clock (r18, guide §1): queue wait is
+            # excluded by stamping t0 inside the pool thread, so the
+            # numbers answer "which pipeline is the floor", not "how
+            # long did the queue hold it"
+            def run():
+                t0 = time.time()
+                try:
+                    return fn()
+                finally:
+                    STREAM_SUITE_TIMINGS[name] = round(time.time() - t0, 3)
+            return run
+
         with ThreadPoolExecutor(max_workers=max(1, width)) as pool:
             # The hourly future is looked up BY NAME, not position
             # (ADVICE r17 #2: a 'longest first' re-tune must not be
             # able to silently bind the wrong future).
-            futs = {name: pool.submit(fn) for name, fn in runners}
+            futs = {
+                name: pool.submit(_timed(name, fn)) for name, fn in runners
+            }
             hourly_base = futs["hourly"].result()
             for f in futs.values():
                 f.result()

@@ -259,12 +259,31 @@ def minhash_signatures(
     )
 
 
+def shingle_stage_shards(
+    src_bytes: int, cores: int, target_bytes: int = 128 << 20
+) -> int:
+    """Scale-adaptive shard count for a staged-shingle write (r18,
+    guide §2.6/§6.3): SIZE-governed at scale — output files near
+    ``target_bytes`` (the staged shingle parquet measures ~2x its
+    source documents parquet) — and PARALLELISM-governed at fixture
+    scale, where a sub-128MB corpus scans as ONE split, so without a
+    spread the shingling runs on one core and every consumer scan of
+    the staged artifact inherits the same one-task width (measured:
+    bulk stage 5.6s -> 2.6s at sf0.1 on local[32]). ~16KB of source
+    text per shard is the floor that keeps tiny corpora from
+    sharding into empty files."""
+    size_shards = (src_bytes * 2) // target_bytes + 1
+    width_shards = min(cores, src_bytes // (16 << 10) + 1)
+    return int(max(size_shards, width_shards))
+
+
 def materialize_shingles(
     df: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    shards: int | None = None,
 ) -> DataFrame:
     """Write the shingled projection (id, array<string> shingles) to
     parquet ONCE and return a reader over it — the many-consumer scale
@@ -279,6 +298,11 @@ def materialize_shingles(
     :func:`stage_shingles_incremental` detect mutated docs loudly and
     :func:`compact_staged_shingles` reuse unchanged docs' shingles
     without re-tokenizing them."""
+    if shards:
+        # spread a one-split fixture scan across the cluster (r18 —
+        # see shingle_stage_shards); at scale the scan already splits
+        # and shards is size-derived, so this is never a narrowing
+        df = df.repartition(shards)
     df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("text_md5"),
@@ -294,6 +318,7 @@ def stage_shingles_incremental(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     check_mutations: bool = True,
+    shards: int | None = None,
 ) -> DataFrame:
     """Incrementally maintain the staged shingle parquet at ``path``:
     shingle ONLY the docs whose ``id_col`` is not already staged and
@@ -342,7 +367,8 @@ def stage_shingles_incremental(
         )
     except AnalysisException:  # first call: nothing staged yet
         return materialize_shingles(
-            df, path, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+            df, path, text_col=text_col, id_col=id_col,
+            shingle_k=shingle_k, shards=shards,
         )
     joined = df.withColumn("_cur_md5", F.md5(F.col(text_col))).join(
         staged, id_col, "left"
@@ -363,6 +389,11 @@ def stage_shingles_incremental(
                 "replace rows — run compact_staged_shingles first"
             )
     delta = joined.filter(F.col("_staged_md5").isNull())
+    if shards:
+        # the delta is a corpus fraction — spread it the same way
+        # (a one-split delta would shingle on one core); Spark drops
+        # empty shards' files, so a small delta stays few files
+        delta = delta.repartition(shards)
     delta.select(
         F.col(id_col),
         F.col("_cur_md5").alias("text_md5"),

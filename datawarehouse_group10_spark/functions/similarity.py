@@ -29,6 +29,40 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _vsql(vec) -> str:
+    """SQL text of a constant double array. ``repr(float)`` is the
+    shortest decimal that round-trips to the same IEEE-754 double, and
+    Spark's parser reads a ``...D`` literal with correctly-rounded
+    ``Double.parseDouble`` — so the parsed array is BIT-IDENTICAL to
+    the Python values. (Finite values only — asserted.)"""
+    parts = []
+    for x in vec:
+        x = float(x)
+        assert x == x and x not in (float("inf"), float("-inf"))
+        parts.append(repr(x) + "D")
+    return "array(" + ",".join(parts) + ")"
+
+
+def _vlit(vec) -> Column:
+    """A constant vector as ONE py4j call / ONE parsed expression
+    (r18, VERDICT r17 #3): ``F.array(*[F.lit(x) for x in vec])`` paid
+    a py4j round trip per element — cProfile measured 8.8s of a 9.7s
+    training pass inside py4j ``send_command`` (10,949 round trips;
+    ``F.lit(list)`` decomposes into the same per-element calls
+    internally, builtin.py:268). One ``F.expr`` ships the whole array
+    as text and the JVM parses it in one call. Same doubles in the
+    same order (see :func:`_vsql`); only the plan-construction path
+    changes — bit-identity pinned by scripts/r18_verify_lit.py and
+    test_vlit_mlit_bit_identity."""
+    return F.expr(_vsql(vec))
+
+
+def _mlit(mat) -> Column:
+    """A constant matrix as ONE py4j call — the 2-D companion of
+    :func:`_vlit` (codebooks, centroid tables, ADC table sets)."""
+    return F.expr("array(" + ",".join(_vsql(row) for row in mat) + ")")
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -43,7 +77,7 @@ def cosine_similarity_col(vec_col: Column | str, query: list[float]) -> Column:
     """Cosine similarity of each row's vector against a constant query
     vector, as one JVM-side expression (double precision)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _vlit(query)
     return _dot(v, q) / (_norm(v) * _norm(q))
 
 
@@ -105,7 +139,7 @@ def data_plane_codes(
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     code = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
-        proj = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
+        proj = _dot(v, _vlit(plane))
         code = code.bitwiseOR(
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
                 F.lit(0).cast("bigint")
@@ -573,13 +607,16 @@ def pq_encode(
     codes = []
     for s, cb in enumerate(codebooks):
         v = F.slice(F.col(vec_col), s * sub + 1, sub)
-        dists = []
-        for c in cb:
-            ca = F.array(*[F.lit(float(x)) for x in c])
-            # entry self-dot is constant: driver-computed (r17), same
-            # fold, same doubles — see _pydot
-            dists.append(F.lit(_pydot(c, c)) - 2 * _dot(v, ca))
-        darr = F.array(*dists)
+        # entry self-dots are constants: driver-computed (r17) with
+        # _pydot's identical fold; the codebook and the self-dot table
+        # ship as ONE Literal node each (r18 — see _vlit), so the
+        # per-entry distance is one zip_with lambda instead of K
+        # separate aggregate expressions
+        darr = F.zip_with(
+            _vlit([_pydot(c, c) for c in cb]),
+            _mlit(cb),
+            lambda sd, ca: sd - 2 * _dot(v, ca),
+        )
         codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
     return df.withColumn("_pq", F.array(*codes))
 
@@ -620,12 +657,8 @@ def _adc_col(
     approx = None
     for s, cb in enumerate(codebooks):
         qs = query[s * sub : (s + 1) * sub]
-        table = F.array(
-            *[
-                F.lit(_pydot(c, c) - 2 * _pydot(qs, c))
-                for c in cb
-            ]
-        )
+        # one Literal node per subspace table (r18 — _vlit)
+        table = _vlit([_pydot(c, c) - 2 * _pydot(qs, c) for c in cb])
         term = F.element_at(table, F.col(code_col).getItem(s) + 1)
         approx = term if approx is None else approx + term
     return approx
@@ -730,16 +763,17 @@ def ivf_assign(
     produces exactly that) — _cell is derived from array position.
     """
     v = F.col(vec_col)
-    dists = []
-    for cid, vec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in vec])
-        # squared L2 up to the per-row constant dot(v,v):
-        # argmin-equivalent; the centroid's self-dot is constant, so
-        # it is computed driver-side with _pydot's identical fold
-        # (r17) instead of leaving a folded expression tree per
-        # centroid in the plan
-        dists.append(F.lit(_pydot(vec, vec)) - 2 * _dot(v, c))
-    darr = F.array(*dists)
+    # squared L2 up to the per-row constant dot(v,v): argmin-
+    # equivalent; centroid self-dots are constants computed driver-
+    # side with _pydot's identical fold (r17), and the centroid table
+    # + self-dot table ship as ONE Literal node each (r18 — _vlit),
+    # so the assignment plan is one zip_with lambda instead of k
+    # separate aggregate expressions
+    darr = F.zip_with(
+        _vlit([_pydot(vec, vec) for _cid, vec in centroids]),
+        _mlit([vec for _cid, vec in centroids]),
+        lambda sd, c: sd - 2 * _dot(v, c),
+    )
     cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
     return df.withColumn("_cell", cell)
 
@@ -849,12 +883,7 @@ def _residual_col(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Col
     array-of-arrays centroid table indexed by the row's ``_cell`` —
     scan-project, no join. Requires ``centroids`` ordered by id 0..k-1
     (the same contract :func:`ivf_assign` documents)."""
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in vec])
-            for _cid, vec in centroids
-        ]
-    )
+    cent_arr = _mlit([vec for _cid, vec in centroids])
     return F.zip_with(
         F.col(vec_col),
         F.element_at(cent_arr, F.col("_cell") + 1),
@@ -999,14 +1028,10 @@ def _res_adc_col(
             # bit-identical fold (r17) — the n_probe x M x K folded
             # expression trees were the query's dominant driver cost
             tables.append(
-                F.array(
-                    *[
-                        F.lit(_pydot(c, c) - 2 * _pydot(qres, c))
-                        for c in cb
-                    ]
-                )
+                [_pydot(c, c) - 2 * _pydot(qres, c) for c in cb]
             )
-        table = F.element_at(F.array(*tables), probe_pos)
+        # the n_probe x K table matrix ships as ONE Literal node (r18)
+        table = F.element_at(_mlit(tables), probe_pos)
         term = F.element_at(table, F.col(code_col).getItem(s) + 1)
         approx = term if approx is None else approx + term
     return approx
@@ -1131,25 +1156,28 @@ def knn_join_ivf(
     """
     from pyspark.sql import Window
 
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("int").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in centroids
-        ]
+    # centroid matrix + id table as ONE parsed expression each (r18 —
+    # see _vlit): the per-element struct literal paid ~k*(dim+1) py4j
+    # round trips per plan build. posexplode position maps to the id
+    # table entry; same runtime _dot folds, same doubles, same ranks.
+    idlit = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid, _v in centroids) + ")"
     )
-    # distance rank per query over the centroid literal; ties to low cid
     qcells = (
-        queries.select(query_id_col, query_vec_col, F.explode(cents).alias("c"))
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            F.posexplode(
+                _mlit([vec for _cid, vec in centroids])
+            ).alias("_pos", "cv"),
+        )
         .select(
             query_id_col,
             query_vec_col,
-            F.col("c.cid").alias("_cell"),
+            F.element_at(idlit, F.col("_pos") + 1).cast("int").alias("_cell"),
             (
-                _dot(F.col("c.cv"), F.col("c.cv"))
-                - 2 * _dot(F.col(query_vec_col), F.col("c.cv"))
+                _dot(F.col("cv"), F.col("cv"))
+                - 2 * _dot(F.col(query_vec_col), F.col("cv"))
             ).alias("_d"),
         )
     )

@@ -3253,12 +3253,24 @@ def _diff_manifests(
     a_p, b_p = a_m["partitions"], b_m["partitions"]
 
     def _sig(e: dict) -> tuple:
-        # a partition's logical content is (data root, delete files):
-        # a merge-on-read delete (r14) changes rows without moving the
-        # root, so the dv file list is part of the change signature
+        # a partition's logical content is (data root, delete files,
+        # APPEND files): a merge-on-read delete (r14) changes rows
+        # without moving the root, so the dv file list is part of the
+        # change signature — and a merge-on-read UPSERT (r15) can land
+        # PURE INSERTS as ap refs alone (no dv when no key matched),
+        # so the ap file list must be part of it too (r18: found by
+        # the COW-vs-MOR cdf equivalence probe — without it,
+        # snapshot_diff silently missed insert-only partitions of an
+        # upsert_mor commit; pinned by
+        # test_snapshot_diff_sees_mor_insert_only_partitions)
         return (
             e.get("root"),
             tuple((e.get("dv") or {}).get("files", ())),
+            tuple(
+                f
+                for rec in (e.get("ap") or ())
+                for f in rec.get("files", ())
+            ),
         )
 
     changed = {
@@ -3866,7 +3878,8 @@ def _probe_scope(
     key_cols: list[str],
     batch: DataFrame,
     keys: DataFrame,
-) -> tuple[dict, dict, set[str], bool]:
+    dup_guard: bool = False,
+) -> tuple[dict, dict, set[str], bool, int | None]:
     """Scoped metadata resolve + candidate selection for a key-equality
     probe — the shared front half of :func:`snapshot_merge` and
     :func:`snapshot_delete` (r14). Returns ``(m, parts, candidates,
@@ -3884,7 +3897,16 @@ def _probe_scope(
       manifest KEY itself — partition values carry no footer stats),
       and finally consults the per-partition key blooms when the table
       declares a bloom policy. Pruning is only ever an optimization:
-      missing stats / blooms keep the partition a candidate."""
+      missing stats / blooms keep the partition a candidate.
+
+    ``dup_guard=True`` (r18, guide §1.2 driver fixed costs) folds the
+    caller's one-change-per-key check into the SAME aggregation job:
+    the agg runs over ``batch.groupBy(key_cols).count()`` instead of
+    ``batch`` (identical key bounds / scope sets — every key value
+    survives the grouping) and additionally returns ``max(per-key
+    count)`` as the 5th element (None without the guard). The old
+    shape priced a separate full-batch groupBy job into every
+    commit's dup fence."""
     base_partial = False
     segs = raw.get("segments")
     mixed = bool(raw.get("pc_history"))
@@ -3944,12 +3966,18 @@ def _probe_scope(
             else:
                 scopable = False  # entries can match anywhere
                 break
-    bounds_row = batch.agg(
+    agg_src = (
+        batch.groupBy(*key_cols).agg(F.count("*").alias("_pg_n"))
+        if dup_guard
+        else batch
+    )
+    bounds_row = agg_src.agg(
         *[
             f(c).alias(f"{tag}_{i}")
             for i, c in enumerate(key_cols)
             for tag, f in (("lo", F.min), ("hi", F.max))
         ],
+        *([F.max("_pg_n").alias("_pg_dup")] if dup_guard else []),
         *(
             [
                 # NULL-tolerant (r17, ADVICE r16 #2): the fused shape
@@ -4034,7 +4062,8 @@ def _probe_scope(
         candidates = _key_bloom_probe(
             keys, key_cols, parts, candidates, bloom_spec
         )
-    return m, parts, candidates, base_partial
+    dup_max = int(bounds_row["_pg_dup"] or 0) if dup_guard else None
+    return m, parts, candidates, base_partial, dup_max
 
 
 def snapshot_merge(
@@ -4153,21 +4182,11 @@ def snapshot_merge(
             .filter(F.col("_sm_rn") == 1)
             .drop("_sm_rn", seq_col)
         )
-    else:
-        dup = (
-            batch.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                "snapshot_merge: batch holds more than one row for key "
-                f"{tuple(dup[0][c] for c in key_cols)} — a MERGE batch "
-                "must carry ONE change per key; pass seq_col=... to "
-                "reduce it last-change-wins"
-            )
+    # Without seq_col, key-uniqueness is a precondition: the check is
+    # FUSED into _probe_scope's aggregation job below (r18 — the
+    # separate groupBy job priced one extra job into every commit);
+    # only the failure path pays a second job to name an offender.
+    dup_guard = seq_col is None
     if delete_col is not None:
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
         upserts = batch.filter(~flag).drop(delete_col)
@@ -4181,9 +4200,24 @@ def snapshot_merge(
     # resolve (exact derived keys / key range when the partition legs
     # derive from key columns — VERDICT r13 #1), then a driver-side
     # stats overlap test + key-bloom consult per in-scope entry.
-    m, parts, candidates, base_partial = _probe_scope(
-        path, raw, partition_col, key_cols, batch, keys
+    m, parts, candidates, base_partial, dup_max = _probe_scope(
+        path, raw, partition_col, key_cols, batch, keys,
+        dup_guard=dup_guard,
     )
+    if dup_max is not None and dup_max > 1:
+        dup = (
+            batch.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        raise ValueError(
+            "snapshot_merge: batch holds more than one row for key "
+            f"{tuple(dup[0][c] for c in key_cols)} — a MERGE batch "
+            "must carry ONE change per key; pass seq_col=... to "
+            "reduce it last-change-wins"
+        )
     bloom_spec = m.get("key_bloom")
     probe = (
         # dv-aware read (r14): a key removed by an outstanding
@@ -4564,7 +4598,7 @@ def snapshot_delete(
             f"snapshot_delete: batch is missing key column(s) {missing}"
         )
     keys = batch.select(*key_cols).distinct()
-    m, parts, candidates, base_partial = _probe_scope(
+    m, parts, candidates, base_partial, _dup = _probe_scope(
         path, raw, partition_col, key_cols, keys, keys
     )
     schema_json = m.get("schema")
@@ -4795,20 +4829,9 @@ def snapshot_upsert_mor(
             .filter(F.col("_sm_rn") == 1)
             .drop("_sm_rn", seq_col)
         )
-    else:
-        dup = (
-            batch.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                "snapshot_upsert_mor: batch holds more than one row "
-                f"for key {tuple(dup[0][c] for c in key_cols)} — pass "
-                "seq_col=... to reduce it last-change-wins"
-            )
+    # dup fence fused into the probe aggregation (r18) — see
+    # snapshot_merge; only the failure path pays a naming job
+    dup_guard = seq_col is None
     if delete_col is not None:
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
         upserts = batch.filter(~flag).drop(delete_col)
@@ -4816,9 +4839,23 @@ def snapshot_upsert_mor(
     else:
         upserts = batch
         keys = batch.select(*key_cols).distinct()
-    m, parts, candidates, base_partial = _probe_scope(
-        path, raw, partition_col, key_cols, batch, keys
+    m, parts, candidates, base_partial, dup_max = _probe_scope(
+        path, raw, partition_col, key_cols, batch, keys,
+        dup_guard=dup_guard,
     )
+    if dup_max is not None and dup_max > 1:
+        dup = (
+            batch.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        raise ValueError(
+            "snapshot_upsert_mor: batch holds more than one row "
+            f"for key {tuple(dup[0][c] for c in key_cols)} — pass "
+            "seq_col=... to reduce it last-change-wins"
+        )
     schema_json = m.get("schema")
     if schema_json is not None:
         import json as _json

@@ -7357,3 +7357,41 @@ def test_snapshot_diff_single_pass_plan(spark, tmp_path):
         1 for line in plan.splitlines() if "Relation" in line and "parquet" in line
     )
     assert scans == 2, plan
+
+
+def test_snapshot_diff_sees_mor_insert_only_partitions(spark, tmp_path):
+    """r18 (found by scripts/r18_probe_cdf.py): a snapshot_upsert_mor
+    commit can touch a partition with APPEND refs alone — a pure
+    insert matches no existing key, so no delete file lands there.
+    _diff_manifests' change signature covered (root, dv files) only,
+    so snapshot_diff silently skipped such partitions and a CDF
+    consumer dropped the inserts. The signature now includes the ap
+    file list; the diff must carry BOTH the dv-touched update and the
+    ap-only insert."""
+    from datawarehouse_group10_spark.sources.layout import (
+        snapshot_diff,
+        snapshot_upsert_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "p string, k int, v double",
+    )
+    snapshot_write(base, path, "p")
+    # partition a: update (dv + ap); partition b: PURE INSERT (ap only)
+    snapshot_upsert_mor(
+        spark,
+        spark.createDataFrame(
+            [("a", 1, -1.0), ("b", 4, 4.0)], "p string, k int, v double"
+        ),
+        path, "p", ["k"],
+    )
+    d = snapshot_diff(spark, path, 1, 2, "p")
+    got = sorted((r["p"], r["k"], r["v"], r["_change"]) for r in d.collect())
+    assert got == [
+        ("a", 1, -1.0, "insert"),
+        ("a", 1, 1.0, "delete"),
+        ("b", 4, 4.0, "insert"),
+    ], got
