@@ -295,6 +295,15 @@ def main() -> None:
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
     for name in SECONDARY:
         secondary[name] = round(min(run(name)), 3)
+        if name == "stream_suite":
+            # r18 (VERDICT r17 #4): per-pipeline wall seconds of the
+            # suite's LAST run — which pipeline is the floor, visible
+            # round-over-round. Additions-only; no timed region
+            # changed.
+            for pipe, sec in sorted(
+                contract.STREAM_SUITE_TIMINGS.items()
+            ):
+                secondary[f"stream_pipe_{pipe}"] = sec
     # One-time PQ codebook training (r12): q_sim_pq_topk's warm-up call
     # trained + cached the books, so the timed repeats price the ADC
     # scan; the index-build cost is surfaced here like the other stages.
