@@ -1786,3 +1786,84 @@ def test_rolling_active_users_window_math(spark):
     assert "2024-01-06" not in out  # dead zone: nobody active in window
     assert out["2024-01-10"] == 1
     assert "2024-01-11" not in out  # clipped past corpus max date
+
+
+def test_vlit_mlit_bit_identity(spark):
+    """r18: every constant vector/matrix in the similarity operators
+    now ships as one parsed F.expr("array(...D)") (similarity._vlit /
+    _mlit) instead of per-element F.lit trees. repr(float) ->
+    Double.parseDouble must round-trip BIT-exactly, and the flattened
+    pq_encode / ivf_assign argmin chains must select the same entries
+    as the unrolled pre-r18 forms over awkward doubles (denormal-ish,
+    negative zero, many digits)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_group10_spark.functions.similarity import (
+        _dot,
+        _mlit,
+        _pydot,
+        _vlit,
+        ivf_assign,
+        pq_encode,
+    )
+
+    vals = [
+        0.1, -0.0, 1.0 / 3.0, 2.2250738585072014e-308, -1e16 + 0.5,
+        3.141592653589793, -2.718281828459045, 1e-9,
+    ]
+    got = spark.range(1).select(_vlit(vals).alias("v")).first()["v"]
+    assert got == vals  # exact doubles, not approximate
+    mat = [vals, list(reversed(vals))]
+    gotm = spark.range(1).select(_mlit(mat).alias("m")).first()["m"]
+    assert [list(r) for r in gotm] == mat
+
+    # flattened argmin == old unrolled argmin over a small corpus
+    rows = [
+        (i, [((i * 7 + d * 3) % 11) / 7.0 - 0.6 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = [
+        [[((s + j + d) % 5) / 3.0 - 0.4 for d in range(4)] for j in range(4)]
+        for s in range(2)
+    ]
+
+    def old_codes(codebooks, vec_col="embedding"):
+        sub = len(codebooks[0][0])
+        codes = []
+        for s, cb in enumerate(codebooks):
+            v = F.slice(F.col(vec_col), s * sub + 1, sub)
+            dists = [
+                F.lit(_pydot(c, c))
+                - 2 * _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                for c in cb
+            ]
+            darr = F.array(*dists)
+            codes.append(
+                (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+            )
+        return F.array(*codes)
+
+    new = pq_encode(emb, books).orderBy("vec_id").select("_pq").collect()
+    old = (
+        emb.withColumn("_pq", old_codes(books))
+        .orderBy("vec_id").select("_pq").collect()
+    )
+    assert new == old
+
+    cents = [(i, [((i + d) % 7) / 4.0 - 0.8 for d in range(8)]) for i in range(4)]
+    a = ivf_assign(emb, cents).orderBy("vec_id").select("_cell").collect()
+    dists = [
+        F.lit(_pydot(vec, vec))
+        - 2 * _dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec]))
+        for _cid, vec in cents
+    ]
+    darr = F.array(*dists)
+    b = (
+        emb.withColumn(
+            "_cell",
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int"),
+        )
+        .orderBy("vec_id").select("_cell").collect()
+    )
+    assert a == b
