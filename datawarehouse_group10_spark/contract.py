@@ -3111,13 +3111,43 @@ def q_dedup_para(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents reader, ROUND-ROBIN-SPREAD across cores when (and
+    only when) the parquet is too small to split (r18, guide §2.6): a
+    sub-128MB one-file corpus scans as ONE task, serializing the heavy
+    pre-shuffle tokenize/gram work of the consumers that use this
+    (measured at sf0.1/local[32]: dedup_minhash_oneshot 9.1→5.6s,
+    dedup_spans 1.78→1.21s, outputs identical — both algorithms'
+    orderings are data-determined, never partition-determined). At
+    scale the scan splits naturally (natural splits >= cores) and this
+    returns the plain reader — it never repartitions a large corpus.
+    Consumers whose pre-shuffle work is light keep the plain reader:
+    the same A/B measured dedup_para LOSING 0.1s to the extra
+    exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_bytes = (
+        sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(src)
+            for f in fs
+        )
+        if os.path.isdir(src)
+        else os.path.getsize(src)
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if src_bytes // (128 << 20) + 1 < cores:
+        docs = docs.repartition(min(cores, src_bytes // (16 << 10) + 1))
+    return docs
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``spans`` half of :func:`q_dedup_paragraph` (exact-substring
     span dedup, r13) — its own bench series from r14 on."""
     _utc(spark)
     from .functions.dedup import exact_substring_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return exact_substring_dedup(docs, k=8).select(
         F.lit("spans").alias("surface"),
         "doc_id",
@@ -3321,9 +3351,14 @@ def q_dedup_minhash_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     no parquet staging cost, but the shingle lineage recomputes for each
     of its three consumers. Identical output and oracle as
     q_dedup_minhash_lsh; timed as a bench SECONDARY so the recompute cost
-    stays visible without dominating the headline."""
+    stays visible without dominating the headline.
+
+    The scan is spread via :func:`_docs_spread` (r18): in-query
+    shingling re-tokenizes the corpus per consumer, and a one-split
+    fixture scan serialized all of it (measured 9.1→5.6s; pair set
+    identical — partitioning-independent arithmetic)."""
     _utc(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return minhash_lsh_dup_pairs(docs, jaccard_threshold=0.5)
 
 

@@ -707,11 +707,16 @@ def test_tpch_suites_and_paragraph_dedup_plan_shapes(spark):
     # on the md5 segment key (first-occurrence window) + doc_id
     # (regroup); 'spans' on the md5 gram key (first-occurrence window)
     # + doc_id (island merge / interval aggregate / join back all
-    # REUSE that one doc_id partitioning — a fifth exchange would mean
-    # the span pipeline re-shuffles the corpus). AQE may add
-    # AQEShuffleRead nodes but no extra hash exchange; formatted mode
-    # lists each node once as "(N) Exchange" — count those.
-    assert len(re.findall(r"\(\d+\) Exchange", para)) == 4, para
+    # REUSE that one doc_id partitioning — a fifth HASH exchange would
+    # mean the span pipeline re-shuffles the corpus). AQE may add
+    # AQEShuffleRead nodes but no extra hash exchange. r18: the spans
+    # half additionally ROUND-ROBIN-spreads a one-split fixture scan
+    # across cores (contract._docs_spread — size-guarded to never
+    # fire on a corpus big enough to split naturally), so RoundRobin
+    # exchanges of the tiny input are sanctioned; the protected
+    # invariant is the HASH exchange count.
+    assert len(re.findall(r"hashpartitioning\(", para)) == 4, para
+    assert len(re.findall(r"RoundRobinPartitioning\(", para)) <= 2, para
 
     # j7's sweep plan (r7 scale fix): the count-per-interval query must
     # contain NO SortMergeJoin — the pair-materializing range_join plan
