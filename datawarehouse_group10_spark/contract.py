@@ -1107,6 +1107,8 @@ def bucketed_facts(
     spec mismatch would reintroduce Exchanges and fail loudly."""
     names = _BUCKETED_FACTS_CACHE.get(sf_dir)
     if names is None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from .operators.skew import write_bucketed_table
 
         tag = _sf_tag(sf_dir)
@@ -1117,22 +1119,42 @@ def bucketed_facts(
             (names[1], "orders", "o_orderkey"),
             (names[2], "lineitem", "l_partkey"),
         )
-        cold = warm = 0.0
+        todo_cold: list[tuple[str, str, str, str]] = []
+        todo_warm: list[tuple[str, str, str]] = []
         for name, src, key in specs:
             if spark.catalog.tableExists(name):
                 continue
             path = os.path.join(root, name)
             if _layout_ready(path):
-                t0 = time.time()
-                _register_external_bucketed(spark, name, path, [key], 16)
-                warm += time.time() - t0
+                todo_warm.append((name, path, key))
             else:
-                t0 = time.time()
+                todo_cold.append((name, src, key, path))
+        # The three layouts are INDEPENDENT tables (distinct names,
+        # distinct dirs, no shared state beyond the session), so the
+        # cold stagings overlap from a driver pool (r18, guide §2.6):
+        # each write's shuffle tail back-fills the others' idle cores
+        # and the stage cost is max(), not sum(). The timing below is
+        # the WALL of the overlapped block — the honest cost a cold
+        # bench run pays (previously the sum of three serial writes).
+        cold = warm = 0.0
+        if todo_cold:
+            t0 = time.time()
+
+            def _stage(args: tuple[str, str, str, str]) -> None:
+                name, src, key, path = args
                 write_bucketed_table(
                     _t(spark, sf_dir, src), name,
                     [key], num_buckets=16, sort_keys=[key], path=path,
                 )
-                cold += time.time() - t0
+
+            with ThreadPoolExecutor(max_workers=len(todo_cold)) as pool:
+                list(pool.map(_stage, todo_cold))
+            cold = time.time() - t0
+        if todo_warm:
+            t0 = time.time()
+            for name, path, key in todo_warm:
+                _register_external_bucketed(spark, name, path, [key], 16)
+            warm = time.time() - t0
         BUCKETED_STAGE_TIMINGS["stage"] = round(cold, 3)
         BUCKETED_STAGE_TIMINGS["attach"] = round(warm, 3)
         _BUCKETED_FACTS_CACHE[sf_dir] = names
@@ -1984,8 +2006,18 @@ def cdf_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
         )
-        snapshot_write(po, src, "o_month")
-        snapshot_write(po, dst, "o_month")
+        # src and dst are INDEPENDENT tables loaded from the same
+        # source plan — overlap the two base loads from a driver pool
+        # (r18, guide §2.6): the stage pays max(write) not sum(write);
+        # the commit chains that follow touch only their own table.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            for _f in [
+                _pool.submit(snapshot_write, po, p, "o_month")
+                for p in (src, dst)
+            ]:
+                _f.result()
         k = F.col("o_orderkey")
         t0 = time.time()
         upd = po.filter(k % 113 == 0).withColumn(

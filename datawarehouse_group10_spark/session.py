@@ -68,6 +68,22 @@ def get_spark(
         # Timestamps in testdata are ntz-like; keep session in UTC so
         # date arithmetic is deterministic across engines.
         "spark.sql.session.timeZone": "UTC",
+        # File-listing strategy (r18, guide §6 file listing / §7.3):
+        # every DataFrame over many partition directories builds an
+        # InMemoryFileIndex, and above this path count Spark lists via
+        # a DISTRIBUTED JOB — 632 one-file tasks cost ~1.3-1.7s of pure
+        # task-scheduling overhead per read at sf0.1 (measured 3x: a
+        # 632-dir read+count is 1.9-2.4s with the job vs 0.67s driver-
+        # side), and the snapshot layout's partitioned tables (80-632
+        # dirs) pay it on every probe/rewrite/read. The job exists for
+        # object stores where one driver would serialize 10^4+ LIST
+        # round trips; on local-fs/HDFS-class metadata, driver-side
+        # listing wins to far higher counts. Parameterized: object-
+        # store deployments set SPARK_GRAFT_LIST_JOB_THRESHOLD back
+        # down (e.g. 1024 on S3), and the value only changes WHERE the
+        # listing runs, never what is read.
+        "spark.sql.sources.parallelPartitionDiscovery.threshold":
+            os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "8192"),
         # Per-call DataFrame debug context (r17, guide §1.2 "per-task
         # work" applied to the DRIVER): when on, every DataFrame API
         # call pays a Python stack walk plus three py4j round-trips to
