@@ -1509,7 +1509,8 @@ MOR_BROADCAST_MAX_ROWS = 10_000_000
 
 
 def _key_bloom_extra(
-    spark, snap: str, partition_col, spec: dict, schema_json: str | None
+    spark, snap: str, partition_col, spec: dict, schema_json: str | None,
+    recs: dict | None = None,
 ) -> dict[str, dict]:
     """Per-partition key blooms for the freshly-written partitions
     under ``snap`` (r14, VERDICT r13 #4): ONE column-pruned Spark pass
@@ -1556,9 +1557,18 @@ def _key_bloom_extra(
         ]
         for key, leaf in leafs.items()
     }
-    recs = _footer_stats(
-        (f for fs in leaf_files.values() for f in fs), spark
-    )
+    # Footer records are REUSED from the commit path when provided
+    # (r18, guide §1.2 fixed costs): _stage_version already read every
+    # freshly-written file's footer for the manifest entry stats, and
+    # this sizing pass needs only row counts of the same files — the
+    # second footer sweep (a threaded driver pass or a whole executor
+    # job per bloom-carrying commit) was pure duplication.
+    if recs is None or any(
+        f not in recs for fs in leaf_files.values() for f in fs
+    ):
+        recs = _footer_stats(
+            (f for fs in leaf_files.values() for f in fs), spark
+        )
     m_of: dict[str, int] = {}
     for key in leafs:
         n = sum(recs[f]["rows"] for f in leaf_files[key])
@@ -1843,8 +1853,10 @@ def _stage_version(
     if entry_extra is not None and fresh:
         # caller-computed extra entry fields for the freshly-written
         # partitions (r14: the per-partition key bloom) — merged into
-        # the entries before they land in the delta segment
-        for key, extra in entry_extra(snap, set(fresh)).items():
+        # the entries before they land in the delta segment. The
+        # footer records read above are passed through so the bloom
+        # sizing pass never re-reads the same footers (r18).
+        for key, extra in entry_extra(snap, set(fresh), recs).items():
             if key in fresh:
                 fresh[key].update(extra)
     if synth_entries is not None:
@@ -1853,7 +1865,7 @@ def _stage_version(
         # unchanged but whose entry gains metadata (a delete-file
         # list). They ride the delta segment exactly like rewritten
         # partitions — O(touched) metadata, zero data work.
-        fresh.update(synth_entries(snap))
+        fresh.update(synth_entries(snap, recs))
     parts = {
         val: entry
         for val, entry in base_partitions.items()
@@ -3101,9 +3113,10 @@ def snapshot_write(
         spark = df.sparkSession
         schema_json_b = table_schema_json
 
-        def extra(snap: str, _fresh: set[str]) -> dict:
+        def extra(snap: str, _fresh: set[str], recs=None) -> dict:
             return _key_bloom_extra(
-                spark, snap, partition_col, spec, schema_json_b
+                spark, snap, partition_col, spec, schema_json_b,
+                recs=recs,
             )
 
     version, _m = _stage_version(
@@ -3614,7 +3627,7 @@ def snapshot_compact(
         if v in parts
     )
 
-    def carry_blooms(snap: str, fresh_keys: set[str]) -> dict:
+    def carry_blooms(snap: str, fresh_keys: set[str], recs=None) -> dict:
         # compaction rewrites FILES, not rows: every rewritten
         # partition's key bloom is still exact — carry it forward
         # instead of recomputing (r14). The exceptions recompute from
@@ -3643,7 +3656,7 @@ def snapshot_compact(
         if redo_keys and m.get("key_bloom") is not None:
             recomputed = _key_bloom_extra(
                 spark, snap, partition_col, m["key_bloom"],
-                m.get("schema") or df.schema.json(),
+                m.get("schema") or df.schema.json(), recs=recs,
             )
             out.update(
                 {k: v for k, v in recomputed.items() if k in redo_keys}
@@ -3790,9 +3803,10 @@ def snapshot_backfill(
         bf_schema = m.get("schema") or df.schema.json()
         spark = df.sparkSession
 
-        def bloom_extra(snap: str, _fresh: set[str]) -> dict:
+        def bloom_extra(snap: str, _fresh: set[str], recs=None) -> dict:
             return _key_bloom_extra(
-                spark, snap, partition_col, bloom_spec, bf_schema
+                spark, snap, partition_col, bloom_spec, bf_schema,
+                recs=recs,
             )
 
     version, _new_m = _stage_version(
@@ -4494,9 +4508,10 @@ def snapshot_merge(
         # partition: one column-pruned pass over the freshly-written
         # files — O(touched), recomputed exactly (deleted keys leave
         # the filter because it is rebuilt, not mutated)
-        def bloom_extra(snap: str, _fresh: set[str]) -> dict:
+        def bloom_extra(snap: str, _fresh: set[str], recs=None) -> dict:
             return _key_bloom_extra(
-                spark, snap, partition_col, bloom_spec, schema_json
+                spark, snap, partition_col, bloom_spec, schema_json,
+                recs=recs,
             )
 
     version, _new_m = _stage_version(
@@ -4673,7 +4688,7 @@ def snapshot_delete(
                 .parquet(os.path.join(snap, "_dv"))
             )
 
-        def synth(snap: str) -> dict:
+        def synth(snap: str, _recs=None) -> dict:
             out: dict[str, dict] = {}
             dvroot = os.path.join(snap, "_dv")
             dv_leafs = _discover_parts(dvroot, partition_col)
@@ -4968,20 +4983,34 @@ def snapshot_upsert_mor(
         )
 
         def writer(snap: str) -> None:
+            # the delete-file and append-file writes land in DISJOINT
+            # output roots (snap/_dv vs snap) from independent plans —
+            # overlap them (r18, guide §2.6) so a mixed CDC microbatch
+            # pays max(write) not sum(write); each keeps its own
+            # _temporary staging and _SUCCESS marker
+            jobs = []
             if keyed_dv is not None:
-                (
-                    keyed_dv.write.mode("append")
+                jobs.append(
+                    lambda: keyed_dv.write.mode("append")
                     .partitionBy(*pcols)
                     .parquet(os.path.join(snap, "_dv"))
                 )
             if shaped_up is not None:
-                (
-                    shaped_up.write.mode("append")
+                jobs.append(
+                    lambda: shaped_up.write.mode("append")
                     .partitionBy(*pcols)
                     .parquet(snap)
                 )
+            if len(jobs) == 1:
+                jobs[0]()
+            elif jobs:
+                from concurrent.futures import ThreadPoolExecutor
 
-    def synth(snap: str) -> dict:
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    for f in [pool.submit(j) for j in jobs]:
+                        f.result()
+
+    def synth(snap: str, recs0=None) -> dict:
         out: dict[str, dict] = {}
         dv_leafs = _discover_parts(
             os.path.join(snap, "_dv"), partition_col
@@ -5023,14 +5052,25 @@ def snapshot_upsert_mor(
                     partition_col,
                     {**bloom_spec, "m": m_sz, "mx": m_sz},
                     schema_json,
+                    recs=recs0,
                 )
-        recs = _footer_stats(
+        # footer records: the commit path already read every ap file's
+        # footer (recs0) — only the dv files (written under _dv/, which
+        # the commit-path discovery does not descend into) still need a
+        # read (r18, guide §1.2 fixed costs)
+        need = [
             os.path.join(leaf, f)
             for leafs_ in (dv_leafs, ap_leafs)
             for leaf in leafs_.values()
             for f in os.listdir(leaf)
             if f.endswith(".parquet")
-        )
+        ]
+        missing = [
+            f for f in need if recs0 is None or f not in recs0
+        ]
+        recs = dict(recs0 or {})
+        if missing:
+            recs.update(_footer_stats(missing))
         for key in set(dv_leafs) | set(ap_leafs):
             base = parts.get(key)
             if base is None:
@@ -5123,14 +5163,15 @@ def snapshot_upsert_mor(
 
     bloom_extra = None
     if bloom_spec is not None and writer is not None:
-        def bloom_extra(snap: str, fresh_keys: set[str]) -> dict:
+        def bloom_extra(snap: str, fresh_keys: set[str], recs=None) -> dict:
             # fresh (brand-new) partitions get their own auto-sized
             # blooms; ap-carrying entries are handled by synth
             new_keys = {k for k in fresh_keys if k not in parts}
             if not new_keys:
                 return {}
             ext = _key_bloom_extra(
-                spark, snap, partition_col, bloom_spec, schema_json
+                spark, snap, partition_col, bloom_spec, schema_json,
+                recs=recs,
             )
             return {k: v for k, v in ext.items() if k in new_keys}
 
@@ -5763,7 +5804,7 @@ def snapshot_rebuild_blooms(
                 }
             }
 
-    def synth(_snap: str) -> dict:
+    def synth(_snap: str, _recs=None) -> dict:
         return {
             k: {**dict(e), **digests[k]} for k, e in targets.items()
         }
