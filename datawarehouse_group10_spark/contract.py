@@ -936,17 +936,21 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rtf (r8): runtime bloom-filter join pruning — NATION_4's supplier
     # revenue with the fact side prefiltered by a portable bloom filter
-    # built from the dim side (functions/sketches.py: bloom_bits /
+    # built from the dim side (functions/sketches.py: bloom_bits_auto /
     # bloom_might_contain — the by-hand equivalent of Spark's
     # spark.sql.optimizer.runtime.bloomFilter injection). The bitmap is
-    # sized at ~16 bits/key off the dim count (two control-plane jobs
-    # over the tiny dim side), rides the probe scan as a literal (pure
+    # sized at 16-32 bits/key and built in ONE control-plane job over
+    # the tiny dim side (r18, guide §1.2: the old shape paid a separate
+    # count() job to size it, then a second dim scan to build it; the
+    # fused aggregate returns count + bitmap together and folds to the
+    # power-of-two size driver-side, bit-identical to building at that
+    # size directly). It rides the probe scan as a literal (pure
     # codegen: k md5s + k shifts per row, zero joins), and drops ~24/25
     # of the fact rows BEFORE they reach the join; the broadcast join
     # after removes the bounded false-positive residue, so the oracle —
     # the PLAIN join SQL — proves the no-false-negative contract
-    # end-to-end.
-    from .functions.sketches import bloom_bits, bloom_might_contain
+    # end-to-end (the result is bloom-size-independent by construction).
+    from .functions.sketches import bloom_bits_auto, bloom_might_contain
 
     nat4 = (
         supplier.join(
@@ -956,9 +960,9 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_4")
         .select("s_suppkey")
     )
-    n_keys = nat4.count()
-    m_bits = max(8192, 64 * ((16 * n_keys + 63) // 64))
-    bits = bloom_bits(nat4, "s_suppkey", m_bits=m_bits, k=5)
+    bits, _m_bits = bloom_bits_auto(
+        nat4, "s_suppkey", bits_per_key=16, k=5
+    )
     rtf = (
         li.where(bloom_might_contain("l_suppkey", bits, k=5))
         .join(F.broadcast(nat4), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -202,6 +202,58 @@ def bloom_bits(
     return out
 
 
+def bloom_bits_auto(
+    df: DataFrame, key_col: str, bits_per_key: int = 16, k: int = 5
+) -> tuple[list[int], int]:
+    """ONE-JOB auto-sized variant of :func:`bloom_bits` (r18, guide
+    §1.2 fixed costs): callers previously paid a separate ``count()``
+    job just to size the bitmap, then a second pass to build it. Here
+    the cells aggregate runs once at :data:`BLOOM_MAX_BITS` granularity
+    and carries a per-word CELL COUNT, so a single job yields both the
+    build-side key count (sum(counts) / k — every row explodes to
+    exactly k cells) and the max-granularity bitmap; the bitmap then
+    FOLDS driver-side onto the chosen power-of-two ``m``.
+
+    The fold is exact, not approximate: with ``m`` a multiple of 64
+    dividing ``M = BLOOM_MAX_BITS`` (both powers of two), a position
+    ``p = 64*w + b`` satisfies ``p mod m = 64*(w mod (m/64)) + b`` —
+    OR-ing word ``w`` into ``w mod (m/64)`` lands every bit exactly
+    where :func:`bloom_bits` at that ``m`` would set it (``pmod(h, m)
+    == pmod(pmod(h, M), m)`` whenever ``m`` divides ``M``), so the
+    result is bit-for-bit ``bloom_bits(df, key_col, m, k)``. Sizing:
+    the smallest power-of-two ``m >= bits_per_key * n`` (floor 8192,
+    cap ``M``) — between ``bits_per_key`` and ``2*bits_per_key`` bits
+    per key, the same <1% FPR envelope as the exact-16 sizing.
+    Returns ``(bits, m)``. Driver payload is bounded at M/64 longs
+    (32 KiB) regardless of build-side size.
+    """
+    M = BLOOM_MAX_BITS
+    pos = [
+        F.expr(_bloom_pos_sql(j, key_col, M)).alias(f"_p{j}")
+        for j in range(k)
+    ]
+    cells = df.select(F.explode(F.array(*pos)).alias("pos"))
+    rows = (
+        cells.groupBy(F.expr("CAST(pos DIV 64 AS INT)").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))"
+            ).alias("bits"),
+            F.count("*").cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    n = sum(r["c"] for r in rows) // k
+    m = 8192
+    while m < bits_per_key * max(1, n) and m * 2 <= M:
+        m *= 2
+    nw = m // 64
+    out = [0] * nw
+    for r in rows:
+        out[r["word"] % nw] |= r["bits"]
+    return out, m
+
+
 def bloom_might_contain(
     key_col: str, bits: list[int], k: int = 5
 ):

@@ -1182,6 +1182,30 @@ def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+def test_bloom_bits_auto_fold_is_bit_identical(spark):
+    """bloom_bits_auto (r18): the one-job fused builder's driver-side
+    fold from BLOOM_MAX_BITS granularity to the chosen power-of-two m
+    must be BIT-IDENTICAL to bloom_bits built at that m directly (the
+    pmod-divisibility argument), auto-size to >= bits_per_key per key,
+    and keep the no-false-negative contract."""
+    from datawarehouse_group10_spark.functions.sketches import (
+        bloom_bits,
+        bloom_bits_auto,
+        bloom_might_contain,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(700)], "k bigint")
+    bits, m = bloom_bits_auto(build, "k", bits_per_key=16, k=5)
+    # sizing: smallest power of two >= 16*700 = 11200 -> 16384
+    assert m == 16384 and len(bits) == m // 64
+    assert bits == bloom_bits(build, "k", m_bits=m, k=5)
+    assert build.where(bloom_might_contain("k", bits, k=5)).count() == 700
+    # tiny build hits the 8192 floor
+    tiny = spark.createDataFrame([(i,) for i in range(10)], "k bigint")
+    _bits2, m2 = bloom_bits_auto(tiny, "k", bits_per_key=16, k=5)
+    assert m2 == 8192
+
+
 def test_value_histogram_split_merge_equals_whole(spark):
     """Histograms are mergeable partials: summing per-split histograms
     equals the whole-input histogram bucket-for-bucket — the algebra
