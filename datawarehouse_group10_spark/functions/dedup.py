@@ -1211,31 +1211,39 @@ def resolve_duplicate_clusters(
         )
         hop = labels.join(neighbor_labels, "src", "left").select(
             "src",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("_new"),
+            # the round's INPUT label rides along so the convergence
+            # check below needs no join back onto the old labels (r18,
+            # guide §1.2: one job per round, not two)
+            F.col("label").alias("_old"),
         )
         # Pointer doubling: jump straight to the label's own label.
-        ptr = hop.select(F.col("src").alias("_l"), F.col("label").alias("_ll"))
+        ptr = hop.select(F.col("src").alias("_l"), F.col("_new").alias("_ll"))
         new_labels = (
             hop.alias("h")
-            .join(ptr.alias("p"), F.col("h.label") == F.col("p._l"), "left")
+            .join(ptr.alias("p"), F.col("h._new") == F.col("p._l"), "left")
             .select(
                 F.col("h.src").alias("src"),
                 F.least(
-                    F.col("h.label"), F.coalesce(F.col("p._ll"), F.col("h.label"))
+                    F.col("h._new"),
+                    F.coalesce(F.col("p._ll"), F.col("h._new")),
                 ).alias("label"),
+                F.col("h._old").alias("_old"),
             )
             # Lineage MUST be cut every round, not just cached — see the
-            # docstring's plan-explosion note. Eager: materializes here,
-            # and the changed-count below reads the checkpointed blocks.
-            .localCheckpoint(eager=True)
+            # docstring's plan-explosion note. LAZY (r18): the changed-
+            # count below is the round's first action, so ONE job both
+            # materializes the checkpoint blocks and returns the count —
+            # the eager form paid a separate materialization job plus a
+            # join against the old labels every round.
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("_old")
+        ).count()
+        labels = new_labels.select("src", "label")
         if changed == 0:
             converged = True
             break

@@ -476,6 +476,35 @@ def test_cluster_resolution_deep_chain_converges(spark):
     assert got == {i: 0 for i in range(14)}
 
 
+def test_cluster_resolution_one_job_per_round(spark):
+    """r18: each propagation round's convergence count IS the job that
+    materializes the round's lazy localCheckpoint — the eager form paid
+    a separate materialization job plus a join against the old labels.
+    Pin: resolving a multi-round chain costs at most 2 jobs per round
+    of the r18 shape's budget (1 count-job per round + the two initial
+    eager checkpoints + the final one), and the output is unchanged."""
+    from datawarehouse_group10_spark.functions.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(13)],
+        "id_a bigint, id_b bigint, j double",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in resolve_duplicate_clusters(pairs).collect()}
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert got == {i: 0 for i in range(14)}
+    # Under AQE every exchange materialization is its own job, so the
+    # absolute count is AQE-shaped; what the pin protects is the r18
+    # cut: the eager-checkpoint + join-count loop measured 62 jobs on
+    # this graph, the fused lazy shape 46. Budget 52 = measured 46
+    # plus slack, below the old shape's floor.
+    assert after - before <= 52, f"{after - before} jobs for the resolve"
+
+
 def test_asof_join_rejects_payload_collision(spark):
     import datetime as dt
 
