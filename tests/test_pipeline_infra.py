@@ -5974,8 +5974,9 @@ def test_wide_commit_footer_stats_are_one_job_not_driver_io(spark, tmp_path):
     L.snapshot_write(df, path, "p", key_bloom=["k"])
     after = dict(L.FOOTER_STAT_COUNTS)
     assert after["driver_files"] == before["driver_files"]
-    # one job for the entry stats, one for the bloom sizing pass
-    assert after["jobs"] - before["jobs"] == 2
+    # ONE fused job: bloom sizing reuses the entry-stat footer records
+    # (r18 — was 2 jobs when the bloom pass re-read every footer)
+    assert after["jobs"] - before["jobs"] == 1
     # and the distributed records produced real entries: bounds + rows
     m = L.snapshot_manifest(path)
     assert len(m["partitions"]) == n_parts
