@@ -3893,7 +3893,8 @@ def _probe_scope(
     batch: DataFrame,
     keys: DataFrame,
     dup_guard: bool = False,
-) -> tuple[dict, dict, set[str], bool, int | None]:
+    touch_col: Column | None = None,
+) -> tuple[dict, dict, set[str], bool, int | None, set[str] | None]:
     """Scoped metadata resolve + candidate selection for a key-equality
     probe — the shared front half of :func:`snapshot_merge` and
     :func:`snapshot_delete` (r14). Returns ``(m, parts, candidates,
@@ -3920,7 +3921,20 @@ def _probe_scope(
     survives the grouping) and additionally returns ``max(per-key
     count)`` as the 5th element (None without the guard). The old
     shape priced a separate full-batch groupBy job into every
-    commit's dup fence."""
+    commit's dup fence.
+
+    ``touch_col`` (r18 continuation, guide §1.2/§2.4): an optional
+    per-batch-row Column whose DISTINCT value set the caller needs
+    (merge/upsert_mor: the batch's upsert-target partition keys).
+    Folded into the same aggregation job and returned as the 6th
+    element (a set, or None when not requested), so the caller's
+    touched-partition bookkeeping stops paying its own job — and,
+    since every non-mixed matched row's home partition is one of the
+    probe ``candidates``, the caller can skip (or shrink) the
+    table-side matched probe whenever the batch's own targets already
+    cover the candidates. Under ``dup_guard`` the column is computed
+    per ROW before the key grouping (its sources need not be key
+    columns) and the per-key sets flatten in the outer pass."""
     base_partial = False
     segs = raw.get("segments")
     mixed = bool(raw.get("pc_history"))
@@ -3980,11 +3994,34 @@ def _probe_scope(
             else:
                 scopable = False  # entries can match anywhere
                 break
-    agg_src = (
-        batch.groupBy(*key_cols).agg(F.count("*").alias("_pg_n"))
-        if dup_guard
-        else batch
-    )
+    if dup_guard:
+        agg_src = batch.groupBy(*key_cols).agg(
+            F.count("*").alias("_pg_n"),
+            *(
+                # per-key distinct touch values (the grouped output
+                # loses non-key columns, so the touch column must be
+                # folded per ROW here and flattened in the outer pass)
+                [F.collect_set(touch_col).alias("_pg_tc")]
+                if touch_col is not None
+                else []
+            ),
+        )
+        touch_aggs = (
+            [
+                F.array_distinct(
+                    F.flatten(F.collect_set("_pg_tc"))
+                ).alias("_pg_touch")
+            ]
+            if touch_col is not None
+            else []
+        )
+    else:
+        agg_src = batch
+        touch_aggs = (
+            [F.collect_set(touch_col).alias("_pg_touch")]
+            if touch_col is not None
+            else []
+        )
     bounds_row = agg_src.agg(
         *[
             f(c).alias(f"{tag}_{i}")
@@ -3992,6 +4029,7 @@ def _probe_scope(
             for tag, f in (("lo", F.min), ("hi", F.max))
         ],
         *([F.max("_pg_n").alias("_pg_dup")] if dup_guard else []),
+        *touch_aggs,
         *(
             [
                 # NULL-tolerant (r17, ADVICE r16 #2): the fused shape
@@ -4077,7 +4115,12 @@ def _probe_scope(
             keys, key_cols, parts, candidates, bloom_spec
         )
     dup_max = int(bounds_row["_pg_dup"] or 0) if dup_guard else None
-    return m, parts, candidates, base_partial, dup_max
+    touch_set = (
+        set(bounds_row["_pg_touch"] or [])
+        if touch_col is not None
+        else None
+    )
+    return m, parts, candidates, base_partial, dup_max, touch_set
 
 
 def snapshot_merge(
@@ -4214,9 +4257,25 @@ def snapshot_merge(
     # resolve (exact derived keys / key range when the partition legs
     # derive from key columns — VERDICT r13 #1), then a driver-side
     # stats overlap test + key-bloom consult per in-scope entry.
-    m, parts, candidates, base_partial, dup_max = _probe_scope(
+    # The batch's upsert-target partition keys fold into the probe
+    # aggregation (r18 continuation, guide §1.2/§2.4): same strict
+    # NULL-fail-fast expression the old separate upsert_vals job
+    # evaluated, guarded to NULL (collect_set-dropped) for delete
+    # rows. The touched-partition job below then only has to probe
+    # candidates the batch does NOT already rewrite — for workloads
+    # whose batches target every candidate partition (the streaming
+    # CDC/mart-upsert shape) the entire table-side probe disappears.
+    strict_pkey = _part_key_col(partition_col)
+    if delete_col is not None:
+        touch_col = F.when(
+            ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
+            strict_pkey,
+        )
+    else:
+        touch_col = strict_pkey
+    m, parts, candidates, base_partial, dup_max, up_parts = _probe_scope(
         path, raw, partition_col, key_cols, batch, keys,
-        dup_guard=dup_guard,
+        dup_guard=dup_guard, touch_col=touch_col,
     )
     if dup_max is not None and dup_max > 1:
         dup = (
@@ -4233,15 +4292,27 @@ def snapshot_merge(
             "reduce it last-change-wins"
         )
     bloom_spec = m.get("key_bloom")
+    # Matched-home probe, restricted to the candidates the batch's own
+    # upsert targets do not cover: a NON-mixed table's matched row
+    # lives in the partition its key derives to, so candidates already
+    # targeted by an upsert are rewritten regardless and need no
+    # probing. Mid spec-migration (pc_history) a matched old-spec
+    # row's CURRENT-spec home can differ from the partition it sits
+    # in, so the mixed path keeps the full candidate probe.
+    probe_parts = (
+        candidates
+        if raw.get("pc_history")
+        else candidates - up_parts
+    )
     probe = (
         # dv-aware read (r14): a key removed by an outstanding
         # merge-on-read delete must not re-match — it would force a
         # pointless partition rewrite
         _read_version(
-            spark, path, partitions=candidates,
+            spark, path, partitions=probe_parts,
             schema_json=m.get("schema"),
         )
-        if candidates
+        if probe_parts
         else None
     )
     pcols = _pcols(partition_col)
@@ -4257,13 +4328,9 @@ def snapshot_merge(
         if probe is not None
         else None
     )
-    upsert_vals = upserts.select(pkey).distinct()
-    touched_df = (
-        matched_vals.unionByName(upsert_vals).distinct()
-        if matched_vals is not None
-        else upsert_vals
-    )
-    touched = {r[0] for r in touched_df.collect()}
+    touched = set(up_parts)
+    if matched_vals is not None:
+        touched |= {r[0] for r in matched_vals.collect()}
     if raw.get("pc_history"):
         # lazy spec migration (r14): every candidate still laid out
         # under an OLD partition spec is rewritten by this merge under
@@ -4613,7 +4680,7 @@ def snapshot_delete(
             f"snapshot_delete: batch is missing key column(s) {missing}"
         )
     keys = batch.select(*key_cols).distinct()
-    m, parts, candidates, base_partial, _dup = _probe_scope(
+    m, parts, candidates, base_partial, _dup, _touch = _probe_scope(
         path, raw, partition_col, key_cols, keys, keys
     )
     schema_json = m.get("schema")
@@ -4851,12 +4918,19 @@ def snapshot_upsert_mor(
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
         upserts = batch.filter(~flag).drop(delete_col)
         keys = batch.select(*key_cols).distinct()
+        touch_col = F.when(~flag, _part_key_col(partition_col))
     else:
         upserts = batch
         keys = batch.select(*key_cols).distinct()
-    m, parts, candidates, base_partial, dup_max = _probe_scope(
+        touch_col = _part_key_col(partition_col)
+    # the batch's upsert-target partition keys ride the probe
+    # aggregation (r18 continuation — see snapshot_merge): the 'u' leg
+    # of the touched-sets job below comes back with the key bounds,
+    # so the job only carries the matched ('d') leg — and disappears
+    # entirely when nothing is probed.
+    m, parts, candidates, base_partial, dup_max, up_parts = _probe_scope(
         path, raw, partition_col, key_cols, batch, keys,
-        dup_guard=dup_guard,
+        dup_guard=dup_guard, touch_col=touch_col,
     )
     if dup_max is not None and dup_max > 1:
         dup = (
@@ -4913,24 +4987,21 @@ def snapshot_upsert_mor(
     pkey = _part_key_col(partition_col).alias("_dv_pkey")
     matched = None
     dv_parts: set[str] = set()
-    up_parts: set[str] = set()
     old_homes: dict[str, set[str]] = {}
-    # ONE job collects both touched sets (matched homes + upsert
-    # targets, tagged) — per-microbatch fixed costs matter when the
-    # batch itself is tiny (the streaming CDC shape). Mid-migration
-    # the 'd' leg also derives each matched row's key under every
-    # live OLD spec, locating the entries its delete refs belong to.
-    up_pk = upserts.select(
-        _part_key_col(partition_col).alias("_pk"),
-        F.lit("u").alias("_src"),
-    ).distinct()
+    # The 'u' (upsert-target) touched set came back with the probe
+    # aggregation above; the job here carries only the matched ('d')
+    # homes — per-microbatch fixed costs matter when the batch itself
+    # is tiny (the streaming CDC shape). Mid-migration the 'd' leg
+    # also derives each matched row's key under every live OLD spec,
+    # locating the entries its delete refs belong to.
+    d_rows = []
     if probe is not None:
         matched = (
             probe.select(*dict.fromkeys([*psrc, *old_src, *key_cols]))
             .join(keys, key_cols, "left_semi")
             .distinct()
         )
-        both = (
+        d_rows = (
             matched.select(
                 _part_key_col(partition_col).alias("_pk"),
                 *[
@@ -4939,20 +5010,11 @@ def snapshot_upsert_mor(
                     _part_key_col(s, strict=False).alias(f"_opk{i}")
                     for i, (_st, s) in enumerate(old_specs)
                 ],
-                F.lit("d").alias("_src"),
             )
             .distinct()
-            .unionByName(up_pk, allowMissingColumns=True)
+            .collect()
         )
-    else:
-        both = up_pk
-    d_rows = []
-    for r in both.collect():
-        if r["_src"] == "d":
-            dv_parts.add(r["_pk"])
-            d_rows.append(r)
-        else:
-            up_parts.add(r["_pk"])
+        dv_parts = {r["_pk"] for r in d_rows}
     old_homes = _dv_old_home_rows(d_rows, old_specs, raw, parts)
     touched = (
         dv_parts | up_parts | {k for s in old_homes.values() for k in s}

@@ -3413,6 +3413,78 @@ def test_snapshot_merge_prunes_on_partition_key_columns(spark, tmp_path):
     assert got.count() == 50
 
 
+def test_merge_touched_set_rides_probe_agg(spark, tmp_path, monkeypatch):
+    """r18 continuation: the batch's upsert-target partition keys fold
+    into the probe aggregation, so the matched-home probe reads ONLY
+    candidates the batch does not already rewrite — zero table-side
+    probe reads when the targets cover every candidate — and the old
+    separate touched-partition union job is gone. Two pins:
+
+    1. CORRECTNESS of the restricted probe: a key that MOVES
+       partitions (batch places k under p1 while the table holds it
+       under p2) must still rewrite its OLD home — p2 is found by the
+       residual semi-join over candidates − upsert targets.
+    2. READ SHAPE: _read_version call count per merge — the key-move
+       merge probes exactly the uncovered candidate {p2} then reads
+       the rewrite set; the full-cover merge makes exactly ONE
+       _read_version call (the rewrite read), where the old shape
+       always paid probe + rewrite."""
+    from datawarehouse_group10_spark.sources import layout as L
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("p1", 1, 1.0), ("p2", 2, 2.0), ("p3", 3, 3.0)],
+        "p string, k int, v double",
+    )
+    L.snapshot_write(df, path, "p")
+
+    calls: list[frozenset | None] = []
+    real = L._read_version
+
+    def spy(*a, **kw):
+        parts = kw.get("partitions")
+        if parts is None and len(a) > 3:
+            parts = a[3]
+        calls.append(frozenset(parts) if parts is not None else None)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(L, "_read_version", spy)
+
+    # key 2 moves p2 -> p1: p2 holds the matched old row (must be
+    # rewritten to drop it) even though no batch row targets p2
+    batch = spark.createDataFrame([("p1", 2, 20.0)], "p string, k int, v double")
+    st = L.snapshot_merge(spark, batch, path, "p", ["k"])
+    assert st["partitions_rewritten"] == 2, st
+    # probe read covered exactly the uncovered candidate
+    assert calls[0] == frozenset({"p2"}), calls
+    got = {
+        (r["p"], r["k"]): r["v"]
+        for r in L.snapshot_read(spark, path).collect()
+    }
+    assert got == {("p1", 1): 1.0, ("p1", 2): 20.0, ("p3", 3): 3.0}
+
+    # full-cover batch: every candidate partition receives an upsert,
+    # so the table-side probe read disappears entirely — one
+    # _read_version call (the rewrite read), not two
+    batch2 = spark.createDataFrame(
+        [("p1", 1, 10.0), ("p1", 2, 21.0), ("p3", 3, 30.0)],
+        "p string, k int, v double",
+    )
+    calls.clear()
+    st2 = L.snapshot_merge(spark, batch2, path, "p", ["k"])
+    assert st2["partitions_rewritten"] == 2, st2
+    assert len(calls) == 1, (
+        f"{len(calls)} _read_version calls for a full-cover merge — "
+        "the probe should be skipped when upsert targets cover every "
+        f"candidate (calls: {calls})"
+    )
+    got2 = {
+        (r["p"], r["k"]): r["v"]
+        for r in L.snapshot_read(spark, path).collect()
+    }
+    assert got2 == {("p1", 1): 10.0, ("p1", 2): 21.0, ("p3", 3): 30.0}
+
+
 def test_snapshot_merge_write_shards_parallel_hot_partition(spark, tmp_path):
     """write_shards (r13): a merge into a hot partition range-shards
     the rewrite across (partition, key) buckets — several files with
