@@ -688,10 +688,26 @@ def append_to_minhash_index(
     shingled = new_df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("shingles")
     )
-    shingled.write.mode("append").parquet(f"{path}/shingles")
-    _band_keys(shingled, id_col, num_perm, bands).write.mode(
-        "append"
-    ).parquet(f"{path}/bands")
+    # The two appends land in DISJOINT directories from independent
+    # plans — overlap them from a driver pool (r18, guide §2.6, the
+    # same shape as the MOR dv/ap write overlap) so a microbatch pays
+    # max(write) not sum(write). Crash semantics are unchanged: the
+    # ingest journal snapshots BOTH dirs before this call and rolls
+    # back any non-snapshot file in either, so any interleaving of the
+    # two writes replays to the identical index.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _shingles() -> None:
+        shingled.write.mode("append").parquet(f"{path}/shingles")
+
+    def _bands() -> None:
+        _band_keys(shingled, id_col, num_perm, bands).write.mode(
+            "append"
+        ).parquet(f"{path}/bands")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_shingles), pool.submit(_bands)]:
+            f.result()
 
 
 def incremental_minhash_dup_pairs(
