@@ -691,10 +691,14 @@ def append_to_minhash_index(
     # The two appends land in DISJOINT directories from independent
     # plans — overlap them from a driver pool (r18, guide §2.6, the
     # same shape as the MOR dv/ap write overlap) so a microbatch pays
-    # max(write) not sum(write). Crash semantics are unchanged: the
-    # ingest journal snapshots BOTH dirs before this call and rolls
-    # back any non-snapshot file in either, so any interleaving of the
-    # two writes replays to the identical index.
+    # max(write) not sum(write). Crash states: any SUBSET of the two
+    # writes can now exist after a failure (sequential order could
+    # only leave shingles-without-bands). Replay idempotence was
+    # already the CALLER's contract (docstring above): the streaming
+    # ingest's journal snapshots BOTH dirs before this call and rolls
+    # back any non-snapshot file in either, so every partial state —
+    # old or new — replays to the identical index; a non-journaled
+    # caller was never crash-safe under either ordering.
     from concurrent.futures import ThreadPoolExecutor
 
     def _shingles() -> None:

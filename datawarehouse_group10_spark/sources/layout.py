@@ -4200,8 +4200,11 @@ def snapshot_merge(
     ``target_file_bytes`` — the same arithmetic
     :func:`snapshot_compact` plans with — so hot partitions shard
     without tuning. Returns {"partitions_rewritten",
-    "probe_partitions", "partitions_total", "write_shards",
-    "old_version", "new_version"}."""
+    "probe_partitions", "probe_read_partitions", "partitions_total",
+    "write_shards", "old_version", "new_version"}
+    (``probe_partitions`` is the post-prune candidate count;
+    ``probe_read_partitions`` the subset the matched-home probe
+    actually read after the upsert-target restriction)."""
     from pyspark.sql import Window
 
     committed, raw = _validated_raw(path, None)
@@ -4265,14 +4268,26 @@ def snapshot_merge(
     # candidates the batch does NOT already rewrite — for workloads
     # whose batches target every candidate partition (the streaming
     # CDC/mart-upsert shape) the entire table-side probe disappears.
-    strict_pkey = _part_key_col(partition_col)
-    if delete_col is not None:
-        touch_col = F.when(
-            ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
-            strict_pkey,
+    # The probe agg evaluates the key expression eagerly, so a batch
+    # missing a partition-source column must be named HERE (driver-
+    # side, no job) — not as the opaque unresolved-column error the
+    # aggregation would otherwise raise before the later schema
+    # validation gets a chance to.
+    missing_psrc = sorted(
+        set(_psrc_cols(partition_col)) - set(batch.columns)
+    )
+    if missing_psrc:
+        raise ValueError(
+            f"snapshot_merge: batch is missing partition "
+            f"column(s) {missing_psrc} — every merge batch must "
+            "carry the partition source columns"
         )
-    else:
-        touch_col = strict_pkey
+    strict_pkey = _part_key_col(partition_col)
+    touch_col = (
+        F.when(~flag, strict_pkey)
+        if delete_col is not None
+        else strict_pkey
+    )
     m, parts, candidates, base_partial, dup_max, up_parts = _probe_scope(
         path, raw, partition_col, key_cols, batch, keys,
         dup_guard=dup_guard, touch_col=touch_col,
@@ -4317,7 +4332,7 @@ def snapshot_merge(
     )
     pcols = _pcols(partition_col)
     psrc = _psrc_cols(partition_col)
-    pkey = _part_key_col(partition_col).alias("_pkey")
+    pkey = strict_pkey.alias("_pkey")
     matched_vals = (
         # partition keys recompute from the transform SOURCE columns
         # (identical to them under plain partitioning)
@@ -4590,6 +4605,10 @@ def snapshot_merge(
     return {
         "partitions_rewritten": len(touched),
         "probe_partitions": len(candidates),
+        # partitions the matched-home probe actually READ after the
+        # upsert-target restriction (r18 continuation) — 0 when the
+        # batch's own targets covered every candidate
+        "probe_read_partitions": len(probe_parts),
         "partitions_total": raw.get("n_live", len(parts)),
         "write_shards": auto_shards,
         "old_version": committed,
@@ -4927,7 +4946,18 @@ def snapshot_upsert_mor(
     # aggregation (r18 continuation — see snapshot_merge): the 'u' leg
     # of the touched-sets job below comes back with the key bounds,
     # so the job only carries the matched ('d') leg — and disappears
-    # entirely when nothing is probed.
+    # entirely when nothing is probed. As there, a missing partition-
+    # source column must be named BEFORE the agg evaluates the key
+    # expression eagerly.
+    missing_psrc = sorted(
+        set(_psrc_cols(partition_col)) - set(batch.columns)
+    )
+    if missing_psrc:
+        raise ValueError(
+            f"snapshot_upsert_mor: batch is missing partition "
+            f"column(s) {missing_psrc} — every upsert batch must "
+            "carry the partition source columns"
+        )
     m, parts, candidates, base_partial, dup_max, up_parts = _probe_scope(
         path, raw, partition_col, key_cols, batch, keys,
         dup_guard=dup_guard, touch_col=touch_col,

@@ -1845,6 +1845,9 @@ def test_snapshot_merge_all_verbs(spark, tmp_path):
         # so nothing prunes (see the key-range pruning test for the
         # disjoint case)
         "probe_partitions": 3,
+        # the batch's own upsert targets cover a+d; only b and c still
+        # need the matched-home probe read (r18 continuation)
+        "probe_read_partitions": 2,
         "partitions_total": 3,
         "write_shards": 0,  # default one-task-per-partition write
         "old_version": 1,
@@ -3483,6 +3486,15 @@ def test_merge_touched_set_rides_probe_agg(spark, tmp_path, monkeypatch):
         for r in L.snapshot_read(spark, path).collect()
     }
     assert got2 == {("p1", 1): 10.0, ("p1", 2): 21.0, ("p3", 3): 30.0}
+
+    # a batch missing the partition column is named by a friendly
+    # error BEFORE the probe agg would hit it as an unresolved column
+    # (the fused touch expression references it eagerly)
+    bad = spark.createDataFrame([(9, 9.0)], "k int, v double")
+    with pytest.raises(ValueError, match="missing partition column"):
+        L.snapshot_merge(spark, bad, path, "p", ["k"])
+    with pytest.raises(ValueError, match="missing partition column"):
+        L.snapshot_upsert_mor(spark, bad, path, "p", ["k"])
 
 
 def test_snapshot_merge_write_shards_parallel_hot_partition(spark, tmp_path):
